@@ -1,0 +1,81 @@
+package graft.catalog
+
+import graft.core.{Account, VaultName}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Vault catalog + per-vault event log as DataFrames.
+ *
+ * Replaces the reference's provider-side HTTP catalog
+ * (`pkg/vaultsprovider/provider.go:39-121`): `create` (M1) appends to the
+ * vault catalog, `list` (Q1) filters by account, `events` (Q2) filters a
+ * vault's event log by before/after with limit/offset — the reference's
+ * only filter+limit "query" (`cmd/vaults/commands.go:427-586`).
+ *
+ * Storage: parquet directories under a root path, partition-friendly.
+ * At scale the event log is `partitionBy(vault)` so per-vault queries
+ * partition-prune instead of scanning the full log.
+ */
+final case class VaultCatalog(spark: SparkSession, root: String) {
+  import spark.implicits._
+
+  private def vaultsPath = s"$root/vaults"
+  private def eventsPath = s"$root/events"
+
+  /** M1: vault create — append a catalog row. */
+  def createVault(vault: VaultName, account: Account, cacheDurationMins: Int): Unit =
+    Seq((vault.toString, account.address, cacheDurationMins))
+      .toDF("vault", "account", "cache_duration")
+      .write.mode("append").parquet(vaultsPath)
+
+  def vaults: DataFrame =
+    try spark.read.parquet(vaultsPath)
+    catch { case _: Exception =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vault STRING, account STRING, cache_duration INT"))
+    }
+
+  /** Q1: list vaults for an account. */
+  def listVaults(account: Account): DataFrame =
+    vaults.where(col("account") === account.address)
+      .select(col("vault"), col("cache_duration"))
+      .orderBy(col("vault"))
+
+  /** P8/M1: record an uploaded file event. */
+  def appendEvent(vault: VaultName, cid: String, timestampSec: Long,
+                  isArchived: Boolean, cacheExpiry: java.sql.Timestamp): Unit =
+    Seq((vault.toString, cid, timestampSec, isArchived, cacheExpiry))
+      .toDF("vault", "cid", "timestamp", "is_archived", "cache_expiry")
+      .write.mode("append").partitionBy("vault").parquet(eventsPath)
+
+  def events: DataFrame =
+    try spark.read.parquet(eventsPath)
+    catch { case _: Exception =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "cid STRING, timestamp BIGINT, is_archived BOOLEAN, cache_expiry TIMESTAMP, vault STRING"))
+    }
+
+  /**
+   * Q2: per-vault event listing with before/after/at/latest filters and
+   * limit/offset, newest-first — semantics of
+   * `cmd/vaults/commands.go:427-586` (`--at` ⇒ before=after=at;
+   * `--latest N` ⇒ limit=N, offset=0). Partition pruning on `vault` makes
+   * this an index lookup, not a scan, at scale.
+   */
+  def listEvents(vault: VaultName,
+                 before: Option[Long] = None, after: Option[Long] = None,
+                 at: Option[Long] = None,
+                 limit: Option[Int] = None, offset: Option[Int] = None): DataFrame = {
+    val (b, a) = at.map(t => (Some(t), Some(t))).getOrElse((before, after))
+    var df = events.where(col("vault") === vault.toString)
+    b.foreach(t => df = df.where(col("timestamp") <= t))
+    a.foreach(t => df = df.where(col("timestamp") >= t))
+    df = df.orderBy(col("timestamp").desc, col("cid"))
+    offset.foreach(o => df = df.offset(o))
+    limit.foreach(n => df = df.limit(n))
+    df.select("cid", "timestamp", "is_archived", "cache_expiry")
+  }
+}

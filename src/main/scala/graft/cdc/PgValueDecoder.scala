@@ -1,0 +1,76 @@
+package graft.cdc
+
+import graft.core.{PgArray, PgScalar, PgType, PgTypes}
+import graft.functions.PgArrayParse
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/**
+ * Turns a raw wal2json value (string column) into a typed Spark Column.
+ *
+ * Replaces the reference's 14 string-munging transform functions
+ * (`internal/app/type_converter.go:13-212`) with declarative, codegen-able
+ * Column expressions: `cast` for numerics/temporals, `unhex` for bytea,
+ * [[graft.functions.PgArrayParse]] + `transform` for PG array literals.
+ *
+ * NULL semantics follow the reference: JSON `null` (already a SQL NULL
+ * after `from_json`) passes through every transform; inside array literals
+ * the token is uppercase `NULL` (`type_converter.go:10`).
+ */
+object PgValueDecoder {
+
+  /** Decode raw string column `c` carrying a value of PG type `pgType`. */
+  def decode(c: Column, pgType: String): Column = PgTypes.of(pgType) match {
+    case PgScalar(name, dt) => decodeScalar(c, name, dt)
+    case PgArray(PgScalar(name, dt)) =>
+      val parsed = Bridge.column(PgArrayParse(Bridge.expression(c)))
+      transform(parsed, e => decodeArrayElement(e, name, dt))
+  }
+
+  private def decodeScalar(c: Column, pgName: String, dt: DataType): Column = pgName match {
+    case "bytea" =>
+      // wal2json may send hex with or without the `\x` prefix
+      // (scalar fixture `"00010203"`; array fixture `"\\x3030..."`).
+      unhex(regexp_replace(c, "^\\\\x", ""))
+    case "boolean" => c.cast(BooleanType)
+    case "json" | "jsonb" | "interval" | "macaddr" | "uuid" => c
+    case "time without time zone" | "time with time zone" => c
+    case _ => dt match {
+      case StringType => c
+      case TimestampNTZType => c.cast(TimestampNTZType)
+      case TimestampType => c.cast(TimestampType)
+      case DateType => c.cast(DateType)
+      case other => c.cast(other)
+    }
+  }
+
+  private def decodeArrayElement(e: Column, pgName: String, dt: DataType): Column = pgName match {
+    case "boolean" =>
+      // PG array literals use t/f for booleans (`type_converter.go:36-57`).
+      when(e === "t", lit(true)).when(e === "f", lit(false)).otherwise(e.cast(BooleanType))
+    case "bytea" => unhex(regexp_replace(e, "^\\\\x", ""))
+    case _ => decodeScalar(e, pgName, dt)
+  }
+
+  /**
+   * Pivot an exploded WAL record stream into a typed table DataFrame.
+   *
+   * Input: one row per Record with `columns ARRAY<STRUCT<name,type,value>>`
+   * (see [[WalModel.recordSchema]]). Output: one column per table-schema
+   * column, typed per SURVEY §1.3. Positional extraction is used (wal2json
+   * emits columns in table order), falling back to name lookup — both are
+   * narrow (no shuffle).
+   */
+  def pivotToTable(df: org.apache.spark.sql.DataFrame, schema: TableSchema): org.apache.spark.sql.DataFrame = {
+    val cols = schema.columns.map { tc =>
+      // filter by name → robust to column order / dropped columns
+      val raw = element_at(
+        filter(col("columns"), x => x.getField("name") === tc.name), 1
+      ).getField("value")
+      decode(raw, tc.pgType).as(tc.name)
+    }
+    df.select(cols: _*)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Decodes a stream/batch of wal2json transaction lines into row-change
+ * records and typed per-table DataFrames.
+ *
+ * Spark-native equivalent of the reference's replication consume + replay
+ * path (`pkg/pgrepl/replicator.go:235-284` decode,
+ * `internal/app/db.go:254-289` replay): instead of generating SQL INSERT
+ * text per record, the whole decode is one declarative plan —
+ * `from_json` → `explode(records)` → action filter → typed pivot — which
+ * Catalyst pipelines and whole-stage-codegens. No shuffle anywhere: the
+ * plan is narrow from text line to typed row.
+ */
+object WalDecoder {
+
+  /** Raw text lines (one JSON tx per line) → one row per WAL record. */
+  def decodeRecords(lines: DataFrame): DataFrame = {
+    val valueCol = lines.columns.headOption.getOrElse("value")
+    lines
+      .select(from_json(col(valueCol), WalModel.txSchema).as("tx"))
+      .where(col("tx").isNotNull && col("tx.records").isNotNull)
+      .select(col("tx.commit_lsn").as("commit_lsn"),
+              posexplode(col("tx.records")).as(Seq("record_idx", "r")))
+      .select(col("commit_lsn"), col("record_idx"), col("r.*"))
+  }
+
+  /**
+   * The documented append-only contract: only INSERT images are replayed
+   * (`/root/reference/README.md:146`). The reference *code* actually
+   * re-appends U and D images too (SURVEY §2.12); set
+   * `replayActions = Set("I","U","D")` to reproduce that behavior for
+   * differential testing.
+   */
+  def filterActions(records: DataFrame, replayActions: Set[String] = Set("I")): DataFrame =
+    records.where(col("action").isin(replayActions.toSeq: _*))
+
+  /** Full batch decode: lines → Map(table → typed DataFrame). */
+  def decodeTables(
+      spark: SparkSession,
+      lines: DataFrame,
+      schemas: Seq[TableSchema],
+      replayActions: Set[String] = Set("I")): Map[String, DataFrame] = {
+    val records = filterActions(decodeRecords(lines), replayActions)
+    schemas.map { ts =>
+      ts.table -> PgValueDecoder.pivotToTable(records.where(col("table") === ts.table), ts)
+    }.toMap
+  }
+}

@@ -1,0 +1,83 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+
+/**
+ * wal2json format-version-2 transaction envelope.
+ *
+ * Mirrors the reference's `pkg/pgrepl/tx.go:9-39`: a `Tx` is a commit LSN
+ * plus ordered row-change `Record`s; each record carries action
+ * ("I"/"U"/"D"; "B"/"C" markers are consumed by the source), xid, lsn,
+ * timestamp, schema/table, columns (name/type/raw-JSON value) and pk list.
+ *
+ * `Column.value` is kept as the raw JSON token text (the reference keeps it
+ * as `json.RawMessage`); typed decoding happens later per the table schema
+ * (see [[PgValueDecoder]]).
+ */
+object WalModel {
+  final case class PgColumn(name: String, `type`: String, value: String)
+  final case class PrimaryKey(name: String, `type`: String)
+  final case class Record(
+      action: String,
+      xid: Long,
+      lsn: String,
+      nextlsn: String,
+      timestamp: String,
+      schema: String,
+      table: String,
+      columns: Seq[PgColumn],
+      pk: Seq[PrimaryKey])
+  final case class Tx(commit_lsn: Long, records: Seq[Record])
+
+  val columnSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("type", StringType),
+    StructField("value", StringType) // raw JSON token preserved as text
+  ))
+
+  val pkSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("type", StringType)
+  ))
+
+  val recordSchema: StructType = StructType(Seq(
+    StructField("action", StringType),
+    StructField("xid", LongType),
+    StructField("lsn", StringType),
+    StructField("nextlsn", StringType),
+    StructField("timestamp", StringType),
+    StructField("schema", StringType),
+    StructField("table", StringType),
+    StructField("columns", ArrayType(columnSchema)),
+    StructField("pk", ArrayType(pkSchema))
+  ))
+
+  /** One JSON line = one transaction (`internal/app/testdata/wal.input`). */
+  val txSchema: StructType = StructType(Seq(
+    StructField("commit_lsn", LongType),
+    StructField("records", ArrayType(recordSchema))
+  ))
+}
+
+/**
+ * Per-table schema captured once at stream start
+ * (reference `internal/app/db.go:48-52`, `cmd/vaults/commands.go:851-921`).
+ * Primary-key membership is recorded in field metadata — Spark does not
+ * enforce PKs, and none is needed for an append-only stream.
+ */
+final case class TableColumn(name: String, pgType: String, nullable: Boolean, isPrimary: Boolean)
+
+final case class TableSchema(table: String, columns: Seq[TableColumn]) {
+  import graft.core.PgTypes
+
+  def toStructType: StructType = StructType(columns.map { c =>
+    val md = new MetadataBuilder()
+      .putString("pgType", PgTypes.normalize(c.pgType))
+      .putBoolean("isPrimary", c.isPrimary)
+      .build()
+    StructField(c.name, PgTypes.of(c.pgType).sparkType, c.nullable, md)
+  })
+
+  /** Fails fast on unsupported types, like the reference's DDL generation. */
+  def validate(): Unit = columns.foreach(c => PgTypes.of(c.pgType))
+}

