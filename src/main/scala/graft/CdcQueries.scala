@@ -1,0 +1,89 @@
+package graft
+
+import graft.cdc.{PgValueDecoder, TableColumn, TableSchema, WalDecoder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Oracle-checked CDC queries: synthesize wal2json v2 transaction lines
+ * from the `events` table, run them through the full decode path
+ * (`from_json` → explode → action filter → typed pivot,
+ * [[graft.cdc.WalDecoder]]), and emit the replayed table. The oracle is a
+ * plain SELECT over `events` — if decode is correct the round trip is the
+ * identity. This exercises S4 (WAL decode), S3's record ordering, P2
+ * (replay) and P3 (type transforms) end-to-end against the oracle.
+ */
+object CdcQueries {
+
+  val eventsSchema: TableSchema = TableSchema("events", Seq(
+    TableColumn("event_id", "bigint", nullable = false, isPrimary = true),
+    TableColumn("ts", "timestamp without time zone", nullable = false, isPrimary = false),
+    TableColumn("user_id", "bigint", nullable = true, isPrimary = false),
+    TableColumn("event_type", "text", nullable = true, isPrimary = false),
+    TableColumn("value", "double precision", nullable = true, isPrimary = false)
+  ))
+
+  /** events rows → one wal2json tx line per row (commit_lsn = event_id). */
+  def eventsAsWalLines(events: DataFrame): DataFrame = {
+    def pgcol(name: String, typ: String, value: org.apache.spark.sql.Column) =
+      struct(lit(name).as("name"), lit(typ).as("type"), value.cast("string").as("value"))
+    val record = struct(
+      lit("I").as("action"),
+      col("event_id").as("xid"),
+      lit("0/0").as("lsn"),
+      lit("").as("nextlsn"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("timestamp"),
+      lit("public").as("schema"),
+      lit("events").as("table"),
+      array(
+        pgcol("event_id", "bigint", col("event_id")),
+        pgcol("ts", "timestamp without time zone",
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+        pgcol("user_id", "bigint", col("user_id")),
+        pgcol("event_type", "text", col("event_type")),
+        pgcol("value", "double precision", col("value"))
+      ).as("columns"),
+      array(struct(lit("event_id").as("name"), lit("bigint").as("type"))).as("pk")
+    )
+    events.select(to_json(struct(
+      col("event_id").as("commit_lsn"), array(record).as("records"))).as("value"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
+    "q_cdc_roundtrip" -> ((s, dir) => {
+      val lines = eventsAsWalLines(Tables(s, dir, "events"))
+      val decoded = WalDecoder.decodeTables(s, lines, Seq(eventsSchema))("events")
+      decoded.select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    // U/D records must be dropped per the documented append-only contract
+    // (SURVEY §2.12): synthesize I+U+D per row, decode, assert only I survive.
+    "q_cdc_action_filter" -> ((s, dir) => {
+      val events = Tables(s, dir, "events")
+      val lines = eventsAsWalLines(events)
+      // re-tag a deterministic subset as U/D: event_id % 3 == 1 → U, % 3 == 2 → D
+      val tagged = lines.select(
+        when(expr("get_json_object(value, '$.commit_lsn') % 3 = 1"),
+             regexp_replace(col("value"), "\"action\":\"I\"", "\"action\":\"U\""))
+        .when(expr("get_json_object(value, '$.commit_lsn') % 3 = 2"),
+             regexp_replace(col("value"), "\"action\":\"I\"", "\"action\":\"D\""))
+        .otherwise(col("value")).as("value"))
+      val decoded = WalDecoder.decodeTables(s, tagged, Seq(eventsSchema))("events")
+      decoded.select(col("event_id"), col("event_type")).orderBy("event_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_cdc_roundtrip" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, user_id,
+        |  event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_cdc_action_filter" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_id % 3 = 0 ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,176 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * LLM-data-pipeline operator queries with DuckDB oracles: text analysis,
+ * exact + MinHash/LSH + Jaccard dedup, cosine top-k similarity search.
+ * SimHash and sign-LSH ANN have no clean ANSI-SQL equivalent → declared
+ * without oracle (driver records rows-only check).
+ */
+object OpsQueries {
+  private val MINHASH_K = 8
+  private val LSH_BANDS = 4
+
+  // SQL fragments mirroring TextAnalysis/Dedup column expressions exactly.
+  private val sqlNTok =
+    "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
+  private def sqlOcc(w: String) =
+    s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2}"
+  private def sqlLangScore(ws: Seq[String]) = ws.map(sqlOcc).mkString("(", " + ", ")")
+  private val sqlShingles =
+    """CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+      |     ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+      |            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+      |END""".stripMargin.replace("\n", " ")
+  private def sqlMinhash(seed: Int) =
+    s"list_aggregate(list_transform(sh, x -> md5('$seed#' || x)), 'min') AS mh$seed"
+  private val sqlSig =
+    s"WITH s AS (SELECT doc_id, $sqlShingles AS sh FROM documents), " +
+    s"sig AS (SELECT doc_id, ${(0 until MINHASH_K).map(sqlMinhash).mkString(", ")} FROM s)"
+  private val sqlBands = {
+    val per = MINHASH_K / LSH_BANDS
+    (0 until LSH_BANDS).map { b =>
+      val cols = (b * per until (b + 1) * per).map(i => s"mh$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS bsig FROM sig"
+    }.mkString(" UNION ALL ")
+  }
+  private def sqlDot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
+    // ── Text analysis ──────────────────────────────────────────────────
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.annotate(Tables(s, dir, "documents"))
+        .select("doc_id", "n_tokens", "quality", "lang_pred", "fingerprint")
+        .orderBy("doc_id")),
+
+    "q_token_hist" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(floor(TextAnalysis.tokenCount(col("text")) / 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy("bucket")),
+
+    // ── Dedup family ───────────────────────────────────────────────────
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables(s, dir, "documents")).orderBy("fingerprint")),
+
+    "q_minhash" -> ((s, dir) =>
+      Dedup.withMinhash(Tables(s, dir, "documents"), MINHASH_K)
+        .select(col("doc_id") +: (0 until MINHASH_K).map(i => col(s"mh$i")): _*)
+        .orderBy("doc_id")),
+
+    "q_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidates(Tables(s, dir, "documents"), k = MINHASH_K, bands = LSH_BANDS)
+        .orderBy("id_a", "id_b")),
+
+    "q_jaccard_pairs" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cands = Dedup.lshCandidates(docs, k = MINHASH_K, bands = LSH_BANDS)
+      Dedup.jaccardVerify(cands, docs).orderBy("id_a", "id_b")
+    }),
+
+    "q_simhash" -> ((s, dir) => // no SQL oracle: bit-vote accumulation
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    "q_simhash_near" -> ((s, dir) => { // no SQL oracle
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      val a = sh.toDF("id_a", "sh_a")
+      val b = sh.toDF("id_b", "sh_b")
+      a.join(b, col("id_a") < col("id_b"))
+        .where(Dedup.hammingDist(col("sh_a"), col("sh_b")) <= 6)
+        .select(col("id_a"), col("id_b"),
+                Dedup.hammingDist(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ── Similarity search ──────────────────────────────────────────────
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => { // no SQL oracle: hyperplane LSH buckets
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.annTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_stats" -> {
+      val en = sqlLangScore(TextAnalysis.languageMarkers("en"))
+      val de = sqlLangScore(TextAnalysis.languageMarkers("de"))
+      val fr = sqlLangScore(TextAnalysis.languageMarkers("fr"))
+      val es = sqlLangScore(TextAnalysis.languageMarkers("es"))
+      val stop = sqlLangScore(Seq("the", "a", "of", "and", "in"))
+      s"""WITH t AS (SELECT doc_id, text,
+         |  CAST($sqlNTok AS DOUBLE) AS n_tok,
+         |  $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es, $stop AS s_stop,
+         |  length(replace(text, ' ', ''))::DOUBLE AS n_alpha FROM documents)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+         |  round(least(greatest(
+         |    0.4 * least(n_tok / 64.0, 1.0) +
+         |    0.3 * least(s_stop / greatest(n_tok, 1.0) * 5.0, 1.0) +
+         |    0.3 * least((n_alpha / greatest(n_tok, 1.0)) / 8.0, 1.0), 0.0), 1.0), 6) AS quality,
+         |  CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         |       WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS lang_pred,
+         |  md5(trim(lower(text))) AS fingerprint
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "q_token_hist" ->
+      s"""SELECT CAST(floor(($sqlNTok) / 10) AS BIGINT) AS bucket, count(*) AS n_docs,
+         |  CAST(sum($sqlNTok) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(trim(lower(text))) AS fingerprint, min(doc_id) AS keep_id,
+        |  count(*) AS dup_count
+        |FROM documents GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+
+    "q_minhash" ->
+      s"""$sqlSig SELECT * FROM sig ORDER BY doc_id""",
+
+    "q_lsh_pairs" ->
+      s"""$sqlSig, bands AS ($sqlBands)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+         |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      s"""$sqlSig, bands AS ($sqlBands),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+         |  WHERE a.doc_id < b.doc_id),
+         |ds AS (SELECT doc_id, list_distinct($sqlShingles) AS dsh FROM documents)
+         |SELECT id_a, id_b,
+         |  round(len(list_intersect(x.dsh, y.dsh))::DOUBLE /
+         |        (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh)))::DOUBLE, 6) AS jaccard
+         |FROM cand JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_cosine_topk" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${sqlDot("q", "c")} /
+         |      (sqrt(${sqlDot("q", "q")}) * sqrt(${sqlDot("c", "c")})), 6) AS sim
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, sim FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  )
+}

@@ -1,13 +1,249 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Driver contract — one `queries` entry per implemented operator from
+ * SURVEY.md §2 (+ the LLM-pipeline extensions), each with an ANSI-SQL
+ * oracle over the same parquet tables.
+ *
+ * Numeric discipline for oracle parity: aggregates over doubles go
+ * through DECIMAL casts (exact, associative — safe under partial
+ * aggregation in any order), and final columns are cast to
+ * DOUBLE/BIGINT/STRING so Spark and DuckDB produce bit-identical values
+ * and comparable schemas. Timestamps are emitted as formatted strings
+ * (µs precision) to sidestep tz-encoding differences.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private val D = DecimalType(18, 2)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** µs-precision portable timestamp rendering. */
+  private def fts(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Flagship query on sf=0.001: multi-join revenue per nation. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_join_revenue")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
+    // ── Relational coverage (SURVEY §2.12 judge checklist) ─────────────
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(D)).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast(D)).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_join_revenue" -> ((s, dir) => {
+      val lineitem = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = broadcast(t(s, dir, "nation"))
+      val region = broadcast(t(s, dir, "region"))
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q_join_semi" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    "q_join_anti" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(col("o_totalprice") > 400000),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice").limit(10)),
+
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select("c_nationkey", "rk", "c_custkey", "c_acctbal")
+        .orderBy("c_nationkey", "rk")
+    }),
+
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")),
+
+    "q_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    "q_except" -> ((s, dir) =>
+      t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .except(t(s, dir, "orders").where(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).cast("long").as("name_len"),
+        md5(col("p_name")).as("name_md5"),
+        substring(col("p_type"), 1, 5).as("type_pfx"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")),
+
+    "q_filter_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-01-01") && col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_count_tables" -> ((s, dir) => {
+      Tables.all.map { n =>
+        t(s, dir, n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n"))
+      }.reduce(_ unionAll _).orderBy("tbl")
+    }),
+
+    // ── Reference surface: event-log queries (Q1/Q2) ──────────────────
+    "q_events_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .where(col("ts") >= lit("2024-01-10") && col("ts") <= lit("2024-01-20"))
+        .orderBy(col("ts").desc, col("event_id"))
+        .select(col("event_id"), fts(col("ts")).as("ts_s"),
+                col("user_id"), col("event_type"), col("value"))
+        .offset(10).limit(50)),
+
+    "q_events_latest" -> ((s, dir) =>
+      t(s, dir, "events")
+        .orderBy(col("ts").desc, col("event_id"))
+        .select(col("event_id"), fts(col("ts")).as("ts_s"), col("event_type"))
+        .limit(20)),
+
+    "q_catalog_groups" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             min("event_id").as("first_event"),
+             max("event_id").as("last_event"))
+        .orderBy("event_type"))
+  ) ++ CdcQueries.queries ++ OpsQueries.queries
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT c_nationkey, rk, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) WHERE rk <= 3 ORDER BY c_nationkey, rk""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+
+    "q_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT SELECT o_custkey AS custkey FROM orders ORDER BY custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY custkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  CAST(length(p_name) AS BIGINT) AS name_len, md5(p_name) AS name_md5,
+        |  substr(p_type, 1, 5) AS type_pfx,
+        |  p_brand || '#' || p_type AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= '1998-01-01' AND l_quantity > 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_count_tables" ->
+      Tables.all.map(n => s"SELECT '$n' AS tbl, count(*) AS n FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY tbl"),
+
+    "q_events_window" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, user_id, event_type, value
+        |FROM events WHERE ts >= '2024-01-10' AND ts <= '2024-01-20'
+        |ORDER BY ts DESC, event_id LIMIT 50 OFFSET 10""".stripMargin,
+
+    "q_events_latest" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, event_type
+        |FROM events ORDER BY ts DESC, event_id LIMIT 20""".stripMargin,
+
+    "q_catalog_groups" ->
+      """SELECT event_type, count(*) AS n_events, min(event_id) AS first_event,
+        |  max(event_id) AS last_event
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) ++ CdcQueries.oracleSql ++ OpsQueries.oracleSql
 }
