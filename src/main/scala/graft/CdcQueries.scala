@@ -24,11 +24,12 @@ object CdcQueries {
   ))
 
   /** events rows → one wal2json tx line per row (commit_lsn = event_id). */
-  def eventsAsWalLines(events: DataFrame): DataFrame = {
+  def eventsAsWalLines(events: DataFrame,
+                       action: org.apache.spark.sql.Column = lit("I")): DataFrame = {
     def pgcol(name: String, typ: String, value: org.apache.spark.sql.Column) =
       struct(lit(name).as("name"), lit(typ).as("type"), value.cast("string").as("value"))
     val record = struct(
-      lit("I").as("action"),
+      action.as("action"),
       col("event_id").as("xid"),
       lit("0/0").as("lsn"),
       lit("").as("nextlsn"),
@@ -51,7 +52,9 @@ object CdcQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     "q_cdc_roundtrip" -> ((s, dir) => {
-      val lines = eventsAsWalLines(Tables(s, dir, "events"))
+      // single-file input → one partition; spread the JSON encode/decode
+      val events = Tables(s, dir, "events").repartition(s.sparkContext.defaultParallelism)
+      val lines = eventsAsWalLines(events)
       val decoded = WalDecoder.decodeTables(s, lines, Seq(eventsSchema))("events")
       decoded.select(
         col("event_id"),
@@ -63,16 +66,12 @@ object CdcQueries {
     // U/D records must be dropped per the documented append-only contract
     // (SURVEY §2.12): synthesize I+U+D per row, decode, assert only I survive.
     "q_cdc_action_filter" -> ((s, dir) => {
-      val events = Tables(s, dir, "events")
-      val lines = eventsAsWalLines(events)
-      // re-tag a deterministic subset as U/D: event_id % 3 == 1 → U, % 3 == 2 → D
-      val tagged = lines.select(
-        when(expr("get_json_object(value, '$.commit_lsn') % 3 = 1"),
-             regexp_replace(col("value"), "\"action\":\"I\"", "\"action\":\"U\""))
-        .when(expr("get_json_object(value, '$.commit_lsn') % 3 = 2"),
-             regexp_replace(col("value"), "\"action\":\"I\"", "\"action\":\"D\""))
-        .otherwise(col("value")).as("value"))
-      val decoded = WalDecoder.decodeTables(s, tagged, Seq(eventsSchema))("events")
+      val events = Tables(s, dir, "events").repartition(s.sparkContext.defaultParallelism)
+      // tag a deterministic subset as U/D: event_id % 3 == 1 → U, == 2 → D
+      val action = when(col("event_id") % 3 === 1, "U")
+        .when(col("event_id") % 3 === 2, "D").otherwise("I")
+      val lines = eventsAsWalLines(events, action)
+      val decoded = WalDecoder.decodeTables(s, lines, Seq(eventsSchema))("events")
       decoded.select(col("event_id"), col("event_type")).orderBy("event_id")
     })
   )

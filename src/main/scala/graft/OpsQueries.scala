@@ -43,7 +43,8 @@ object OpsQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // ── Text analysis ──────────────────────────────────────────────────
     "q_text_stats" -> ((s, dir) =>
-      TextAnalysis.annotate(Tables(s, dir, "documents"))
+      TextAnalysis.annotate(
+        Tables(s, dir, "documents").repartition(s.sparkContext.defaultParallelism))
         .select("doc_id", "n_tokens", "quality", "lang_pred", "fingerprint")
         .orderBy("doc_id")),
 
@@ -59,7 +60,7 @@ object OpsQueries {
       Dedup.exact(Tables(s, dir, "documents")).orderBy("fingerprint")),
 
     "q_minhash" -> ((s, dir) =>
-      Dedup.withMinhash(Tables(s, dir, "documents"), MINHASH_K)
+      Dedup.minhashExploded(Tables(s, dir, "documents"), MINHASH_K)
         .select(col("doc_id") +: (0 until MINHASH_K).map(i => col(s"mh$i")): _*)
         .orderBy("doc_id")),
 
@@ -74,13 +75,10 @@ object OpsQueries {
     }),
 
     "q_simhash" -> ((s, dir) => // no SQL oracle: bit-vote accumulation
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-        .orderBy("doc_id")),
+      Dedup.withSimhash(Tables(s, dir, "documents")).orderBy("doc_id")),
 
     "q_simhash_near" -> ((s, dir) => { // no SQL oracle
-      val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      val sh = Dedup.withSimhash(Tables(s, dir, "documents"))
       val a = sh.toDF("id_a", "sh_a")
       val b = sh.toDF("id_b", "sh_b")
       a.join(b, col("id_a") < col("id_b"))

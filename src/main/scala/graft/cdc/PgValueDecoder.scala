@@ -64,11 +64,17 @@ object PgValueDecoder {
    * narrow (no shuffle).
    */
   def pivotToTable(df: org.apache.spark.sql.DataFrame, schema: TableSchema): org.apache.spark.sql.DataFrame = {
-    val cols = schema.columns.map { tc =>
-      // filter by name → robust to column order / dropped columns
-      val raw = element_at(
+    val cols = schema.columns.zipWithIndex.map { case (tc, idx) =>
+      // Fast path: positional access (wal2json emits columns in table
+      // order) — codegen'd GetArrayItem/GetStructField. Fallback: name
+      // lookup via `filter` (interpreted) only when the positional name
+      // doesn't match (column reorder / dropped columns).
+      val positional = col("columns")(idx)
+      val byName = element_at(
         filter(col("columns"), x => x.getField("name") === tc.name), 1
       ).getField("value")
+      val raw = when(positional.getField("name") === tc.name,
+        positional.getField("value")).otherwise(byName)
       decode(raw, tc.pgType).as(tc.name)
     }
     df.select(cols: _*)

@@ -29,7 +29,9 @@ object Dedup {
       .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signature: k columns mh0..mh(k-1), computed without a shuffle. */
+  /** MinHash signature: k columns mh0..mh(k-1), computed without a shuffle.
+    * NOTE: higher-order `transform`/`array_min` lambdas are interpreted (not
+    * codegen'd) in Spark — prefer [[minhashExploded]] on the hot path. */
   def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Seq[Column] = {
     val sh = TextAnalysis.shingles(text, shingleN)
     (0 until k).map { seed =>
@@ -39,6 +41,27 @@ object Dedup {
 
   def withMinhash(docs: DataFrame, k: Int = 8, textCol: String = "text"): DataFrame =
     docs.select(col("*") +: minhashSignature(col(textCol), k): _*)
+
+  /**
+   * Codegen-friendly minhash: explode shingles once, hash k ways in the
+   * codegen'd md5 path, take `min` per doc via hash aggregation. The
+   * shuffle carries only (doc_id, k×32-char partial minima) thanks to
+   * map-side partial aggregation — at 100 TB this is the scalable form
+   * (the lambda version evaluates interpreted per row and recomputes the
+   * shingle array k times).
+   */
+  def minhashExploded(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
+                      textCol: String = "text", shingleN: Int = 3): DataFrame = {
+    // Small single-file inputs arrive as one partition; fan the CPU-heavy
+    // hashing across the cluster. (At real scale the scan already has
+    // many splits and AQE coalesces back — the repartition is then moot.)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(par).select(col(idCol),
+      explode(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
+    val aggs = (0 until k).map(seed =>
+      min(md5(concat(lit(s"$seed#"), col("sh")))).as(s"mh$seed"))
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
 
   /**
    * LSH banding: k minhashes → `bands` bands of `rowsPerBand`; docs sharing
@@ -56,15 +79,26 @@ object Dedup {
       .select(col(idCol), col("bs.band"), col("bs.band_sig"))
   }
 
-  /** Candidate near-dup pairs from LSH buckets (id_a < id_b, distinct). */
+  /**
+   * Candidate near-dup pairs from LSH buckets (id_a < id_b, distinct).
+   *
+   * Implemented as ONE aggregation — group band signatures into buckets,
+   * emit intra-bucket pairs — rather than a self-join, so the (expensive)
+   * minhash subtree is evaluated once, not once per join side; the shuffle
+   * carries only (band, band_sig, doc_id) triples.
+   */
   def lshCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                     k: Int = 8, bands: Int = 4): DataFrame = {
-    val bandsDf = lshBands(withMinhash(docs, k, textCol), idCol, k, bands)
-    val a = bandsDf.as("a")
-    val b = bandsDf.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
-        && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val bandsDf = lshBands(minhashExploded(docs, k, idCol, textCol), idCol, k, bands)
+    val buckets = bandsDf.groupBy("band", "band_sig")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val n = size(col("ids"))
+    val pairs = flatten(transform(sequence(lit(1), n - 1),
+      i => transform(slice(col("ids"), i + 1, n - i),
+        j => struct(element_at(col("ids"), i).as("id_a"), j.as("id_b")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 
@@ -92,6 +126,29 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /**
+   * Codegen-friendly simhash: explode tokens, hash once per token, then 32
+   * conditional-sum bit votes in a single hash aggregation (map-side
+   * partial). Same result as [[simhash]]; use this form on the hot path —
+   * the Column version runs 32 interpreted `aggregate` lambdas per row.
+   */
+  def withSimhash(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", outCol: String = "simhash"): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par).select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+    val votes = (0 until 32).map { bit =>
+      val mask = 1L << bit
+      sum(when(col("h").bitwiseAND(lit(mask)) =!= 0L, 1L).otherwise(-1L)).as(s"v$bit")
+    }
+    val sig = (0 until 32).map { bit =>
+      when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy(idCol).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), sig.cast("long").as(outCol))
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for candidate pairs: |A∩B|/|A∪B| over
    * distinct word n-gram shingles. Used to verify LSH candidates; at scale
    * only runs on the candidate set, never all pairs.
@@ -99,7 +156,9 @@ object Dedup {
   def jaccardVerify(candidates: DataFrame, docs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(par)
+      .select(col(idCol), array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
     candidates
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
