@@ -1,0 +1,161 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Golden DataFrame-value tests: feed the reference's per-type WAL value
+ * corpus (`internal/app/test_util.go:167-213`, FIXTURES.md §4) through the
+ * decode path and assert the typed value — replacing the reference's
+ * golden-SQL-string tests with golden-value tests.
+ */
+class WalDecoderSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  /** One-column table `t(c <typ>)`, one record with raw JSON value. */
+  private def walLine(typ: String, rawJson: String): String =
+    s"""{"commit_lsn": 1, "records": [{"action": "I", "xid": 1, "lsn": "0/1",
+       |"nextlsn": "", "timestamp": "2023-08-22 14:44:02.043586-03",
+       |"schema": "public", "table": "t",
+       |"columns": [{"name": "c", "type": "$typ", "value": $rawJson}],
+       |"pk": [{"name": "c", "type": "$typ"}]}]}""".stripMargin.replace("\n", " ")
+
+  private def decodeOne(typ: String, rawJson: String): org.apache.spark.sql.DataFrame = {
+    val lines = spark.createDataset(Seq(walLine(typ, rawJson)))(
+      org.apache.spark.sql.Encoders.STRING).toDF("value")
+    val schema = TableSchema("t", Seq(TableColumn("c", typ, nullable = true, isPrimary = false)))
+    WalDecoder.decodeTables(spark, lines, Seq(schema))("t")
+  }
+
+  /** Decode and render as string (UTC session) for stable comparison. */
+  private def asString(typ: String, rawJson: String): String = {
+    val df = decodeOne(typ, rawJson)
+    val rendered = df.schema.head.dataType match {
+      case org.apache.spark.sql.types.BinaryType => df.select(hex(col("c")))
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.BinaryType, _) =>
+        df.select(transform(col("c"), x => hex(x)).cast("string"))
+      case _ => df.select(col("c").cast("string"))
+    }
+    Option(rendered.collect()(0).getString(0)).getOrElse("∅")
+  }
+
+  test("scalar numerics and booleans") {
+    assert(asString("boolean", "true") == "true")
+    assert(asString("boolean", "false") == "false")
+    assert(asString("boolean", "null") == "∅")
+    assert(asString("smallint", "42") == "42")
+    assert(asString("integer", "-42") == "-42")
+    assert(asString("bigint", "42") == "42")
+    assert(asString("real", "42.01") == "42.01")
+    assert(asString("double precision", "-42.01") == "-42.01")
+    assert(asString("numeric(4,7)", "42.01") == "42.01")
+    assert(asString("oid", "42") == "42")
+  }
+
+  test("decoded Spark types match SURVEY §1.3") {
+    assert(decodeOne("smallint", "42").schema.head.dataType ==
+      org.apache.spark.sql.types.ShortType)
+    assert(decodeOne("numeric", "1.5").schema.head.dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(decodeOne("timestamp without time zone", "\"2021-03-01 12:45:01\"")
+      .schema.head.dataType == org.apache.spark.sql.types.TimestampNTZType)
+  }
+
+  test("strings, uuid, macaddr, json") {
+    assert(asString("text", "\"dpfkg\"") == "dpfkg")
+    assert(asString("character", "\"a\"") == "a")
+    assert(asString("character varying(5)", "\"ZZZZZ\"") == "ZZZZZ")
+    assert(asString("macaddr", "\"08:00:2b:01:02:03\"") == "08:00:2b:01:02:03")
+    assert(asString("uuid", "\"a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11\"") ==
+      "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11")
+    // json kept as text (compact-rendered by the JSON parser)
+    assert(asString("json", "{\"foo\": \"bar\"}").replaceAll("\\s", "") == "{\"foo\":\"bar\"}")
+  }
+
+  test("bytea hex decode, with and without \\x prefix") {
+    assert(asString("bytea", "\"00010203\"") == "00010203")
+    assert(asString("bytea", "\"\\\\x30303031\"") == "30303031")
+  }
+
+  test("temporal types") {
+    assert(asString("date", "\"2021-03-01\"") == "2021-03-01")
+    assert(asString("time without time zone", "\"12:45:01\"") == "12:45:01")
+    assert(asString("time with time zone", "\"12:00:00-08\"") == "12:00:00-08")
+    assert(asString("timestamp without time zone", "\"2021-03-01 12:45:01\"") ==
+      "2021-03-01 12:45:01")
+    // +08 offset normalized to UTC session time
+    assert(asString("timestamp with time zone", "\"2021-03-01 12:45:01+08\"") ==
+      "2021-03-01 04:45:01")
+    assert(asString("interval", "\"1 year 2 mons 21 days 05:00:00\"") ==
+      "1 year 2 mons 21 days 05:00:00")
+  }
+
+  test("array types (PG literals)") {
+    assert(asString("boolean[]", "\"{t,f,NULL}\"") == "[true, false, null]")
+    assert(asString("integer[]", "\"{42,-42,NULL}\"") == "[42, -42, null]")
+    assert(asString("double precision[]", "\"{42.01,-42.01,NULL}\"") == "[42.01, -42.01, null]")
+    assert(asString("text[]", "\"{a,Z,NULL}\"") == "[a, Z, null]")
+    assert(asString("bytea[]", "\"{\\\"\\\\\\\\x3030303130323033\\\",NULL}\"") ==
+      "[3030303130323033, null]")
+    assert(asString("uuid[]", "\"{a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11,NULL}\"") ==
+      "[a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11, null]")
+    assert(asString("date[]", "\"{2021-03-01,NULL}\"") == "[2021-03-01, null]")
+    assert(asString("timestamp without time zone[]", "\"{\\\"2021-03-01 12:45:01\\\",NULL}\"") ==
+      "[2021-03-01 12:45:01, null]")
+  }
+
+  test("whole-column null for every type class") {
+    for (t <- Seq("integer", "text", "bytea", "date", "integer[]", "json"))
+      assert(asString(t, "null") == "∅", s"type $t")
+  }
+
+  test("multi-dimensional array rejected at decode (db_test.go:654-676)") {
+    val e = intercept[Exception] {
+      decodeOne("integer[]", "\"{{1,2},{3,4}}\"").collect()
+    }
+    assert(e.getMessage.contains("multi-dimensional") ||
+      Option(e.getCause).exists(_.getMessage.contains("multi-dimensional")))
+  }
+
+  test("action filter drops U/D per documented contract (README.md:146)") {
+    val mk = (action: String, id: Int) =>
+      s"""{"commit_lsn": $id, "records": [{"action": "$action", "xid": $id,
+         |"lsn": "0/1", "nextlsn": "", "timestamp": "t", "schema": "public",
+         |"table": "t", "columns": [{"name": "c", "type": "integer",
+         |"value": $id}], "pk": []}]}""".stripMargin.replace("\n", " ")
+    val lines = spark.createDataset(Seq(mk("I", 1), mk("U", 2), mk("D", 3), mk("I", 4)))(
+      org.apache.spark.sql.Encoders.STRING).toDF("value")
+    val schema = TableSchema("t", Seq(TableColumn("c", "integer", true, false)))
+    val ids = WalDecoder.decodeTables(spark, lines, Seq(schema))("t")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(ids == Seq(1, 4))
+    // IUD mode reproduces the reference code's actual behavior (SURVEY §2.12)
+    val all = WalDecoder.decodeTables(spark, lines, Seq(schema), Set("I", "U", "D"))("t")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(all == Seq(1, 2, 3, 4))
+  }
+
+  test("tx assembly: multi-record tx keeps per-record order (wal.input shape)") {
+    val line =
+      """{"commit_lsn": 957398296, "records": [
+        |{"action": "I", "xid": 1058, "lsn": "0/3910B898", "nextlsn": "",
+        | "timestamp": "2023-08-22 14:44:02.043586-03", "schema": "public", "table": "t",
+        | "columns": [{"name": "id", "type": "integer", "value": 200232},
+        |             {"name": "name", "type": "text", "value": "100"}],
+        | "pk": [{"name": "id", "type": "integer"}]},
+        |{"action": "I", "xid": 1058, "lsn": "0/3910B899", "nextlsn": "",
+        | "timestamp": "2023-08-22 14:44:02.043586-03", "schema": "public", "table": "t",
+        | "columns": [{"name": "id", "type": "integer", "value": 200242},
+        |             {"name": "name", "type": "text", "value": "400"}],
+        | "pk": [{"name": "id", "type": "integer"}]}]}""".stripMargin.replace("\n", " ")
+    val lines = spark.createDataset(Seq(line))(org.apache.spark.sql.Encoders.STRING).toDF("value")
+    val recs = WalDecoder.decodeRecords(lines).collect()
+    assert(recs.length == 2)
+    assert(recs.map(_.getAs[Long]("commit_lsn")).toSet == Set(957398296L))
+    val schema = TableSchema("t", Seq(
+      TableColumn("id", "integer", false, true), TableColumn("name", "text", false, false)))
+    val t = WalDecoder.decodeTables(spark, lines, Seq(schema))("t")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(t == Set((200232, "100"), (200242, "400")))
+  }
+}
