@@ -49,44 +49,63 @@ object Similarity {
   }
 
   /**
-   * Deterministic pseudo-random hyperplane component for (plane, dim):
-   * maps a hash to [-1, 1). Stable across engines and runs (no RNG).
+   * Deterministic pseudo-random hyperplane component for (table, plane,
+   * dim): maps a hash to [-1, 1). Stable across runs (no RNG state).
    */
-  private def planeComponent(plane: Int, dim: Int): Double = {
-    val h = scala.util.hashing.MurmurHash3.productHash((plane, dim))
+  private def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((table, plane, dim))
     (h.toDouble / Int.MaxValue.toDouble)
   }
 
-  /** Sign-LSH bucket id: nBits-bit signature from hyperplane sign tests. */
-  def lshBucket(vec: Column, nBits: Int, dims: Int): Column = {
+  /** Sign-LSH bucket id for one hash table: nBits hyperplane sign tests. */
+  def lshBucket(vec: Column, table: Int, nBits: Int, dims: Int): Column = {
     val bits = (0 until nBits).map { p =>
-      val planeLit = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
+      val planeLit = array((0 until dims).map(d => lit(planeComponent(table, p, d))): _*)
       when(dot(vec, planeLit) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
   /**
-   * ANN via sign-LSH: group corpus into 2^nBits buckets; per query, scan
-   * only its bucket (plus optional 1-bit-flip probes) and rank by cosine.
-   * Bucket assignment is a narrow map; the search joins on bucket id.
+   * ANN via multi-table sign-LSH (random hyperplanes): `nTables`
+   * independent hash tables, candidates = union of same-bucket collisions
+   * (plus 1-bit-flip probes per table), ranked by exact cosine.
+   *
+   * Scale shape: the bucket index replicates corpus rows ×nTables but each
+   * row is only (table, bucket, id, vec) — a narrow map + explode, no
+   * shuffle of the corpus; the candidate join is keyed on (table, bucket)
+   * with the (small) probe set broadcast, and only colliding pairs reach
+   * the cosine. Probed fraction ≈ nTables·(probes+1)/2^nBits of the
+   * corpus. Recall rises as 1-(1-r)^nTables per-table recall r.
    */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8, dims: Int = 64,
-              multiProbe: Boolean = true,
+              nTables: Int = 8, multiProbe: Boolean = true,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      lshBucket(col(vecCol), nBits, dims).as("bucket"))
+    def buckets(vec: Column): Column = array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"), lshBucket(vec, t, nBits, dims).as("bucket"))): _*)
+
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        explode(buckets(col(vecCol))).as("tb"))
+      .select(col("neighbor_id"), col("cvec"), col("tb.tbl"), col("tb.bucket"))
+
     val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      lshBucket(col(vecCol), nBits, dims).as("qbucket"))
-    // multi-probe: query probes its own bucket plus all 1-bit flips
-    val probes = if (multiProbe) {
+      explode(buckets(col(vecCol))).as("tb"))
+      .select(col("query_id"), col("qvec"), col("tb.tbl"), col("tb.bucket").as("qbucket"))
+    val probes = (if (multiProbe) {
       val flips = (0 until nBits).map(b => col("qbucket").bitwiseXOR(lit(1L << b)))
       qb.withColumn("bucket", explode(array(col("qbucket") +: flips: _*)))
-    } else qb.withColumn("bucket", col("qbucket"))
-    val scored = c.join(broadcast(probes), "bucket")
+    } else qb.withColumn("bucket", col("qbucket"))).drop("qbucket")
+
+    // union candidates across tables, dedupe pairs BEFORE the cosine so a
+    // multi-table hit is scored once
+    val cand = c.join(broadcast(probes), Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 6))
+      .groupBy("query_id", "neighbor_id")
+      .agg(first(col("qvec")).as("qvec"), first(col("cvec")).as("cvec"))
+
+    val scored = cand.withColumn("sim", round(cosine(col("qvec"), col("cvec")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

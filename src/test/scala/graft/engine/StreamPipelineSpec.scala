@@ -1,0 +1,125 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.cdc.{TableColumn, TableSchema}
+import graft.core.VaultName
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/**
+ * End-to-end streaming tests porting the reference's two window/tx
+ * interleavings (`internal/app/streamer_test.go:32-130`, `:134-201`):
+ * `<T1, W, T2, C>` (tx, window rotation, tx, close) and `<T1, T2, W, C>`.
+ * Windows are driven deterministically with `maxFilesPerTrigger=1` +
+ * `Trigger.AvailableNow` (SURVEY §7.4 risk 3: never sleep wall-clock).
+ * The mock provider of the reference becomes [[LocalContentStore]]; the
+ * uploaded parquet is read back and row-asserted, and staging cleanup is
+ * verified like the reference's `.db`/`.wal`/`.parquet` checks.
+ */
+class StreamPipelineSpec extends SparkSpec {
+
+  private val schemaT = TableSchema("t", Seq(
+    TableColumn("id", "integer", nullable = false, isPrimary = true),
+    TableColumn("name", "text", nullable = false, isPrimary = false)))
+
+  private def walTx(lsn: Long, rows: (Int, String)*): String = {
+    val records = rows.map { case (id, name) =>
+      s"""{"action": "I", "xid": 1058, "lsn": "0/$lsn", "nextlsn": "",
+         |"timestamp": "2023-08-22 14:44:02.043586-03", "schema": "public",
+         |"table": "t", "columns": [
+         |  {"name": "id", "type": "integer", "value": $id},
+         |  {"name": "name", "type": "text", "value": "$name"}],
+         |"pk": [{"name": "id", "type": "integer"}]}""".stripMargin.replace("\n", " ")
+    }.mkString(",")
+    s"""{"commit_lsn": $lsn, "records": [$records]}"""
+  }
+
+  private def freshDirs(): (String, String, String, String) = {
+    val base = Files.createTempDirectory("graft-e2e").toString
+    (s"$base/wal", s"$base/staging", s"$base/checkpoint", s"$base/store")
+  }
+
+  private def runAvailable(walDir: String, staging: String, ckpt: String,
+                           store: LocalContentStore): Unit = {
+    val q = StreamPipeline.start(spark, "ns", Seq(schemaT), walDir, staging,
+      ckpt, store, availableNow = true, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    ()
+  }
+
+  private def storeFiles(storeDir: String): Seq[java.nio.file.Path] =
+    Files.list(Paths.get(storeDir)).iterator().asScala.toSeq.sortBy(_.toString)
+
+  private def readRows(p: java.nio.file.Path): Set[(Int, String)] =
+    spark.read.parquet(p.toString).collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("name"))).toSet
+
+  test("interleaving <T1, W, T2, C>: each window uploads its own rows") {
+    val (wal, staging, ckpt, storeDir) = freshDirs()
+    Files.createDirectories(Paths.get(wal))
+    val store = new LocalContentStore(storeDir)
+    // T1 arrives, window fires (AvailableNow run 1)
+    Files.writeString(Paths.get(wal, "tx1.json"),
+      walTx(100, 200232 -> "100", 200242 -> "400"))
+    runAvailable(wal, staging, ckpt, store)
+    // T2 arrives after the first window closed (run 2, resumes checkpoint)
+    Files.writeString(Paths.get(wal, "tx2.json"), walTx(200, 200233 -> "200"))
+    runAvailable(wal, staging, ckpt, store)
+
+    val files = storeFiles(storeDir)
+    assert(files.size == 2, s"expected 2 uploads, got $files")
+    val contents = files.map(readRows)
+    assert(contents.contains(Set(200232 -> "100", 200242 -> "400"))) // window 1
+    assert(contents.contains(Set(200233 -> "200")))                  // window 2
+    // staging cleaned (reference asserts .db/.wal/.parquet deletion)
+    assert(!Files.exists(Paths.get(staging)) ||
+      Files.list(Paths.get(staging)).count() == 0)
+  }
+
+  test("interleaving <T1, T2, W, C>: one window carries both txs") {
+    val (wal, staging, ckpt, storeDir) = freshDirs()
+    Files.createDirectories(Paths.get(wal))
+    val store = new LocalContentStore(storeDir)
+    Files.writeString(Paths.get(wal, "tx1.json"),
+      walTx(100, 200232 -> "100", 200242 -> "400"))
+    Files.writeString(Paths.get(wal, "tx2.json"), walTx(200, 200233 -> "200"))
+    // one run, no maxFilesPerTrigger cap → single batch takes both files
+    val q = StreamPipeline.start(spark, "ns", Seq(schemaT), wal, staging,
+      ckpt, store, availableNow = true)
+    q.awaitTermination(120000)
+
+    val files = storeFiles(storeDir)
+    assert(files.size == 1, s"expected 1 upload, got $files")
+    assert(readRows(files.head) ==
+      Set(200232 -> "100", 200242 -> "400", 200233 -> "200"))
+  }
+
+  test("empty window skipped (P6) and restart resumes from checkpoint (P9)") {
+    val (wal, staging, ckpt, storeDir) = freshDirs()
+    Files.createDirectories(Paths.get(wal))
+    val store = new LocalContentStore(storeDir)
+    Files.writeString(Paths.get(wal, "tx1.json"), walTx(100, 1 -> "a"))
+    runAvailable(wal, staging, ckpt, store)
+    assert(storeFiles(storeDir).size == 1)
+    // restart with NO new data: no new upload (empty-window skip + offsets)
+    runAvailable(wal, staging, ckpt, store)
+    assert(storeFiles(storeDir).size == 1)
+    // restart with new data: exactly one more upload (no reprocessing of tx1)
+    Files.writeString(Paths.get(wal, "tx2.json"), walTx(200, 2 -> "b"))
+    runAvailable(wal, staging, ckpt, store)
+    val files = storeFiles(storeDir)
+    assert(files.size == 2)
+    assert(files.map(readRows).reduce(_ ++ _) == Set(1 -> "a", 2 -> "b"))
+  }
+
+  test("content store put/get round trip (Q3 cache path)") {
+    val (_, _, _, storeDir) = freshDirs()
+    val store = new LocalContentStore(storeDir)
+    val f = Files.createTempFile("blob", ".parquet")
+    Files.write(f, Array[Byte](1, 2, 3))
+    val cid = store.put(VaultName("ns", "t"), f, 0L, Array.emptyByteArray)
+    val got = store.get(cid)
+    assert(got.isDefined && Files.readAllBytes(got.get).toSeq == Seq[Byte](1, 2, 3))
+    assert(store.get("missing-cid").isEmpty)
+  }
+}

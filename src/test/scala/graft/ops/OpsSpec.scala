@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / text-analysis operator specs on small inline data
+  * plus the sf0.001 driver tables. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "der hund ist nicht der beste und die katze")     // German-ish
+  ).toDF("doc_id", "text")
+
+  test("token count / fingerprint / quality") {
+    val r = TextAnalysis.annotate(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_tokens") == 9)
+    assert(r(0).getAs[String]("fingerprint") == r(1).getAs[String]("fingerprint"))
+    assert(r(0).getAs[String]("fingerprint") != r(2).getAs[String]("fingerprint"))
+    val q = r(0).getAs[Double]("quality")
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("language id picks marker-heavy language") {
+    val r = TextAnalysis.annotate(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("lang_pred") == "en")
+    assert(r(4).getAs[String]("lang_pred") == "de")
+  }
+
+  test("exact dedup groups identical text") {
+    val d = Dedup.exact(docs).collect()
+    assert(d.length == 4) // 5 docs, one exact pair
+    val dupGroup = d.find(_.getAs[Long]("dup_count") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash: exploded form equals lambda form, dups share signature") {
+    val a = Dedup.minhashExploded(docs, k = 4).orderBy("doc_id").collect()
+    val b = Dedup.withMinhash(docs, k = 4)
+      .select("doc_id", "mh0", "mh1", "mh2", "mh3").orderBy("doc_id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a(0).toSeq.drop(1) == a(1).toSeq.drop(1)) // dup docs → same sig
+  }
+
+  test("LSH candidates include exact and near dups, not unrelated docs") {
+    val pairs = Dedup.lshCandidates(docs, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard verification: dup pair = 1.0, near pair high, ordered cols") {
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardVerify(cands, docs).orderBy("id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(j(0) == ((1L, 2L, 1.0)))
+    assert(j(1)._3 > 0.4 && j(1)._3 < 1.0)
+  }
+
+  test("simhash: exploded equals Column form; near dups within distance") {
+    val a = Dedup.withSimhash(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val b = docs.select($"doc_id", Dedup.simhash($"text").as("simhash"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+    val byId = a.toMap
+    assert(byId(1L) == byId(2L)) // identical text → identical simhash
+    val nearDist = java.lang.Long.bitCount(byId(1L) ^ byId(3L))
+    val farDist = java.lang.Long.bitCount(byId(1L) ^ byId(4L))
+    assert(nearDist < farDist)
+  }
+
+  test("brute-force cosine top-k: self-similar vectors rank first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),   // near q0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.where($"vec_id" === 0), k = 3)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 1L)
+    assert(top(0).getAs[Double]("sim") > 0.99)
+    assert(top.last.getAs[Long]("neighbor_id") == 3L) // opposite vector last
+  }
+
+  test("ANN recall vs brute force on driver embeddings (sf0.001)") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.where($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.annTopK(emb, q, k = 5, nBits = 8, dims = 64).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // multi-table multi-probe sign-LSH on 500 vecs: expect ≥60% of exact top-5
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall too low: $recall")
+  }
+}
