@@ -101,7 +101,21 @@ object OpsQueries {
       Similarity.annTopK(emb, emb.where(col("vec_id") < 10), k = 5)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
-    })
+    }),
+
+    // ── Verifiability primitives (C1/C2) ───────────────────────────────
+    "q_keccak_fingerprint" -> ((s, dir) => // no SQL oracle: keccak256 expr
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          hex(graft.functions.GraftFunctions.keccak256(col("text"))).as("keccak"))
+        .orderBy("doc_id")),
+
+    "q_ecmh_digest" -> ((s, dir) => // no SQL oracle: EC multiset hash
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.ecmhDigest(
+          col("event_id").cast("string").cast("binary")).as("ecmh"))
+        .orderBy("event_type"))
   )
 
   def oracleSql: Map[String, String] = Map(
