@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -115,7 +115,23 @@ object OpsQueries {
         .groupBy("event_type")
         .agg(graft.functions.GraftFunctions.ecmhDigest(
           col("event_id").cast("string").cast("binary")).as("ecmh"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // ── Multimodal binary columns ──────────────────────────────────────
+    "q_mm_meta" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(Tables(s, dir, "documents"))
+      media.select(col("media_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"))
+        .orderBy("media_id")
+    }),
+
+    "q_mm_decode" -> ((s, dir) => { // no SQL oracle: partition-wise stub decode
+      val media = Multimodal.fromDocuments(Tables(s, dir, "documents"))
+      Multimodal.decodeMeta(media).toDF()
+        .select(col("id"), col("kind"), col("nBytes"), col("width"),
+                col("height"), col("durationMs"))
+        .orderBy("id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -171,6 +187,12 @@ object OpsQueries {
          |        (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh)))::DOUBLE, 6) AS jaccard
          |FROM cand JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_mm_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(length(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_cosine_topk" ->
       s"""WITH scored AS (

@@ -1,0 +1,90 @@
+package graft.cli
+
+import graft.catalog.VaultCatalog
+import graft.cdc.TableSchema
+import graft.core.{Account, VaultName}
+import graft.crypto.Signer
+import graft.engine._
+import java.nio.file.{Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Thin command layer mirroring the reference's `vaults` CLI surface
+ * (`cmd/vaults/main.go:25-46`): create, list, events, write, stream,
+ * retrieve, account create/address, sign. Each command is a small method
+ * over the engine — a user of the reference can drive the same verbs.
+ */
+final class Vaults(
+    spark: SparkSession,
+    providerRoot: String,
+    format: OutputFormat = OutputFormat.Table) {
+
+  private val catalog = VaultCatalog(spark, providerRoot)
+  private val store = new LocalContentStore(s"$providerRoot/store")
+
+  /** M1: `vaults create ns.rel --account 0x... --cache N` */
+  def create(vault: String, account: String, cacheDurationMins: Int = 0): Unit = {
+    val v = VaultName.unsafe(vault)
+    val a = Account.parse(account).fold(e => throw new IllegalArgumentException(e), identity)
+    catalog.createVault(v, a, cacheDurationMins)
+  }
+
+  /** Q1: `vaults list --account 0x...` */
+  def list(account: String): String = {
+    val a = Account.parse(account).fold(e => throw new IllegalArgumentException(e), identity)
+    format.render(catalog.listVaults(a))
+  }
+
+  /** Q2: `vaults events ns.rel [--before|--after|--at|--latest|--limit|--offset]` */
+  def events(vault: String, before: Option[Long] = None, after: Option[Long] = None,
+             at: Option[Long] = None, latest: Option[Int] = None,
+             limit: Option[Int] = None, offset: Option[Int] = None): String = {
+    val (lim, off) = latest.map(n => (Some(n), Some(0))).getOrElse((limit, offset))
+    format.render(catalog.listEvents(VaultName.unsafe(vault), before, after, at, lim, off))
+  }
+
+  /** B1: `vaults write file.parquet --vault ns.rel [--timestamp ts]` */
+  def write(vault: String, file: String, keyHex: Option[String] = None,
+            timestamp: Option[String] = None): String =
+    BatchWrite.write(spark, VaultName.unsafe(vault), Paths.get(file), store,
+      keyHex.map(Signer.fromHex), Some(catalog), timestamp)
+
+  /** S1-P10: `vaults stream ns.rel --wal-dir ... --window-size N` */
+  def stream(vault: String, schemas: Seq[TableSchema], walDir: String,
+             workDir: String, windowSeconds: Long = 3600L,
+             keyHex: Option[String] = None,
+             availableNow: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    val v = VaultName.unsafe(vault)
+    StreamPipeline.start(spark, v.namespace, schemas, walDir,
+      s"$workDir/staging", s"$workDir/checkpoint", store,
+      keyHex.map(Signer.fromHex), Some(catalog), windowSeconds, availableNow)
+  }
+
+  /** Q3: `vaults retrieve <cid> [--output file|-]` */
+  def retrieve(cid: String, output: String = "-"): Boolean =
+    new Retriever(store).retrieveTo(cid, output)
+
+  /** C3: `vaults account create <keyfile>` → prints address */
+  def accountCreate(keyFile: String): String = Signer.createAccount(Paths.get(keyFile))
+
+  /** C3: `vaults account address <keyfile>` */
+  def accountAddress(keyFile: String): String = Signer.addressOfKeyFile(Paths.get(keyFile))
+
+  /** C1: `vaults sign <file>` with key file */
+  def sign(keyFile: String, file: String): String =
+    Signer.fromFile(Paths.get(keyFile)).signatureHex(Paths.get(file))
+}
+
+/** M2: `--format table|json` output rendering
+  * (`cmd/vaults/commands.go:399-420`, `:556-582`). */
+sealed trait OutputFormat { def render(df: DataFrame): String }
+object OutputFormat {
+  case object Table extends OutputFormat {
+    override def render(df: DataFrame): String =
+      org.apache.spark.sql.graftbridge.Bridge.showString(df, numRows = 1000, truncate = 0)
+  }
+  case object Json extends OutputFormat {
+    override def render(df: DataFrame): String =
+      df.toJSON.collect().mkString("[", ",", "]")
+  }
+}

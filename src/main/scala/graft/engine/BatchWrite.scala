@@ -1,0 +1,80 @@
+package graft.engine
+
+import graft.core.{Timestamps, VaultName}
+import java.nio.file.{Files, Path, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * `vaults write` (B1): upload an existing Parquet file to a vault —
+ * validate it is readable Parquet, default/parse the timestamp, sign,
+ * hand to the content store, record the event
+ * (`cmd/vaults/commands.go:250-348`).
+ *
+ * Unlike the single-threaded reference, `writeAll` fans independent
+ * files out as parallel driver-side tasks (each upload is I/O-bound).
+ */
+object BatchWrite {
+
+  def write(spark: SparkSession, vault: VaultName, file: Path, store: ContentStore,
+            signer: Option[FileSigner] = None,
+            catalog: Option[graft.catalog.VaultCatalog] = None,
+            timestamp: Option[String] = None): String = {
+    // validation: must parse as Parquet (the reference trusts extension;
+    // we actually read the footer via the Spark reader)
+    val n = spark.read.parquet(file.toString).columns.length
+    require(n > 0, s"not a readable parquet file: $file")
+    val ts = timestamp match {
+      case Some(t) => Timestamps.parse(t).fold(e => throw new IllegalArgumentException(e),
+        Timestamps.unixSeconds)
+      case None => java.time.Instant.now().getEpochSecond
+    }
+    val sig = signer.map(_.sign(file)).getOrElse(Array.emptyByteArray)
+    // store.put moves the file; upload a copy so the caller keeps theirs
+    val staged = Files.createTempFile("graft-write", "-" + file.getFileName)
+    Files.copy(file, staged, StandardCopyOption.REPLACE_EXISTING)
+    val cid = store.put(vault, staged, ts, sig)
+    catalog.foreach(_.appendEvent(vault, cid, ts, isArchived = false,
+      new java.sql.Timestamp(0L)))
+    cid
+  }
+
+  def writeAll(spark: SparkSession, vault: VaultName, files: Seq[Path],
+               store: ContentStore, signer: Option[FileSigner] = None,
+               catalog: Option[graft.catalog.VaultCatalog] = None): Seq[(Path, String)] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.traverse(files)(f =>
+        Future(f -> write(spark, vault, f, store, signer, catalog))),
+      Duration.Inf)
+  }
+}
+
+/**
+ * Retrieve (Q3): 2-tier read — try the hot cache store, fall back to the
+ * cold store on any error (`internal/app/retriever.go:44-50`); `-`/empty
+ * output streams to stdout. The reference's IPFS/Filecoin cold path is a
+ * second [[ContentStore]] here (zero-egress build — SURVEY §2 Q3).
+ */
+final class Retriever(cache: ContentStore, cold: Option[ContentStore] = None) {
+
+  def retrieve(cid: String): Option[Path] =
+    try cache.get(cid).orElse(cold.flatMap(_.get(cid)))
+    catch { case _: Exception => cold.flatMap(_.get(cid)) }
+
+  /** Write to a file, or stdout for "-"/"" like the reference. */
+  def retrieveTo(cid: String, output: String): Boolean = retrieve(cid) match {
+    case None => false
+    case Some(src) =>
+      if (output == "-" || output.isEmpty) { Files.copy(src, System.out); true }
+      else {
+        Files.copy(src, java.nio.file.Paths.get(output), StandardCopyOption.REPLACE_EXISTING)
+        true
+      }
+  }
+
+  /** Retrieved parquet straight back into a DataFrame (read path). */
+  def retrieveAsDataFrame(spark: SparkSession, cid: String): Option[org.apache.spark.sql.DataFrame] =
+    retrieve(cid).map(p => spark.read.parquet(p.toString))
+}

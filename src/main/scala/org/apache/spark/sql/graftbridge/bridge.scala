@@ -12,4 +12,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** ASCII-table rendering (Dataset.showString is private[sql]). */
+  def showString(df: org.apache.spark.sql.DataFrame, numRows: Int, truncate: Int): String =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .showString(numRows, truncate)
 }
