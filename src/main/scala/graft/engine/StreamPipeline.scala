@@ -35,12 +35,14 @@ object StreamPipeline {
       catalog: Option[graft.catalog.VaultCatalog] = None,
       windowSeconds: Long = 3600L,
       availableNow: Boolean = false,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxTxPerTrigger: Option[Int] = None): StreamingQuery = {
 
     schemas.foreach(_.validate())
-    var reader = spark.readStream.format("text")
-    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
-    val lines = reader.load(walInputDir)
+    // custom CDC source (graft.cdc.source.WalSource): LSN offsets +
+    // ack-on-commit, the S1-S5 semantics; yields (value, commit_lsn)
+    var reader = spark.readStream.format("graft-wal").option("path", walInputDir)
+    maxTxPerTrigger.foreach(n => reader = reader.option("maxTxPerTrigger", n.toString))
+    val lines = reader.load()
 
     val sink = new VaultSink(namespace, schemas, stagingDir, store, signer, catalog)
     val trigger =

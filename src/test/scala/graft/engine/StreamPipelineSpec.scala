@@ -42,7 +42,7 @@ class StreamPipelineSpec extends SparkSpec {
   private def runAvailable(walDir: String, staging: String, ckpt: String,
                            store: LocalContentStore): Unit = {
     val q = StreamPipeline.start(spark, "ns", Seq(schemaT), walDir, staging,
-      ckpt, store, availableNow = true, maxFilesPerTrigger = Some(1))
+      ckpt, store, availableNow = true, maxTxPerTrigger = Some(1))
     q.awaitTermination(120000)
     ()
   }
