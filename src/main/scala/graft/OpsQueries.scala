@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, EventTime, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -117,6 +117,19 @@ object OpsQueries {
           col("event_id").cast("string").cast("binary")).as("ecmh"))
         .orderBy("event_type")),
 
+    // ── Event-time windowed aggregation (streaming-semantics upgrade) ──
+    "q_events_daily" -> ((s, dir) =>
+      EventTime.tumblingStats(Tables(s, dir, "events"))
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+                col("n_events"), col("sum_value"))
+        .orderBy("day")),
+
+    "q_events_top_users" -> ((s, dir) =>
+      EventTime.windowedTopUsers(Tables(s, dir, "events"), k = 3)
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+                col("rank"), col("user_id"), col("user_value"))
+        .orderBy("day", "rank")),
+
     // ── Multimodal binary columns ──────────────────────────────────────
     "q_mm_meta" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(Tables(s, dir, "documents"))
@@ -187,6 +200,23 @@ object OpsQueries {
          |        (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh)))::DOUBLE, 6) AS jaccard
          |FROM cand JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_events_daily" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_events_top_users" ->
+      """WITH per AS (
+        |  SELECT date_trunc('day', ts) AS d, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_value
+        |  FROM events GROUP BY d, user_id),
+        |ranked AS (SELECT d, user_id, user_value,
+        |  row_number() OVER (PARTITION BY d ORDER BY user_value DESC, user_id) AS rank
+        |  FROM per)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, rank, user_id, user_value
+        |FROM ranked WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
 
     "q_mm_meta" ->
       """SELECT doc_id AS media_id,

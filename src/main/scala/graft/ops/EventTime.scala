@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-time windowed aggregation over the event stream.
+ *
+ * The reference only has processing-time buffer rotation (SURVEY §2.12:
+ * "no watermarks, no event-time"); a wal2json record's `timestamp` is
+ * carried but never used. This module is the Spark-first upgrade: the
+ * same `window()` aggregation works in batch (oracle-checked) and in
+ * Structured Streaming with a watermark bounding state.
+ *
+ * Scale shape: tumbling-window aggregation is a hash aggregate keyed on
+ * (window, keys) with map-side partials; streaming state per open window
+ * is bounded by the watermark delay.
+ */
+object EventTime {
+
+  /** Tumbling event-time windows with per-window aggregates. Works on a
+    * batch or streaming DataFrame alike. */
+  def tumblingStats(events: DataFrame, tsCol: String = "ts",
+                    windowLength: String = "1 day",
+                    watermarkDelay: Option[String] = None): DataFrame = {
+    val in = watermarkDelay.fold(events)(d => events.withWatermark(tsCol, d))
+    in.groupBy(window(col(tsCol), windowLength).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("w.start").as("window_start"), col("n_events"),
+              col("sum_value"), col("approx_users"))
+  }
+
+  /** Per-key top-k within event-time windows (windowed ranking). */
+  def windowedTopUsers(events: DataFrame, k: Int,
+                       windowLength: String = "1 day"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = events
+      .groupBy(window(col("ts"), windowLength).as("w"), col("user_id"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("user_value"))
+    val rk = Window.partitionBy("w").orderBy(col("user_value").desc, col("user_id"))
+    per.withColumn("rank", row_number().over(rk).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("w.start").as("window_start"), col("rank"), col("user_id"),
+              col("user_value"))
+  }
+}
