@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.{Keccak256Expr, PgArrayParse}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * SparkSessionExtensions installer: registers graft's custom Catalyst
+ * expressions in the SQL function registry so `spark.sql` users can call
+ * them directly:
+ *
+ *   spark.sql("SELECT keccak256(payload), pg_array_parse(tags) FROM t")
+ *
+ * Enable with
+ * `.config("spark.sql.extensions", "graft.GraftExtensions")` or inject
+ * into an existing session via [[GraftExtensions.register]].
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.keccakDesc)
+    ext.injectFunction(GraftExtensions.pgArrayDesc)
+  }
+}
+
+object GraftExtensions {
+  private type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private val keccakDesc: FunctionDescription = (
+    FunctionIdentifier("keccak256"),
+    new ExpressionInfo(classOf[Keccak256Expr].getName, "keccak256"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "keccak256 expects 1 argument")
+      Keccak256Expr(args.head)
+    })
+
+  private val pgArrayDesc: FunctionDescription = (
+    FunctionIdentifier("pg_array_parse"),
+    new ExpressionInfo(classOf[PgArrayParse].getName, "pg_array_parse"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "pg_array_parse expects 1 argument")
+      PgArrayParse(args.head)
+    })
+
+  /** Register into an already-running session (tests, notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    for ((id, info, builder) <- Seq(keccakDesc, pgArrayDesc))
+      registry.registerFunction(id, info, builder)
+  }
+}
