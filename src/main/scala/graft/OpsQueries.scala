@@ -130,6 +130,13 @@ object OpsQueries {
                 col("rank"), col("user_id"), col("user_value"))
         .orderBy("day", "rank")),
 
+    "q_sessions" -> ((s, dir) =>
+      EventTime.sessionStats(Tables(s, dir, "events"))
+        .select(col("user_id"),
+                date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start_s"),
+                col("n_events"))
+        .orderBy("user_id", "session_start_s")),
+
     // ── Multimodal binary columns ──────────────────────────────────────
     "q_mm_meta" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(Tables(s, dir, "documents"))
@@ -217,6 +224,22 @@ object OpsQueries {
         |  FROM per)
         |SELECT strftime(d, '%Y-%m-%d') AS day, rank, user_id, user_value
         |FROM ranked WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
+
+    "q_sessions" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_id FROM d)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start_s,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_s""".stripMargin,
 
     "q_mm_meta" ->
       """SELECT doc_id AS media_id,

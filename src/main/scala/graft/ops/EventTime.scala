@@ -34,6 +34,23 @@ object EventTime {
               col("sum_value"), col("approx_users"))
   }
 
+  /**
+   * Sessionization: per-user session windows with an inactivity gap.
+   * Batch and streaming alike (`session_window` merges in streaming state
+   * under a watermark). Boundary semantics: an event extends a session
+   * iff it arrives strictly within `gap` of the previous event —
+   * identical to the gaps-and-islands SQL formulation with `diff >= gap`
+   * starting a new session.
+   */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+                   tsCol: String = "ts", keyCol: String = "user_id",
+                   watermarkDelay: Option[String] = None): DataFrame = {
+    val in = watermarkDelay.fold(events)(d => events.withWatermark(tsCol, d))
+    in.groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("w.start").as("session_start"), col("n_events"))
+  }
+
   /** Per-key top-k within event-time windows (windowed ranking). */
   def windowedTopUsers(events: DataFrame, k: Int,
                        windowLength: String = "1 day"): DataFrame = {
