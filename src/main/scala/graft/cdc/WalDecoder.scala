@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
  */
 object WalDecoder {
 
-  /** Raw text lines (one JSON tx per line) → one row per WAL record. */
-  def decodeRecords(lines: DataFrame): DataFrame = {
+  /** Raw text lines (one JSON tx per line) → one row per WAL record.
+    * `recordFields = Some(...)` projects the parse schema to just those
+    * record fields (cheaper JSON decode on the replay hot path). */
+  def decodeRecords(lines: DataFrame,
+                    recordFields: Option[Seq[String]] = None): DataFrame = {
     val valueCol = lines.columns.headOption.getOrElse("value")
+    val schema = recordFields.fold(WalModel.txSchema)(WalModel.txSchemaProjected)
     lines
-      .select(from_json(col(valueCol), WalModel.txSchema).as("tx"))
+      .select(from_json(col(valueCol), schema).as("tx"))
       .where(col("tx").isNotNull && col("tx.records").isNotNull)
       .select(col("tx.commit_lsn").as("commit_lsn"),
               posexplode(col("tx.records")).as(Seq("record_idx", "r")))
@@ -44,7 +48,10 @@ object WalDecoder {
       lines: DataFrame,
       schemas: Seq[TableSchema],
       replayActions: Set[String] = Set("I")): Map[String, DataFrame] = {
-    val records = filterActions(decodeRecords(lines), replayActions)
+    // replay needs only routing + payload fields; skip xid/lsn/pk/etc.
+    val records = filterActions(
+      decodeRecords(lines, recordFields = Some(Seq("action", "table", "columns"))),
+      replayActions)
     schemas.map { ts =>
       ts.table -> PgValueDecoder.pivotToTable(records.where(col("table") === ts.table), ts)
     }.toMap

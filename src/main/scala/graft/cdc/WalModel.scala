@@ -57,6 +57,16 @@ object WalModel {
     StructField("commit_lsn", LongType),
     StructField("records", ArrayType(recordSchema))
   ))
+
+  /** Projected tx schema: only the named record fields are materialized
+    * by the JSON parser (cheaper decode on the hot path — Jackson still
+    * tokenizes skipped fields but never allocates them). */
+  def txSchemaProjected(recordFields: Seq[String]): StructType = {
+    val fields = recordSchema.fields.filter(f => recordFields.contains(f.name))
+    StructType(Seq(
+      StructField("commit_lsn", LongType),
+      StructField("records", ArrayType(StructType(fields)))))
+  }
 }
 
 /**
