@@ -154,7 +154,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
              min("event_id").as("first_event"),
              max("event_id").as("last_event"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    "q_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+             round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+             round(min("l_extendedprice"), 4).as("lo"),
+             round(max("l_extendedprice"), 4).as("hi"))
+        .orderBy("l_returnflag"))
   ) ++ CdcQueries.queries ++ OpsQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -244,6 +252,14 @@ object SparkEntry {
     "q_catalog_groups" ->
       """SELECT event_type, count(*) AS n_events, min(event_id) AS first_event,
         |  max(event_id) AS last_event
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |  round(min(l_extendedprice), 4) AS lo,
+        |  round(max(l_extendedprice), 4) AS hi
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) ++ CdcQueries.oracleSql ++ OpsQueries.oracleSql
 }
