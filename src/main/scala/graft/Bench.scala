@@ -24,12 +24,15 @@ object Bench {
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     // warmup: exercise scan + shuffle + codegen paths once
-    try { qs.take(3).foreach(_._2(spark, sfDir).count()) }
-    catch { case _: Throwable => () }
+    try {
+      qs.take(3).foreach(_._2(spark, sfDir).write.format("noop").mode("overwrite").save())
+    } catch { case _: Throwable => () }
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      // noop sink: materializes every output column (count() would let
+      // Catalyst prune projections and under-measure map-only queries)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }

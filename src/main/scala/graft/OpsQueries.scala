@@ -112,6 +112,7 @@ object OpsQueries {
 
     "q_ecmh_digest" -> ((s, dir) => // no SQL oracle: EC multiset hash
       Tables(s, dir, "events")
+        .repartition(s.sparkContext.defaultParallelism) // EC math is CPU-bound
         .groupBy("event_type")
         .agg(graft.functions.GraftFunctions.ecmhDigest(
           col("event_id").cast("string").cast("binary")).as("ecmh"))

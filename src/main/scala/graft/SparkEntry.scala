@@ -112,6 +112,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_totalprice").cast(D)).cast("double").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)),
+
     "q_scalar_funcs" -> ((s, dir) =>
       t(s, dir, "part").select(
         col("p_partkey"),
@@ -223,6 +231,12 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_scalar_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,

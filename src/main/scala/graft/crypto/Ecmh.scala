@@ -86,19 +86,34 @@ object Ecmh {
 /**
  * Spark typed aggregate for ECMH: commutative + associative point
  * addition makes partial (map-side) aggregation safe in any partitioning
- * — the distributed form of the reference's accumulator. Buffer is the
- * 33-byte compressed point, so shuffle traffic is 33 bytes per partial.
+ * — the distributed form of the reference's accumulator.
+ *
+ * Hot-path layout: the buffer is the UNCOMPRESSED affine point
+ * (32B x ‖ 32B y) so per-row reduction is one point addition — the
+ * compressed form would cost a modular square root per row to
+ * decompress. The 33-byte compressed encoding is only produced once, in
+ * `finish`. Shuffle traffic is 64 bytes per partial.
  */
 class EcmhAggregator extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], String] {
   import Ecmh._
+  import java.math.BigInteger
+
+  private def enc(p: Secp256k1.Point): Array[Byte] = p match {
+    case None => Array.emptyByteArray
+    case Some((x, y)) => Secp256k1.to32(x) ++ Secp256k1.to32(y)
+  }
+  private def dec(b: Array[Byte]): Secp256k1.Point =
+    if (b.isEmpty) None
+    else Some((new BigInteger(1, b.slice(0, 32)), new BigInteger(1, b.slice(32, 64))))
+
   override def zero: Array[Byte] = Array.emptyByteArray
   override def reduce(buf: Array[Byte], item: Array[Byte]): Array[Byte] =
     if (item == null) buf
-    else encode(Secp256k1.add(decode(buf), hashToPoint(item)))
+    else enc(Secp256k1.add(dec(buf), hashToPoint(item)))
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-    encode(Secp256k1.add(decode(a), decode(b)))
+    enc(Secp256k1.add(dec(a), dec(b)))
   override def finish(buf: Array[Byte]): String =
-    if (buf.isEmpty) "empty" else buf.map("%02x".format(_)).mkString
+    if (buf.isEmpty) "empty" else encode(dec(buf)).map("%02x".format(_)).mkString
   override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
     org.apache.spark.sql.Encoders.BINARY
   override def outputEncoder: org.apache.spark.sql.Encoder[String] =

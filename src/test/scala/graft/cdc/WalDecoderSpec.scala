@@ -13,12 +13,14 @@ class WalDecoderSpec extends SparkSpec {
   import scala.jdk.CollectionConverters._
 
   /** One-column table `t(c <typ>)`, one record with raw JSON value. */
-  private def walLine(typ: String, rawJson: String): String =
+  private def walLine(typ: String, rawJson: String): String = {
+    val t = typ.replace("\"", "\\\"") // `"char"` carries quotes in its name
     s"""{"commit_lsn": 1, "records": [{"action": "I", "xid": 1, "lsn": "0/1",
        |"nextlsn": "", "timestamp": "2023-08-22 14:44:02.043586-03",
        |"schema": "public", "table": "t",
-       |"columns": [{"name": "c", "type": "$typ", "value": $rawJson}],
-       |"pk": [{"name": "c", "type": "$typ"}]}]}""".stripMargin.replace("\n", " ")
+       |"columns": [{"name": "c", "type": "$t", "value": $rawJson}],
+       |"pk": [{"name": "c", "type": "$t"}]}]}""".stripMargin.replace("\n", " ")
+  }
 
   private def decodeOne(typ: String, rawJson: String): org.apache.spark.sql.DataFrame = {
     val lines = spark.createDataset(Seq(walLine(typ, rawJson)))(
@@ -102,6 +104,64 @@ class WalDecoderSpec extends SparkSpec {
     assert(asString("date[]", "\"{2021-03-01,NULL}\"") == "[2021-03-01, null]")
     assert(asString("timestamp without time zone[]", "\"{\\\"2021-03-01 12:45:01\\\",NULL}\"") ==
       "[2021-03-01 12:45:01, null]")
+  }
+
+  test("full supportedTypeVals corpus (test_util.go:167-213)") {
+    // (pg type, raw JSON value, expected rendering) — every type class
+    // and value from the reference's conversion corpus
+    val corpus: Seq[(String, String, String)] = Seq(
+      ("boolean", "true", "true"), ("boolean", "false", "false"),
+      ("smallint", "42", "42"), ("smallint", "-42", "-42"),
+      ("integer", "42", "42"), ("bigint", "-42", "-42"),
+      ("numeric(4,7)", "42.01", "42.01"), ("numeric(4,7)", "-42.01", "-42.01"),
+      ("real", "42.01", "42.01"), ("double precision", "-42.01", "-42.01"),
+      ("oid", "42", "42"),
+      ("macaddr", "\"08:00:2b:01:02:03\"", "08:00:2b:01:02:03"),
+      ("bytea", "\"00010203\"", "00010203"),
+      ("character", "\"a\"", "a"), ("\"char\"", "\"a\"", "a"),
+      ("bpchar", "\"a\"", "a"),
+      ("character varying(5)", "\"ZZZZZ\"", "ZZZZZ"),
+      ("text", "\"dpfkg\"", "dpfkg"),
+      ("uuid", "\"a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11\"",
+        "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11"),
+      ("date", "\"2021-03-01\"", "2021-03-01"),
+      ("time without time zone", "\"12:45:01\"", "12:45:01"),
+      ("time with time zone", "\"12:00:00-08\"", "12:00:00-08"),
+      ("timestamp without time zone", "\"2021-03-01 12:45:01\"", "2021-03-01 12:45:01"),
+      ("timestamp with time zone", "\"2021-03-01 12:45:01+08\"", "2021-03-01 04:45:01"),
+      ("interval", "\"1 year\"", "1 year"),
+      ("interval", "\"-00:00:07\"", "-00:00:07"),
+      ("interval", "\"1 year 2 mons 21 days 05:00:00\"", "1 year 2 mons 21 days 05:00:00"),
+      ("boolean[]", "\"{t,f,NULL}\"", "[true, false, null]"),
+      ("smallint[]", "\"{42,-42,NULL}\"", "[42, -42, null]"),
+      ("integer[]", "\"{42,-42,NULL}\"", "[42, -42, null]"),
+      ("bigint[]", "\"{42,-42,NULL}\"", "[42, -42, null]"),
+      ("real[]", "\"{42.01,-42.01,NULL}\"", "[42.01, -42.01, null]"),
+      ("double precision[]", "\"{42.01,-42.01,NULL}\"", "[42.01, -42.01, null]"),
+      ("numeric[]", "\"{42.01,-42.01,NULL}\"", "[42.01, -42.01, null]"),
+      ("character[]", "\"{a,Z,NULL}\"", "[a, Z, null]"),
+      ("bpchar[]", "\"{a,Z,NULL}\"", "[a, Z, null]"),
+      ("character varying[]", "\"{dpfkg,NULL}\"", "[dpfkg, null]"),
+      ("text[]", "\"{a,Z,NULL}\"", "[a, Z, null]"),
+      ("bytea[]", "\"{\\\"\\\\\\\\x3030303130323033\\\",NULL}\"", "[3030303130323033, null]"),
+      ("uuid[]", "\"{a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11,NULL}\"",
+        "[a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11, null]"),
+      ("date[]", "\"{2021-03-01,NULL}\"", "[2021-03-01, null]"),
+      ("time without time zone[]", "\"{12:45:01,NULL}\"", "[12:45:01, null]"),
+      ("time with time zone[]", "\"{12:00:00-08,NULL}\"", "[12:00:00-08, null]"),
+      ("timestamp without time zone[]", "\"{\\\"2021-03-01 12:45:01\\\",NULL}\"",
+        "[2021-03-01 12:45:01, null]"),
+      ("timestamp with time zone[]", "\"{\\\"2021-03-01 12:45:01+08\\\",NULL}\"",
+        "[2021-03-01 04:45:01, null]"),
+      ("interval[]", "\"{\\\"1 year\\\",NULL}\"", "[1 year, null]")
+    )
+    for ((typ, raw, expected) <- corpus)
+      assert(asString(typ, raw) == expected, s"type=$typ raw=$raw")
+    // json family: compact-rendered text preserved
+    assert(asString("json", "{\"foo\": {\"bar\": 3}}").replaceAll("\\s", "") ==
+      "{\"foo\":{\"bar\":3}}")
+    assert(asString("jsonb", "{\"foo\": \"bar\"}").replaceAll("\\s", "") ==
+      "{\"foo\":\"bar\"}")
   }
 
   test("whole-column null for every type class") {
