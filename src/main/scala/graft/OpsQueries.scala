@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, EventTime, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, Dedup, EventTime, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,16 +77,9 @@ object OpsQueries {
     "q_simhash" -> ((s, dir) => // no SQL oracle: bit-vote accumulation
       Dedup.withSimhash(Tables(s, dir, "documents")).orderBy("doc_id")),
 
-    "q_simhash_near" -> ((s, dir) => { // no SQL oracle
-      val sh = Dedup.withSimhash(Tables(s, dir, "documents"))
-      val a = sh.toDF("id_a", "sh_a")
-      val b = sh.toDF("id_b", "sh_b")
-      a.join(b, col("id_a") < col("id_b"))
-        .where(Dedup.hammingDist(col("sh_a"), col("sh_b")) <= 6)
-        .select(col("id_a"), col("id_b"),
-                Dedup.hammingDist(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
-        .orderBy("id_a", "id_b")
-    }),
+    "q_simhash_near" -> ((s, dir) => // no SQL oracle; pigeonhole bucket join
+      Dedup.simhashNearPairs(Tables(s, dir, "documents"), maxHamming = 6)
+        .orderBy("id_a", "id_b")),
 
     // ── Similarity search ──────────────────────────────────────────────
     "q_cosine_topk" -> ((s, dir) => {
@@ -130,6 +123,34 @@ object OpsQueries {
         .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
                 col("rank"), col("user_id"), col("user_value"))
         .orderBy("day", "rank")),
+
+    // as-of join: attribute each purchase to the user's latest prior click
+    "q_asof_attribution" -> ((s, dir) => {
+      val events = Tables(s, dir, "events")
+      val purchases = events.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = events.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+                col("value").as("click_value"))
+      AsofJoin.asofJoin(purchases, clicks, "user_id", "ts",
+          Seq("click_id", "click_value"), suffix = "")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          col("click_id"), col("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // pairwise edit distance on a bounded pair set (portable levenshtein)
+    "q_edit_distance" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id"), substring(col("text"), 1, 48).as("t"))
+      val a = d.toDF("id_a", "t_a")
+      val b = d.toDF("id_b", "t_b")
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("t_a"), col("t_b")).cast("long").as("edit_dist"))
+        .orderBy("id_a", "id_b")
+    }),
 
     "q_sessions" -> ((s, dir) =>
       EventTime.sessionStats(Tables(s, dir, "events"))
@@ -225,6 +246,26 @@ object OpsQueries {
         |  FROM per)
         |SELECT strftime(d, '%Y-%m-%d') AS day, rank, user_id, user_value
         |FROM ranked WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
+
+    "q_asof_attribution" ->
+      """SELECT p.event_id,
+        |  p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  c.click_id, c.click_value
+        |FROM (SELECT user_id, ts, event_id, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id,
+        |                  value AS click_value FROM events
+        |                WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_edit_distance" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(substr(a.text, 1, 48), substr(b.text, 1, 48)) AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 40 AND b.doc_id < 40
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_sessions" ->
       """WITH d AS (

@@ -149,6 +149,39 @@ object Dedup {
   }
 
   /**
+   * SimHash near-pair search WITHOUT the quadratic cross join: split the
+   * 32-bit signature into `maxHamming + 1` chunks — by pigeonhole, two
+   * signatures within `maxHamming` bits must agree on at least one whole
+   * chunk — bucket-join on (chunk index, chunk value), then verify the
+   * exact Hamming distance on candidates only. Identical output to the
+   * all-pairs formulation; the join touches only chunk-colliding pairs.
+   */
+  def simhashNearPairs(docs: DataFrame, maxHamming: Int = 6,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bits = 32
+    val base = bits / nChunks
+    val extra = bits % nChunks // first `extra` chunks get an extra bit
+    val sig = withSimhash(docs, idCol, textCol, outCol = "sh")
+    val chunks = (0 until nChunks).map { c =>
+      val start = c * base + math.min(c, extra)
+      val width = base + (if (c < extra) 1 else 0)
+      val mask = ((1L << width) - 1) << start
+      struct(lit(c).as("ck"), col("sh").bitwiseAND(lit(mask)).as("cv"))
+    }
+    val exploded = sig.select(col(idCol), col("sh"), explode(array(chunks: _*)).as("c"))
+      .select(col(idCol), col("sh"), col("c.ck"), col("c.cv"))
+    val a = exploded.toDF("id_a", "sh_a", "ck", "cv")
+    val b = exploded.toDF("id_b", "sh_b", "ck", "cv")
+    a.join(b, Seq("ck", "cv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDist(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for candidate pairs: |A∩B|/|A∪B| over
    * distinct word n-gram shingles. Used to verify LSH candidates; at scale
    * only runs on the candidate set, never all pairs.

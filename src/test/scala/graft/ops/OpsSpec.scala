@@ -74,6 +74,22 @@ class OpsSpec extends SparkSpec {
     assert(nearDist < farDist)
   }
 
+  test("pigeonhole simhash near-pairs equal the all-pairs formulation") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val sh = Dedup.withSimhash(docs)
+    val a = sh.toDF("id_a", "sh_a")
+    val b = sh.toDF("id_b", "sh_b")
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.hammingDist(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+      .where(col("hamming") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bucketed = Dedup.simhashNearPairs(docs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bucketed == brute)
+    assert(brute.nonEmpty)
+  }
+
   test("brute-force cosine top-k: self-similar vectors rank first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
