@@ -40,15 +40,22 @@ final class LocalContentStore(rootDir: String) extends ContentStore {
 
 object LocalContentStore {
   /** Deterministic content id (sha-256 hex). The reference uses IPFS CIDs;
-    * any collision-resistant content hash preserves the semantics. */
+    * any collision-resistant content hash preserves the semantics.
+    * Directory artifacts hash their files in name order. */
   def contentId(file: Path): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    val in = Files.newInputStream(file)
-    try {
-      val buf = new Array[Byte](4096) // chunked like signing.go:79
-      var n = in.read(buf)
-      while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
-    } finally in.close()
+    def absorb(f: Path): Unit = {
+      val in = Files.newInputStream(f)
+      try {
+        val buf = new Array[Byte](4096) // chunked like signing.go:79
+        var n = in.read(buf)
+        while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    }
+    if (Files.isDirectory(file)) {
+      Files.list(file).sorted().toArray.map(_.asInstanceOf[Path])
+        .filter(Files.isRegularFile(_)).foreach(absorb)
+    } else absorb(file)
     md.digest().map("%02x".format(_)).mkString
   }
 }
@@ -89,10 +96,22 @@ final class VaultSink(
       val hasRows = parts.nonEmpty && spark.read.parquet(stagePath.toString).head(1).nonEmpty
       if (!hasRows) { deleteRecursive(stagePath); None }
       else {
-        val file = singleParquetFile(stagePath, table, windowId)
-        val sig = signer.map(_.sign(file)).getOrElse(Array.emptyByteArray)
+        // singleFile: one `<table>-<window>.parquet` like the reference;
+        // scale mode: upload the whole window DIRECTORY (all part files)
+        val artifact =
+          if (singleFile) singleParquetFile(stagePath, table, windowId)
+          else {
+            val dir = stagePath.resolveSibling(s"$table-$windowId")
+            // strip _SUCCESS/. markers; keep only data files
+            Files.list(stagePath)
+              .filter(p => !p.getFileName.toString.endsWith(".parquet"))
+              .forEach(p => Files.deleteIfExists(p))
+            Files.move(stagePath, dir, StandardCopyOption.REPLACE_EXISTING)
+            dir
+          }
+        val sig = signer.map(_.sign(artifact)).getOrElse(Array.emptyByteArray)
         val ts = windowId
-        val cid = store.put(VaultName(namespace, table), file, ts, sig)
+        val cid = store.put(VaultName(namespace, table), artifact, ts, sig)
         catalog.foreach(_.appendEvent(VaultName(namespace, table), cid, ts,
           isArchived = false, new java.sql.Timestamp(0L)))
         deleteRecursive(stagePath)

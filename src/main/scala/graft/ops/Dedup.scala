@@ -103,16 +103,21 @@ object Dedup {
   }
 
   /**
-   * SimHash: 32-bit signature from per-token hashes; Hamming-close
-   * signatures ⇒ similar documents. Uses md5-hex → first 8 hex chars as
-   * the token hash (portable). Bit-vote accumulation is a narrow
-   * aggregate over the token array.
+   * SimHash: 64-bit signature from per-token hashes; Hamming-close
+   * signatures ⇒ similar documents. Token hash = first 16 md5 hex chars,
+   * assembled from two 32-bit halves (`conv` yields an unsigned decimal
+   * string; a direct 64-bit cast would null out values ≥ 2^63).
    */
   def simhash(text: Column): Column = {
     val ws = TextAnalysis.tokens(text)
-    // per token: 32-bit value from md5 prefix
-    val hashes = transform(ws, w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
-    val bitVotes = (0 until 32).map { bit =>
+    // per token: 64-bit value from md5 prefix (64 bits → selective
+    // pigeonhole chunks in simhashNearPairs)
+    val hashes = transform(ws, w => {
+      val h = md5(w)
+      shiftleft(conv(substring(h, 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long"))
+    })
+    val bitVotes = (0 until 64).map { bit =>
       val mask = 1L << bit
       // vote = (#tokens with bit set) - (#tokens with bit clear)
       val set = aggregate(hashes, lit(0L),
@@ -126,22 +131,25 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /**
-   * Codegen-friendly simhash: explode tokens, hash once per token, then 32
+   * Codegen-friendly simhash: explode tokens, hash once per token, then 64
    * conditional-sum bit votes in a single hash aggregation (map-side
    * partial). Same result as [[simhash]]; use this form on the hot path —
-   * the Column version runs 32 interpreted `aggregate` lambdas per row.
+   * the Column version runs 64 interpreted `aggregate` lambdas per row.
    */
   def withSimhash(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", outCol: String = "simhash"): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val toks = docs.repartition(par).select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("w"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
-    val votes = (0 until 32).map { bit =>
+      .withColumn("h5", md5(col("w")))
+      .withColumn("h",
+        shiftleft(conv(substring(col("h5"), 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(col("h5"), 9, 8), 16, 10).cast("long")))
+    val votes = (0 until 64).map { bit =>
       val mask = 1L << bit
       sum(when(col("h").bitwiseAND(lit(mask)) =!= 0L, 1L).otherwise(-1L)).as(s"v$bit")
     }
-    val sig = (0 until 32).map { bit =>
+    val sig = (0 until 64).map { bit =>
       when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
     }.reduce(_ + _)
     toks.groupBy(idCol).agg(votes.head, votes.tail: _*)
@@ -150,7 +158,7 @@ object Dedup {
 
   /**
    * SimHash near-pair search WITHOUT the quadratic cross join: split the
-   * 32-bit signature into `maxHamming + 1` chunks — by pigeonhole, two
+   * 64-bit signature into `maxHamming + 1` chunks — by pigeonhole, two
    * signatures within `maxHamming` bits must agree on at least one whole
    * chunk — bucket-join on (chunk index, chunk value), then verify the
    * exact Hamming distance on candidates only. Identical output to the
@@ -159,7 +167,7 @@ object Dedup {
   def simhashNearPairs(docs: DataFrame, maxHamming: Int = 6,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nChunks = maxHamming + 1
-    val bits = 32
+    val bits = 64
     val base = bits / nChunks
     val extra = bits % nChunks // first `extra` chunks get an extra bit
     val sig = withSimhash(docs, idCol, textCol, outCol = "sh")

@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Deterministic double fold: Σ a_i*b_i in element order, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Deterministic double fold: Σ a_i*b_i in element order, in double.
+    * Native codegen'd expression ([[graft.functions.VecDot]]) — the
+    * higher-order-function formulation evaluates interpreted. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

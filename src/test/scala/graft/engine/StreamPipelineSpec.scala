@@ -112,6 +112,29 @@ class StreamPipelineSpec extends SparkSpec {
     assert(files.map(readRows).reduce(_ ++ _) == Set(1 -> "a", 2 -> "b"))
   }
 
+  test("scale mode (singleFile=false): whole multi-part window uploaded") {
+    val (wal, staging, ckpt, storeDir) = freshDirs()
+    Files.createDirectories(Paths.get(wal))
+    val store = new LocalContentStore(storeDir)
+    val rows = (1 to 50).map(i => i -> s"n$i")
+    Files.writeString(Paths.get(wal, "tx1.json"), walTx(100, rows: _*))
+
+    // drive the sink directly in directory mode
+    val sink = new VaultSink("ns", Seq(schemaT), staging, store, singleFile = false)
+    val lines = spark.createDataset(
+      Seq(Files.readString(Paths.get(wal, "tx1.json"))))(
+      org.apache.spark.sql.Encoders.STRING).toDF("value")
+      .repartition(4) // force multiple output part files
+    val uploaded = sink.processBatch(lines, windowId = 7L)
+    assert(uploaded.map(_._1) == Seq("t"))
+
+    val artifact = store.get(uploaded.head._2)
+    assert(artifact.isDefined && Files.isDirectory(artifact.get))
+    val back = spark.read.parquet(artifact.get.toString).collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("name"))).toSet
+    assert(back == rows.toSet) // ALL parts present, not just the first
+  }
+
   test("content store put/get round trip (Q3 cache path)") {
     val (_, _, _, storeDir) = freshDirs()
     val store = new LocalContentStore(storeDir)
