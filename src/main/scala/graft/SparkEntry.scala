@@ -164,8 +164,22 @@ object SparkEntry {
              max("event_id").as("last_event"))
         .orderBy("event_type")),
 
+    // semi-structured: JSON props column extraction + aggregation
+    "q_json_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"),
+             sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"),
+             max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     "q_quantiles" -> ((s, dir) =>
-      t(s, dir, "lineitem").groupBy("l_returnflag")
+      t(s, dir, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism) // parallel partial percentiles
+        .groupBy("l_returnflag")
         .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
              round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
              round(min("l_extendedprice"), 4).as("lo"),
@@ -266,6 +280,14 @@ object SparkEntry {
     "q_catalog_groups" ->
       """SELECT event_type, count(*) AS n_events, min(event_id) AS first_event,
         |  max(event_id) AS last_event
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_quantiles" ->
