@@ -180,10 +180,15 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .repartition(s.sparkContext.defaultParallelism) // parallel partial percentiles
         .groupBy("l_returnflag")
-        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-             round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        // one percentile pass for both quantiles (each percentile agg
+        // builds its own value map — don't pay it twice)
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ps"),
              round(min("l_extendedprice"), 4).as("lo"),
              round(max("l_extendedprice"), 4).as("hi"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p95"),
+          col("lo"), col("hi"))
         .orderBy("l_returnflag"))
   ) ++ CdcQueries.queries ++ OpsQueries.queries
 
