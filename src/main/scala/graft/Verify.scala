@@ -36,8 +36,31 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Bake absolute read_parquet() paths in place of bare table names:
+    // works whether or not the oracle runner pre-registers views for
+    // every table (TESTDATA.md's list omits documents/embeddings).
+    // Quoted literals like 'lineitem' stay untouched; an `AS <table>`
+    // alias is appended unless the query already aliases the table
+    // (DuckDB otherwise auto-aliases every scan "read_parquet" and
+    // multi-table joins collide).
+    val sqlKeywords = Set("JOIN", "ON", "WHERE", "GROUP", "ORDER", "UNION",
+      "LIMIT", "OFFSET", "ASOF", "LEFT", "RIGHT", "INNER", "CROSS", "USING",
+      "AND", "OR", "AS", "INTERSECT", "EXCEPT")
+    def qualify(sql: String): String =
+      Tables.all.foldLeft(sql) { (s, t) =>
+        val re = s"(?<!')\\b$t\\b(?!')(\\s*)([A-Za-z_][A-Za-z0-9_]*)?".r
+        re.replaceAllIn(s, m => {
+          val ws = Option(m.group(1)).getOrElse("")
+          val next = Option(m.group(2)).getOrElse("")
+          val scan = s"read_parquet('$sfDir/$t.parquet')"
+          val aliased =
+            if (next.nonEmpty && !sqlKeywords.contains(next.toUpperCase)) scan // explicit alias follows
+            else s"$scan AS $t"
+          java.util.regex.Matcher.quoteReplacement(s"$aliased$ws$next")
+        })
+      }
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(qualify(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
