@@ -1,0 +1,62 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.core.{Account, VaultName}
+import java.nio.file.Files
+
+/** Q1/Q2/M1 catalog semantics: filters, flag mapping, ordering
+  * (cmd/vaults/commands.go:427-586, :787-803, :524-549). */
+class CatalogSpec extends SparkSpec {
+
+  private def freshCatalog(): VaultCatalog =
+    VaultCatalog(spark, Files.createTempDirectory("catalog").toString)
+
+  private val acct = Account("0x396F15b0A2be942193BBBdC11BE3bF6F6EB1a08a")
+  private val v = VaultName("ns", "t")
+
+  private def seed(c: VaultCatalog): Unit = {
+    c.createVault(v, acct, 30)
+    for (i <- 1 to 5)
+      c.appendEvent(v, s"cid$i", i * 100L, isArchived = false, new java.sql.Timestamp(0))
+  }
+
+  private def cids(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.getAs[String]("cid")).toSeq
+
+  test("events: newest-first default, before/after window") {
+    val c = freshCatalog(); seed(c)
+    assert(cids(c.listEvents(v)) == Seq("cid5", "cid4", "cid3", "cid2", "cid1"))
+    assert(cids(c.listEvents(v, before = Some(300L))) == Seq("cid3", "cid2", "cid1"))
+    assert(cids(c.listEvents(v, after = Some(300L))) == Seq("cid5", "cid4", "cid3"))
+    assert(cids(c.listEvents(v, before = Some(400L), after = Some(200L))) ==
+      Seq("cid4", "cid3", "cid2"))
+  }
+
+  test("events: --at maps to before=after=at (commands.go:787-803)") {
+    val c = freshCatalog(); seed(c)
+    assert(cids(c.listEvents(v, at = Some(300L))) == Seq("cid3"))
+    assert(cids(c.listEvents(v, at = Some(250L))).isEmpty)
+  }
+
+  test("events: limit/offset paging, latest-N equivalence") {
+    val c = freshCatalog(); seed(c)
+    assert(cids(c.listEvents(v, limit = Some(2))) == Seq("cid5", "cid4"))
+    assert(cids(c.listEvents(v, limit = Some(2), offset = Some(2))) == Seq("cid3", "cid2"))
+    // --latest N ≡ limit=N offset=0 (commands.go:524-549)
+    assert(cids(c.listEvents(v, limit = Some(3), offset = Some(0))) ==
+      cids(c.listEvents(v, limit = Some(3))))
+  }
+
+  test("vault isolation and account filter (Q1)") {
+    val c = freshCatalog(); seed(c)
+    val other = VaultName("ns", "other")
+    c.createVault(other, acct, 0)
+    c.appendEvent(other, "cidX", 999L, isArchived = false, new java.sql.Timestamp(0))
+    assert(!cids(c.listEvents(v)).contains("cidX"))
+    assert(cids(c.listEvents(other)) == Seq("cidX"))
+    val vaults = c.listVaults(acct).collect().map(_.getString(0)).toSet
+    assert(vaults == Set("ns.t", "ns.other"))
+    val nobody = Account("0x0000000000000000000000000000000000000001")
+    assert(c.listVaults(nobody).isEmpty)
+  }
+}
