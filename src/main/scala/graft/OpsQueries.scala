@@ -55,6 +55,13 @@ object OpsQueries {
              sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
         .orderBy("bucket")),
 
+    "q_token_bpeish" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeishCount(col("text")).as("n_bpeish"),
+          element_at(TextAnalysis.bpeishTokens(col("text")), 1).as("first_tok"))
+        .orderBy("doc_id")),
+
     // ── Dedup family ───────────────────────────────────────────────────
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables(s, dir, "documents")).orderBy("fingerprint")),
@@ -94,6 +101,20 @@ object OpsQueries {
       Similarity.annTopK(emb, emb.where(col("vec_id") < 10), k = 5)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => { // no SQL oracle: IVF coarse quantizer
+      val emb = Tables(s, dir, "embeddings")
+      val (indexed, cents) = Similarity.ivfIndex(emb, nCells = 16, lloydIters = 2)
+      Similarity.ivfTopK(indexed, cents, emb.where(col("vec_id") < 10), k = 5, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_dedup_clusters" -> ((s, dir) => { // no SQL oracle: iterative components
+      val docs = Tables(s, dir, "documents")
+      Dedup.clusters(Dedup.lshCandidates(docs, k = MINHASH_K, bands = LSH_BANDS))
+        .orderBy("doc_id")
     }),
 
     // ── Verifiability primitives (C1/C2) ───────────────────────────────
@@ -198,6 +219,12 @@ object OpsQueries {
          |  md5(trim(lower(text))) AS fingerprint
          |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    "q_token_bpeish" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpeishPattern}')) AS BIGINT) AS n_bpeish,
+         |  regexp_extract_all(text, '${TextAnalysis.bpeishPattern}')[1] AS first_tok
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_token_hist" ->
       s"""SELECT CAST(floor(($sqlNTok) / 10) AS BIGINT) AS bucket, count(*) AS n_docs,

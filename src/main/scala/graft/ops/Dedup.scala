@@ -190,6 +190,46 @@ object Dedup {
   }
 
   /**
+   * Near-dup cluster resolution: connected components over the candidate
+   * pair graph via iterative min-label propagation (each doc adopts the
+   * smallest doc id reachable; iterate to fixpoint). Returns
+   * (doc_id, canonical_id) for every doc appearing in a pair — the
+   * canonical doc is the cluster's minimum id (what dedup keeps).
+   *
+   * Iterations are bounded by the graph diameter (near-dup clusters are
+   * shallow — a handful of rounds); each round is one join + aggregate,
+   * the standard large-graph CC formulation without any driver-side
+   * state beyond the convergence counter.
+   */
+  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = edges.groupBy(col("id_a").as("doc_id"))
+      .agg(least(min("id_b"), first("id_a")).as("canonical_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // propagate: my new label = min(my label, labels of my neighbors)
+      val nbrLabels = edges
+        .join(labels.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .groupBy(col("id_a").as("doc_id"))
+        .agg(min("canonical_id").as("nbr_min"))
+      val updated = labels.join(nbrLabels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"), coalesce(col("nbr_min"), col("canonical_id")))
+            .as("canonical_id"))
+        .localCheckpoint() // truncate the growing iterative lineage
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
+        .where(col("u.canonical_id") =!= col("l.canonical_id")).limit(1).count()
+      converged = changed == 0
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for candidate pairs: |A∩B|/|A∪B| over
    * distinct word n-gram shingles. Used to verify LSH candidates; at scale
    * only runs on the candidate set, never all pairs.

@@ -67,6 +67,89 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids —
+   * deterministically seeded from hashed corpus rows, refined with
+   * `lloydIters` k-means steps as DataFrame jobs — partitions the corpus
+   * into cells; a query scans only its `nProbe` nearest cells.
+   *
+   * Scale shape: centroids are tiny (nCells × dim) and broadcast both
+   * ways; cell assignment is a narrow map over the corpus (built once,
+   * reusable as a `partitionBy(cell)` layout so probes become partition
+   * pruning); the probe join touches nProbe/nCells of the data.
+   */
+  def ivfIndex(corpus: DataFrame, nCells: Int = 16, lloydIters: Int = 3, dims: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Array[(Int, Array[Double])]) = {
+    val spark = corpus.sparkSession
+    // deterministic seeds: nCells pseudo-randomly chosen corpus rows
+    // (hash-ranked — no RNG state, stable across runs/partitionings)
+    var centroids: Array[(Int, Array[Double])] = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__rk", md5(col(idCol).cast("string")))
+      .orderBy("__rk").limit(nCells)
+      .collect().zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Float](1).map(_.toDouble).toArray)
+      }
+
+    def assignExpr(cents: Array[(Int, Array[Double])]): Column = {
+      // nearest centroid by dot-product distance (vectors near-normalized);
+      // argmax over per-centroid similarity via array_max on (sim, cell)
+      val scored = cents.map { case (cid, c) =>
+        val cLit = array(c.map(lit): _*)
+        struct(dot(col(vecCol), cLit).as("sim"), lit(cid).as("cell"))
+      }
+      array_max(array(scored.toIndexedSeq: _*)).getField("cell")
+    }
+
+    for (_ <- 0 until lloydIters) {
+      val assigned = corpus.select(col(vecCol), assignExpr(centroids).as("cell"))
+      val agg = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "v")))
+        .groupBy("cell", "d").agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val byCell = agg.groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val m = old.clone()
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            (cid, m)
+          case None => (cid, old) // empty cell keeps its centroid
+        }
+      }
+    }
+    val indexed = corpus.withColumn("cell", assignExpr(centroids))
+    (indexed, centroids)
+  }
+
+  /** IVF search: probe the `nProbe` nearest cells per query, exact
+    * cosine rank within them. */
+  def ivfTopK(indexed: DataFrame, centroids: Array[(Int, Array[Double])],
+              queries: DataFrame, k: Int, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probeCells = {
+      val scored = centroids.map { case (cid, c) =>
+        val cLit = array(c.map(lit): _*)
+        struct(dot(col(vecCol), cLit).as("sim"), lit(cid).as("cell"))
+      }
+      // top-nProbe cells: sort the (sim, cell) array descending, slice
+      slice(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1, nProbe)
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      explode(transform(probeCells, p => p.getField("cell"))).as("cell"))
+    val c = indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 6))
+      .groupBy("query_id", "neighbor_id").agg(first("sim").as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /**
    * ANN via multi-table sign-LSH (random hyperplanes): `nTables`
    * independent hash tables, candidates = union of same-bucket collisions
    * (plus 1-bit-flip probes per table), ranked by exact cosine.

@@ -29,6 +29,15 @@ object TextAnalysis {
   /** Word array (for shingling); single-space tokenization. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** BPE-style pre-tokenization: letter runs, digit runs, and single
+    * punctuation marks as separate tokens (the GPT-2-ish split, reduced
+    * to a pattern with identical semantics in Java regex and RE2 so the
+    * SQL oracle agrees). */
+  val bpeishPattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeishPattern), lit(0)) // whole-match tokens
+  def bpeishCount(text: Column): Column = size(bpeishTokens(text)).cast("long")
+
   /**
    * Heuristic quality score in [0,1]: combines mean token length,
    * stopword ratio and alpha ratio. Deterministic double arithmetic.

@@ -74,6 +74,18 @@ class OpsSpec extends SparkSpec {
     assert(nearDist < farDist)
   }
 
+  test("cluster resolution: transitive chains collapse to min-id canonical") {
+    // chain 1-2-3 (transitive via 2), pair 7-9, singleton 5 absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val c = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // longer chain needing >1 propagation round: 10-11, 11-12, 12-13, 13-14
+    val chain = Seq((13L, 14L), (12L, 13L), (11L, 12L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.clusters(chain).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet == Set(10L))
+  }
+
   test("pigeonhole simhash near-pairs equal the all-pairs formulation") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     val sh = Dedup.withSimhash(docs)
@@ -102,6 +114,23 @@ class OpsSpec extends SparkSpec {
     assert(top(0).getAs[Long]("neighbor_id") == 1L)
     assert(top(0).getAs[Double]("sim") > 0.99)
     assert(top.last.getAs[Long]("neighbor_id") == 3L) // opposite vector last
+  }
+
+  test("IVF ANN recall vs brute force on driver embeddings (sf0.001)") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.where($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val (indexed, cents) = Similarity.ivfIndex(emb, nCells = 8, lloydIters = 2)
+    val ivf = Similarity.ivfTopK(indexed, cents, q, k = 5, nProbe = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // determinism: rebuilt index gives the same answer set
+    val (indexed2, cents2) = Similarity.ivfIndex(emb, nCells = 8, lloydIters = 2)
+    val ivf2 = Similarity.ivfTopK(indexed2, cents2, q, k = 5, nProbe = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivf == ivf2)
   }
 
   test("ANN recall vs brute force on driver embeddings (sf0.001)") {
