@@ -62,6 +62,14 @@ object OpsQueries {
           element_at(TextAnalysis.bpeishTokens(col("text")), 1).as("first_tok"))
         .orderBy("doc_id")),
 
+    "q_winnow_fingerprints" -> ((s, dir) => // no SQL oracle: rolling-hash winnowing
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.WinnowFingerprints(col("text")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+          array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+        .orderBy("doc_id")),
+
     // ── Dedup family ───────────────────────────────────────────────────
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables(s, dir, "documents")).orderBy("fingerprint")),
