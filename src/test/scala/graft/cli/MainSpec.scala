@@ -1,0 +1,58 @@
+package graft.cli
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** CLI entrypoint dispatch + full pipeline integration: stream → store →
+  * events → retrieve → analyze. */
+class MainSpec extends SparkSpec {
+
+  test("arg dispatch and exit codes") {
+    spark.sparkContext.setLogLevel("WARN") // activate shared session
+    val root = Files.createTempDirectory("cli-main").toString
+    assert(Main.run(Array.empty) == 2)                       // usage
+    assert(Main.run(Array(root, "frobnicate")) == 2)         // unknown cmd
+    assert(Main.run(Array(root, "retrieve", "nope")) == 1)   // not found
+    val kf = s"$root/key.hex"
+    assert(Main.run(Array(root, "account-create", kf)) == 0)
+    assert(Main.run(Array(root, "account-address", kf)) == 0)
+    assert(Main.run(Array(root, "create", "bad name", "0x0")) == 1) // invalid
+  }
+
+  test("integration: CDC stream → signed store → events → retrieve → analyze") {
+    import graft.cdc.{TableColumn, TableSchema}
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("integration").toString
+    val v = new Vaults(spark, root, OutputFormat.Json)
+    val acct = "0x396F15b0A2be942193BBBdC11BE3bF6F6EB1a08a"
+    v.create("ns.metrics", acct, 10)
+
+    // feed two txs through the streaming pipeline with signing
+    val wal = s"$root/wal"; Files.createDirectories(java.nio.file.Paths.get(wal))
+    def tx(lsn: Long, id: Int, value: Double) =
+      s"""{"commit_lsn": $lsn, "records": [{"action": "I", "xid": $lsn,
+         |"lsn": "0/$lsn", "nextlsn": "", "timestamp": "t", "schema": "public",
+         |"table": "metrics", "columns": [
+         |  {"name": "id", "type": "integer", "value": $id},
+         |  {"name": "value", "type": "double precision", "value": $value}],
+         |"pk": []}]}""".stripMargin.replace("\n", " ")
+    Files.writeString(java.nio.file.Paths.get(wal, "a.json"),
+      Seq(tx(1, 1, 1.5), tx(2, 2, 2.5)).mkString("\n"))
+    val schema = TableSchema("metrics", Seq(
+      TableColumn("id", "integer", false, true),
+      TableColumn("value", "double precision", true, false)))
+    val key = "59c6995e998f97a5a0044966f0945389dc9e86dae88c7a8412f4603b6b78690d"
+    val q = v.stream("ns.metrics", Seq(schema), wal, s"$root/work",
+      keyHex = Some(key), availableNow = true)
+    q.awaitTermination(120000)
+
+    // event recorded → retrieve by cid → analyze the retrieved snapshot
+    val ev = v.events("ns.metrics")
+    val cid = """"cid":"([0-9a-f]+)"""".r.findFirstMatchIn(ev).get.group(1)
+    val out = s"$root/retrieved.parquet"
+    assert(v.retrieve(cid, out))
+    val df = spark.read.parquet(out)
+    val agg = df.agg(count(lit(1)), sum("value")).collect()(0)
+    assert(agg.getLong(0) == 2 && agg.getDouble(1) == 4.0)
+  }
+}
