@@ -202,8 +202,11 @@ object Dedup {
    * state beyond the convergence counter.
    */
   def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // materialize the edge list once — its upstream (minhash + banding)
+    // would otherwise re-execute on every propagation round
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
     var labels = edges.groupBy(col("id_a").as("doc_id"))
       .agg(least(min("id_b"), first("id_a")).as("canonical_id"))
     var converged = false
@@ -214,16 +217,17 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "id_b"), "id_b")
         .groupBy(col("id_a").as("doc_id"))
         .agg(min("canonical_id").as("nbr_min"))
+      // one job per round: the eager localCheckpoint materializes labels
+      // AND the changed flag; the convergence probe reads the checkpoint
       val updated = labels.join(nbrLabels, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("canonical_id"), coalesce(col("nbr_min"), col("canonical_id")))
-            .as("canonical_id"))
-        .localCheckpoint() // truncate the growing iterative lineage
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
-        .where(col("u.canonical_id") =!= col("l.canonical_id")).limit(1).count()
-      converged = changed == 0
-      labels = updated
+            .as("new_id"),
+          (col("nbr_min").isNotNull && col("nbr_min") < col("canonical_id"))
+            .cast("int").as("changed"))
+        .localCheckpoint() // truncates iterative lineage, materializes once
+      converged = updated.agg(sum("changed")).collect()(0).getLong(0) == 0L
+      labels = updated.select(col("doc_id"), col("new_id").as("canonical_id"))
       i += 1
     }
     labels
