@@ -184,7 +184,14 @@ class WalMicroBatchStream(feed: WalFeed, maxTxPerTrigger: Int)
     val e = end.asInstanceOf[LsnOffset].lsn
     val txs = feed.txAfter(s, Int.MaxValue).filter(_._1 <= e)
     if (txs.isEmpty) Array.empty
-    else Array(WalInputPartition(txs.toArray))
+    else {
+      // split a large batch into contiguous LSN-range chunks so decode
+      // parallelizes across executors (one partition would serialize the
+      // whole window into a single task at scale); tx atomicity is
+      // per-line so any chunking is safe
+      val chunkSize = math.max(1, math.min(10000, txs.length / 32 + 1))
+      txs.grouped(chunkSize).map(c => WalInputPartition(c.toArray): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new WalReaderFactory

@@ -24,6 +24,26 @@ class CoreSpec extends AnyFunSuite {
     assert(!Account.isValid("0xZZZF15b0A2be942193BBBdC11BE3bF6F6EB1a08a"))
   }
 
+  test("property: valid vault names always round-trip") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val ident = for {
+      h <- Gen.oneOf(Gen.alphaChar, Gen.const('_'))
+      t <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('_')))
+    } yield (h :: t).mkString
+    val prop = Prop.forAll(ident, ident) { (ns: String, rel: String) =>
+      VaultName.parse(s"$ns.$rel") == Right(VaultName(ns, rel))
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop).passed)
+  }
+
+  test("property: unix-seconds timestamps round-trip") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val prop = Prop.forAll(Gen.chooseNum(0L, 4102444800L)) { s: Long =>
+      Timestamps.parse(s.toString).map(Timestamps.unixSeconds) == Right(s)
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop).passed)
+  }
+
   test("timestamp parse: unix seconds, date, RFC3339 (timestamp_test.go)") {
     assert(Timestamps.parse("1699984703") == Right(Instant.ofEpochSecond(1699984703L)))
     assert(Timestamps.parse("2006-01-02") ==
