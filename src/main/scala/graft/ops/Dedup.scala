@@ -190,6 +190,22 @@ object Dedup {
   }
 
   /**
+   * End-to-end corpus deduplication: exact dups collapse by fingerprint,
+   * near-dup clusters (MinHash-LSH candidates → Jaccard-verified →
+   * connected components) keep only the minimum-id canonical document.
+   * Returns the surviving rows of `docs`.
+   */
+  def deduplicate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                  jaccardThreshold: Double = 0.8, k: Int = 8, bands: Int = 4): DataFrame = {
+    val cands = lshCandidates(docs, idCol, textCol, k, bands)
+    val verified = jaccardVerify(cands, docs, idCol, textCol)
+      .where(col("jaccard") >= jaccardThreshold)
+    val labels = clusters(verified.select("id_a", "id_b"))
+    val losers = labels.where(col("doc_id") =!= col("canonical_id")).select("doc_id")
+    docs.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /**
    * Near-dup cluster resolution: connected components over the candidate
    * pair graph via iterative min-label propagation (each doc adopts the
    * smallest doc id reachable; iterate to fixpoint). Returns

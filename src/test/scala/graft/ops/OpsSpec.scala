@@ -74,6 +74,14 @@ class OpsSpec extends SparkSpec {
     assert(nearDist < farDist)
   }
 
+  test("deduplicate: keeps canonical docs, drops exact and near dups") {
+    val surviving = Dedup.deduplicate(docs, jaccardThreshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // doc 2 is an exact dup of 1; doc 3 a near dup (jaccard > 0.5) → both
+    // collapse onto canonical doc 1; 4 and 5 are unique
+    assert(surviving == Set(1L, 4L, 5L))
+  }
+
   test("cluster resolution: transitive chains collapse to min-id canonical") {
     // chain 1-2-3 (transitive via 2), pair 7-9, singleton 5 absent
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
