@@ -74,6 +74,30 @@ object SparkEntry {
               col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey")),
 
+    "q_left_join" -> ((s, dir) => {
+      val hi = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_big"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("big_total"))
+      t(s, dir, "customer")
+        .join(hi, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"),
+          coalesce(col("big_total"), lit(0.0)).as("big_total"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_corr_subquery" -> ((s, dir) => {
+      // customers above their market segment's average balance
+      val segAvg = t(s, dir, "customer").groupBy(col("c_mktsegment").as("seg"))
+        .agg((sum(col("c_acctbal").cast(D)).cast("double") / count(lit(1))).as("seg_avg"))
+      t(s, dir, "customer")
+        .join(broadcast(segAvg), col("c_mktsegment") === col("seg"))
+        .where(col("c_acctbal") > col("seg_avg"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+                round(col("seg_avg"), 4).as("seg_avg"))
+        .orderBy("c_custkey")
+    }),
+
     "q_topk" -> ((s, dir) =>
       t(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -222,6 +246,26 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_left_join" ->
+      """SELECT c_custkey, c_name,
+        |  coalesce(h.n_big, 0) AS n_big, coalesce(h.big_total, 0.0) AS big_total
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_big,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+        |  FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey) h
+        |ON c_custkey = h.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_corr_subquery" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  round(seg_avg, 4) AS seg_avg
+        |FROM customer JOIN (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS seg_avg
+        |  FROM customer GROUP BY c_mktsegment) s ON c_mktsegment = s.seg
+        |WHERE c_acctbal > seg_avg
         |ORDER BY c_custkey""".stripMargin,
 
     "q_topk" ->
