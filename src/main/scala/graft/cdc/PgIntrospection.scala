@@ -28,8 +28,12 @@ object PgIntrospection {
    * PK constraint columns ⋈ array element types, resolving `ARRAY` to
    * `element_type[]`).
    */
+  /** SQL string-literal escape (double embedded single quotes) — the
+    * schema/table names are interpolated into the query text. */
+  private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   def introspectionSql(schema: String, tables: Seq[String]): String = {
-    val tableList = tables.map(t => s"'$t'").mkString(", ")
+    val tableList = tables.map(lit).mkString(", ")
     s"""SELECT c.table_name,
        |       c.column_name,
        |       CASE WHEN c.data_type = 'ARRAY'
@@ -45,14 +49,19 @@ object PgIntrospection {
        | AND c.table_name = e.object_name
        | AND c.dtd_identifier = e.collection_type_identifier
        |LEFT JOIN (
-       |  SELECT kcu.table_name, kcu.column_name
+       |  SELECT kcu.table_schema, kcu.table_name, kcu.column_name
        |  FROM information_schema.table_constraints tc
        |  JOIN information_schema.key_column_usage kcu
        |    ON tc.constraint_name = kcu.constraint_name
+       |   AND tc.constraint_schema = kcu.constraint_schema
        |   AND tc.table_schema = kcu.table_schema
+       |   AND tc.table_name = kcu.table_name
        |  WHERE tc.constraint_type = 'PRIMARY KEY'
-       |) pk ON pk.table_name = c.table_name AND pk.column_name = c.column_name
-       |WHERE c.table_schema = '$schema' AND c.table_name IN ($tableList)
+       |    AND tc.table_schema = ${lit(schema)}
+       |) pk ON pk.table_schema = c.table_schema
+       |    AND pk.table_name = c.table_name
+       |    AND pk.column_name = c.column_name
+       |WHERE c.table_schema = ${lit(schema)} AND c.table_name IN ($tableList)
        |ORDER BY c.table_name, c.ordinal_position""".stripMargin
   }
 

@@ -12,6 +12,12 @@ object Lsn {
   }
   def format(lsn: Long): String =
     f"${lsn >>> 32}%X/${lsn & 0xFFFFFFFFL}%X"
+
+  /** Total-order sort key that tolerates missing/malformed LSNs (sorts
+    * them first, preserving their relative input order via stable sort). */
+  def tryParse(s: String): Long =
+    if (s == null) Long.MinValue
+    else try parse(s) catch { case _: Exception => Long.MinValue }
 }
 
 /**
@@ -27,8 +33,12 @@ object Lsn {
  * (crashed upstream without C) instead of leaking state forever — the
  * knob the reference lacks.
  *
- * Requires per-xid record order (guaranteed by the replication protocol:
- * single-writer WAL order per transaction).
+ * Per-xid record order is NOT assumed from the shuffle: after
+ * `groupByKey`'s hash exchange Spark sorts only by key, so a group's
+ * values iterator can interleave input partitions arbitrarily. Each
+ * invocation therefore re-sorts its records by parsed `lsn` (the WAL
+ * position is monotonic within a transaction — single-writer WAL order)
+ * before folding B/I/C, restoring wire order deterministically.
  */
 object TxAssembler {
 
@@ -59,7 +69,10 @@ object TxAssembler {
           else {
             var buf: List[WalModel.Record] = state.getOption.map(_.records.toList).getOrElse(Nil)
             val out = Seq.newBuilder[AssembledTx]
-            it.foreach { r =>
+            // restore WAL order: the group iterator is shuffle-ordered, not
+            // wire-ordered; lsn is monotonic within a tx (B lowest, C highest)
+            val ordered = it.toVector.sortBy(r => Lsn.tryParse(r.lsn))
+            ordered.foreach { r =>
               r.action match {
                 case "B" => buf = Nil // begin: reset (idempotent on dup B)
                 case "C" =>

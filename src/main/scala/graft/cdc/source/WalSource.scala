@@ -79,9 +79,10 @@ final class FileWalFeed(dir: String) extends WalFeed {
   private val LsnRe = """"commit_lsn"\s*:\s*(\d+)""".r
 
   private def scan(): Seq[(Long, String)] = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) return Seq.empty
-    Files.list(d).iterator().asScala
+    // scan runs several times per micro-batch on a long-lived query
+    // (latestOffset, planInputPartitions, reportLatestOffset) — the
+    // directory stream must be closed eagerly, not left to GC
+    graft.core.FsUtil.listDir(Paths.get(dir))
       .filter(p => !p.getFileName.toString.startsWith("_"))
       .flatMap(p => Files.readAllLines(p, StandardCharsets.UTF_8).asScala)
       .filter(_.trim.nonEmpty)
@@ -90,7 +91,7 @@ final class FileWalFeed(dir: String) extends WalFeed {
           .getOrElse(throw new IllegalArgumentException(s"wal line without commit_lsn: $line"))
         (lsn, line)
       }
-      .toSeq.sortBy(_._1)
+      .sortBy(_._1)
   }
 
   override def txAfter(lsn: Long, max: Int): Seq[(Long, String)] =

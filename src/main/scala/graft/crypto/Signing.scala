@@ -30,8 +30,7 @@ final class Signer(privKey: BigInteger) extends FileSigner {
     }
     // directory artifact (multi-file window): hash parts in name order
     if (Files.isDirectory(file)) {
-      val parts = Files.list(file).sorted().toArray.map(_.asInstanceOf[Path])
-      parts.filter(Files.isRegularFile(_)).foreach(absorb)
+      graft.core.FsUtil.listDirSorted(file).filter(Files.isRegularFile(_)).foreach(absorb)
     } else absorb(file)
     if (total == 0) throw new IllegalArgumentException("error with file: content is empty")
     Secp256k1.sign(hasher.digest(), privKey)

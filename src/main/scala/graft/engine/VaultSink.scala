@@ -1,7 +1,7 @@
 package graft.engine
 
 import graft.cdc.{TableSchema, WalDecoder}
-import graft.core.VaultName
+import graft.core.{FsUtil, VaultName}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -32,10 +32,8 @@ final class LocalContentStore(rootDir: String) extends ContentStore {
     cid
   }
 
-  override def get(cid: String): Option[Path] = {
-    val ds = Files.list(root).filter(p => p.getFileName.toString.startsWith(cid + "-")).findFirst()
-    if (ds.isPresent) Some(ds.get) else None
-  }
+  override def get(cid: String): Option[Path] =
+    FsUtil.listDir(root).find(_.getFileName.toString.startsWith(cid + "-"))
 }
 
 object LocalContentStore {
@@ -53,8 +51,7 @@ object LocalContentStore {
       } finally in.close()
     }
     if (Files.isDirectory(file)) {
-      Files.list(file).sorted().toArray.map(_.asInstanceOf[Path])
-        .filter(Files.isRegularFile(_)).foreach(absorb)
+      FsUtil.listDirSorted(file).filter(Files.isRegularFile(_)).foreach(absorb)
     } else absorb(file)
     md.digest().map("%02x".format(_)).mkString
   }
@@ -82,9 +79,15 @@ final class VaultSink(
     signer: Option[FileSigner] = None,
     catalog: Option[graft.catalog.VaultCatalog] = None,
     replayActions: Set[String] = Set("I"),
-    singleFile: Boolean = true) extends Serializable {
+    singleFile: Boolean = true,
+    clock: () => Long = () => java.time.Instant.now().getEpochSecond) extends Serializable {
 
   def processBatch(batch: DataFrame, windowId: Long): Seq[(String, String)] = {
+    // Event timestamp = real upload time in epoch seconds (like the
+    // reference stamping uploads with unix time, internal/app/db.go:198),
+    // NOT the micro-batch id — windowId is only an artifact-naming token.
+    // One timestamp per window keeps all tables of a window coherent.
+    val ts = clock()
     val spark = batch.sparkSession
     val tables = WalDecoder.decodeTables(spark, batch, schemas, replayActions)
     tables.toSeq.sortBy(_._1).flatMap { case (table, df) =>
@@ -92,9 +95,9 @@ final class VaultSink(
       val stagePath = Paths.get(stagingDir, s"$table-$windowId")
       out.write.mode("overwrite").parquet(stagePath.toString)
       // P6: skip empty windows — cheap check on the written files
-      val parts = Files.list(stagePath).filter(_.toString.endsWith(".parquet")).toArray
+      val parts = FsUtil.listDir(stagePath).filter(_.toString.endsWith(".parquet"))
       val hasRows = parts.nonEmpty && spark.read.parquet(stagePath.toString).head(1).nonEmpty
-      if (!hasRows) { deleteRecursive(stagePath); None }
+      if (!hasRows) { FsUtil.deleteRecursive(stagePath); None }
       else {
         // singleFile: one `<table>-<window>.parquet` like the reference;
         // scale mode: upload the whole window DIRECTORY (all part files)
@@ -103,32 +106,26 @@ final class VaultSink(
           else {
             val dir = stagePath.resolveSibling(s"$table-$windowId")
             // strip _SUCCESS/. markers; keep only data files
-            Files.list(stagePath)
+            FsUtil.listDir(stagePath)
               .filter(p => !p.getFileName.toString.endsWith(".parquet"))
-              .forEach(p => Files.deleteIfExists(p))
+              .foreach(p => Files.deleteIfExists(p))
             Files.move(stagePath, dir, StandardCopyOption.REPLACE_EXISTING)
             dir
           }
         val sig = signer.map(_.sign(artifact)).getOrElse(Array.emptyByteArray)
-        val ts = windowId
         val cid = store.put(VaultName(namespace, table), artifact, ts, sig)
         catalog.foreach(_.appendEvent(VaultName(namespace, table), cid, ts,
           isArchived = false, new java.sql.Timestamp(0L)))
-        deleteRecursive(stagePath)
+        FsUtil.deleteRecursive(stagePath)
         Some(table -> cid)
       }
     }
   }
 
   private def singleParquetFile(dir: Path, table: String, windowId: Long): Path = {
-    val part = Files.list(dir).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val part = FsUtil.listDir(dir).find(_.toString.endsWith(".parquet")).get
     val named = dir.resolveSibling(s"$table-$windowId.parquet")
     Files.move(part, named, StandardCopyOption.REPLACE_EXISTING)
     named
   }
-
-  private def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
-    }
 }

@@ -20,9 +20,20 @@ import org.apache.spark.sql.functions._
  */
 object SkewJoin {
 
+  /** Join types safe under small-side replication: the large side keeps
+    * exactly one salt per row, so inner/left variants never duplicate it;
+    * right/full outer would return each unmatched small-side row once per
+    * salt bucket and are rejected. */
+  private val supportedJoinTypes = Set(
+    "inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+
   def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
                      buckets: Int = 16, joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    require(supportedJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedEquiJoin: unsupported joinType '$joinType' — small-side-preserving " +
+        "types (right/full outer) would emit each unmatched small row `buckets` times")
     val saltedLarge = large.withColumn("__salt",
       pmod(hash(large.columns.map(col).toIndexedSeq: _*), lit(buckets)))
     val replicatedSmall = small.withColumn("__salt",

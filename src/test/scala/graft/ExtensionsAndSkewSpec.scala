@@ -30,6 +30,20 @@ class ExtensionsAndSkewSpec extends SparkSpec {
     assert(salted.getLong(1) == plain.getLong(1))
   }
 
+  test("salted join: left variants supported, right/full outer rejected") {
+    val large = (1 to 100).map(i => (i.toLong, i)).toDF("k", "v")
+    val small = Seq((1L, "a"), (999L, "unmatched")).toDF("k", "name")
+    // left outer keeps each unmatched LARGE row exactly once
+    val left = SkewJoin.saltedEquiJoin(large, small, "k", buckets = 4, joinType = "left")
+    assert(left.count() == 100)
+    assert(left.where(col("name").isNull).count() == 99)
+    // small-side-preserving types would replicate unmatched small rows
+    intercept[IllegalArgumentException](
+      SkewJoin.saltedEquiJoin(large, small, "k", buckets = 4, joinType = "right_outer"))
+    intercept[IllegalArgumentException](
+      SkewJoin.saltedEquiJoin(large, small, "k", buckets = 4, joinType = "full"))
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val df = (1 to 5000).map(i => (if (i % 2 == 0) "hot" else s"k$i", i.toLong))
       .toDF("k", "v")

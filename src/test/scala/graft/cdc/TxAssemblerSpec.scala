@@ -54,6 +54,33 @@ class TxAssemblerSpec extends SparkSpec {
     assert(out(1) == ((0x2FL, 20L, Seq("0/21"))))
   }
 
+  test("shuffle-scrambled group order is restored by lsn before folding") {
+    val base = Files.createTempDirectory("txasm3").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    // one tx whose records arrive in REVERSED order (C first, B last) —
+    // the shape a multi-partition shuffle can produce for a single xid
+    Files.writeString(Paths.get(in, "a.json"), Seq(
+      rec("C", 40, "0/4F"),
+      rec("I", 40, "0/43", id = 3),
+      rec("I", 40, "0/41", id = 1),
+      rec("I", 40, "0/42", id = 2),
+      rec("B", 40, "0/40")
+    ).mkString("\n"))
+
+    val lines = spark.readStream.text(in).repartition(5) // scatter records
+    val txs = TxAssembler.assembleLines(lines)
+    val q = txs.writeStream.outputMode("append").format("memory")
+      .queryName("txasm_scrambled").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("txasm_scrambled").collect()
+      .map(r => (r.getAs[Long]("commit_lsn"),
+        r.getAs[Seq[org.apache.spark.sql.Row]]("records").map(_.getAs[String]("lsn"))))
+    assert(out.length == 1)
+    assert(out(0) == ((0x4FL, Seq("0/41", "0/42", "0/43")))) // WAL order restored
+  }
+
   test("tx left open (no C) stays in state, emits when C arrives later") {
     val base = Files.createTempDirectory("txasm2").toString
     val in = s"$base/in"; Files.createDirectories(Paths.get(in))

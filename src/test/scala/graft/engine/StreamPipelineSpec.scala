@@ -135,6 +135,25 @@ class StreamPipelineSpec extends SparkSpec {
     assert(back == rows.toSet) // ALL parts present, not just the first
   }
 
+  test("sink stamps events with upload wall-clock seconds, not the window id") {
+    val (wal, staging, ckpt, storeDir) = freshDirs()
+    Files.createDirectories(Paths.get(wal))
+    val store = new LocalContentStore(storeDir)
+    val catalog = graft.catalog.VaultCatalog(spark, s"$storeDir-catalog")
+    val epoch = 1692715442L // fixed "now" — deterministic test clock
+    val sink = new VaultSink("ns", Seq(schemaT), staging, store,
+      catalog = Some(catalog), clock = () => epoch)
+    val lines = spark.createDataset(Seq(walTx(100, 1 -> "a")))(
+      org.apache.spark.sql.Encoders.STRING).toDF("value")
+    sink.processBatch(lines, windowId = 0L) // windowId 0 must NOT become ts
+    val evs = catalog.listEvents(VaultName("ns", "t")).collect()
+    assert(evs.length == 1)
+    assert(evs.head.getAs[Long]("timestamp") == epoch)
+    // before/after filters operate on the real timestamp (Q2 semantics)
+    assert(catalog.listEvents(VaultName("ns", "t"), after = Some(epoch - 1)).count() == 1)
+    assert(catalog.listEvents(VaultName("ns", "t"), before = Some(epoch - 1)).count() == 0)
+  }
+
   test("content store put/get round trip (Q3 cache path)") {
     val (_, _, _, storeDir) = freshDirs()
     val store = new LocalContentStore(storeDir)
