@@ -104,6 +104,12 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // embedding-cosine near-dup: exact above-threshold pair set (the
+    // brute-force baseline; sign-LSH candidates are the 100 TB path)
+    "q_dedup_embed" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
     "q_ann_lsh" -> ((s, dir) => { // no SQL oracle: hyperplane LSH buckets
       val emb = Tables(s, dir, "embeddings")
       Similarity.annTopK(emb, emb.where(col("vec_id") < 10), k = 5)
@@ -323,6 +329,16 @@ object OpsQueries {
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  CAST(length(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_dedup_embed" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |  sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${sqlDot("a", "b")} / (a.nrm * b.nrm), 6) AS sim
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${sqlDot("a", "b")} / (a.nrm * b.nrm) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_cosine_topk" ->
       s"""WITH scored AS (

@@ -200,6 +200,121 @@ object SparkEntry {
              max(col("k")).as("max_k"))
         .orderBy("event_type")),
 
+    "q_full_join" -> ((s, dir) => {
+      // per-nation counts over deliberately disjoint-ish slices so both
+      // sides contribute unmatched rows (null-filled by the full join)
+      val cn = t(s, dir, "customer").where(col("c_custkey") < 100)
+        .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+      val sn = t(s, dir, "supplier").where(col("s_suppkey") < 50)
+        .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, col("nk_c") === col("nk_s"), "full")
+        .select(coalesce(col("nk_c"), col("nk_s")).cast("long").as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    "q_union" -> ((s, dir) =>
+      t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .union(t(s, dir, "orders").where(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("custkey")))
+        .distinct()
+        .orderBy("custkey")),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+              |FROM gs_lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    "q_window_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").where(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), fts(col("o_orderdate")).as("od_s"),
+          sum(col("o_totalprice").cast(D))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"),
+          sum(col("o_totalprice").cast(D)).over(w.rowsBetween(-2, 0))
+            .cast("double").as("mov_sum3"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast(D)).cast("double"))
+        .withColumnRenamed("F", "f_total")
+        .withColumnRenamed("O", "o_total")
+        .withColumnRenamed("P", "p_total")
+        .orderBy("o_orderpriority")),
+
+    "q_explode_words" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(50)),
+
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "customer").where(col("c_custkey") <= 200)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_list(col("c_name"))), ",").as("names"))
+        .orderBy("c_nationkey")),
+
+    "q_scalar_subquery" -> ((s, dir) => {
+      val avgP = t(s, dir, "orders").agg(
+        (sum(col("o_totalprice").cast(D)).cast("double") / count(lit(1))).as("avg_price"))
+      t(s, dir, "orders").crossJoin(broadcast(avgP))
+        .where(col("o_totalprice") > col("avg_price"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          round(col("avg_price"), 4).as("avg_price"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+                 month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("revenue"),
+          datediff(max(col("o_orderdate")), min(col("o_orderdate")))
+            .cast("long").as("span_days"))
+        .orderBy("yr", "mo")),
+
+    "q_range_join" -> ((s, dir) => {
+      // non-equi range join: each order lands in its quarter bucket via
+      // [qstart, qstart + 3 months) interval containment against the
+      // (tiny, broadcast) derived quarter dimension
+      val orders = t(s, dir, "orders")
+      val quarters = orders
+        .select(date_trunc("quarter", col("o_orderdate")).as("qstart")).distinct()
+        .withColumn("qend", col("qstart") + expr("INTERVAL 3 MONTH"))
+      orders.join(broadcast(quarters),
+          col("o_orderdate") >= col("qstart") && col("o_orderdate") < col("qend"))
+        .groupBy(date_format(col("qstart"), "yyyy-MM-dd").as("quarter"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("revenue"))
+        .orderBy("quarter")
+    }),
+
+    "q_count_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(date_format(col("ts"), "yyyy-MM-dd")).as("n_days"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     "q_quantiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .repartition(s.sparkContext.defaultParallelism) // parallel partial percentiles
@@ -337,6 +452,96 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_full_join" ->
+      """SELECT CAST(coalesce(c.nk, s.nk) AS BIGINT) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+        |      WHERE c_custkey < 100 GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+        |      WHERE s_suppkey < 50 GROUP BY 1) s
+        |ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_union" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |ORDER BY custkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS od_s,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum3,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders WHERE o_custkey < 200
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_total,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_explode_words" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer WHERE c_custkey <= 200
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  round((SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |         FROM orders), 4) AS avg_price
+        |FROM orders
+        |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |                      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(date_diff('day', CAST(min(o_orderdate) AS DATE), CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS span_days
+        |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
+
+    "q_range_join" ->
+      """WITH quarters AS (
+        |  SELECT DISTINCT date_trunc('quarter', o_orderdate) AS qstart FROM orders)
+        |SELECT strftime(q.qstart, '%Y-%m-%d') AS quarter,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN quarters q
+        |  ON o.o_orderdate >= q.qstart AND o.o_orderdate < q.qstart + INTERVAL 3 MONTH
+        |GROUP BY quarter ORDER BY quarter""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_quantiles" ->

@@ -49,6 +49,32 @@ object Similarity {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs with
+   * cosine ≥ `threshold` — the dedup-by-embedding companion to the text
+   * dedup family. This is the EXACT (brute-force) form, the correctness
+   * baseline: norms are computed once per row (bit-identical to the
+   * per-pair formulation — same operands, same sequential fold), then the
+   * self-join evaluates one codegen'd dot + one divide per pair.
+   *
+   * Scale shape: one side is broadcast, so the corpus never shuffles; at
+   * 100 TB replace the broadcast self-join with the sign-LSH bucket join
+   * ([[lshBucket]] / [[annTopK]]) as the candidate generator and keep
+   * this exact cosine as the verifier — same output above-threshold set
+   * when recall is sufficient, at a 2^nBits-fold smaller candidate count.
+   */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val prepared = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+    val a = prepared.toDF("id_a", "va", "na").repartition(par)
+    val b = prepared.toDF("id_b", "vb", "nb")
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("sim_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
+  }
+
+  /**
    * Deterministic pseudo-random hyperplane component for (table, plane,
    * dim): maps a hash to [-1, 1). Stable across runs (no RNG state).
    */

@@ -58,6 +58,42 @@ class EcmhSpec extends SparkSpec {
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop).passed)
   }
 
+  test("jacobi pre-check agrees with the modPow sqrt criterion") {
+    import java.math.BigInteger
+    val P = Secp256k1.P
+    val sqrtExp = P.add(BigInteger.ONE).shiftRight(2)
+    // every candidate y² either has a sqrt (jacobi=1) or not (jacobi=-1)
+    for (i <- 1 to 200) {
+      val y2 = new BigInteger(1, Keccak256.hash(s"probe-$i".getBytes)).mod(P)
+      val root = y2.modPow(sqrtExp, P)
+      val isSquare = root.multiply(root).mod(P) == y2
+      assert(Ecmh.jacobi(y2, P) == (if (isSquare) 1 else -1), s"i=$i")
+    }
+    assert(Ecmh.jacobi(BigInteger.ZERO, P) == 0)
+  }
+
+  test("Jacobian accumulation equals affine point addition") {
+    import Ecmh.Jacobian
+    val pts = (1 to 20).map(i => hashToPoint(b(s"p$i")))
+    // fold in Jacobian (the aggregator's hot path) vs affine (MultisetHash)
+    val jac = pts.foldLeft(Jacobian.Infinity)(Jacobian.addAffine)
+    val aff = pts.foldLeft(None: Secp256k1.Point)(Secp256k1.add)
+    assert(Jacobian.toAffine(jac) == aff)
+    // doubling path: P + P via addAffine detects equal points
+    val p1 = pts.head
+    assert(Jacobian.toAffine(Jacobian.addAffine(Jacobian.fromAffine(p1), p1)) ==
+      Secp256k1.double(p1))
+    // inverse points cancel to infinity
+    assert(Jacobian.isInfinity(
+      Jacobian.addAffine(Jacobian.fromAffine(p1), Ecmh.negate(p1))))
+    // full Jacobian+Jacobian merge (partial-aggregate combine)
+    val (l, r) = pts.splitAt(10)
+    val lj = l.foldLeft(Jacobian.Infinity)(Jacobian.addAffine)
+    val rj = r.foldLeft(Jacobian.Infinity)(Jacobian.addAffine)
+    assert(Jacobian.toAffine(Jacobian.add(lj, rj)) == aff)
+    assert(Jacobian.toAffine(Jacobian.add(lj, Jacobian.Infinity)) == Jacobian.toAffine(lj))
+  }
+
   test("point encode/decode round trip") {
     val p = hashToPoint(b("x"))
     assert(decode(encode(p)) == p)

@@ -124,6 +124,28 @@ class OpsSpec extends SparkSpec {
     assert(top.last.getAs[Long]("neighbor_id") == 3L) // opposite vector last
   }
 
+  test("cosine near-dup pairs: exact pair set above threshold") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),   // near 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),    // orthogonal to 0/1-ish
+      (3L, Array(-1.0f, 0.0f, 0.0f)),   // opposite of 0
+      (4L, Array(1.0f, 0.01f, 0.0f))    // near 0 and 1
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.95)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSeq == Seq((0L, 1L), (0L, 4L), (1L, 4L)))
+    // sims agree with the brute-force top-k scorer on the shared pair
+    // (0's nearest neighbor is 4)
+    val sim04 = Similarity.cosineNearDupPairs(emb, 0.95)
+      .where($"id_a" === 0 && $"id_b" === 4).collect()(0).getAs[Double]("sim")
+    val topk0 = Similarity.bruteForceTopK(emb, emb.where($"vec_id" === 0), k = 1)
+      .collect()(0)
+    assert(topk0.getAs[Long]("neighbor_id") == 4L)
+    assert(sim04 == topk0.getAs[Double]("sim"))
+  }
+
   test("int8 quantization: reconstruction error bounded, top-k preserved") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.select(col("vec_id"),
