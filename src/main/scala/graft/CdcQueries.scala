@@ -1,6 +1,6 @@
 package graft
 
-import graft.cdc.{PgValueDecoder, TableColumn, TableSchema, WalDecoder}
+import graft.cdc.{CdcMerge, PgValueDecoder, TableColumn, TableSchema, WalDecoder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,9 +23,12 @@ object CdcQueries {
     TableColumn("value", "double precision", nullable = true, isPrimary = false)
   ))
 
-  /** events rows → one wal2json tx line per row (commit_lsn = event_id). */
+  /** events rows → one wal2json tx line per row (commit_lsn defaults to
+    * event_id; pass `lsn` to synthesize later transactions, e.g. updates
+    * and deletes after the initial inserts for the merge query). */
   def eventsAsWalLines(events: DataFrame,
-                       action: org.apache.spark.sql.Column = lit("I")): DataFrame = {
+                       action: org.apache.spark.sql.Column = lit("I"),
+                       lsn: org.apache.spark.sql.Column = col("event_id")): DataFrame = {
     def pgcol(name: String, typ: String, value: org.apache.spark.sql.Column) =
       struct(lit(name).as("name"), lit(typ).as("type"), value.cast("string").as("value"))
     val record = struct(
@@ -47,7 +50,26 @@ object CdcQueries {
       array(struct(lit("event_id").as("name"), lit("bigint").as("type"))).as("pk")
     )
     events.select(to_json(struct(
-      col("event_id").as("commit_lsn"), array(record).as("records"))).as("value"))
+      lsn.as("commit_lsn"), array(record).as("records"))).as("value"))
+  }
+
+  /**
+   * Change-stream feed for the merge query: the full insert history, then
+   * UPDATEs (event_type→'updated', value+1000) for event_id % 10 == 0 at
+   * later commit LSNs, then DELETEs for event_id % 7 == 0 later still —
+   * so the latest-state oracle is a pure function of `events`.
+   */
+  def upsertFeed(events: DataFrame): DataFrame = {
+    val inserts = eventsAsWalLines(events, lit("I"))
+    val updates = eventsAsWalLines(
+      events.where(col("event_id") % 10 === 0)
+        .withColumn("event_type", lit("updated"))
+        .withColumn("value", col("value") + 1000.0),
+      lit("U"), col("event_id") + 10000000L)
+    val deletes = eventsAsWalLines(
+      events.where(col("event_id") % 7 === 0),
+      lit("D"), col("event_id") + 20000000L)
+    inserts.unionAll(updates).unionAll(deletes)
   }
 
   /**
@@ -63,6 +85,15 @@ object CdcQueries {
       val out = java.nio.file.Files.createTempDirectory(s"walcache-$tag").toString
       eventsAsWalLines(
         Tables(s, dir, "events").repartition(s.sparkContext.defaultParallelism), action)
+        .write.mode("overwrite").text(out)
+      out
+    })
+
+  /** Cached I+U+D change-stream files for the merge query. */
+  def upsertLinesDir(s: SparkSession, dir: String): String =
+    walCache.getOrElseUpdate(s"$dir#UPSERT", {
+      val out = java.nio.file.Files.createTempDirectory("walcache-upsert").toString
+      upsertFeed(Tables(s, dir, "events").repartition(s.sparkContext.defaultParallelism))
         .write.mode("overwrite").text(out)
       out
     })
@@ -87,6 +118,17 @@ object CdcQueries {
       val lines = s.read.text(walLinesDir(s, dir, action, tag = "IUD"))
       val decoded = WalDecoder.decodeTables(s, lines, Seq(eventsSchema))("events")
       decoded.select(col("event_id"), col("event_type")).orderBy("event_id")
+    }),
+
+    // merge/upsert materialization: latest live row per PK after an
+    // I → U → D change history (one max_by aggregation, no window sort)
+    "q_cdc_upsert" -> ((s, dir) => {
+      val lines = s.read.text(upsertLinesDir(s, dir))
+      CdcMerge.latestState(lines, eventsSchema)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
     })
   )
 
@@ -97,6 +139,12 @@ object CdcQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "q_cdc_action_filter" ->
       """SELECT event_id, event_type FROM events
-        |WHERE event_id % 3 = 0 ORDER BY event_id""".stripMargin
+        |WHERE event_id % 3 = 0 ORDER BY event_id""".stripMargin,
+
+    "q_cdc_upsert" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, user_id,
+        |  CASE WHEN event_id % 10 = 0 THEN 'updated' ELSE event_type END AS event_type,
+        |  CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+        |FROM events WHERE event_id % 7 != 0 ORDER BY event_id""".stripMargin
   )
 }

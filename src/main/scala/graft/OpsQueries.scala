@@ -62,6 +62,30 @@ object OpsQueries {
           element_at(TextAnalysis.bpeishTokens(col("text")), 1).as("first_tok"))
         .orderBy("doc_id")),
 
+    // overlapping token-window chunking (training-data pre-split)
+    "q_chunks" -> ((s, dir) =>
+      TextAnalysis.chunks(
+        Tables(s, dir, "documents").where(col("doc_id") < 100),
+        chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id")),
+
+    // Gopher-style quality gate: token count, repetition, word length
+    "q_quality_filter" -> ((s, dir) => {
+      val t = col("text")
+      val nTok = TextAnalysis.tokenCount(t)
+      val meanWlen = round(
+        length(regexp_replace(t, " ", "")).cast("double") /
+          greatest(nTok, lit(1L)).cast("double"), 6)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), nTok.as("n_tokens"),
+          TextAnalysis.dupRatio(t).as("dup_ratio"), meanWlen.as("mean_wlen"))
+        .withColumn("passes",
+          (col("n_tokens").between(10, 5000) &&
+            col("dup_ratio") <= 0.9 &&
+            col("mean_wlen").between(2.0, 12.0)).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     "q_winnow_fingerprints" -> ((s, dir) => // no SQL oracle: rolling-hash winnowing
       Tables(s, dir, "documents")
         .select(col("doc_id"),
@@ -202,6 +226,16 @@ object OpsQueries {
         .orderBy("media_id")
     }),
 
+    // frame-sampling timestamps for video media (stub duration rule:
+    // 20 ms per char — the sampling plumbing is the operator under test)
+    "q_mm_frames" -> ((s, dir) => {
+      val videos = Tables(s, dir, "documents").where(col("doc_id") % 3 === 2)
+        .select(col("doc_id").as("media_id"),
+          (length(col("text")) * 20).cast("long").as("duration_ms"))
+      Multimodal.frameSamples(videos, everyMs = 500)
+        .orderBy("media_id", "frame_no")
+    }),
+
     "q_mm_decode" -> ((s, dir) => { // no SQL oracle: partition-wise stub decode
       val media = Multimodal.fromDocuments(Tables(s, dir, "documents"))
       Multimodal.decodeMeta(media).toDF()
@@ -244,6 +278,43 @@ object OpsQueries {
       s"""SELECT CAST(floor(($sqlNTok) / 10) AS BIGINT) AS bucket, count(*) AS n_docs,
          |  CAST(sum($sqlNTok) AS BIGINT) AS n_tokens
          |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id < 100),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(range(0, greatest(len(toks), 1), 24)) AS start
+        |      FROM t)
+        |SELECT doc_id,
+        |  CAST(floor(start / 24) AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk,
+        |  CAST(least(32, len(toks) - start) AS BIGINT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_quality_filter" -> {
+      s"""WITH t AS (SELECT doc_id, text,
+         |  CAST($sqlNTok AS BIGINT) AS n_tokens,
+         |  round(1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE /
+         |    len(string_split(text, ' '))::DOUBLE, 6) AS dup_ratio,
+         |  round(length(replace(text, ' ', ''))::DOUBLE /
+         |    greatest(CAST($sqlNTok AS BIGINT), 1)::DOUBLE, 6) AS mean_wlen
+         |FROM documents)
+         |SELECT doc_id, n_tokens, dup_ratio, mean_wlen,
+         |  CAST(n_tokens BETWEEN 10 AND 5000
+         |    AND dup_ratio <= 0.9
+         |    AND mean_wlen BETWEEN 2.0 AND 12.0 AS INT) AS passes
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "q_mm_frames" ->
+      """WITH v AS (SELECT doc_id AS media_id,
+        |             CAST(length(text) * 20 AS BIGINT) AS duration_ms
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id,
+        |        unnest(range(0, greatest(duration_ms, 1), 500)) AS t_ms
+        |      FROM v)
+        |SELECT media_id, CAST(floor(t_ms / 500) AS BIGINT) AS frame_no, t_ms
+        |FROM f ORDER BY media_id, frame_no""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(trim(lower(text))) AS fingerprint, min(doc_id) AS keep_id,

@@ -63,7 +63,8 @@ object PgValueDecoder {
    * emits columns in table order), falling back to name lookup — both are
    * narrow (no shuffle).
    */
-  def pivotToTable(df: org.apache.spark.sql.DataFrame, schema: TableSchema): org.apache.spark.sql.DataFrame = {
+  def pivotToTable(df: org.apache.spark.sql.DataFrame, schema: TableSchema,
+                   keepCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val cols = schema.columns.zipWithIndex.map { case (tc, idx) =>
       // Fast path: positional access (wal2json emits columns in table
       // order) — codegen'd GetArrayItem/GetStructField. Fallback: name
@@ -77,6 +78,6 @@ object PgValueDecoder {
         positional.getField("value")).otherwise(byName)
       decode(raw, tc.pgType).as(tc.name)
     }
-    df.select(cols: _*)
+    df.select(keepCols.map(col) ++ cols: _*)
   }
 }

@@ -83,6 +83,24 @@ object Multimodal {
       .toDF(idCol, "payload")
   }
 
+  /**
+   * Frame sampling plumbing: one row per sampled frame timestamp,
+   * `everyMs` apart over `[0, duration_ms)` (at least one frame). The
+   * actual frame EXTRACTION is the decoder's `transform` (stubbed here —
+   * no codecs in this container); this operator is the real Spark side:
+   * timestamp generation is a narrow `sequence` + `posexplode`, so frame
+   * rows are produced partition-locally and only (id, frame_no, t_ms)
+   * tuples flow downstream — payload bytes never fan out per frame.
+   */
+  def frameSamples(media: DataFrame, everyMs: Int,
+                   idCol: String = "media_id",
+                   durCol: String = "duration_ms"): DataFrame =
+    media.select(col(idCol),
+        posexplode(sequence(lit(0L),
+          greatest(col(durCol).cast("long") - 1L, lit(0L)),
+          lit(everyMs.toLong))).as(Seq("frame_no", "t_ms")))
+      .select(col(idCol), col("frame_no").cast("long").as("frame_no"), col("t_ms"))
+
   /** Synthesize a media table from documents (test/demo input: payload =
     * UTF-8 bytes; kind round-robins deterministically). */
   def fromDocuments(docs: DataFrame): DataFrame =

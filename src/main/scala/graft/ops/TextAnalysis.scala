@@ -94,6 +94,38 @@ object TextAnalysis {
         i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
   }
 
+  /** Duplicate-token ratio (Gopher-style repetition signal):
+    * 1 − distinct/total tokens, 0 for single-token docs. */
+  def dupRatio(text: Column): Column = {
+    val ws = tokens(text)
+    round(lit(1.0) - size(array_distinct(ws)).cast("double") /
+      size(ws).cast("double"), 6)
+  }
+
+  /**
+   * Overlapping token-window chunking — the pre-tokenization split of a
+   * training-data pipeline. Emits one row per chunk: (chunk_id, chunk,
+   * n_chunk_tokens), windows of `chunkSize` tokens advancing by
+   * `chunkSize - overlap`. Narrow (split + sequence + explode): the text
+   * never shuffles, chunk rows are produced partition-locally.
+   */
+  def chunks(docs: DataFrame, chunkSize: Int, overlap: Int,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val toks = tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("toks"))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(step))).as("start"))
+      .select(col(idCol),
+        floor(col("start") / step).cast("long").as("chunk_id"),
+        array_join(slice(col("toks"), col("start") + 1, lit(chunkSize)), " ").as("chunk"),
+        least(lit(chunkSize), size(col("toks")) - col("start")).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** Full per-document annotation pass (single narrow projection). */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,63 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.Encoders
+
+/** CDC merge/upsert materialization: latest live row per PK in WAL
+  * commit order; DELETE as final image removes the key. */
+class CdcMergeSpec extends SparkSpec {
+
+  private val schemaT = TableSchema("t", Seq(
+    TableColumn("id", "integer", nullable = false, isPrimary = true),
+    TableColumn("name", "text", nullable = true, isPrimary = false)))
+
+  private def tx(lsn: Long, action: String, id: Int, name: String): String =
+    s"""{"commit_lsn": $lsn, "records": [{"action": "$action", "xid": 1,
+       |"lsn": "0/$lsn", "nextlsn": "", "timestamp": "t", "schema": "public",
+       |"table": "t", "columns": [
+       |  {"name": "id", "type": "integer", "value": $id},
+       |  {"name": "name", "type": "text", "value": "$name"}],
+       |"pk": [{"name": "id", "type": "integer"}]}]}"""
+      .stripMargin.replace("\n", " ")
+
+  private def lines(ls: String*) =
+    spark.createDataset(ls)(Encoders.STRING).toDF("value")
+
+  test("latest state: updates override, deletes remove, inserts survive") {
+    val feed = lines(
+      tx(1, "I", 1, "one"),
+      tx(2, "I", 2, "two"),
+      tx(3, "I", 3, "three"),
+      tx(4, "U", 1, "one-v2"),   // update id 1
+      tx(5, "D", 2, "two"),      // delete id 2
+      tx(6, "U", 1, "one-v3"),   // second update wins by commit order
+      tx(7, "I", 2, "two-back")  // re-insert after delete
+    )
+    val state = CdcMerge.latestState(feed, schemaT)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("name")))
+    assert(state.toSeq == Seq(1 -> "one-v3", 2 -> "two-back", 3 -> "three"))
+  }
+
+  test("commit order decides, not input order (shuffle-safe)") {
+    // same history fed in scrambled line order across many partitions
+    val feed = lines(
+      tx(6, "U", 1, "final"),
+      tx(1, "I", 1, "first"),
+      tx(4, "U", 1, "middle")
+    ).repartition(5)
+    val state = CdcMerge.latestState(feed, schemaT).collect()
+    assert(state.length == 1 && state(0).getAs[String]("name") == "final")
+  }
+
+  test("delete as final image drops the key entirely") {
+    val feed = lines(tx(1, "I", 9, "x"), tx(2, "U", 9, "y"), tx(3, "D", 9, "y"))
+    assert(CdcMerge.latestState(feed, schemaT).count() == 0)
+  }
+
+  test("no primary key is rejected") {
+    val noPk = TableSchema("t", Seq(
+      TableColumn("id", "integer", nullable = false, isPrimary = false)))
+    intercept[IllegalArgumentException](CdcMerge.latestState(lines(), noPk))
+  }
+}

@@ -124,6 +124,35 @@ class OpsSpec extends SparkSpec {
     assert(top.last.getAs[Long]("neighbor_id") == 3L) // opposite vector last
   }
 
+  test("chunking: overlapping windows cover all tokens, short docs = 1 chunk") {
+    val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+                (2L, "only three tokens")).toDF("doc_id", "text")
+    val c = TextAnalysis.chunks(d, chunkSize = 4, overlap = 2) // step 2
+      .orderBy("doc_id", "chunk_id").collect()
+    val doc1 = c.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(doc1.length == 5) // starts 0,2,4,6,8
+    assert(doc1.head.getAs[String]("chunk") == "w1 w2 w3 w4")
+    assert(doc1(1).getAs[String]("chunk") == "w3 w4 w5 w6") // 2-token overlap
+    assert(doc1.last.getAs[String]("chunk") == "w9 w10")    // tail clamped
+    assert(doc1.last.getAs[Long]("n_chunk_tokens") == 2L)
+    val doc2 = c.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(doc2.map(_.getAs[String]("chunk")).toSeq ==
+      Seq("only three tokens", "tokens")) // starts 0,2 over 3 tokens
+  }
+
+  test("dup ratio and frame sampling arithmetic") {
+    val d = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextAnalysis.dupRatio(col("text")).as("dr"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("dr") == 0.75) // 1 distinct of 4
+    assert(r(1).getAs[Double]("dr") == 0.0)
+    val media = Seq((1L, 1001L), (2L, 400L)).toDF("media_id", "duration_ms")
+    val f = Multimodal.frameSamples(media, everyMs = 500)
+      .orderBy("media_id", "frame_no").collect()
+      .map(x => (x.getAs[Long]("media_id"), x.getAs[Long]("frame_no"), x.getAs[Long]("t_ms")))
+    assert(f.toSeq == Seq((1L, 0L, 0L), (1L, 1L, 500L), (1L, 2L, 1000L), (2L, 0L, 0L)))
+  }
+
   test("cosine near-dup pairs: exact pair set above threshold") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
