@@ -22,27 +22,89 @@ import org.apache.spark.sql.functions._
  */
 object CdcMerge {
 
+  private def pkOf(schema: TableSchema): Seq[String] = {
+    val pk = schema.columns.filter(_.isPrimary).map(_.name)
+    require(pk.nonEmpty, s"table ${schema.table} has no primary key — cannot merge")
+    pk
+  }
+
+  /** Typed change rows with their ordering keys retained:
+    * (action, commit_lsn, record_idx, <table columns…>). */
+  private def typedWithOrder(lines: DataFrame, schema: TableSchema): DataFrame = {
+    val records = WalDecoder.decodeRecords(
+        lines, recordFields = Some(Seq("action", "table", "columns")))
+      .where(col("table") === schema.table &&
+        col("action").isin("I", "U", "D"))
+    PgValueDecoder.pivotToTable(records, schema,
+      keepCols = Seq("action", "commit_lsn", "record_idx"))
+  }
+
+  /** max_by merge of ordered change rows → live rows (order keys kept so
+    * the result can be merged again with later changes). */
+  private def mergeLatest(changes: DataFrame, schema: TableSchema): DataFrame = {
+    val dataCols = Seq("action", "commit_lsn", "record_idx") ++ schema.columns.map(_.name)
+    changes
+      .groupBy(pkOf(schema).map(col): _*)
+      .agg(max_by(
+        struct(dataCols.map(col): _*),
+        struct(col("commit_lsn"), col("record_idx"))).as("r"))
+      .where(col("r.action") =!= "D")
+      .select(dataCols.map(c => col(s"r.$c").as(c)): _*)
+  }
+
   /**
    * Latest-state table from raw wal2json tx lines for one table schema.
    * Ordering key is (commit_lsn, record_idx): commit order between
    * transactions, wire order within one.
    */
-  def latestState(lines: DataFrame, schema: TableSchema): DataFrame = {
-    val pk = schema.columns.filter(_.isPrimary).map(_.name)
-    require(pk.nonEmpty, s"table ${schema.table} has no primary key — cannot merge")
-    val records = WalDecoder.decodeRecords(
-        lines, recordFields = Some(Seq("action", "table", "columns")))
-      .where(col("table") === schema.table &&
-        col("action").isin("I", "U", "D"))
-    val typed = PgValueDecoder.pivotToTable(records, schema,
-      keepCols = Seq("action", "commit_lsn", "record_idx"))
-    val dataCols = Seq("action") ++ schema.columns.map(_.name)
-    typed
-      .groupBy(pk.map(col): _*)
-      .agg(max_by(
-        struct(dataCols.map(col): _*),
-        struct(col("commit_lsn"), col("record_idx"))).as("r"))
-      .where(col("r.action") =!= "D")
-      .select(schema.columns.map(c => col(s"r.${c.name}").as(c.name)): _*)
+  def latestState(lines: DataFrame, schema: TableSchema): DataFrame =
+    mergeLatest(typedWithOrder(lines, schema), schema)
+      .select(schema.columns.map(c => col(c.name)): _*)
+
+  /**
+   * Streaming form: maintain a materialized latest-state parquet table
+   * from a WAL line stream, one merge per micro-batch in `foreachBatch`.
+   *
+   * Each batch unions the prior state (live rows carrying their order
+   * keys) with the batch's typed changes and re-merges — new keys insert,
+   * higher-LSN images replace, DELETE images drop the key. The write is
+   * staged to a sibling dir then atomically swapped, so readers never see
+   * a half-written state. Requires the source's guarantee that batches
+   * arrive in commit-LSN order (no cross-batch late data) — exactly what
+   * [[graft.cdc.source.WalSource]] provides.
+   *
+   * Scale shape: one shuffle per batch keyed on the PK; state volume is
+   * one row per live key. At warehouse scale the same merge runs against
+   * a keyed table format instead of the parquet swap.
+   */
+  def streamingLatestState(spark: org.apache.spark.sql.SparkSession,
+                           walDir: String, schema: TableSchema,
+                           stateDir: String, checkpointDir: String,
+                           availableNow: Boolean = true,
+                           triggerSeconds: Long = 10L): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = spark.readStream.format("graft-wal")
+      .option("path", walDir).load()
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime(triggerSeconds * 1000L))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val changes = typedWithOrder(batch, schema)
+        val statePath = java.nio.file.Paths.get(stateDir)
+        val prior =
+          if (java.nio.file.Files.exists(statePath)) s.read.parquet(stateDir)
+          else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            changes.schema)
+        val merged = mergeLatest(prior.unionByName(changes), schema)
+        val tmp = stateDir + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        // atomic swap: single writer (foreachBatch is serialized)
+        graft.core.FsUtil.deleteRecursive(statePath)
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), statePath)
+        ()
+      }
+    writer.start()
   }
 }

@@ -179,6 +179,10 @@ object Dedup {
     }
     val exploded = sig.select(col(idCol), col("sh"), explode(array(chunks: _*)).as("c"))
       .select(col(idCol), col("sh"), col("c.ck"), col("c.cv"))
+      // materialize once: both self-join sides would otherwise re-run the
+      // whole simhash pipeline (explode + 64-vote aggregation) — at scale
+      // you'd persist the signature table for the same reason
+      .localCheckpoint()
     val a = exploded.toDF("id_a", "sh_a", "ck", "cv")
     val b = exploded.toDF("id_b", "sh_b", "ck", "cv")
     a.join(b, Seq("ck", "cv"))

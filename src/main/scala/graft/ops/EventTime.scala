@@ -51,6 +51,31 @@ object EventTime {
       .select(col(keyCol), col("w.start").as("session_start"), col("n_events"))
   }
 
+  /**
+   * Stream-stream interval join: each purchase matched to the same
+   * user's clicks within `maxLag` BEFORE it. Works identically on batch
+   * DataFrames and on two watermarked streams — the time bound plus the
+   * watermarks let Structured Streaming expire join state (a click can
+   * stop waiting for purchases once the purchase watermark passes
+   * click.ts + maxLag), so state is bounded at any scale.
+   */
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame,
+                       maxLag: String = "1 hour",
+                       watermarkDelay: Option[String] = None): DataFrame = {
+    val p0 = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id"))
+    val c0 = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("event_id").as("click_id"))
+    val p = watermarkDelay.fold(p0)(d => p0.withWatermark("p_ts", d))
+    val c = watermarkDelay.fold(c0)(d => c0.withWatermark("c_ts", d))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $maxLag"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("click_id"), col("c_ts"))
+  }
+
   /** Per-key top-k within event-time windows (windowed ranking). */
   def windowedTopUsers(events: DataFrame, k: Int,
                        windowLength: String = "1 day"): DataFrame = {

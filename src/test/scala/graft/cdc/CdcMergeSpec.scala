@@ -55,6 +55,32 @@ class CdcMergeSpec extends SparkSpec {
     assert(CdcMerge.latestState(feed, schemaT).count() == 0)
   }
 
+  test("streaming latest-state: state evolves across micro-batch rounds") {
+    val base = java.nio.file.Files.createTempDirectory("cdcmerge").toString
+    val wal = s"$base/wal"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wal))
+    def run(): Unit = {
+      val q = CdcMerge.streamingLatestState(spark, wal, schemaT, state, ckpt)
+      q.awaitTermination(120000); ()
+    }
+    def readState(): Seq[(Int, String)] =
+      spark.read.parquet(state).orderBy("id").collect()
+        .map(r => (r.getAs[Int]("id"), r.getAs[String]("name"))).toSeq
+
+    // round 1: two inserts
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(wal, "a.json"),
+      Seq(tx(1, "I", 1, "one"), tx(2, "I", 2, "two")).mkString("\n"))
+    run()
+    assert(readState() == Seq(1 -> "one", 2 -> "two"))
+
+    // round 2: update id 1, delete id 2, insert id 3 — only new lines read
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(wal, "b.json"),
+      Seq(tx(3, "U", 1, "one-v2"), tx(4, "D", 2, "two"),
+          tx(5, "I", 3, "three")).mkString("\n"))
+    run()
+    assert(readState() == Seq(1 -> "one-v2", 3 -> "three"))
+  }
+
   test("no primary key is rejected") {
     val noPk = TableSchema("t", Seq(
       TableColumn("id", "integer", nullable = false, isPrimary = false)))

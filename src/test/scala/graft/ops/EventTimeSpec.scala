@@ -78,6 +78,42 @@ class EventTimeSpec extends SparkSpec {
     assert(res("00:20") == 1L)
   }
 
+  test("stream-stream interval join equals batch; state bounded by watermark") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("ss-join")
+    val pDir = base.resolve("p").toString
+    val cDir = base.resolve("c").toString
+    def rows(rs: Seq[(Long, String, Long)]) =
+      rs.map { case (id, ts, uid) =>
+        (id, java.sql.Timestamp.valueOf(ts), uid) }
+        .toDF("event_id", "ts", "user_id")
+    // purchases u1@10:00, u2@10:30; clicks u1@8:10(too old), u1@9:50(hit),
+    // u2@10:20(hit), u3@10:00(no purchase)
+    rows(Seq((100L, "2024-01-01 10:00:00", 1L), (101L, "2024-01-01 10:30:00", 2L)))
+      .write.parquet(pDir)
+    rows(Seq((1L, "2024-01-01 08:10:00", 1L), (2L, "2024-01-01 09:50:00", 1L),
+             (3L, "2024-01-01 10:20:00", 2L), (4L, "2024-01-01 10:00:00", 3L)))
+      .write.parquet(cDir)
+
+    val expected = EventTime.clickAttribution(
+        spark.read.parquet(pDir), spark.read.parquet(cDir))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected == Set((100L, 2L), (101L, 3L)))
+
+    val ps = spark.readStream.schema(spark.read.parquet(pDir).schema).parquet(pDir)
+    val cs = spark.readStream.schema(spark.read.parquet(cDir).schema).parquet(cDir)
+    val q = EventTime.clickAttribution(ps, cs, watermarkDelay = Some("10 minutes"))
+      .writeStream.outputMode("append").format("memory").queryName("ss_join")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ss_join")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == expected)
+  }
+
   test("windowed top users: deterministic ranking with ties on user_id") {
     val top = EventTime.windowedTopUsers(graft.Tables(spark, sf, "events"), k = 3)
     val rows = top.orderBy("window_start", "rank").collect()
