@@ -94,6 +94,32 @@ object OpsQueries {
           array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
         .orderBy("doc_id")),
 
+    // TF-IDF top terms per document (two aggs + broadcast term join)
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(
+        Tables(s, dir, "documents").where(col("doc_id") < 50), k = 5)
+        .orderBy("doc_id", "rk")),
+
+    // reproducible content-hash sampling (no RNG state)
+    "q_sample_hash" -> ((s, dir) =>
+      TextAnalysis.hashSample(Tables(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("bucket"))
+        .orderBy("doc_id")),
+
+    // sketch-based stats (HLL distinct, approx percentile) — the
+    // scale-first answers; no SQL oracle (sketch algorithms differ per
+    // engine), tolerance vs exact is spec-checked
+    "q_approx_stats" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          element_at(expr("approx_percentile(value, array(0.5, 0.95), 1000)"), 1)
+            .as("p50_approx"),
+          element_at(expr("approx_percentile(value, array(0.5, 0.95), 1000)"), 2)
+            .as("p95_approx"))
+        .orderBy("event_type")),
+
     // ── Dedup family ───────────────────────────────────────────────────
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables(s, dir, "documents")).orderBy("fingerprint")),
@@ -278,6 +304,29 @@ object OpsQueries {
       s"""SELECT CAST(floor(($sqlNTok) / 10) AS BIGINT) AS bucket, count(*) AS n_docs,
          |  CAST(sum($sqlNTok) AS BIGINT) AS n_tokens
          |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words
+        |       WHERE length(term) > 0 GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM d),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf::DOUBLE * ln(n.n_docs::DOUBLE / df.df::DOUBLE), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, tfidf,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored)
+        |SELECT term, doc_id, tfidf, rk FROM ranked WHERE rk <= 5
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |ORDER BY doc_id""".stripMargin,
 
     "q_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

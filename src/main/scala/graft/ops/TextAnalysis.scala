@@ -126,6 +126,42 @@ object TextAnalysis {
           .as("n_chunk_tokens"))
   }
 
+  /**
+   * TF-IDF top terms per document. Classic shape: per-(doc, term) counts
+   * → per-term document frequency → `tf · ln(N/df)`, ranked per doc.
+   * Two aggregations + one broadcast-able join on the term dimension;
+   * scores are rounded BEFORE ranking so ordering is stable across
+   * engines (ln differs in the last ulp between libms).
+   */
+  def tfidfTopTerms(docs: DataFrame, k: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = words.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("tfidf"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
+  /**
+   * Deterministic content-hash sampling: keep a row iff a hex prefix of
+   * `md5(key)` falls under the threshold — reproducible across engines,
+   * runs, and partitionings (no RNG state), the standard trick for
+   * carving stable train/eval slices out of a 100 TB corpus. '1a'/256
+   * ≈ 10.2%.
+   */
+  def hashSample(df: DataFrame, keyCol: Column, hexThreshold: String = "1a"): DataFrame =
+    df.where(substring(md5(keyCol.cast("string")), 1, hexThreshold.length) < hexThreshold)
+
   /** Full per-document annotation pass (single narrow projection). */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -124,6 +124,32 @@ class OpsSpec extends SparkSpec {
     assert(top.last.getAs[Long]("neighbor_id") == 3L) // opposite vector last
   }
 
+  test("approx sketches (HLL, percentile) within tolerance of exact") {
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    val approx = ev.agg(
+      approx_count_distinct(col("user_id")).as("au"),
+      expr("approx_percentile(value, 0.5, 1000)").as("p50")).collect()(0)
+    val exact = ev.agg(
+      countDistinct(col("user_id")).as("u"),
+      expr("percentile(value, 0.5)").as("p50")).collect()(0)
+    val uRatio = approx.getAs[Long]("au").toDouble / exact.getAs[Long]("u")
+    assert(uRatio > 0.9 && uRatio < 1.1, s"HLL off by ${uRatio}")
+    val pDelta = math.abs(approx.getAs[Double]("p50") - exact.getAs[Double]("p50"))
+    assert(pDelta / math.max(math.abs(exact.getAs[Double]("p50")), 1e-9) < 0.1,
+      s"approx p50 off by $pDelta")
+  }
+
+  test("hash sampling: deterministic, partition-independent, ~10% rate") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val a = TextAnalysis.hashSample(docs, col("doc_id")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = TextAnalysis.hashSample(docs.repartition(7), col("doc_id")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b) // reproducible under any partitioning
+    val rate = a.size.toDouble / docs.count()
+    assert(rate > 0.02 && rate < 0.25, s"rate $rate far from 1a/256")
+  }
+
   test("chunking: overlapping windows cover all tokens, short docs = 1 chunk") {
     val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
                 (2L, "only three tokens")).toDF("doc_id", "text")
