@@ -223,6 +223,19 @@ class OpsSpec extends SparkSpec {
     assert((exact & approx).size >= 12, s"overlap ${(exact & approx).size}/15")
   }
 
+  test("IVF cell layout: partitionBy(cell) probes become partition pruning") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val (indexed, _) = Similarity.ivfIndex(emb, nCells = 8, lloydIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-layout").toString
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val probed = spark.read.parquet(dir).where(col("cell").isin(1, 3))
+    // the probe filter must prune at the PARTITION level, not post-scan
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf(Set(1, 3)))
+  }
+
   test("IVF ANN recall vs brute force on driver embeddings (sf0.001)") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.where($"vec_id" < 5)
