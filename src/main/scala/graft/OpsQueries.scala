@@ -175,7 +175,8 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
-    "q_dedup_clusters" -> ((s, dir) => { // no SQL oracle: iterative components
+    "q_dedup_clusters" -> ((s, dir) => {
+      // oracle = recursive-CTE transitive closure over the same LSH edges
       val docs = Tables(s, dir, "documents")
       Dedup.clusters(Dedup.lshCandidates(docs, k = MINHASH_K, bands = LSH_BANDS))
         .orderBy("doc_id")
@@ -378,6 +379,19 @@ object OpsQueries {
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
          |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""${sqlSig.replace("WITH s AS", "WITH RECURSIVE s AS")}, bands AS ($sqlBands),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+         |  WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a, id_b FROM cand UNION SELECT id_b, id_a FROM cand),
+         |reach(doc_id, rid) AS (
+         |  SELECT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT r.doc_id, e.id_b FROM reach r JOIN edges e ON e.id_a = r.rid)
+         |SELECT doc_id, min(rid) AS canonical_id FROM reach
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_jaccard_pairs" ->
       s"""$sqlSig, bands AS ($sqlBands),
