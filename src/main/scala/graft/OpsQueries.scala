@@ -40,6 +40,25 @@ object OpsQueries {
   private def sqlDot(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
 
+  // SimHash in SQL, mirroring Dedup.withSimhash exactly: 64-bit token
+  // hash from two md5 halves (signed-wrap arithmetic reproduces Spark's
+  // shiftleft overflow), ±1 bit votes, OR of winning masks. Bit 63's
+  // mask is the negative literal (1L << 63 == Long.MinValue).
+  private val sqlSimhashSig = {
+    def mask(b: Int) = (1L << b).toString
+    val hi = "('0x' || substr(md5(w), 1, 8))::BIGINT"
+    val lo = "('0x' || substr(md5(w), 9, 8))::BIGINT"
+    val h64 = s"(($hi - CASE WHEN $hi >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296 + $lo)"
+    val votes = (0 until 64).map(b =>
+      s"sum(CASE WHEN h64 & ${mask(b)} != 0 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+    val sig = (0 until 64).map(b =>
+      s"CASE WHEN v$b > 0 THEN ${mask(b)} ELSE 0::BIGINT END").mkString(" | ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h AS (SELECT doc_id, $h64 AS h64 FROM toks),
+       |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, ($sig) AS simhash FROM votes)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // ── Text analysis ──────────────────────────────────────────────────
     "q_text_stats" -> ((s, dir) =>
@@ -139,10 +158,12 @@ object OpsQueries {
       Dedup.jaccardVerify(cands, docs).orderBy("id_a", "id_b")
     }),
 
-    "q_simhash" -> ((s, dir) => // no SQL oracle: bit-vote accumulation
+    "q_simhash" -> ((s, dir) =>
       Dedup.withSimhash(Tables(s, dir, "documents")).orderBy("doc_id")),
 
-    "q_simhash_near" -> ((s, dir) => // no SQL oracle; pigeonhole bucket join
+    // oracle = all-pairs hamming filter; the pigeonhole bucket join is
+    // spec-proven equal to it, so the hash check covers both forms
+    "q_simhash_near" -> ((s, dir) =>
       Dedup.simhashNearPairs(Tables(s, dir, "documents"), maxHamming = 6)
         .orderBy("id_a", "id_b")),
 
@@ -403,6 +424,18 @@ object OpsQueries {
          |  round(len(list_intersect(x.dsh, y.dsh))::DOUBLE /
          |        (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh)))::DOUBLE, 6) AS jaccard
          |FROM cand JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_simhash" ->
+      s"""$sqlSimhashSig
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_near" ->
+      s"""$sqlSimhashSig
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_events_daily" ->
