@@ -42,6 +42,26 @@ object WalDecoder {
   def filterActions(records: DataFrame, replayActions: Set[String] = Set("I")): DataFrame =
     records.where(col("action").isin(replayActions.toSeq: _*))
 
+  /**
+   * Text-level pre-filter pushed BELOW the JSON parse: a tx line whose
+   * raw text lacks every `"action":"X"` marker for the replayed actions
+   * cannot contain a replayed record, so it never pays the Jackson
+   * decode. Conservative (superset) — a value field that happens to
+   * contain the marker just passes through to the exact post-parse
+   * filter. With the append-only contract (I only) this skips ~all
+   * U/D-only transactions at the scan, the dominant cost of the decode
+   * path. Both wal2json spacings (`"action": "I"` / `"action":"I"`)
+   * are matched.
+   */
+  def actionPrefilter(lines: DataFrame, replayActions: Set[String]): DataFrame = {
+    val valueCol = lines.columns.headOption.getOrElse("value")
+    val anyMarker = replayActions.toSeq.sorted.flatMap { a =>
+      Seq(col(valueCol).contains(s""""action":"$a""""),
+          col(valueCol).contains(s""""action": "$a""""))
+    }.reduce(_ || _)
+    lines.where(anyMarker)
+  }
+
   /** Full batch decode: lines → Map(table → typed DataFrame). */
   def decodeTables(
       spark: SparkSession,
@@ -50,7 +70,8 @@ object WalDecoder {
       replayActions: Set[String] = Set("I")): Map[String, DataFrame] = {
     // replay needs only routing + payload fields; skip xid/lsn/pk/etc.
     val records = filterActions(
-      decodeRecords(lines, recordFields = Some(Seq("action", "table", "columns"))),
+      decodeRecords(actionPrefilter(lines, replayActions),
+        recordFields = Some(Seq("action", "table", "columns"))),
       replayActions)
     schemas.map { ts =>
       ts.table -> PgValueDecoder.pivotToTable(records.where(col("table") === ts.table), ts)

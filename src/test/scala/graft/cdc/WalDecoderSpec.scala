@@ -195,6 +195,44 @@ class WalDecoderSpec extends SparkSpec {
     assert(all == Seq(1, 2, 3, 4))
   }
 
+  test("action prefilter: structural markers only; mixed txs kept; U-only skipped") {
+    // markers inside a string VALUE are escaped (\"action\":\"I\") in the
+    // raw line, so they can't fake a structural match; a line is kept
+    // iff it (structurally) contains a replayed record — mixed-action
+    // txs pass, U-only txs never pay the JSON parse
+    val decoyU =
+      """{"commit_lsn": 5, "records": [{"action": "U", "xid": 5, "lsn": "0/1",
+        |"nextlsn": "", "timestamp": "t", "schema": "public", "table": "t",
+        |"columns": [{"name": "c", "type": "text",
+        |"value": "payload with \"action\":\"I\" inside"}], "pk": []}]}"""
+        .stripMargin.replace("\n", " ")
+    val mixed =
+      """{"commit_lsn": 6, "records": [
+        |{"action": "U", "xid": 6, "lsn": "0/1", "nextlsn": "", "timestamp": "t",
+        | "schema": "public", "table": "t",
+        | "columns": [{"name": "c", "type": "text", "value": "updated"}], "pk": []},
+        |{"action": "I", "xid": 6, "lsn": "0/2", "nextlsn": "", "timestamp": "t",
+        | "schema": "public", "table": "t",
+        | "columns": [{"name": "c", "type": "text", "value": "inserted"}], "pk": []}]}"""
+        .stripMargin.replace("\n", " ")
+    val uOnly =
+      """{"commit_lsn": 7, "records": [{"action": "U", "xid": 7, "lsn": "0/1",
+        |"nextlsn": "", "timestamp": "t", "schema": "public", "table": "t",
+        |"columns": [{"name": "c", "type": "text", "value": "u-only"}], "pk": []}]}"""
+        .stripMargin.replace("\n", " ")
+    val lines = spark.createDataset(Seq(decoyU, mixed, uOnly))(
+      org.apache.spark.sql.Encoders.STRING).toDF("value")
+    // only the mixed line has a structural I record; the decoy's marker
+    // is escaped inside its value, the U-only line has none
+    assert(WalDecoder.actionPrefilter(lines, Set("I")).count() == 1)
+    val schema = TableSchema("t", Seq(TableColumn("c", "text", true, false)))
+    val vals = WalDecoder.decodeTables(spark, lines, Seq(schema))("t")
+      .collect().map(_.getString(0)).toSeq
+    assert(vals == Seq("inserted")) // U record of the mixed tx still dropped
+    // IUD mode sees every line (prefilter matches any of the 3 markers)
+    assert(WalDecoder.actionPrefilter(lines, Set("I", "U", "D")).count() == 3)
+  }
+
   test("tx assembly: multi-record tx keeps per-record order (wal.input shape)") {
     val line =
       """{"commit_lsn": 957398296, "records": [

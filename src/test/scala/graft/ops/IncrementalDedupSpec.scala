@@ -32,6 +32,41 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(r2(5L) == Some(4L))
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark spans batches") {
+    // built-in streaming dedup: duplicate fingerprints arriving within
+    // the watermark window are emitted once, state expires after it
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("sdedup").toString
+    val in = s"$base/in"; Files.createDirectories(java.nio.file.Paths.get(in))
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.map { case (id, ts, txt) => (id, java.sql.Timestamp.valueOf(ts), txt) }
+        .toDF("doc_id", "ts", "text").write.mode("append").parquet(in)
+
+    write(Seq((1L, "2024-01-01 00:00:00", "same text"),
+              (2L, "2024-01-01 00:01:00", "same text"),   // dup within batch
+              (3L, "2024-01-01 00:02:00", "other text")))
+    val schema = spark.read.parquet(in).schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .withColumn("fp", md5(trim(lower(col("text")))))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("fp")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); ()
+    }
+    run()
+    // a cross-batch duplicate within the watermark is still suppressed
+    write(Seq((4L, "2024-01-01 00:10:00", "same text")))
+    run()
+    val ids = spark.read.parquet(s"$base/out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(3L))
+    assert((ids & Set(1L, 2L)).size == 1) // exactly one copy of "same text"
+    assert(!ids.contains(4L))             // cross-batch dup suppressed
+  }
+
   test("streaming wrapper annotates and persists across restarts") {
     val base = Files.createTempDirectory("incdedup2").toString
     val in = s"$base/in"; Files.createDirectories(java.nio.file.Paths.get(in))
