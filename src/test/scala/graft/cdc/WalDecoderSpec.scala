@@ -233,6 +233,19 @@ class WalDecoderSpec extends SparkSpec {
     assert(WalDecoder.actionPrefilter(lines, Set("I", "U", "D")).count() == 3)
   }
 
+  test("malformed / foreign lines are skipped, valid records still decode") {
+    val good = walLine("integer", "7")
+    val lines = spark.createDataset(Seq(
+      good,
+      """not json at all { "action": "I" """,       // corrupt but has marker
+      """{"commit_lsn": 2}""",                      // valid JSON, no records
+      ""                                            // empty line
+    ))(org.apache.spark.sql.Encoders.STRING).toDF("value")
+    val schema = TableSchema("t", Seq(TableColumn("c", "integer", true, false)))
+    val out = WalDecoder.decodeTables(spark, lines, Seq(schema))("t").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(7))
+  }
+
   test("tx assembly: multi-record tx keeps per-record order (wal.input shape)") {
     val line =
       """{"commit_lsn": 957398296, "records": [
