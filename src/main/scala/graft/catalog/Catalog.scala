@@ -43,6 +43,25 @@ final case class VaultCatalog(spark: SparkSession, root: String) {
       .select(col("vault"), col("cache_duration"))
       .orderBy(col("vault"))
 
+  /** Cache duration (minutes) configured at vault create, if any —
+    * latest row wins if the vault was re-created. */
+  def cacheDurationOf(vault: VaultName): Option[Int] = {
+    val rows = vaults.where(col("vault") === vault.toString)
+      .select("cache_duration").collect()
+    rows.lastOption.map(_.getInt(0))
+  }
+
+  /** Hot-cache expiry for an upload at `timestampSec` to this vault:
+    * ts + cache_duration minutes (the reference's provider computes the
+    * same from the `cache` form field, provider.go:39-64); epoch 0 when
+    * the vault has no cache duration (never cached / unknown vault). */
+  def cacheExpiryFor(vault: VaultName, timestampSec: Long): java.sql.Timestamp =
+    cacheDurationOf(vault) match {
+      case Some(mins) if mins > 0 =>
+        new java.sql.Timestamp((timestampSec + mins * 60L) * 1000L)
+      case _ => new java.sql.Timestamp(0L)
+    }
+
   /** P8/M1: record an uploaded file event. */
   def appendEvent(vault: VaultName, cid: String, timestampSec: Long,
                   isArchived: Boolean, cacheExpiry: java.sql.Timestamp): Unit =

@@ -33,8 +33,8 @@ object BatchWrite {
     val staged = Files.createTempFile("graft-write", "-" + file.getFileName)
     Files.copy(file, staged, StandardCopyOption.REPLACE_EXISTING)
     val cid = store.put(vault, staged, ts, sig)
-    catalog.foreach(_.appendEvent(vault, cid, ts, isArchived = false,
-      new java.sql.Timestamp(0L)))
+    catalog.foreach(c => c.appendEvent(vault, cid, ts, isArchived = false,
+      c.cacheExpiryFor(vault, ts)))
     cid
   }
 

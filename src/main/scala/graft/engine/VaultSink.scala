@@ -113,9 +113,10 @@ final class VaultSink(
             dir
           }
         val sig = signer.map(_.sign(artifact)).getOrElse(Array.emptyByteArray)
-        val cid = store.put(VaultName(namespace, table), artifact, ts, sig)
-        catalog.foreach(_.appendEvent(VaultName(namespace, table), cid, ts,
-          isArchived = false, new java.sql.Timestamp(0L)))
+        val vault = VaultName(namespace, table)
+        val cid = store.put(vault, artifact, ts, sig)
+        catalog.foreach(c => c.appendEvent(vault, cid, ts,
+          isArchived = false, c.cacheExpiryFor(vault, ts)))
         FsUtil.deleteRecursive(stagePath)
         Some(table -> cid)
       }

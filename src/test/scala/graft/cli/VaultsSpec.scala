@@ -38,6 +38,30 @@ class VaultsSpec extends SparkSpec {
     assert(!v.retrieve("nonexistent-cid", s"$root/x"))
   }
 
+  test("cache_expiry = upload ts + vault cache_duration (provider semantics)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("vaults-cache").toString
+    val catalog = graft.catalog.VaultCatalog(spark, s"$root/catalog")
+    val vn = graft.core.VaultName("ns", "c")
+    catalog.createVault(vn, graft.core.Account(acct), cacheDurationMins = 30)
+    assert(catalog.cacheDurationOf(vn).contains(30))
+
+    val f = s"$root/in.parquet"
+    Seq((1, "a")).toDF("id", "name").coalesce(1).write.parquet(f)
+    val part = Files.list(java.nio.file.Paths.get(f))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val store = new graft.engine.LocalContentStore(s"$root/store")
+    graft.engine.BatchWrite.write(spark, vn, part, store,
+      catalog = Some(catalog), timestamp = Some("1700000000"))
+    val ev = catalog.listEvents(vn).collect()(0)
+    assert(ev.getAs[Long]("timestamp") == 1700000000L)
+    assert(ev.getAs[java.sql.Timestamp]("cache_expiry").getTime ==
+      (1700000000L + 30 * 60) * 1000L)
+    // vault with no configured duration → epoch 0 (never cached)
+    val other = graft.core.VaultName("ns", "nocache")
+    assert(catalog.cacheExpiryFor(other, 1700000000L).getTime == 0L)
+  }
+
   test("invalid vault name / account rejected (commands.go:32)") {
     val root = Files.createTempDirectory("vaults-cli2").toString
     val v = new Vaults(spark, root)
