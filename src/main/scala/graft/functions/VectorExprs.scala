@@ -78,3 +78,105 @@ object VecDot {
   def apply(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
 }
+
+/**
+ * `sign_lsh_buckets(vec)`: ALL `nTables` random-hyperplane bucket ids of
+ * a vector in one expression — element t is the nBits-bit signature of
+ * table t (bit p set iff dot(vec, plane[t][p]) ≥ 0).
+ *
+ * The Column-composition form (nTables × nBits `VecDot`s against
+ * 64-literal arrays) generates an enormous codegen tree whose javac
+ * time dominates small queries; this expression is one tight triple
+ * loop over a shared `double[][][]` reference. Plane components are the
+ * same deterministic hash-derived values ([[planesFor]]), so bucket ids
+ * are identical to the composed form.
+ */
+case class SignLshBuckets(child: Expression, nTables: Int, nBits: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_lsh_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_lsh_buckets requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val planes: Array[Array[Array[Double]]] =
+    SignLshBuckets.planesFor(nTables, nBits, dims)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val n = math.min(dims, v.numElements())
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nBits) {
+        val pl = planes(t)(p)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += pl(i) * (if (fl) v.getFloat(i).toDouble else v.getDouble(i))
+          i += 1
+        }
+        if (acc >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][][]")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val p = ctx.freshName("p")
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket"); val n = ctx.freshName("n")
+      val getElem = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($dims, $v.numElements());
+         |long[] $out = new long[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $p = 0; $p < $nBits; $p++) {
+         |    double[] pl = $planesRef[$t][$p];
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) $acc += pl[$i] * $getElem;
+         |    if ($acc >= 0) $bucket |= (1L << $p);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =
+    copy(child = newChild)
+}
+
+object SignLshBuckets {
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim) in [-1, 1) — no RNG state, stable across runs and engines. */
+  def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((table, plane, dim))
+    h.toDouble / Int.MaxValue.toDouble
+  }
+
+  def planesFor(nTables: Int, nBits: Int, dims: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(nTables, nBits, dims)(planeComponent)
+
+  def apply(vec: Column, nTables: Int, nBits: Int, dims: Int): Column =
+    Bridge.column(SignLshBuckets(Bridge.expression(vec), nTables, nBits, dims))
+}

@@ -78,10 +78,8 @@ object Similarity {
    * Deterministic pseudo-random hyperplane component for (table, plane,
    * dim): maps a hash to [-1, 1). Stable across runs (no RNG state).
    */
-  private def planeComponent(table: Int, plane: Int, dim: Int): Double = {
-    val h = scala.util.hashing.MurmurHash3.productHash((table, plane, dim))
-    (h.toDouble / Int.MaxValue.toDouble)
-  }
+  private def planeComponent(table: Int, plane: Int, dim: Int): Double =
+    graft.functions.SignLshBuckets.planeComponent(table, plane, dim)
 
   /** Sign-LSH bucket id for one hash table: nBits hyperplane sign tests. */
   def lshBucket(vec: Column, table: Int, nBits: Int, dims: Int): Column = {
@@ -209,17 +207,18 @@ object Similarity {
               nTables: Int = 8, multiProbe: Boolean = true,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def buckets(vec: Column): Column = array((0 until nTables).map(t =>
-      struct(lit(t).as("tbl"), lshBucket(vec, t, nBits, dims).as("bucket"))): _*)
+    // all table buckets in ONE native expression (tight codegen loop);
+    // posexplode position = table id. The composed per-table/per-bit
+    // Column form generated a codegen tree whose compile time dominated.
+    def withBuckets(df: org.apache.spark.sql.DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          posexplode(graft.functions.SignLshBuckets(col(vecCol), nTables, nBits, dims))
+            .as(Seq("tbl", "bucket")))
 
-    val c = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-        explode(buckets(col(vecCol))).as("tb"))
-      .select(col("neighbor_id"), col("cvec"), col("tb.tbl"), col("tb.bucket"))
+    val c = withBuckets(corpus, "neighbor_id", "cvec")
 
-    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      explode(buckets(col(vecCol))).as("tb"))
-      .select(col("query_id"), col("qvec"), col("tb.tbl"), col("tb.bucket").as("qbucket"))
+    val qb = withBuckets(queries, "query_id", "qvec")
+      .withColumnRenamed("bucket", "qbucket")
     val probes = (if (multiProbe) {
       val flips = (0 until nBits).map(b => col("qbucket").bitwiseXOR(lit(1L << b)))
       qb.withColumn("bucket", explode(array(col("qbucket") +: flips: _*)))

@@ -223,6 +223,21 @@ class OpsSpec extends SparkSpec {
     assert((exact & approx).size >= 12, s"overlap ${(exact & approx).size}/15")
   }
 
+  test("SignLshBuckets expression equals composed per-table lshBucket columns") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .where($"vec_id" < 50)
+    val viaExpr = emb.select($"vec_id",
+      graft.functions.SignLshBuckets($"embedding", 4, 8, 64).as("bk"))
+    val viaCols = emb.select($"vec_id" +:
+      (0 until 4).map(t => Similarity.lshBucket($"embedding", t, 8, 64).as(s"b$t")): _*)
+    val joined = viaExpr.join(viaCols, "vec_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val bk = r.getAs[scala.collection.Seq[Long]]("bk")
+      (0 until 4).foreach(t => assert(bk(t) == r.getAs[Long](s"b$t"), s"table $t"))
+    }
+  }
+
   test("IVF cell layout: partitionBy(cell) probes become partition pruning") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val (indexed, _) = Similarity.ivfIndex(emb, nCells = 8, lloydIters = 1)
