@@ -80,6 +80,84 @@ object VecDot {
 }
 
 /**
+ * `vec_dot_multi(vec)`: dot products of a vector against a FIXED set of
+ * `m` reference vectors (centroids/hyperplanes) as one `ARRAY<DOUBLE>` —
+ * a single tight codegen'd loop instead of `m` separate `VecDot`s
+ * against literal arrays (whose combined generated-code size puts javac
+ * on the critical path). Element order and per-dot accumulation order
+ * are identical to the composed form, so downstream comparisons see
+ * bit-identical values.
+ */
+case class VecDotMulti(child: Expression, refVectors: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot_multi"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_multi requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val refs: Array[Array[Double]] =
+    refVectors.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val out = new Array[Double](refs.length)
+    var m = 0
+    while (m < refs.length) {
+      val r = refs(m)
+      val n = math.min(r.length, v.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += r(i) * (if (fl) v.getFloat(i).toDouble else v.getDouble(i))
+        i += 1
+      }
+      out(m) = acc
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val refsRef = ctx.addReferenceObj("refs", refs, "double[][]")
+      val out = ctx.freshName("out")
+      val m = ctx.freshName("m"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val n = ctx.freshName("n")
+      val getElem = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |double[] $out = new double[${refs.length}];
+         |for (int $m = 0; $m < ${refs.length}; $m++) {
+         |  double[] r = $refsRef[$m];
+         |  int $n = java.lang.Math.min(r.length, $v.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) $acc += r[$i] * $getElem;
+         |  $out[$m] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecDotMulti =
+    copy(child = newChild)
+}
+
+object VecDotMulti {
+  def apply(vec: Column, refVectors: Seq[Seq[Double]]): Column =
+    Bridge.column(VecDotMulti(Bridge.expression(vec), refVectors))
+}
+
+/**
  * `sign_lsh_buckets(vec)`: ALL `nTables` random-hyperplane bucket ids of
  * a vector in one expression — element t is the nBits-bit signature of
  * table t (bit p set iff dot(vec, plane[t][p]) ≥ 0).

@@ -135,10 +135,12 @@ object Similarity {
 
     def assignExpr(cents: Array[(Int, Array[Double])]): Column = {
       // nearest centroid by dot-product distance (vectors near-normalized);
-      // argmax over per-centroid similarity via array_max on (sim, cell)
-      val scored = cents.map { case (cid, c) =>
-        val cLit = array(c.map(lit): _*)
-        struct(dot(col(vecCol), cLit).as("sim"), lit(cid).as("cell"))
+      // all sims in ONE VecDotMulti loop, then argmax via (sim, cell)
+      // struct max — same values/tie order as the composed per-cell form
+      val sims = graft.functions.VecDotMulti(col(vecCol),
+        cents.map(_._2.toSeq).toSeq)
+      val scored = cents.zipWithIndex.map { case ((cid, _), i) =>
+        struct(element_at(sims, i + 1).as("sim"), lit(cid).as("cell"))
       }
       array_max(array(scored.toIndexedSeq: _*)).getField("cell")
     }
@@ -171,9 +173,10 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val probeCells = {
-      val scored = centroids.map { case (cid, c) =>
-        val cLit = array(c.map(lit): _*)
-        struct(dot(col(vecCol), cLit).as("sim"), lit(cid).as("cell"))
+      val sims = graft.functions.VecDotMulti(col(vecCol),
+        centroids.map(_._2.toSeq).toSeq)
+      val scored = centroids.zipWithIndex.map { case ((cid, _), i) =>
+        struct(element_at(sims, i + 1).as("sim"), lit(cid).as("cell"))
       }
       // top-nProbe cells: sort the (sim, cell) array descending, slice
       slice(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1, nProbe)
