@@ -134,14 +134,15 @@ case class VecDotMulti(child: Expression, refVectors: Seq[Seq[Double]])
       val out = ctx.freshName("out")
       val m = ctx.freshName("m"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc"); val n = ctx.freshName("n")
+      val r = ctx.freshName("r") // freshName EVERY local: inlined copies share scope
       val getElem = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
       s"""
          |double[] $out = new double[${refs.length}];
          |for (int $m = 0; $m < ${refs.length}; $m++) {
-         |  double[] r = $refsRef[$m];
-         |  int $n = java.lang.Math.min(r.length, $v.numElements());
+         |  double[] $r = $refsRef[$m];
+         |  int $n = java.lang.Math.min($r.length, $v.numElements());
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) $acc += r[$i] * $getElem;
+         |  for (int $i = 0; $i < $n; $i++) $acc += $r[$i] * $getElem;
          |  $out[$m] = $acc;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -155,6 +156,92 @@ case class VecDotMulti(child: Expression, refVectors: Seq[Seq[Double]])
 object VecDotMulti {
   def apply(vec: Column, refVectors: Seq[Seq[Double]]): Column =
     Bridge.column(VecDotMulti(Bridge.expression(vec), refVectors))
+}
+
+/**
+ * `argmax_dot(vec)`: id of the reference vector with the LARGEST dot
+ * product against `vec`, ties broken toward the larger id — exactly the
+ * semantics of `array_max` over `(sim, id)` structs, in ONE expression.
+ *
+ * Splitting score computation (`VecDotMulti` as a column) from the
+ * argmax invites the optimizer to inline the multi-dot into every
+ * per-id use (CollapseProject has no cost model for custom
+ * expressions), multiplying both the arithmetic and the generated-code
+ * size; fusing score + argmax leaves nothing to inline.
+ */
+case class ArgMaxDot(child: Expression, refVectors: Seq[Seq[Double]], ids: Seq[Int])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(refVectors.length == ids.length, "one id per reference vector")
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "argmax_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"argmax_dot requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val refs: Array[Array[Double]] = refVectors.map(_.toArray).toArray
+  @transient private lazy val idArr: Array[Int] = ids.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val fl = isFloat
+    var best = Double.NegativeInfinity
+    var bestId = Int.MinValue
+    var m = 0
+    while (m < refs.length) {
+      val r = refs(m)
+      val n = math.min(r.length, v.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += r(i) * (if (fl) v.getFloat(i).toDouble else v.getDouble(i))
+        i += 1
+      }
+      if (acc > best || (acc == best && idArr(m) > bestId)) { best = acc; bestId = idArr(m) }
+      m += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val refsRef = ctx.addReferenceObj("refs", refs, "double[][]")
+      val idsRef = ctx.addReferenceObj("ids", idArr, "int[]")
+      val m = ctx.freshName("m"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val n = ctx.freshName("n")
+      val r = ctx.freshName("r"); val best = ctx.freshName("best")
+      val bestId = ctx.freshName("bestId")
+      val getElem = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |int $bestId = java.lang.Integer.MIN_VALUE;
+         |for (int $m = 0; $m < ${refs.length}; $m++) {
+         |  double[] $r = $refsRef[$m];
+         |  int $n = java.lang.Math.min($r.length, $v.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) $acc += $r[$i] * $getElem;
+         |  if ($acc > $best || ($acc == $best && $idsRef[$m] > $bestId)) {
+         |    $best = $acc; $bestId = $idsRef[$m];
+         |  }
+         |}
+         |${ev.value} = $bestId;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxDot =
+    copy(child = newChild)
+}
+
+object ArgMaxDot {
+  def apply(vec: Column, refVectors: Seq[Seq[Double]], ids: Seq[Int]): Column =
+    Bridge.column(ArgMaxDot(Bridge.expression(vec), refVectors, ids))
 }
 
 /**
@@ -222,6 +309,7 @@ case class SignLshBuckets(child: Expression, nTables: Int, nBits: Int, dims: Int
       val t = ctx.freshName("t"); val p = ctx.freshName("p")
       val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
       val bucket = ctx.freshName("bucket"); val n = ctx.freshName("n")
+      val pl = ctx.freshName("pl") // freshName EVERY local: inlined copies share scope
       val getElem = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($dims, $v.numElements());
@@ -229,9 +317,9 @@ case class SignLshBuckets(child: Expression, nTables: Int, nBits: Int, dims: Int
          |for (int $t = 0; $t < $nTables; $t++) {
          |  long $bucket = 0L;
          |  for (int $p = 0; $p < $nBits; $p++) {
-         |    double[] pl = $planesRef[$t][$p];
+         |    double[] $pl = $planesRef[$t][$p];
          |    double $acc = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) $acc += pl[$i] * $getElem;
+         |    for (int $i = 0; $i < $n; $i++) $acc += $pl[$i] * $getElem;
          |    if ($acc >= 0) $bucket |= (1L << $p);
          |  }
          |  $out[$t] = $bucket;

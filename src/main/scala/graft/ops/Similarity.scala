@@ -133,20 +133,17 @@ object Similarity {
         (i, r.getSeq[Float](1).map(_.toDouble).toArray)
       }
 
-    def assignExpr(cents: Array[(Int, Array[Double])]): Column = {
-      // nearest centroid by dot-product distance (vectors near-normalized);
-      // all sims in ONE VecDotMulti loop, then argmax via (sim, cell)
-      // struct max — same values/tie order as the composed per-cell form
-      val sims = graft.functions.VecDotMulti(col(vecCol),
-        cents.map(_._2.toSeq).toSeq)
-      val scored = cents.zipWithIndex.map { case ((cid, _), i) =>
-        struct(element_at(sims, i + 1).as("sim"), lit(cid).as("cell"))
-      }
-      array_max(array(scored.toIndexedSeq: _*)).getField("cell")
-    }
+    // nearest centroid by dot-product distance (vectors near-normalized):
+    // score + argmax FUSED in one expression — exposing the scores as a
+    // column invites the optimizer to inline the multi-dot into every
+    // per-cell use (same values/tie order as an array_max over
+    // (sim, cell) structs: ties go to the larger cell id)
+    def withCell(df: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
+      df.withColumn("cell", graft.functions.ArgMaxDot(col(vecCol),
+        cents.map(_._2.toSeq).toSeq, cents.map(_._1).toSeq))
 
     for (_ <- 0 until lloydIters) {
-      val assigned = corpus.select(col(vecCol), assignExpr(centroids).as("cell"))
+      val assigned = withCell(corpus.select(col(vecCol)), centroids)
       val agg = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "v")))
         .groupBy("cell", "d").agg(avg(col("v").cast("double")).as("m"))
@@ -162,7 +159,7 @@ object Similarity {
         }
       }
     }
-    val indexed = corpus.withColumn("cell", assignExpr(centroids))
+    val indexed = withCell(corpus, centroids)
     (indexed, centroids)
   }
 
