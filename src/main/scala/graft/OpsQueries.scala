@@ -284,7 +284,7 @@ object OpsQueries {
         .orderBy("media_id", "frame_no")
     }),
 
-    "q_mm_decode" -> ((s, dir) => { // no SQL oracle: partition-wise stub decode
+    "q_mm_decode" -> ((s, dir) => { // partition-wise decode (md5-derived stub)
       val media = Multimodal.fromDocuments(Tables(s, dir, "documents"))
       Multimodal.decodeMeta(media).toDF()
         .select(col("id"), col("kind"), col("nBytes"), col("width"),
@@ -490,6 +490,15 @@ object OpsQueries {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_start_s""".stripMargin,
+
+    "q_mm_decode" ->
+      """SELECT doc_id AS id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS nBytes,
+        |  CAST(16 + ('0x' || substr(md5(text), 1, 4))::INT % 1024 AS INT) AS width,
+        |  CAST(16 + ('0x' || substr(md5(text), 5, 4))::INT % 1024 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) * 20 AS BIGINT) AS durationMs
+        |FROM documents ORDER BY id""".stripMargin,
 
     "q_mm_meta" ->
       """SELECT doc_id AS media_id,

@@ -42,13 +42,18 @@ object Multimodal {
 
   /** STUB — deterministic fake standing in for a real codec (no
     * image/audio libs in this container). Metadata is a pure function of
-    * the payload bytes; replace with a JNI/ffmpeg-backed impl in prod. */
+    * the payload's md5 (engine-portable, so the decode pass is
+    * oracle-checkable end to end); replace with a JNI/ffmpeg-backed impl
+    * in prod. */
   object StubDecoder extends MediaDecoder {
     override def decode(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
       val n = payload.length.toLong
-      val h = java.util.Arrays.hashCode(payload)
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(payload)
+        .map("%02x".format(_)).mkString
+      val h1 = java.lang.Integer.parseInt(hex.substring(0, 4), 16)
+      val h2 = java.lang.Integer.parseInt(hex.substring(4, 8), 16)
       MediaMeta(id, kind, n,
-        width = 16 + math.abs(h % 1024), height = 16 + math.abs((h / 1024) % 1024),
+        width = 16 + h1 % 1024, height = 16 + h2 % 1024,
         durationMs = n * 20, sampleRate = 16000)
     }
     override def transform(payload: Array[Byte], arg: Int): Array[Byte] =
