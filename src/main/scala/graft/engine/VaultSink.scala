@@ -17,6 +17,10 @@ trait FileSigner extends Serializable {
 trait ContentStore extends Serializable {
   def put(vault: VaultName, file: Path, timestampSec: Long, signature: Array[Byte]): String // → cid
   def get(cid: String): Option[Path]
+  /** Drop an artifact from the hot store (compaction cleanup). Stores
+    * without delete semantics (e.g. the provider HTTP API) return false;
+    * readers then fall back to the cold tier like any cache miss. */
+  def delete(cid: String): Boolean = false
 }
 
 /** Local-directory provider: `put` = atomic move into the store keyed by a
@@ -34,6 +38,9 @@ final class LocalContentStore(rootDir: String) extends ContentStore {
 
   override def get(cid: String): Option[Path] =
     FsUtil.listDir(root).find(_.getFileName.toString.startsWith(cid + "-"))
+
+  override def delete(cid: String): Boolean =
+    get(cid).exists { p => FsUtil.deleteRecursive(p); true }
 }
 
 object LocalContentStore {
