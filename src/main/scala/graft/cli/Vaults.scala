@@ -60,6 +60,14 @@ final class Vaults(
       keyHex.map(Signer.fromHex), Some(catalog), windowSeconds, availableNow)
   }
 
+  /** Beyond-reference: `vaults compact ns.rel` — consolidate the vault's
+    * window artifacts into one (small-files maintenance); returns the
+    * new cid, or None when there's nothing to compact. */
+  def compact(vault: String, keyHex: Option[String] = None): Option[String] =
+    Compactor.compact(spark, VaultName.unsafe(vault), store, catalog,
+      stagingDir = s"$providerRoot/compact-staging",
+      signer = keyHex.map(Signer.fromHex))
+
   /** Q3: `vaults retrieve <cid> [--output file|-]` */
   def retrieve(cid: String, output: String = "-"): Boolean =
     new Retriever(store).retrieveTo(cid, output)

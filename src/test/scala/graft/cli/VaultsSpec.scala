@@ -62,6 +62,23 @@ class VaultsSpec extends SparkSpec {
     assert(catalog.cacheExpiryFor(other, 1700000000L).getTime == 0L)
   }
 
+  test("compact verb consolidates a vault's uploads") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("vaults-compact").toString
+    val v = new Vaults(spark, root, OutputFormat.Json)
+    v.create("ns.t", acct)
+    (1 to 2).foreach { w =>
+      val f = s"$root/in$w.parquet"
+      Seq((w, s"row$w")).toDF("id", "name").coalesce(1).write.parquet(f)
+      val part = graft.core.FsUtil.listDir(java.nio.file.Paths.get(f))
+        .find(_.toString.endsWith(".parquet")).get
+      v.write("ns.t", part.toString, timestamp = Some((1700000000L + w).toString))
+    }
+    val cid = v.compact("ns.t")
+    assert(cid.isDefined)
+    assert(v.events("ns.t").contains(cid.get))
+  }
+
   test("invalid vault name / account rejected (commands.go:32)") {
     val root = Files.createTempDirectory("vaults-cli2").toString
     val v = new Vaults(spark, root)
