@@ -69,10 +69,12 @@ object PgValueDecoder {
       // Fast path: positional access (wal2json emits columns in table
       // order) — codegen'd GetArrayItem/GetStructField. Fallback: name
       // lookup via `filter` (interpreted) only when the positional name
-      // doesn't match (column reorder / dropped columns).
-      val positional = col("columns")(idx)
-      val byName = element_at(
-        filter(col("columns"), x => x.getField("name") === tc.name), 1
+      // doesn't match (column reorder / dropped columns). Both accesses
+      // use null-tolerant `get` — a record with fewer columns than the
+      // schema (drift) must yield NULL, not an ANSI index error.
+      val positional = get(col("columns"), lit(idx))
+      val byName = get(
+        filter(col("columns"), x => x.getField("name") === tc.name), lit(0)
       ).getField("value")
       val raw = when(positional.getField("name") === tc.name,
         positional.getField("value")).otherwise(byName)

@@ -233,6 +233,26 @@ class WalDecoderSpec extends SparkSpec {
     assert(WalDecoder.actionPrefilter(lines, Set("I", "U", "D")).count() == 3)
   }
 
+  test("schema drift: reordered columns decode by name, missing columns null") {
+    def rec(cols: String) =
+      s"""{"commit_lsn": 1, "records": [{"action": "I", "xid": 1, "lsn": "0/1",
+         |"nextlsn": "", "timestamp": "t", "schema": "public", "table": "t",
+         |"columns": [$cols], "pk": []}]}""".stripMargin.replace("\n", " ")
+    val reordered = rec(
+      """{"name": "name", "type": "text", "value": "n1"},
+        |{"name": "id", "type": "integer", "value": 5}""".stripMargin.replace("\n", " "))
+    val missing = rec("""{"name": "id", "type": "integer", "value": 6}""")
+    val lines = spark.createDataset(Seq(reordered, missing))(
+      org.apache.spark.sql.Encoders.STRING).toDF("value")
+    val schema = TableSchema("t", Seq(
+      TableColumn("id", "integer", nullable = false, isPrimary = true),
+      TableColumn("name", "text", nullable = true, isPrimary = false)))
+    val out = WalDecoder.decodeTables(spark, lines, Seq(schema))("t")
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(out.toSeq == Seq((5, "n1"), (6, null))) // name-lookup fallback; absent → null
+  }
+
   test("malformed / foreign lines are skipped, valid records still decode") {
     val good = walLine("integer", "7")
     val lines = spark.createDataset(Seq(
