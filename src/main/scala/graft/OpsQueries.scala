@@ -78,7 +78,9 @@ object OpsQueries {
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.bpeishCount(col("text")).as("n_bpeish"),
-          element_at(TextAnalysis.bpeishTokens(col("text")), 1).as("first_tok"))
+          // null-tolerant get: an empty text has no tokens (DuckDB's
+          // [1] on an empty list is NULL; ANSI element_at would throw)
+          get(TextAnalysis.bpeishTokens(col("text")), lit(0)).as("first_tok"))
         .orderBy("doc_id")),
 
     // overlapping token-window chunking (training-data pre-split)
