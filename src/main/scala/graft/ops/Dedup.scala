@@ -264,6 +264,10 @@ object Dedup {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val sh = docs.repartition(par)
       .select(col(idCol), array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
+      // materialize once: the shingle table feeds BOTH join sides (id_a
+      // and id_b) and would otherwise compute twice — at scale this is
+      // the persisted signature/shingle side table
+      .localCheckpoint()
     candidates
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
