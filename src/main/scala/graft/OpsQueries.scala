@@ -121,6 +121,11 @@ object OpsQueries {
         Tables(s, dir, "documents").where(col("doc_id") < 50), k = 5)
         .orderBy("doc_id", "rk")),
 
+    // unigram log-prob (perplexity-proxy quality filter)
+    "q_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // reproducible content-hash sampling (no RNG state)
     "q_sample_hash" -> ((s, dir) =>
       TextAnalysis.hashSample(Tables(s, dir, "documents"), col("doc_id"))
@@ -345,6 +350,17 @@ object OpsQueries {
         |  FROM scored)
         |SELECT term, doc_id, tfidf, rk FROM ranked WHERE rk <= 5
         |ORDER BY doc_id, rk""".stripMargin,
+
+    "q_unigram_logprob" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |w AS (SELECT doc_id, term FROM words WHERE length(term) > 0),
+        |freq AS (SELECT term, count(*) AS tf FROM w GROUP BY term),
+        |total AS (SELECT sum(tf) AS total FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(tf::DOUBLE / total::DOUBLE)), 6) AS logprob
+        |FROM w JOIN freq USING (term) CROSS JOIN total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket

@@ -153,6 +153,27 @@ object TextAnalysis {
   }
 
   /**
+   * Unigram log-probability scoring — the cheap perplexity proxy used to
+   * filter pretraining data: score(doc) = mean over its tokens of
+   * ln(corpusFreq(token)/corpusTotal). Low scores flag documents full of
+   * rare/garbled tokens. Two aggregations + one join on the token
+   * dimension; the frequency table is corpus-derived (no external LM).
+   */
+  def unigramLogProb(docs: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+    val freq = words.groupBy("term").agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum("tf").as("total"))
+    words.join(freq, "term").crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("tf").cast("double") / col("total").cast("double"))), 6)
+          .as("logprob"))
+  }
+
+  /**
    * Deterministic content-hash sampling: keep a row iff a hex prefix of
    * `md5(key)` falls under the threshold — reproducible across engines,
    * runs, and partitionings (no RNG state), the standard trick for
