@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Keccak256Expr, PgArrayParse}
+import graft.functions.{Keccak256Expr, PgArrayParse, VecDot, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -17,10 +17,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  * into an existing session via [[GraftExtensions.register]].
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.keccakDesc)
-    ext.injectFunction(GraftExtensions.pgArrayDesc)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -43,10 +41,29 @@ object GraftExtensions {
       PgArrayParse(args.head)
     })
 
+  private val vecDotDesc: FunctionDescription = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "vec_dot expects 2 arguments")
+      VecDot(args(0), args(1))
+    })
+
+  private val winnowDesc: FunctionDescription = (
+    FunctionIdentifier("winnow_fingerprints"),
+    new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "winnow_fingerprints expects 1 argument (text)")
+      WinnowFingerprints(args.head, k = 8, w = 8)
+    })
+
+  private def all: Seq[FunctionDescription] =
+    Seq(keccakDesc, pgArrayDesc, vecDotDesc, winnowDesc)
+
   /** Register into an already-running session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    for ((id, info, builder) <- Seq(keccakDesc, pgArrayDesc))
+    for ((id, info, builder) <- all)
       registry.registerFunction(id, info, builder)
   }
 }

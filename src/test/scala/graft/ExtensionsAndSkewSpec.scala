@@ -19,6 +19,16 @@ class ExtensionsAndSkewSpec extends SparkSpec {
     assert(r.getSeq[String](1) == Seq("1", "2", null))
   }
 
+  test("vec_dot and winnow_fingerprints callable from SQL") {
+    GraftExtensions.register(spark)
+    Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f), "some document text here"))
+      .toDF("a", "b", "t").createOrReplaceTempView("ext_v")
+    val r = spark.sql(
+      "SELECT vec_dot(a, b) AS d, size(winnow_fingerprints(t)) AS nf FROM ext_v").collect()(0)
+    assert(r.getDouble(0) == 32.0) // 4 + 10 + 18
+    assert(r.getInt(1) > 0)
+  }
+
   test("salted equi-join equals plain join under extreme skew") {
     val large = (1 to 10000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "v") // 10% of rows share key 1
