@@ -300,6 +300,17 @@ object OpsQueries {
         .orderBy("media_id", "frame_no")
     }),
 
+    // binary-in/binary-out transform pass (stub "resize" = prefix slice);
+    // exercises the mapPartitions payload-transform plumbing in the gate
+    "q_mm_resize" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(Tables(s, dir, "documents"))
+      Multimodal.transformPayload(media, arg = 256)
+        .select(col("media_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          substring(col("payload").cast("string"), 1, 16).as("prefix"))
+        .orderBy("media_id")
+    }),
+
     "q_mm_decode" -> ((s, dir) => { // partition-wise decode (md5-derived stub)
       val media = Multimodal.fromDocuments(Tables(s, dir, "documents"))
       Multimodal.decodeMeta(media).toDF()
@@ -538,6 +549,12 @@ object OpsQueries {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_start_s""".stripMargin,
+
+    "q_mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(least(256, length(text)) AS BIGINT) AS n_bytes,
+        |  substr(text, 1, 16) AS prefix
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_mm_decode" ->
       """SELECT doc_id AS id,
