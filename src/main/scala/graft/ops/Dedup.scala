@@ -221,12 +221,19 @@ object Dedup {
    * the standard large-graph CC formulation without any driver-side
    * state beyond the convergence counter.
    */
-  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 10,
+               driverThreshold: Long = 1000000L): DataFrame = {
     // materialize the edge list once — its upstream (minhash + banding)
     // would otherwise re-execute on every propagation round
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
+    // adaptive: near-dup edge lists are tiny relative to the corpus —
+    // under the threshold, union-find on the driver replaces N
+    // propagation rounds (one job instead of 3×rounds); past it, the
+    // distributed min-label iteration below scales to any graph
+    val nEdges = edges.count()
+    if (nEdges <= driverThreshold) return clustersDriver(edges)
     var labels = edges.groupBy(col("id_a").as("doc_id"))
       .agg(least(min("id_b"), first("id_a")).as("canonical_id"))
     var converged = false
@@ -251,6 +258,33 @@ object Dedup {
       i += 1
     }
     labels
+  }
+
+  /** Driver-side union-find (path compression + union-by-min): same
+    * output as the distributed iteration — (doc_id, canonical_id =
+    * component minimum) for every doc in an edge. */
+  private def clustersDriver(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // union by MIN id so the root IS the canonical id
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b)): Unit
+    }
+    val nodes = es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+    nodes.toSeq.sorted.map(n => (n, find(n))).toDF("doc_id", "canonical_id")
   }
 
   /**

@@ -92,6 +92,14 @@ class OpsSpec extends SparkSpec {
     val chain = Seq((13L, 14L), (12L, 13L), (11L, 12L), (10L, 11L)).toDF("id_a", "id_b")
     val cc = Dedup.clusters(chain).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.values.toSet == Set(10L))
+    // the adaptive driver union-find and the distributed propagation
+    // (forced via driverThreshold = 0) agree exactly
+    for (p <- Seq(pairs, chain)) {
+      val drv = Dedup.clusters(p).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dist = Dedup.clusters(p, driverThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(drv == dist)
+    }
   }
 
   test("pigeonhole simhash near-pairs equal the all-pairs formulation") {
