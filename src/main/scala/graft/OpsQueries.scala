@@ -327,20 +327,26 @@ object OpsQueries {
       val fr = sqlLangScore(TextAnalysis.languageMarkers("fr"))
       val es = sqlLangScore(TextAnalysis.languageMarkers("es"))
       val stop = sqlLangScore(Seq("the", "a", "of", "and", "in"))
+      // quality = N/D over exact BIGINTs, one double division (see
+      // TextAnalysis.qualityScore — multi-term float exprs flip round()
+      // on boundary docs between engines)
       s"""WITH t AS (SELECT doc_id, text,
-         |  CAST($sqlNTok AS DOUBLE) AS n_tok,
-         |  $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es, $stop AS s_stop,
-         |  length(replace(text, ' ', ''))::DOUBLE AS n_alpha FROM documents)
-         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
-         |  round(least(greatest(
-         |    0.4 * least(n_tok / 64.0, 1.0) +
-         |    0.3 * least(s_stop / greatest(n_tok, 1.0) * 5.0, 1.0) +
-         |    0.3 * least((n_alpha / greatest(n_tok, 1.0)) / 8.0, 1.0), 0.0), 1.0), 6) AS quality,
+         |  CAST($sqlNTok AS BIGINT) AS n_tok,
+         |  $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es,
+         |  CAST($stop AS BIGINT) AS s_stop,
+         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha FROM documents),
+         |q AS (SELECT doc_id, text, n_tok, s_en, s_de, s_fr, s_es,
+         |  greatest(n_tok, 1) AS nt1,
+         |  least(n_tok, 64) AS ai,
+         |  least(s_stop * 5, greatest(n_tok, 1)) AS bi,
+         |  least(n_alpha, greatest(n_tok, 1) * 8) AS ci FROM t)
+         |SELECT doc_id, n_tok AS n_tokens,
+         |  (32 * ai * nt1 + 1536 * bi + 192 * ci)::DOUBLE / (5120 * nt1)::DOUBLE AS quality,
          |  CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
          |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
          |       WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS lang_pred,
          |  md5(trim(lower(text))) AS fingerprint
-         |FROM t ORDER BY doc_id""".stripMargin
+         |FROM q ORDER BY doc_id""".stripMargin
     },
 
     "q_token_bpeish" ->

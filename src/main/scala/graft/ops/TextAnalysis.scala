@@ -40,21 +40,31 @@ object TextAnalysis {
 
   /**
    * Heuristic quality score in [0,1]: combines mean token length,
-   * stopword ratio and alpha ratio. Deterministic double arithmetic.
+   * stopword ratio and alpha ratio.
+   *
+   * Cross-engine float discipline: the score is computed as a ratio of
+   * EXACT integers — N/D with
+   * N = 32·min(nTok,64)·nTok' + 1536·min(5·stopHits, nTok') +
+   *     192·min(nAlpha, 8·nTok'),  D = 5120·nTok'  (nTok' = max(nTok,1))
+   * — algebraically 0.4·lenScore + 0.3·stopScore + 0.3·alphaScore, then
+   * ONE double division. Identical IEEE result in any engine, so no
+   * rounding step (a multi-term float expression differed in the last
+   * ulp between Spark and DuckDB and flipped round(x, 6) on boundary
+   * docs at sf0.1).
    */
   def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val meanTokLen = (length(replace(text, lit(" "), lit(""))).cast("double") / greatest(nTok, lit(1.0)))
+    val nTok = tokenCount(text)
+    val nTok1 = greatest(nTok, lit(1L))
+    val nAlpha = length(replace(text, lit(" "), lit(""))).cast("long")
     val stopHits = Seq("the", "a", "of", "and", "in")
       .map(w => occurrences(concat(lit(" "), text, lit(" ")), s" $w "))
-      .reduce(_ + _)
-    val stopRatio = stopHits.cast("double") / greatest(nTok, lit(1.0))
-    val lenScore = least(nTok / lit(64.0), lit(1.0))
-    round(least(greatest(
-      lit(0.4) * lenScore +
-      lit(0.3) * least(stopRatio * lit(5.0), lit(1.0)) +
-      lit(0.3) * least(meanTokLen / lit(8.0), lit(1.0)),
-      lit(0.0)), lit(1.0)), 6)
+      .reduce(_ + _).cast("long")
+    val aI = least(nTok, lit(64L))
+    val bI = least(stopHits * 5L, nTok1)
+    val cI = least(nAlpha, nTok1 * 8L)
+    val num = lit(32L) * aI * nTok1 + lit(1536L) * bI + lit(192L) * cI
+    val den = lit(5120L) * nTok1
+    num.cast("double") / den.cast("double")
   }
 
   /**
