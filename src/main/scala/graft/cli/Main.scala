@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSession
  *   events <ns.rel> [latest N]
  *   write <ns.rel> <file.parquet> [keyHex]
  *   retrieve <cid> [output|-]
+ *   compact <ns.rel> [keyHex]
  *   account-create <keyfile> | account-address <keyfile>
  *   sign <keyfile> <file>
  */
@@ -47,6 +48,11 @@ object Main {
         case "retrieve" :: cid :: rest =>
           if (v.retrieve(cid, rest.headOption.getOrElse("-"))) 0
           else { System.err.println(s"not found: $cid"); 1 }
+        case "compact" :: vault :: rest =>
+          v.compact(vault, keyHex = rest.headOption) match {
+            case Some(cid) => println(cid); 0
+            case None => System.err.println("nothing to compact"); 1
+          }
         case "account-create" :: keyFile :: Nil =>
           println(v.accountCreate(keyFile)); 0
         case "account-address" :: keyFile :: Nil =>
@@ -68,6 +74,7 @@ object Main {
       |  events <ns.rel> [latest N]
       |  write <ns.rel> <file.parquet> [keyHex]
       |  retrieve <cid> [output|-]
+      |  compact <ns.rel> [keyHex]
       |  account-create <keyfile> | account-address <keyfile>
       |  sign <keyfile> <file>""".stripMargin
 }

@@ -17,6 +17,7 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array(root, "account-create", kf)) == 0)
     assert(Main.run(Array(root, "account-address", kf)) == 0)
     assert(Main.run(Array(root, "create", "bad name", "0x0")) == 1) // invalid
+    assert(Main.run(Array(root, "compact", "ns.empty")) == 1)       // nothing to compact
   }
 
   test("integration: CDC stream → signed store → events → retrieve → analyze") {
