@@ -81,6 +81,27 @@ class CdcMergeSpec extends SparkSpec {
     assert(readState() == Seq(1 -> "one-v2", 3 -> "three"))
   }
 
+  test("latest state equals a naive ordered fold on a randomized I/U/D history") {
+    val rnd = new scala.util.Random(42) // deterministic
+    val hist = (1 to 300).map { lsn =>
+      val id = rnd.nextInt(20)
+      val action = Seq("I", "U", "D")(rnd.nextInt(3))
+      (lsn.toLong, action, id, s"v$lsn")
+    }
+    // reference semantics: apply in commit order; I/U upsert, D removes
+    val expected = hist.foldLeft(Map.empty[Int, String]) {
+      case (m, (_, "D", id, _)) => m - id
+      case (m, (_, _, id, v)) => m + (id -> v)
+    }
+    // feed the SAME history in scrambled line order across partitions
+    val scrambled = rnd.shuffle(hist).map { case (lsn, a, id, v) => tx(lsn, a, id, v) }
+    val feed = lines(scrambled: _*).repartition(7)
+    val state = CdcMerge.latestState(feed, schemaT).collect()
+      .map(r => r.getAs[Int]("id") -> r.getAs[String]("name")).toMap
+    assert(state == expected)
+    assert(expected.nonEmpty) // non-trivial case
+  }
+
   test("no primary key is rejected") {
     val noPk = TableSchema("t", Seq(
       TableColumn("id", "integer", nullable = false, isPrimary = false)))
