@@ -35,7 +35,9 @@ object StreamPipeline {
       catalog: Option[graft.catalog.VaultCatalog] = None,
       windowSeconds: Long = 3600L,
       availableNow: Boolean = false,
-      maxTxPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxTxPerTrigger: Option[Int] = None,
+      replayActions: Set[String] = Set("I"),
+      singleFile: Boolean = true): StreamingQuery = {
 
     schemas.foreach(_.validate())
     // custom CDC source (graft.cdc.source.WalSource): LSN offsets +
@@ -44,7 +46,10 @@ object StreamPipeline {
     maxTxPerTrigger.foreach(n => reader = reader.option("maxTxPerTrigger", n.toString))
     val lines = reader.load()
 
-    val sink = new VaultSink(namespace, schemas, stagingDir, store, signer, catalog)
+    // singleFile=false is the 100 TB shape: a directory artifact per
+    // window, no coalesce(1) serialization point
+    val sink = new VaultSink(namespace, schemas, stagingDir, store, signer,
+      catalog, replayActions, singleFile)
     val trigger =
       if (availableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime(windowSeconds * 1000L)
