@@ -97,8 +97,17 @@ final class VaultSink(
     val ts = clock()
     val spark = batch.sparkSession
     val tables = WalDecoder.decodeTables(spark, batch, schemas, replayActions)
+    val pkOf = schemas.map(s => s.table -> s.columns.filter(_.isPrimary).map(_.name)).toMap
     tables.toSeq.sortBy(_._1).flatMap { case (table, df) =>
-      val out = if (singleFile) df.coalesce(1) else df
+      // sort by PK within each output file: parquet row-group min/max
+      // stats become selective, so PK-ranged reads of the artifact
+      // prune row groups instead of scanning the window (sort applied
+      // AFTER the single-file coalesce so that file is globally sorted)
+      def pkSorted(d: DataFrame): DataFrame = pkOf.getOrElse(table, Nil) match {
+        case Nil => d
+        case pk => d.sortWithinPartitions(pk.map(org.apache.spark.sql.functions.col): _*)
+      }
+      val out = if (singleFile) pkSorted(df.coalesce(1)) else pkSorted(df)
       val stagePath = Paths.get(stagingDir, s"$table-$windowId")
       out.write.mode("overwrite").parquet(stagePath.toString)
       // P6: skip empty windows — cheap check on the written files

@@ -154,6 +154,20 @@ class StreamPipelineSpec extends SparkSpec {
     assert(catalog.listEvents(VaultName("ns", "t"), before = Some(epoch - 1)).count() == 0)
   }
 
+  test("window artifacts are PK-sorted (row-group pruning layout)") {
+    val (wal, staging, ckpt, storeDir) = freshDirs()
+    Files.createDirectories(Paths.get(wal))
+    val store = new LocalContentStore(storeDir)
+    // rows arrive in DESCENDING id order; the artifact must be ascending
+    Files.writeString(Paths.get(wal, "tx1.json"),
+      walTx(100, (1 to 40).reverse.map(i => i -> s"n$i"): _*))
+    runAvailable(wal, staging, ckpt, store)
+    val f = storeFiles(storeDir).head
+    val ids = spark.read.parquet(f.toString)
+      .collect().map(_.getAs[Int]("id")).toSeq
+    assert(ids == ids.sorted, s"artifact not PK-sorted: $ids")
+  }
+
   test("content store put/get round trip (Q3 cache path)") {
     val (_, _, _, storeDir) = freshDirs()
     val store = new LocalContentStore(storeDir)
