@@ -48,7 +48,7 @@ class StreamPipelineSpec extends SparkSpec {
   }
 
   private def storeFiles(storeDir: String): Seq[java.nio.file.Path] =
-    Files.list(Paths.get(storeDir)).iterator().asScala.toSeq.sortBy(_.toString)
+    graft.core.FsUtil.listDir(Paths.get(storeDir)).sortBy(_.toString)
 
   private def readRows(p: java.nio.file.Path): Set[(Int, String)] =
     spark.read.parquet(p.toString).collect()
@@ -152,6 +152,30 @@ class StreamPipelineSpec extends SparkSpec {
     // before/after filters operate on the real timestamp (Q2 semantics)
     assert(catalog.listEvents(VaultName("ns", "t"), after = Some(epoch - 1)).count() == 1)
     assert(catalog.listEvents(VaultName("ns", "t"), before = Some(epoch - 1)).count() == 0)
+  }
+
+  test("processing-time trigger rotates windows continuously (P5 wall-clock path)") {
+    val (wal, staging, ckpt, storeDir) = freshDirs()
+    Files.createDirectories(Paths.get(wal))
+    val store = new LocalContentStore(storeDir)
+    Files.writeString(Paths.get(wal, "tx1.json"), walTx(100, 1 -> "a"))
+    // 1-second windows (reference default is 3600 s; same ticker path)
+    val q = StreamPipeline.start(spark, "ns", Seq(schemaT), wal, staging,
+      ckpt, store, windowSeconds = 1L, availableNow = false)
+    try {
+      def awaitArtifacts(n: Int): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (storeFiles(storeDir).size < n && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        assert(storeFiles(storeDir).size >= n, s"expected $n artifacts")
+      }
+      awaitArtifacts(1)
+      // a later transaction lands in a LATER window without restarting
+      Files.writeString(Paths.get(wal, "tx2.json"), walTx(200, 2 -> "b"))
+      awaitArtifacts(2)
+      val all = storeFiles(storeDir).map(readRows).reduce(_ ++ _)
+      assert(all == Set(1 -> "a", 2 -> "b"))
+    } finally q.stop()
   }
 
   test("window artifacts are PK-sorted (row-group pruning layout)") {
