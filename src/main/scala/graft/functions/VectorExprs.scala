@@ -334,7 +334,11 @@ case class SignLshBuckets(child: Expression, nTables: Int, nBits: Int, dims: Int
 
 object SignLshBuckets {
   /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim) in [-1, 1) — no RNG state, stable across runs and engines. */
+    * dim) in [-1, 1) — no RNG state, stable across runs and engines.
+    * productHash is kept (deprecated in 2.13.17) because switching to
+    * caseClassHash would silently change every plane, bucket id, and
+    * ANN result between builds. */
+  @scala.annotation.nowarn("cat=deprecation")
   def planeComponent(table: Int, plane: Int, dim: Int): Double = {
     val h = scala.util.hashing.MurmurHash3.productHash((table, plane, dim))
     h.toDouble / Int.MaxValue.toDouble
