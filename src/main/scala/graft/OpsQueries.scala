@@ -212,6 +212,15 @@ object OpsQueries {
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")),
 
+    // quality-aware dedup policy: clusters keep their LONGEST doc
+    // (ties → lowest id) instead of the lowest id
+    "q_dedup_keepbest" -> ((s, dir) =>
+      Dedup.deduplicateKeepBest(Tables(s, dir, "documents"),
+          score = col("n_chars"), jaccardThreshold = 0.8,
+          k = MINHASH_K, bands = LSH_BANDS)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
+
     "q_dedup_clusters" -> ((s, dir) => {
       // oracle = recursive-CTE transitive closure over the same LSH edges
       val docs = Tables(s, dir, "documents")
@@ -462,6 +471,33 @@ object OpsQueries {
          |  SELECT r.doc_id, e.id_b FROM reach r JOIN edges e ON e.id_a = r.rid),
          |labels AS (SELECT doc_id, min(rid) AS canonical_id FROM reach GROUP BY doc_id),
          |losers AS (SELECT doc_id FROM labels WHERE doc_id != canonical_id)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keepbest" ->
+      s"""${sqlSig.replace("WITH s AS", "WITH RECURSIVE s AS")}, bands AS ($sqlBands),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+         |  WHERE a.doc_id < b.doc_id),
+         |ds AS (SELECT doc_id, list_distinct($sqlShingles) AS dsh FROM documents),
+         |ver AS (SELECT id_a, id_b FROM cand
+         |  JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
+         |  WHERE round(len(list_intersect(x.dsh, y.dsh))::DOUBLE /
+         |        (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh)))::DOUBLE, 6) >= 0.8),
+         |edges AS (SELECT id_a, id_b FROM ver UNION SELECT id_b, id_a FROM ver),
+         |reach(doc_id, rid) AS (
+         |  SELECT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT r.doc_id, e.id_b FROM reach r JOIN edges e ON e.id_a = r.rid),
+         |labels AS (SELECT doc_id, min(rid) AS canonical_id FROM reach GROUP BY doc_id),
+         |scored AS (SELECT l.doc_id, l.canonical_id, d.n_chars
+         |  FROM labels l JOIN documents d USING (doc_id)),
+         |winners AS (SELECT canonical_id,
+         |  max_by(doc_id, n_chars * 10000000 - doc_id) AS keep_id
+         |  FROM scored GROUP BY canonical_id),
+         |losers AS (SELECT s.doc_id FROM scored s JOIN winners w USING (canonical_id)
+         |  WHERE s.doc_id != w.keep_id)
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
          |ORDER BY doc_id""".stripMargin,

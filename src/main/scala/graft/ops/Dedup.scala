@@ -210,6 +210,31 @@ object Dedup {
   }
 
   /**
+   * Quality-aware dedup policy: like [[deduplicate]], but each near-dup
+   * cluster keeps its BEST-scoring document (ties → lowest id) instead
+   * of the lowest id — the policy real pretraining pipelines use (keep
+   * the highest-quality copy). One extra broadcast-able join of cluster
+   * labels against the (small) per-doc score projection.
+   */
+  def deduplicateKeepBest(docs: DataFrame, score: Column,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          jaccardThreshold: Double = 0.8,
+                          k: Int = 8, bands: Int = 4): DataFrame = {
+    val cands = lshCandidates(docs, idCol, textCol, k, bands)
+    val verified = jaccardVerify(cands, docs, idCol, textCol)
+      .where(col("jaccard") >= jaccardThreshold)
+    val labels = clusters(verified.select("id_a", "id_b"))
+    val scored = labels.join(
+      docs.select(col(idCol).as("doc_id"), score.as("__score")), "doc_id")
+    // winner per cluster: highest score, ties to the LOWEST id
+    val winners = scored.groupBy("canonical_id")
+      .agg(max_by(col("doc_id"), struct(col("__score"), -col("doc_id"))).as("keep_id"))
+    val losers = scored.join(winners, "canonical_id")
+      .where(col("doc_id") =!= col("keep_id")).select("doc_id")
+    docs.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /**
    * Near-dup cluster resolution: connected components over the candidate
    * pair graph via iterative min-label propagation (each doc adopts the
    * smallest doc id reachable; iterate to fixpoint). Returns

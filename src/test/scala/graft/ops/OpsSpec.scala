@@ -74,6 +74,17 @@ class OpsSpec extends SparkSpec {
     assert(nearDist < farDist)
   }
 
+  test("deduplicateKeepBest keeps the highest-scoring cluster member") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 10L),
+      (2L, "the quick brown fox jumps over the lazy dog", 99L),  // same text, best score
+      (3L, "totally unrelated content about query engines", 5L)
+    ).toDF("doc_id", "text", "score")
+    val kept = Dedup.deduplicateKeepBest(d, col("score"), jaccardThreshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L)) // min-id policy would keep 1; best-score keeps 2
+  }
+
   test("deduplicate: keeps canonical docs, drops exact and near dups") {
     val surviving = Dedup.deduplicate(docs, jaccardThreshold = 0.5)
       .collect().map(_.getLong(0)).toSet
