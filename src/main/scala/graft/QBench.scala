@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Single-query bench harness for local iteration: times only the queries
+ * named on the command line (default: all), printing per-run seconds so
+ * warmup vs steady-state is visible. `Bench` stays the driver contract;
+ * this is the developer loop.
+ *
+ *   sbt "runMain graft.QBench q_ecmh_digest q_cdc_upsert"
+ */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val wanted =
+      if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
+      else args.toSeq
+    wanted.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(",")}"))
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s ${times.map(t => f"$t%7.3f").mkString(" ")}  min=${times.min}%7.3f")
+    }
+    spark.stop()
+  }
+}

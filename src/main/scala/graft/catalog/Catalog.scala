@@ -23,18 +23,27 @@ final case class VaultCatalog(spark: SparkSession, root: String) {
   private def vaultsPath = s"$root/vaults"
   private def eventsPath = s"$root/events"
 
-  /** M1: vault create — append a catalog row. */
-  def createVault(vault: VaultName, account: Account, cacheDurationMins: Int): Unit =
-    Seq((vault.toString, account.address, cacheDurationMins))
-      .toDF("vault", "account", "cache_duration")
+  /** M1: vault create — append a catalog row stamped with a monotonic
+    * `created_seq` so "latest row wins" is well-defined (parquet file
+    * enumeration order is arbitrary). Catalog mutations are single-writer
+    * (CLI control plane), so read-max-then-append is race-free here. */
+  def createVault(vault: VaultName, account: Account, cacheDurationMins: Int): Unit = {
+    val cur = vaults
+    val nextSeq =
+      if (cur.columns.contains("created_seq"))
+        cur.agg(coalesce(max("created_seq"), lit(0L))).collect()(0).getLong(0) + 1L
+      else 1L
+    Seq((vault.toString, account.address, cacheDurationMins, nextSeq))
+      .toDF("vault", "account", "cache_duration", "created_seq")
       .write.mode("append").parquet(vaultsPath)
+  }
 
   def vaults: DataFrame =
     try spark.read.parquet(vaultsPath)
     catch { case _: Exception =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
-          "vault STRING, account STRING, cache_duration INT"))
+          "vault STRING, account STRING, cache_duration INT, created_seq BIGINT"))
     }
 
   /** Q1: list vaults for an account. */
@@ -44,11 +53,16 @@ final case class VaultCatalog(spark: SparkSession, root: String) {
       .orderBy(col("vault"))
 
   /** Cache duration (minutes) configured at vault create, if any —
-    * latest row wins if the vault was re-created. */
+    * the row with the highest `created_seq` wins if the vault was
+    * re-created (deterministic, unlike file enumeration order). */
   def cacheDurationOf(vault: VaultName): Option[Int] = {
-    val rows = vaults.where(col("vault") === vault.toString)
-      .select("cache_duration").collect()
-    rows.lastOption.map(_.getInt(0))
+    val matching = vaults.where(col("vault") === vault.toString)
+    val ordered =
+      if (matching.columns.contains("created_seq"))
+        matching.orderBy(col("created_seq").desc)
+      else matching
+    ordered.select("cache_duration").limit(1).collect()
+      .headOption.map(_.getInt(0))
   }
 
   /** Hot-cache expiry for an upload at `timestampSec` to this vault:

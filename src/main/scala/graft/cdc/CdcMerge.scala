@@ -29,14 +29,36 @@ object CdcMerge {
   }
 
   /** Typed change rows with their ordering keys retained:
-    * (action, commit_lsn, record_idx, <table columns…>). */
+    * (action, commit_lsn, record_idx, <table columns…>).
+    *
+    * wal2json format-2 puts the OLD key values of U/D records in
+    * `identity`, not `columns` — a DELETE has no `columns` at all. The
+    * pivot therefore reads a D record's values from `identity`, and PK
+    * columns additionally coalesce from `identity` whenever `columns`
+    * yields NULL (e.g. a feed with REPLICA IDENTITY where the new tuple
+    * omits unchanged key columns). Precondition that remains: an UPDATE
+    * that *changes* the PK value merges as its new key (the old key's row
+    * survives) — handling PK-rewrites needs a delete+insert split
+    * upstream.
+    */
   private def typedWithOrder(lines: DataFrame, schema: TableSchema): DataFrame = {
     val records = WalDecoder.decodeRecords(
-        lines, recordFields = Some(Seq("action", "table", "columns")))
+        lines, recordFields = Some(Seq("action", "table", "columns", "identity")))
       .where(col("table") === schema.table &&
         col("action").isin("I", "U", "D"))
-    PgValueDecoder.pivotToTable(records, schema,
-      keepCols = Seq("action", "commit_lsn", "record_idx"))
+      .withColumn("columns",
+        when(col("action") === "D" &&
+             (col("columns").isNull || size(col("columns")) === 0), col("identity"))
+          .otherwise(col("columns")))
+    val pivoted = PgValueDecoder.pivotToTable(records, schema,
+      keepCols = Seq("action", "commit_lsn", "record_idx", "identity"))
+    val withPk = schema.columns.filter(_.isPrimary).foldLeft(pivoted) { (df, tc) =>
+      val fromIdentity = PgValueDecoder.decode(
+        get(filter(col("identity"), x => x.getField("name") === tc.name), lit(0))
+          .getField("value"), tc.pgType)
+      df.withColumn(tc.name, coalesce(col(tc.name), fromIdentity))
+    }
+    withPk.drop("identity")
   }
 
   /** max_by merge of ordered change rows → live rows (order keys kept so
@@ -67,10 +89,17 @@ object CdcMerge {
    *
    * Each batch unions the prior state (live rows carrying their order
    * keys) with the batch's typed changes and re-merges — new keys insert,
-   * higher-LSN images replace, DELETE images drop the key. The write is
-   * staged to a sibling dir then atomically swapped, so readers never see
-   * a half-written state. Requires the source's guarantee that batches
-   * arrive in commit-LSN order (no cross-batch late data) — exactly what
+   * higher-LSN images replace, DELETE images drop the key. State is
+   * VERSIONED: each batch writes a fresh `state-v<batchId>` directory under
+   * `stateDir`, then flips the `CURRENT` pointer file via an ATOMIC_MOVE
+   * rename — the single commit point. A crash at any step leaves either
+   * the old pointer (batch replays, version dir is overwritten
+   * idempotently) or the new pointer (batch complete); the live state dir
+   * is never deleted-then-replaced, so no crash window can lose prior
+   * state and external readers (via [[readState]]) always resolve a fully
+   * written version. Superseded versions are GC'd only after the flip.
+   * Requires the source's guarantee that batches arrive in commit-LSN
+   * order (no cross-batch late data) — exactly what
    * [[graft.cdc.source.WalSource]] provides.
    *
    * Scale shape: one shuffle per batch keyed on the PK; state volume is
@@ -89,22 +118,46 @@ object CdcMerge {
       .option("checkpointLocation", checkpointDir)
       .trigger(if (availableNow) Trigger.AvailableNow()
                else Trigger.ProcessingTime(triggerSeconds * 1000L))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import java.nio.file.{Files, Paths, StandardCopyOption}
         val s = batch.sparkSession
         val changes = typedWithOrder(batch, schema)
-        val statePath = java.nio.file.Paths.get(stateDir)
-        val prior =
-          if (java.nio.file.Files.exists(statePath)) s.read.parquet(stateDir)
-          else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            changes.schema)
+        val stateRoot = Paths.get(stateDir)
+        Files.createDirectories(stateRoot)
+        val prior = readState(s, stateDir).getOrElse(
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            changes.schema))
         val merged = mergeLatest(prior.unionByName(changes), schema)
-        val tmp = stateDir + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        // atomic swap: single writer (foreachBatch is serialized)
-        graft.core.FsUtil.deleteRecursive(statePath)
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), statePath)
+        val version = f"state-v$batchId%012d"
+        merged.write.mode("overwrite").parquet(stateRoot.resolve(version).toString)
+        // commit point: pointer flip via atomic rename (same filesystem)
+        val tmp = stateRoot.resolve("CURRENT.tmp")
+        Files.writeString(tmp, version)
+        Files.move(tmp, stateRoot.resolve("CURRENT"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        // GC superseded/orphaned versions strictly after the flip
+        graft.core.FsUtil.listDir(stateRoot)
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("state-v") && n != version
+          }
+          .foreach(graft.core.FsUtil.deleteRecursive)
         ()
       }
     writer.start()
+  }
+
+  /** Resolve the live state written by [[streamingLatestState]]: follow
+    * the `CURRENT` pointer to its version directory. None before the
+    * first committed batch. */
+  def readState(spark: org.apache.spark.sql.SparkSession,
+                stateDir: String): Option[DataFrame] = {
+    val cur = java.nio.file.Paths.get(stateDir, "CURRENT")
+    if (!java.nio.file.Files.exists(cur)) None
+    else {
+      val version = java.nio.file.Files.readString(cur).trim
+      val p = java.nio.file.Paths.get(stateDir, version)
+      if (java.nio.file.Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
   }
 }

@@ -13,11 +13,14 @@ object Lsn {
   def format(lsn: Long): String =
     f"${lsn >>> 32}%X/${lsn & 0xFFFFFFFFL}%X"
 
+  /** Parse if well-formed; None on null/malformed. */
+  def tryParseOpt(s: String): Option[Long] =
+    if (s == null) None
+    else try Some(parse(s)) catch { case _: Exception => None }
+
   /** Total-order sort key that tolerates missing/malformed LSNs (sorts
     * them first, preserving their relative input order via stable sort). */
-  def tryParse(s: String): Long =
-    if (s == null) Long.MinValue
-    else try parse(s) catch { case _: Exception => Long.MinValue }
+  def tryParse(s: String): Long = tryParseOpt(s).getOrElse(Long.MinValue)
 }
 
 /**
@@ -54,9 +57,12 @@ object TxAssembler {
     implicit val bufEnc = Encoders.product[Buf]
     implicit val longEnc = Encoders.scalaLong
 
+    val identityCol =
+      if (records.columns.contains("identity")) col("identity")
+      else lit(null).cast(org.apache.spark.sql.types.ArrayType(WalModel.columnSchema)).as("identity")
     val typed = records.select(
       col("action"), col("xid"), col("lsn"), col("nextlsn"), col("timestamp"),
-      col("schema"), col("table"), col("columns"), col("pk")).as[WalModel.Record]
+      col("schema"), col("table"), col("columns"), identityCol, col("pk")).as[WalModel.Record]
 
     val timeoutConf =
       if (staleTxTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
@@ -69,9 +75,21 @@ object TxAssembler {
           else {
             var buf: List[WalModel.Record] = state.getOption.map(_.records.toList).getOrElse(Nil)
             val out = Seq.newBuilder[AssembledTx]
-            // restore WAL order: the group iterator is shuffle-ordered, not
-            // wire-ordered; lsn is monotonic within a tx (B lowest, C highest)
-            val ordered = it.toVector.sortBy(r => Lsn.tryParse(r.lsn))
+            // Restore WAL order: the group iterator is shuffle-ordered, not
+            // wire-ordered; lsn is monotonic within a tx (B lowest, C highest).
+            // Sort ONLY when every record's lsn parses — a feed where B/C
+            // carry lsn but data records don't would otherwise sort the data
+            // records first (MinValue key) and B's buffer reset would drop
+            // them. Unsortable groups keep arrival order (the pre-shuffle
+            // contract a single-partition feed provides). Equal-lsn ties
+            // rank B before data before C so a marker never resets past its
+            // own transaction's rows.
+            val recs = it.toVector
+            def rank(a: String): Int = a match { case "B" => 0; case "C" => 2; case _ => 1 }
+            val ordered =
+              if (recs.forall(r => Lsn.tryParseOpt(r.lsn).isDefined))
+                recs.sortBy(r => (Lsn.parse(r.lsn), rank(r.action)))
+              else recs
             ordered.foreach { r =>
               r.action match {
                 case "B" => buf = Nil // begin: reset (idempotent on dup B)

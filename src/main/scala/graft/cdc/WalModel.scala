@@ -13,6 +13,13 @@ import org.apache.spark.sql.types._
  * `Column.value` is kept as the raw JSON token text (the reference keeps it
  * as `json.RawMessage`); typed decoding happens later per the table schema
  * (see [[PgValueDecoder]]).
+ *
+ * `identity` is wal2json format-2's old-key field: U and D records carry
+ * the replica-identity (old) key values there, NOT in `columns` — a
+ * DELETE's `columns` is absent entirely. The reference never reads it
+ * (`pkg/pgrepl/tx.go:15-26` has no identity field — its replay is
+ * append-only so D rows are degenerate), but [[CdcMerge]] needs the old
+ * key to remove the live row, so we model it.
  */
 object WalModel {
   final case class PgColumn(name: String, `type`: String, value: String)
@@ -26,6 +33,7 @@ object WalModel {
       schema: String,
       table: String,
       columns: Seq[PgColumn],
+      identity: Seq[PgColumn],
       pk: Seq[PrimaryKey])
   final case class Tx(commit_lsn: Long, records: Seq[Record])
 
@@ -49,6 +57,7 @@ object WalModel {
     StructField("schema", StringType),
     StructField("table", StringType),
     StructField("columns", ArrayType(columnSchema)),
+    StructField("identity", ArrayType(columnSchema)),
     StructField("pk", ArrayType(pkSchema))
   ))
 

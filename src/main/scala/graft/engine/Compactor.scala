@@ -39,7 +39,11 @@ object Compactor {
               minInputs: Int = 2,
               targetRowsPerFile: Long = 4L * 1024 * 1024,
               clock: () => Long = () => java.time.Instant.now().getEpochSecond): Option[String] = {
-    val cids = catalog.listEvents(vault).select("cid").collect().map(_.getString(0)).toSeq
+    // cids are content-addressed: the same content re-uploaded (or a
+    // replayed append) repeats a cid in the event log — dedupe so the
+    // compacted artifact doesn't double those rows.
+    val cids = catalog.listEvents(vault).select("cid").collect()
+      .map(_.getString(0)).toSeq.distinct
     val paths = cids.flatMap(c => store.get(c).map(c -> _))
     if (paths.length < minInputs) return None
 

@@ -64,7 +64,7 @@ class CdcMergeSpec extends SparkSpec {
       q.awaitTermination(120000); ()
     }
     def readState(): Seq[(Int, String)] =
-      spark.read.parquet(state).orderBy("id").collect()
+      CdcMerge.readState(spark, state).get.orderBy("id").collect()
         .map(r => (r.getAs[Int]("id"), r.getAs[String]("name"))).toSeq
 
     // round 1: two inserts
@@ -79,6 +79,51 @@ class CdcMergeSpec extends SparkSpec {
           tx(5, "I", 3, "three")).mkString("\n"))
     run()
     assert(readState() == Seq(1 -> "one-v2", 3 -> "three"))
+
+    // crash recovery: an orphaned version dir + stale tmp pointer (crash
+    // mid-batch, before the pointer flip) must not confuse the next batch
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(state, "state-v000000999999"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(state, "CURRENT.tmp"), "state-v000000999999")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(wal, "c.json"),
+      Seq(tx(6, "I", 4, "four")).mkString("\n"))
+    run()
+    assert(readState() == Seq(1 -> "one-v2", 3 -> "three", 4 -> "four"))
+    // GC removed the orphan; only the live version remains
+    val versions = graft.core.FsUtil.listDir(java.nio.file.Paths.get(state))
+      .map(_.getFileName.toString).filter(_.startsWith("state-v"))
+    assert(versions.length == 1)
+  }
+
+  test("wal2json-shaped DELETE: old key in identity, no columns") {
+    // real wal2json format-2 D records carry the replica-identity key in
+    // `identity` and have NO `columns` — the merge must still drop the row
+    def dtx(lsn: Long, id: Int): String =
+      s"""{"commit_lsn": $lsn, "records": [{"action": "D", "xid": 1,
+         |"lsn": "0/$lsn", "nextlsn": "", "timestamp": "t", "schema": "public",
+         |"table": "t",
+         |"identity": [{"name": "id", "type": "integer", "value": $id}],
+         |"pk": [{"name": "id", "type": "integer"}]}]}"""
+        .stripMargin.replace("\n", " ")
+    val feed = lines(tx(1, "I", 1, "one"), tx(2, "I", 2, "two"), dtx(3, 1))
+    val state = CdcMerge.latestState(feed, schemaT).collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("name")))
+    assert(state.toSeq == Seq(2 -> "two"))
+  }
+
+  test("delete-then-reinsert with identity-only deletes") {
+    def dtx(lsn: Long, id: Int): String =
+      s"""{"commit_lsn": $lsn, "records": [{"action": "D", "xid": 1,
+         |"lsn": "0/$lsn", "nextlsn": "", "timestamp": "t", "schema": "public",
+         |"table": "t",
+         |"identity": [{"name": "id", "type": "integer", "value": $id}],
+         |"pk": [{"name": "id", "type": "integer"}]}]}"""
+        .stripMargin.replace("\n", " ")
+    val feed = lines(tx(1, "I", 7, "a"), dtx(2, 7), tx(3, "I", 7, "b"))
+    val state = CdcMerge.latestState(feed, schemaT).collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("name")))
+    assert(state.toSeq == Seq(7 -> "b"))
   }
 
   test("latest state equals a naive ordered fold on a randomized I/U/D history") {

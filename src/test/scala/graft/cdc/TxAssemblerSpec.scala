@@ -81,6 +81,35 @@ class TxAssemblerSpec extends SparkSpec {
     assert(out(0) == ((0x4FL, Seq("0/41", "0/42", "0/43")))) // WAL order restored
   }
 
+  test("data records without parseable lsn are preserved in arrival order") {
+    // a feed where B/C carry lsn but I records don't: sorting by parsed
+    // lsn would send the unparseable records (MinValue key) BEFORE B,
+    // whose buffer reset silently dropped them — such groups must keep
+    // arrival order instead
+    val base = Files.createTempDirectory("txasm4").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    Files.writeString(Paths.get(in, "a.json"), Seq(
+      rec("B", 50, "0/50"),
+      rec("I", 50, "", id = 1),
+      rec("I", 50, "", id = 2),
+      rec("C", 50, "0/5F")
+    ).mkString("\n"))
+
+    val lines = spark.readStream.text(in) // single partition: arrival order kept
+    val txs = TxAssembler.assembleLines(lines)
+    val q = txs.writeStream.outputMode("append").format("memory")
+      .queryName("txasm_nolsn").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("txasm_nolsn").collect()
+      .map(r => (r.getAs[Long]("commit_lsn"),
+        r.getAs[Seq[org.apache.spark.sql.Row]]("records")
+          .map(_.getAs[Seq[org.apache.spark.sql.Row]]("columns").head.getAs[String]("value"))))
+    assert(out.length == 1)
+    assert(out(0) == ((0x5FL, Seq("1", "2")))) // both records survived, in order
+  }
+
   test("tx left open (no C) stays in state, emits when C arrives later") {
     val base = Files.createTempDirectory("txasm2").toString
     val in = s"$base/in"; Files.createDirectories(Paths.get(in))

@@ -60,6 +60,13 @@ class VaultsSpec extends SparkSpec {
     // vault with no configured duration → epoch 0 (never cached)
     val other = graft.core.VaultName("ns", "nocache")
     assert(catalog.cacheExpiryFor(other, 1700000000L).getTime == 0L)
+
+    // re-created vault: the LATEST create wins deterministically
+    // (created_seq ordering, not parquet file enumeration order)
+    catalog.createVault(vn, graft.core.Account(acct), cacheDurationMins = 45)
+    assert(catalog.cacheDurationOf(vn).contains(45))
+    catalog.createVault(vn, graft.core.Account(acct), cacheDurationMins = 15)
+    assert(catalog.cacheDurationOf(vn).contains(15))
   }
 
   test("compact verb consolidates a vault's uploads") {

@@ -49,4 +49,30 @@ class CompactorSpec extends SparkSpec {
     // nothing left to compact (single artifact < minInputs)
     assert(Compactor.compact(spark, vault, store, catalog, s"$base/staging2").isEmpty)
   }
+
+  test("a cid repeated in the event log does not double its rows") {
+    val base = Files.createTempDirectory("compact-dup").toString
+    val store = new LocalContentStore(s"$base/store")
+    val catalog = graft.catalog.VaultCatalog(spark, s"$base/catalog")
+    val vault = VaultName("ns", "d")
+
+    val cids = (1 to 2).map { w =>
+      val f = s"$base/in$w.parquet"
+      Seq((w, s"w$w")).toDF("id", "name").coalesce(1).write.parquet(f)
+      val part = graft.core.FsUtil.listDir(java.nio.file.Paths.get(f))
+        .find(_.toString.endsWith(".parquet")).get
+      BatchWrite.write(spark, vault, part, store, catalog = Some(catalog),
+        timestamp = Some((1700000000L + w).toString))
+    }
+    // same content re-uploaded: content-addressed cid repeats in the log
+    catalog.appendEvent(vault, cids.head, 1700000100L, isArchived = false,
+      catalog.cacheExpiryFor(vault, 1700000100L))
+    assert(catalog.listEvents(vault).count() == 3)
+
+    val newCid = Compactor.compact(spark, vault, store, catalog,
+      stagingDir = s"$base/staging", clock = () => 1700009999L)
+    val back = spark.read.parquet(store.get(newCid.get).get.toString)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+    assert(back == Seq(1 -> "w1", 2 -> "w2")) // each row exactly once
+  }
 }
