@@ -5,8 +5,12 @@ import org.apache.spark.sql.SparkSession
 /**
  * Benchmark main (driver contract): runs every SparkEntry query on
  * SPARK_GRAFT_SF_DIR, prints one JSON line with per-query seconds.
- * Queries run in sorted order after a warmup pass; each is timed as the
- * min of two runs (JIT/GC noise at these data sizes otherwise dominates).
+ * Queries run in sorted order after a warmup pass over EVERY query; each
+ * is then timed as the min of two runs. The full warmup matters: queries
+ * over JIT-heavy custom code (EC point math, fused vector expressions)
+ * run 5-6x slower on their first execution while C2 compiles the hot
+ * loops — a partial warmup would charge that one-time cost to whichever
+ * queries happen to run first.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,10 +27,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    // warmup: exercise scan + shuffle + codegen paths once
-    try {
-      qs.take(3).foreach(_._2(spark, sfDir).write.format("noop").mode("overwrite").save())
-    } catch { case _: Throwable => () }
+    // warmup: run every query once (scan + shuffle + codegen + JIT)
+    qs.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -1,0 +1,281 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Round-3 coverage extensions: window-function variants (ntile /
+ * percent_rank / cume_dist / first·nth·last_value), exact-sum statistical
+ * aggregates, time-series gap filling, fixed-point embedding centroids,
+ * CSV/JSON/ORC source+sink round trips, LATERAL top-n, correlated EXISTS,
+ * and the regex scalar family. Same oracle discipline as SparkEntry:
+ * DECIMAL-exact sums, one double division per score, BIGINT casts, and
+ * deterministic ORDER BY.
+ */
+object ExtQueries {
+  private val D = DecimalType(18, 2)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def fts(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Fixed staging dir per (query, sf) for the format round trips —
+    * overwritten each run, so repeated Bench/Verify passes don't leak. */
+  private def stage(dir: String, name: String): String = {
+    val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_rt_${name}_$sf"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
+
+    // ── Window-function variants: ntile / distribution / value pickers ──
+    "q_window_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "customer").where(col("c_nationkey") < 5)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          // percent_rank/cume_dist are exact-integer ratios with one double
+          // division — bit-identical across engines, no rounding needed
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("c_custkey")).over(wf).as("richest"),
+          nth_value(col("c_custkey"), 2).over(wf).as("second"),
+          last(col("c_custkey")).over(wf).as("poorest"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
+    // ── Statistical aggregates from DECIMAL-exact sums ──────────────────
+    // stddev/variance/corr computed from exact decimal sums with a fixed
+    // double formula (NOT the engines' streaming aggregates, whose fold
+    // order makes the last ulp nondeterministic): partial aggregation of
+    // decimals is exact in any order, so the derived doubles are
+    // bit-identical at any parallelism — the only way these aggregates
+    // hash-match on a 1000-executor cluster.
+    "q_stats_agg" -> ((s, dir) => {
+      val p = col("l_extendedprice").cast(D); val q = col("l_quantity").cast(D)
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(p).cast("double").as("sx"),
+          sum(p * p).cast("double").as("sxx"),
+          sum(q).cast("double").as("sy"),
+          sum(q * q).cast("double").as("syy"),
+          sum(p * q).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_price"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("stddev_price"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ── Time-series gap filling (dimension grid ⟕ sparse facts) ────────
+    "q_gapfill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      val daily = ev.where(col("value") > 180)
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val days = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      // grid = types × days is tiny (dimension cardinality, not fact
+      // cardinality) → broadcast; the only shuffle is the daily agg
+      val grid = ev.select("event_type").distinct().crossJoin(broadcast(days))
+      grid.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("event_type", "day")
+    }),
+
+    // ── Embedding centroids via fixed-point integer sums ───────────────
+    // Mean embedding per label with floor(x·1e6) BIGINT component sums:
+    // float addition does not commute, so a raw float/double centroid is
+    // partitioning-dependent; integer sums are exact in any order and the
+    // single final division makes the result deterministic at any scale.
+    // (The IVF coarse quantizer's cell means use the same construction.)
+    "q_embed_centroid" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .repartition(col("label"))
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+             sum(floor(col("x") * lit(1e6))).as("sum_fp"))
+        .select(col("label").cast("long").as("label"),
+          (col("pos") + 1).cast("long").as("pos"), col("n"),
+          (col("sum_fp").cast("double") / (lit(1e6) * col("n"))).as("centroid_c"))
+        .orderBy("label", "pos")),
+
+    // ── Source/sink formats: CSV / JSON-lines / ORC round trips ────────
+    // Write the table out in the format, read it back (explicit schema for
+    // the text formats), aggregate — the oracle aggregates the parquet
+    // ground truth directly, so any encode/decode infidelity (quoting,
+    // null handling, number formatting, timestamps) breaks the hash.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val rt = stage(dir, "csv")
+      cust.write.mode("overwrite").option("header", "true").csv(rt)
+      s.read.option("header", "true").schema(cust.schema).csv(rt)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(D)).cast("double").as("bal_total"),
+          min("c_name").as("first_name"),
+          max("c_name").as("last_name"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_json_roundtrip" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value", "props")
+      val rt = stage(dir, "json")
+      ev.write.mode("overwrite").json(rt)
+      s.read.schema(ev.schema).json(rt)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D)).cast("double").as("value_total"),
+          count(col("props")).as("n_props"),
+          max(get_json_object(col("props"), "$.k").cast("long")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate")
+      val rt = stage(dir, "orc")
+      li.write.mode("overwrite").orc(rt)
+      s.read.orc(rt)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(D)).cast("double").as("qty_total"),
+          fts(max(col("l_shipdate"))).as("last_ship"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ── LATERAL top-n per group (correlated subquery join) ─────────────
+    "q_lateral_topn" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("lat_nation")
+      t(s, dir, "customer").createOrReplaceTempView("lat_customer")
+      s.sql("""SELECT n_name, c_custkey, c_acctbal
+              |FROM lat_nation,
+              |LATERAL (SELECT c_custkey, c_acctbal FROM lat_customer
+              |         WHERE c_nationkey = n_nationkey
+              |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+              |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+    }),
+
+    // ── Correlated EXISTS + aggregation on top ─────────────────────────
+    "q_exists_agg" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("ex_part")
+      t(s, dir, "lineitem").createOrReplaceTempView("ex_lineitem")
+      s.sql("""SELECT p_brand, count(*) AS n FROM ex_part
+              |WHERE EXISTS (SELECT 1 FROM ex_lineitem
+              |              WHERE l_partkey = p_partkey AND l_quantity > 49)
+              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    }),
+
+    // ── Regex scalar family ────────────────────────────────────────────
+    "q_regex_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        col("p_name").rlike("red").cast("long").as("has_red"),
+        size(split(col("p_name"), " ")).cast("long").as("n_words"))
+        .orderBy("p_partkey"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_window_ntile" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(c_custkey) OVER wf AS richest,
+        |  nth_value(c_custkey, 2) OVER wf AS second,
+        |  last_value(c_custkey) OVER wf AS poorest
+        |FROM customer WHERE c_nationkey < 5
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+        |       wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "q_stats_agg" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (sxx - sx*sx/n) / (n - 1) AS var_price,
+        |  sqrt((sxx - sx*sx/n) / (n - 1)) AS stddev_price,
+        |  (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_price
+        |FROM sums ORDER BY l_returnflag""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events WHERE value > 180 GROUP BY 1, 2),
+        |bounds AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT t.event_type, strftime(d.day, '%Y-%m-%d') AS day, coalesce(dy.n, 0) AS n
+        |FROM types t CROSS JOIN days d
+        |LEFT JOIN daily dy ON dy.event_type = t.event_type AND dy.day = d.day
+        |ORDER BY t.event_type, day""".stripMargin,
+
+    "q_embed_centroid" ->
+      """SELECT CAST(label AS BIGINT) AS label, pos, count(*) AS n,
+        |  CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / (1e6 * count(*)) AS centroid_c
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |             unnest(generate_series(1, len(embedding))) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total,
+        |  min(c_name) AS first_name, max(c_name) AS last_name
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total,
+        |  count(props) AS n_props,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_total,
+        |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S.%f') AS last_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_lateral_topn" ->
+      """SELECT n_name, c.c_custkey, c.c_acctbal
+        |FROM nation,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "q_exists_agg" ->
+      """SELECT p_brand, count(*) AS n FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_partkey = p_partkey AND l_quantity > 49)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_regex_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        |  CAST(regexp_matches(p_name, 'red') AS BIGINT) AS has_red,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
+        |FROM part ORDER BY p_partkey""".stripMargin
+  )
+}
