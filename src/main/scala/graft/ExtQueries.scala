@@ -99,7 +99,9 @@ object ExtQueries {
     // (The IVF coarse quantizer's cell means use the same construction.)
     "q_embed_centroid" -> ((s, dir) =>
       t(s, dir, "embeddings")
-        .repartition(col("label"))
+        // round-robin, NOT by label: 5 labels would cap parallelism at 5;
+        // the (label,pos) hash agg partially combines map-side anyway
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("label", "pos")
         .agg(count(lit(1)).as("n"),
@@ -174,6 +176,35 @@ object ExtQueries {
               |WHERE EXISTS (SELECT 1 FROM ex_lineitem
               |              WHERE l_partkey = p_partkey AND l_quantity > 49)
               |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    }),
+
+    // ── Bloom runtime filter: prefiltered semi join ≡ plain semi join ──
+    "q_bloom_semi" -> ((s, dir) =>
+      graft.ops.RuntimeFilter.bloomSemiJoin(
+          t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part").where(col("p_size") > 47), "p_partkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(D)).cast("double").as("qty_total"))
+        .orderBy("l_returnflag")),
+
+    // ── Conversion funnel (view → click → purchase within 1 h) ─────────
+    "q_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.counts(t(s, dir, "events"),
+        steps = Seq("view", "click", "purchase"), withinSeconds = Some(3600L))),
+
+    // ── Bigram frequency (lead-window pairing, no interpreted lambdas) ─
+    "q_bigrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(w))
+        .where(col("w2").isNotNull && col("w") =!= "" && col("w2") =!= "")
+        .select(concat(col("w"), lit(" "), col("w2")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(40)
     }),
 
     // ── Regex scalar family ────────────────────────────────────────────
@@ -269,6 +300,40 @@ object ExtQueries {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_partkey = p_partkey AND l_quantity > 49)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_total
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 47)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, min(ts) AS t1 FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE event_type = 'click' AND ts > t0 AND ts <= t0 + INTERVAL 3600 SECOND
+        |  GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE event_type = 'purchase' AND ts > t1 AND ts <= t1 + INTERVAL 3600 SECOND
+        |  GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'view' AS step, CAST(0 AS BIGINT) AS stage, count(*) AS n_users FROM s0
+        |  UNION ALL SELECT 'click', 1, count(*) FROM s1
+        |  UNION ALL SELECT 'purchase', 2, count(*) FROM s2)
+        |ORDER BY stage""".stripMargin,
+
+    "q_bigrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |pairs AS (
+        |  SELECT ts[i] || ' ' || ts[i+1] AS bigram
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+        |  WHERE ts[i] <> '' AND ts[i+1] <> '')
+        |SELECT bigram, count(*) AS n FROM pairs
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 40""".stripMargin,
 
     "q_regex_funcs" ->
       """SELECT p_partkey,
