@@ -107,7 +107,7 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
-    "q_winnow_fingerprints" -> ((s, dir) => // no SQL oracle: rolling-hash winnowing
+    "q_winnow_fingerprints" -> ((s, dir) => // oracle: HUGEINT poly-hash in SQL
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           graft.functions.WinnowFingerprints(col("text")).as("fps"))
@@ -357,6 +357,36 @@ object OpsQueries {
          |  md5(trim(lower(text))) AS fingerprint
          |FROM q ORDER BY doc_id""".stripMargin
     },
+
+    // Winnowing oracle: the 61-bit polynomial rolling hash is exact in
+    // DuckDB HUGEINT arithmetic (term ≤ 65535·257⁷ ≈ 4.8e21 ≪ 2¹²⁷), so
+    // the SQL recomputes every k-gram hash directly (k=8 constants
+    // 257⁷…257⁰) and takes sliding-window minima with list slices.
+    // Precondition of this SQL form (holds for the documents table at
+    // every sf; min n_chars=44): n ≥ k and n−k+1 > w, i.e. neither the
+    // short-doc fallback nor the single-window case triggers.
+    "q_winnow_fingerprints" ->
+      """WITH hs AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(text) - 7),
+        |      i -> CAST((CAST(unicode(text[i+0]) AS HUGEINT)*74051159531521793
+        |               + CAST(unicode(text[i+1]) AS HUGEINT)*288136807515649
+        |               + CAST(unicode(text[i+2]) AS HUGEINT)*1121154893057
+        |               + CAST(unicode(text[i+3]) AS HUGEINT)*4362470401
+        |               + CAST(unicode(text[i+4]) AS HUGEINT)*16974593
+        |               + CAST(unicode(text[i+5]) AS HUGEINT)*66049
+        |               + CAST(unicode(text[i+6]) AS HUGEINT)*257
+        |               + CAST(unicode(text[i+7]) AS HUGEINT)*1)
+        |              % 2305843009213693951 AS BIGINT)) AS hashes
+        |  FROM documents),
+        |mins AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(hashes) - 7),
+        |      s -> list_min(hashes[s:s+7])) AS m
+        |  FROM hs)
+        |SELECT doc_id, CAST(len(list_distinct(m)) AS BIGINT) AS n_fps,
+        |       list_min(m) AS min_fp, list_max(m) AS max_fp
+        |FROM mins ORDER BY doc_id""".stripMargin,
 
     "q_token_bpeish" ->
       s"""SELECT doc_id,
