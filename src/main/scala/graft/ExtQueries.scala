@@ -207,6 +207,39 @@ object ExtQueries {
         .orderBy(col("n").desc, col("bigram")).limit(40)
     }),
 
+    // ── Cohort retention (first-active-day cohorts × day offset) ───────
+    "q_retention" -> ((s, dir) => {
+      val act = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = act.groupBy("user_id").agg(min("day").as("cohort"))
+      act.join(first, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+        .where(col("day_offset") <= 7)
+        .groupBy(col("cohort"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort", "day_offset")
+    }),
+
+    // ── Deterministic stratified hash sampling ─────────────────────────
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedHashSample(
+          t(s, dir, "events"), col("event_type"), col("event_id"),
+          rates = stratifiedRates, defaultRate = stratifiedDefault)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("value").cast(D)).cast("double").as("value_total"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("event_type")),
+
+    // ── Z-order (Morton) layout key ────────────────────────────────────
+    "q_zorder" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          graft.functions.ZOrderKey(col("o_custkey"), col("o_orderkey")).as("zkey"))
+        .orderBy("zkey", "o_orderkey").limit(500)),
+
     // ── Regex scalar family ────────────────────────────────────────────
     "q_regex_funcs" -> ((s, dir) =>
       t(s, dir, "part").select(
@@ -218,7 +251,47 @@ object ExtQueries {
         .orderBy("p_partkey"))
   )
 
+  /** Stratified-sample configuration shared by query and oracle. */
+  private val stratifiedRates = Map("view" -> 0.5, "click" -> 0.25, "purchase" -> 1.0)
+  private val stratifiedDefault = 0.05
+
+  /** DuckDB CASE over the same exact integer thresholds the Spark side
+    * uses (computed once by [[graft.ops.Sampling.threshold]]). */
+  private def stratifiedThresholdSql: String =
+    stratifiedRates.toSeq.sortBy(_._1).map { case (v, r) =>
+      s"WHEN '$v' THEN ${graft.ops.Sampling.threshold(r)}"
+    }.mkString("CASE event_type ", " ", s" ELSE ${graft.ops.Sampling.threshold(stratifiedDefault)} END")
+
+  /** Bit-explicit Morton key — the SQL unrolling of ZOrderKey.interleave. */
+  private def zorderSqlKey: String = (0 until 32).map(b =>
+    s"(((o_custkey >> $b) & 1) << ${2 * b}) + (((o_orderkey >> $b) & 1) << ${2 * b + 1})")
+    .mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |firstday AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN firstday f ON a.user_id = f.user_id
+        |WHERE date_diff('day', f.cohort, a.day) <= 7
+        |GROUP BY f.cohort, date_diff('day', f.cohort, a.day)
+        |ORDER BY cohort, day_offset""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""SELECT event_type, count(*) AS n_sampled,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM events
+         |WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      < $stratifiedThresholdSql
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_zorder" ->
+      s"""SELECT o_orderkey, o_custkey, CAST($zorderSqlKey AS BIGINT) AS zkey
+         |FROM orders ORDER BY zkey, o_orderkey LIMIT 500""".stripMargin,
+
     "q_window_ntile" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,

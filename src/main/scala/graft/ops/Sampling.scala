@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, engine-portable sampling.
+ *
+ * `df.sample()` draws from a per-partition RNG: the sample changes with
+ * partitioning, retries, and engine — useless for reproducible pipeline
+ * runs or oracle checks. Hash sampling keys the decision on the ROW
+ * (md5 of a key column vs a threshold), so the same row is in or out
+ * everywhere, forever, at any parallelism.
+ */
+object Sampling {
+
+  /** 32-bit uniform hash of `key` in [0, 2^32): md5-prefix, the portable
+    * deterministic sampler (identical in DuckDB via '0x'||substr(md5)). */
+  def hash32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Keep a `rate` fraction of rows, decided per row by `key`. */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.where(hash32(key) < threshold(rate))
+
+  /** Per-stratum rates: e.g. downsample dominant classes of a training
+    * corpus while keeping rare ones — `rates` maps stratum value →
+    * fraction; strata not in the map keep `defaultRate`. */
+  def stratifiedHashSample(df: DataFrame, stratum: Column, key: Column,
+                           rates: Map[String, Double],
+                           defaultRate: Double = 0.0): DataFrame = {
+    val thr = rates.foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (value, rate)) => when(stratum === value, lit(threshold(rate))).otherwise(acc)
+    }
+    df.where(hash32(key) < thr)
+  }
+
+  /** Exact integer threshold for a [0,1] rate over the 2^32 hash space. */
+  def threshold(rate: Double): Long = math.floor(rate * 4294967296.0).toLong
+}
