@@ -207,6 +207,33 @@ object ExtQueries {
         .orderBy(col("n").desc, col("bigram")).limit(40)
     }),
 
+    // ── Right outer join (fills from the build side) ───────────────────
+    "q_right_join" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").where(col("o_totalprice") > 450000)
+      bigOrders.join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_nationkey")
+        .agg(count(col("o_orderkey")).as("n_big"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("c_nationkey")
+    }),
+
+    // ── NULL semantics: derived nulls, null-safe equality, grouping ────
+    "q_null_semantics" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      val d = t(s, dir, "customer")
+        .select(col("c_custkey").as("d_key"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("d_seg"))
+        .where(col("d_key") % 2 === 0)
+      c.join(d, col("c_custkey") === col("d_key") && col("seg") <=> col("d_seg"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          count(col("seg")).as("n_nonnull"),
+          max(when(col("seg").isNull, col("c_custkey"))).as("max_null_key"))
+        .orderBy(col("seg").asc_nulls_first)
+    }),
+
     // ── Cohort retention (first-active-day cohorts × day offset) ───────
     "q_retention" -> ((s, dir) => {
       val act = t(s, dir, "events")
@@ -268,6 +295,21 @@ object ExtQueries {
     .mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
+    "q_right_join" ->
+      """SELECT c_nationkey, count(o_orderkey) AS n_big, count(*) AS n_rows
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_null_semantics" ->
+      """WITH c AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer),
+        |d AS (SELECT c_custkey AS d_key, nullif(c_mktsegment, 'BUILDING') AS d_seg
+        |      FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT seg, count(*) AS n, count(seg) AS n_nonnull,
+        |  max(CASE WHEN seg IS NULL THEN c_custkey END) AS max_null_key
+        |FROM c JOIN d ON c_custkey = d_key AND seg IS NOT DISTINCT FROM d_seg
+        |GROUP BY seg ORDER BY seg NULLS FIRST""".stripMargin,
+
     "q_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |firstday AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1)
