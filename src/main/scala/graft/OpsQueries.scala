@@ -228,6 +228,28 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Flagship composition: the full training-corpus curation pass ───
+    // quality gate (Gopher-style) → LSH near-dedup keeping each cluster's
+    // best-scoring member → per-language corpus stats. One pipeline, all
+    // stages oracle-checked end to end through a single recursive CTE.
+    "q_corpus_curate" -> ((s, dir) => {
+      val t = col("text")
+      val nTok = TextAnalysis.tokenCount(t)
+      val meanWlen = round(
+        length(regexp_replace(t, " ", "")).cast("double") /
+          greatest(nTok, lit(1L)).cast("double"), 6)
+      val passing = Tables(s, dir, "documents")
+        .where(nTok.between(10, 5000) &&
+          TextAnalysis.dupRatio(t) <= 0.9 && meanWlen.between(2.0, 12.0))
+      Dedup.deduplicateKeepBest(passing, score = col("n_chars"),
+          jaccardThreshold = 0.8, k = MINHASH_K, bands = LSH_BANDS)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("chars_total"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang")
+    }),
+
     // ── Verifiability primitives (C1/C2) ───────────────────────────────
     "q_keccak_fingerprint" -> ((s, dir) => // no SQL oracle: keccak256 expr
       Tables(s, dir, "documents")
@@ -531,6 +553,53 @@ object OpsQueries {
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
          |ORDER BY doc_id""".stripMargin,
+
+    // the keep-best dedup chain over the quality-passing subset: same
+    // CTEs as q_dedup_keepbest with `documents` swapped for `qdocs`
+    "q_corpus_curate" -> {
+      val qdocs =
+        s"""qdocs AS (SELECT doc_id, text, lang, n_chars FROM documents
+           |  WHERE CAST($sqlNTok AS BIGINT) BETWEEN 10 AND 5000
+           |    AND round(1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE /
+           |          len(string_split(text, ' '))::DOUBLE, 6) <= 0.9
+           |    AND round(length(replace(text, ' ', ''))::DOUBLE /
+           |          greatest(CAST($sqlNTok AS BIGINT), 1)::DOUBLE, 6) BETWEEN 2.0 AND 12.0)""".stripMargin
+      val chain =
+        s"""${sqlSig.replace("WITH s AS", s"WITH RECURSIVE $qdocs, s AS")}, bands AS ($sqlBands),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+           |  WHERE a.doc_id < b.doc_id),
+           |ds AS (SELECT doc_id, list_distinct($sqlShingles) AS dsh FROM documents),
+           |ver AS (SELECT id_a, id_b FROM cand
+           |  JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
+           |  WHERE round(len(list_intersect(x.dsh, y.dsh))::DOUBLE /
+           |        (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh)))::DOUBLE, 6) >= 0.8),
+           |edges AS (SELECT id_a, id_b FROM ver UNION SELECT id_b, id_a FROM ver),
+           |reach(doc_id, rid) AS (
+           |  SELECT id_a, id_a FROM edges
+           |  UNION
+           |  SELECT r.doc_id, e.id_b FROM reach r JOIN edges e ON e.id_a = r.rid),
+           |labels AS (SELECT doc_id, min(rid) AS canonical_id FROM reach GROUP BY doc_id),
+           |scored AS (SELECT l.doc_id, l.canonical_id, d.n_chars
+           |  FROM labels l JOIN documents d USING (doc_id)),
+           |winners AS (SELECT canonical_id,
+           |  max_by(doc_id, n_chars * 10000000 - doc_id) AS keep_id
+           |  FROM scored GROUP BY canonical_id),
+           |losers AS (SELECT s.doc_id FROM scored s JOIN winners w USING (canonical_id)
+           |  WHERE s.doc_id != w.keep_id)
+           |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+           |GROUP BY lang ORDER BY lang""".stripMargin
+      // every stage after the quality gate reads qdocs, not documents —
+      // the gate must precede shingling/banding/verification/keep
+      val withBase = chain
+        .replaceAll("FROM documents\\b", "FROM qdocs")
+        .replaceAll("JOIN documents\\b", "JOIN qdocs")
+        .replace("FROM qdocs\n  WHERE CAST", "FROM documents\n  WHERE CAST") // qdocs defn itself
+      withBase
+    },
 
     "q_dedup_clusters" ->
       s"""${sqlSig.replace("WITH s AS", "WITH RECURSIVE s AS")}, bands AS ($sqlBands),
