@@ -207,6 +207,30 @@ object ExtQueries {
         .orderBy(col("n").desc, col("bigram")).limit(40)
     }),
 
+    // ── Multiset set ops (ALL variants keep duplicate cardinality) ─────
+    "q_intersect_all" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").where(col("l_partkey") < 100).select("l_partkey")
+      val b = t(s, dir, "lineitem")
+        .where(col("l_partkey") < 100 && col("l_quantity") > 25).select("l_partkey")
+      a.intersectAll(b).orderBy("l_partkey")
+    }),
+
+    "q_except_all" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").where(col("l_partkey") < 100).select("l_partkey")
+      val b = t(s, dir, "lineitem")
+        .where(col("l_partkey") < 100 && col("l_quantity") > 25).select("l_partkey")
+      a.exceptAll(b).orderBy("l_partkey")
+    }),
+
+    // ── Unpivot / melt (wide → long) ───────────────────────────────────
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")), "attr", "val")
+        .orderBy("p_partkey", "attr")),
+
     // ── Right outer join (fills from the build side) ───────────────────
     "q_right_join" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").where(col("o_totalprice") > 450000)
@@ -295,6 +319,25 @@ object ExtQueries {
     .mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
+    "q_intersect_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_partkey < 100
+        |INTERSECT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_partkey < 100 AND l_quantity > 25
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_partkey < 100
+        |EXCEPT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_partkey < 100 AND l_quantity > 25
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS retailprice
+        |  FROM part)
+        |UNPIVOT (val FOR attr IN (size, retailprice))
+        |ORDER BY p_partkey, attr""".stripMargin,
+
     "q_right_join" ->
       """SELECT c_nationkey, count(o_orderkey) AS n_big, count(*) AS n_rows
         |FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o

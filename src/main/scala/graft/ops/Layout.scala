@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.functions.ZOrderKey
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-layout operators for scan pruning at 100 TB: write files whose
+ * min/max column ranges are NARROW (z-order clustering), keep those
+ * ranges in a small stats index (one row per file), and plan reads
+ * against the index so predicate ranges touch only intersecting files —
+ * the file-skipping core of every lakehouse table format, expressed over
+ * plain parquet directories.
+ *
+ * Scale shape: the index is O(files), kilobytes per petabyte-scale
+ * table; pruning is a driver-side interval check followed by a scan of
+ * only the selected files. With a z-ordered layout BOTH clustered
+ * dimensions prune (see `ZOrderSpec`'s tile-span property); a
+ * single-column sort prunes only itself.
+ */
+object Layout {
+
+  /** Write `df` clustered by the Morton key of (xCol, yCol) into
+    * `nFiles` range partitions — every output file covers a compact
+    * rectangle of the (x, y) domain. */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String,
+                  dir: String, nFiles: Int): Unit =
+    df.withColumn("__z", ZOrderKey(col(xCol), col(yCol)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+
+  /** Min/max stats index over a parquet directory: one row per file,
+    * (file, <c>_min, <c>_max) for each indexed column. Built with one
+    * scan (an OPTIMIZE/ANALYZE-style maintenance job, not a query-time
+    * cost); the result is small enough to collect or broadcast. */
+  def statsIndex(spark: SparkSession, dataDir: String, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Range-pruned read: scan only files whose [min,max] interval for
+    * `column` intersects [lo, hi], then apply the exact filter. Result
+    * is identical to filtering the full scan; only the I/O differs.
+    * Returns (dataframe, filesRead, filesTotal). */
+  def prunedRead(spark: SparkSession, dataDir: String, index: DataFrame,
+                 column: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val total = index.count().toInt
+    val files = index
+      .where(!(col(s"${column}_max") < lo || col(s"${column}_min") > hi))
+      .select("file").collect().map(_.getString(0))
+    val df =
+      if (files.isEmpty)
+        spark.read.parquet(dataDir).where(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    (df.where(col(column) >= lo && col(column) <= hi), files.length, total)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** File-skipping layout: z-ordered files + min/max stats index prune
+  * range scans on EITHER clustered dimension; results stay exact. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def grid = (for { x <- 0L until 64L; y <- 0L until 64L }
+    yield (x, y, x * 64 + y)).toDF("x", "y", "payload").repartition(11)
+
+  test("z-ordered layout prunes range scans on both dimensions") {
+    val dir = Files.createTempDirectory("layout-z").toString + "/data"
+    Layout.zorderWrite(grid, "x", "y", dir, nFiles = 16)
+    val idx = Layout.statsIndex(spark, dir, Seq("x", "y")).cache()
+
+    // y-range scan: only the tiles intersecting y∈[0,7] are read
+    val (dfY, readY, totalY) = Layout.prunedRead(spark, dir, idx, "y", 0L, 7L)
+    assert(totalY == 16)
+    assert(readY <= totalY / 2, s"y-pruning read $readY of $totalY files")
+    // exactness: pruned result == full-scan filter
+    val expectY = grid.where(col("y").between(0, 7)).agg(sum("payload")).head.getLong(0)
+    assert(dfY.agg(sum("payload")).head.getLong(0) == expectY)
+    assert(dfY.count() == 64 * 8)
+
+    // x-range scan prunes too (same layout, other dimension)
+    val (dfX, readX, _) = Layout.prunedRead(spark, dir, idx, "x", 56L, 63L)
+    assert(readX <= 8, s"x-pruning read $readX of 16 files")
+    assert(dfX.count() == 8 * 64)
+  }
+
+  test("single-column sort cannot prune the other dimension") {
+    val dir = Files.createTempDirectory("layout-x").toString + "/data"
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(dir)
+    val idx = Layout.statsIndex(spark, dir, Seq("x", "y"))
+    val (_, readY, totalY) = Layout.prunedRead(spark, dir, idx, "y", 0L, 7L)
+    assert(totalY == 16)
+    // every x-sorted file spans the full y domain → nothing prunes
+    assert(readY == totalY, s"x-sorted layout unexpectedly pruned to $readY")
+  }
+
+  test("disjoint range reads zero files and returns empty") {
+    val dir = Files.createTempDirectory("layout-e").toString + "/data"
+    Layout.zorderWrite(grid, "x", "y", dir, nFiles = 4)
+    val idx = Layout.statsIndex(spark, dir, Seq("x", "y"))
+    val (df, read, _) = Layout.prunedRead(spark, dir, idx, "x", 1000L, 2000L)
+    assert(read == 0 && df.count() == 0)
+  }
+}
