@@ -86,6 +86,30 @@ object WalModel {
  */
 final case class TableColumn(name: String, pgType: String, nullable: Boolean, isPrimary: Boolean)
 
+object TableSchema {
+  /**
+   * Compact CLI schema spec: tables separated by `;`, each
+   * `name|col:pgtype[:pk],col:pgtype...` — e.g.
+   * `t|id:integer:pk,name:text;u|k:bigint:pk`. PK columns are non-null
+   * (mirrors the reference's information_schema capture).
+   */
+  def parseSpec(spec: String): Seq[TableSchema] =
+    spec.split(';').toSeq.filter(_.nonEmpty).map { tspec =>
+      tspec.split('|') match {
+        case Array(name, colSpec) =>
+          val cols = colSpec.split(',').toSeq.map { c =>
+            c.split(':') match {
+              case Array(cn, ct) => TableColumn(cn, ct, nullable = true, isPrimary = false)
+              case Array(cn, ct, "pk") => TableColumn(cn, ct, nullable = false, isPrimary = true)
+              case _ => throw new IllegalArgumentException(s"bad column spec: $c")
+            }
+          }
+          TableSchema(name, cols)
+        case _ => throw new IllegalArgumentException(s"bad table spec: $tspec")
+      }
+    }
+}
+
 final case class TableSchema(table: String, columns: Seq[TableColumn]) {
   import graft.core.PgTypes
 

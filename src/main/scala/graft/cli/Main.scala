@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSession
  *   list <0xaccount>
  *   events <ns.rel> [latest N]
  *   write <ns.rel> <file.parquet> [keyHex]
+ *   stream <ns.rel> <walDir> <workDir> <schemaSpec> [windowSec] [keyHex]
+ *   curate <in.parquet> <out.parquet>
  *   retrieve <cid> [output|-]
  *   compact <ns.rel> [keyHex]
  *   account-create <keyfile> | account-address <keyfile>
@@ -48,6 +50,15 @@ object Main {
         case "retrieve" :: cid :: rest =>
           if (v.retrieve(cid, rest.headOption.getOrElse("-"))) 0
           else { System.err.println(s"not found: $cid"); 1 }
+        case "stream" :: vault :: walDir :: workDir :: schemaSpec :: rest =>
+          val windowSec = rest.headOption.map(_.toLong).getOrElse(3600L)
+          val q = v.stream(vault, graft.cdc.TableSchema.parseSpec(schemaSpec),
+            walDir, workDir, windowSec, keyHex = rest.drop(1).headOption,
+            availableNow = sys.env.get("VAULTS_AVAILABLE_NOW").contains("1"))
+          q.awaitTermination(); 0
+        case "curate" :: in :: out :: Nil =>
+          val (nIn, nKept) = v.curate(in, out)
+          println(s"$nIn -> $nKept"); 0
         case "compact" :: vault :: rest =>
           v.compact(vault, keyHex = rest.headOption) match {
             case Some(cid) => println(cid); 0
@@ -73,6 +84,8 @@ object Main {
       |  list <0xaccount>
       |  events <ns.rel> [latest N]
       |  write <ns.rel> <file.parquet> [keyHex]
+      |  stream <ns.rel> <walDir> <workDir> <schemaSpec> [windowSec] [keyHex]
+      |  curate <in.parquet> <out.parquet>
       |  retrieve <cid> [output|-]
       |  compact <ns.rel> [keyHex]
       |  account-create <keyfile> | account-address <keyfile>

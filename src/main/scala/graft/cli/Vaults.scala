@@ -68,6 +68,30 @@ final class Vaults(
       stagingDir = s"$providerRoot/compact-staging",
       signer = keyHex.map(Signer.fromHex))
 
+  /** Beyond-reference: `vaults curate <in.parquet> <out.parquet>` — the
+    * training-corpus pass (quality gate → keep-best near-dedup) over a
+    * documents table (`doc_id`, `text`[, `n_chars`]); returns
+    * (rows_in, rows_kept). */
+  def curate(inParquet: String, outParquet: String,
+             jaccardThreshold: Double = 0.8): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, TextAnalysis}
+    val raw = spark.read.parquet(inParquet)
+    val docs =
+      if (raw.columns.contains("n_chars")) raw
+      else raw.withColumn("n_chars", length(col("text")).cast("long"))
+    val t = col("text")
+    val nTok = TextAnalysis.tokenCount(t)
+    val meanWlen = round(length(regexp_replace(t, " ", "")).cast("double") /
+      greatest(nTok, lit(1L)).cast("double"), 6)
+    val passing = docs.where(nTok.between(10, 5000) &&
+      TextAnalysis.dupRatio(t) <= 0.9 && meanWlen.between(2.0, 12.0))
+    val curated = Dedup.deduplicateKeepBest(passing, score = col("n_chars"),
+      jaccardThreshold = jaccardThreshold)
+    curated.write.mode("overwrite").parquet(outParquet)
+    (docs.count(), spark.read.parquet(outParquet).count())
+  }
+
   /** Q3: `vaults retrieve <cid> [--output file|-]` */
   def retrieve(cid: String, output: String = "-"): Boolean =
     new Retriever(store).retrieveTo(cid, output)

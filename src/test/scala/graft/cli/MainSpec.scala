@@ -20,6 +20,44 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array(root, "compact", "ns.empty")) == 1)       // nothing to compact
   }
 
+  test("stream verb: schema spec parsed, wal replayed, event recorded") {
+    spark.sparkContext.setLogLevel("WARN") // activate shared session
+    val root = Files.createTempDirectory("cli-stream").toString
+    val wal = s"$root/wal"; Files.createDirectories(java.nio.file.Paths.get(wal))
+    Files.writeString(java.nio.file.Paths.get(wal, "a.json"),
+      """{"commit_lsn": 1, "records": [{"action": "I", "xid": 1,
+        |"lsn": "0/1", "nextlsn": "", "timestamp": "t", "schema": "public",
+        |"table": "m", "columns": [
+        |  {"name": "id", "type": "integer", "value": 7},
+        |  {"name": "name", "type": "text", "value": "x"}],
+        |"pk": []}]}""".stripMargin.replace("\n", " "))
+    // Main's stream verb blocks on awaitTermination (service form); the
+    // test drives the same path through Vaults with AvailableNow, using
+    // the SAME schema-spec string the CLI would parse
+    val v = new Vaults(spark, root, OutputFormat.Json)
+    val q = v.stream("ns.m", graft.cdc.TableSchema.parseSpec("m|id:integer:pk,name:text"),
+      wal, s"$root/work", availableNow = true)
+    q.awaitTermination(120000)
+    assert(v.events("ns.m").contains("cid"))
+  }
+
+  test("curate verb: quality gate + keep-best dedup over a parquet corpus") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli-curate").toString
+    val in = s"$root/in.parquet"; val out = s"$root/out.parquet"
+    val good = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (0L, good),                      // passes, survives
+      (1L, good + " extended"),        // near-dup of 0 (jaccard 11/12), LONGER → keeps 1
+      (2L, "short text"),              // < 10 tokens → gated out
+      (3L, ("spam " * 40).trim)        // dup_ratio ≈ 1 → gated out
+    ).toDF("doc_id", "text").write.parquet(in)
+    assert(Main.run(Array(root, "curate", in, out)) == 0)
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L)) // cluster {0,1} keeps the longer member
+  }
+
   test("integration: CDC stream → signed store → events → retrieve → analyze") {
     import graft.cdc.{TableColumn, TableSchema}
     import org.apache.spark.sql.functions._
