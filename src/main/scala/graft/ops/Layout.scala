@@ -25,10 +25,10 @@ object Layout {
     * rectangle of the (x, y) domain. */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String,
                   dir: String, nFiles: Int): Unit =
-    df.withColumn("__z", ZOrderKey(col(xCol), col(yCol)))
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    df.withColumn("__graft_zkey", ZOrderKey(col(xCol), col(yCol)))
+      .repartitionByRange(nFiles, col("__graft_zkey"))
+      .sortWithinPartitions("__graft_zkey")
+      .drop("__graft_zkey")
       .write.mode("overwrite").parquet(dir)
 
   /** Min/max stats index over a parquet directory: one row per file,
