@@ -34,6 +34,27 @@ class EventTimeSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("session windows: streaming (watermarked state merge) equals batch") {
+    val batch = EventTime.sessionStats(graft.Tables(spark, sf, "events"))
+      .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+
+    val dir = Files.createTempDirectory("sessions-stream")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"))
+    val raw = spark.read.parquet(dir.toString)
+    val sdf = spark.readStream.schema(raw.schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = EventTime.sessionStats(sdf, watermarkDelay = Some("1 hour"))
+
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("sess_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sess_stream")
+      .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("watermark drops late data in append-mode streaming windows") {
     import spark.implicits._
     val base = Files.createTempDirectory("late-data")
