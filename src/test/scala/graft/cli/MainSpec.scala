@@ -20,6 +20,22 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array(root, "compact", "ns.empty")) == 1)       // nothing to compact
   }
 
+  test("schema spec parser: valid forms and malformed specs rejected") {
+    import graft.cdc.{TableColumn, TableSchema}
+    val ts = TableSchema.parseSpec("t|id:integer:pk,name:text;u|k:bigint:pk")
+    assert(ts.map(_.table) == Seq("t", "u"))
+    assert(ts.head.columns == Seq(
+      TableColumn("id", "integer", nullable = false, isPrimary = true),
+      TableColumn("name", "text", nullable = true, isPrimary = false)))
+    assert(ts(1).columns == Seq(TableColumn("k", "bigint", nullable = false, isPrimary = true)))
+    // pg types with spaces survive
+    assert(TableSchema.parseSpec("t|ts:timestamp with time zone")
+      .head.columns.head.pgType == "timestamp with time zone")
+    intercept[IllegalArgumentException](TableSchema.parseSpec("t|id")) // no type
+    intercept[IllegalArgumentException](TableSchema.parseSpec("justtable"))
+    intercept[IllegalArgumentException](TableSchema.parseSpec("t|id:integer:primary"))
+  }
+
   test("stream verb: schema spec parsed, wal replayed, event recorded") {
     spark.sparkContext.setLogLevel("WARN") // activate shared session
     val root = Files.createTempDirectory("cli-stream").toString
