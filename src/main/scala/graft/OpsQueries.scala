@@ -136,15 +136,35 @@ object OpsQueries {
     // sketch-based stats (HLL distinct, approx percentile) — the
     // scale-first answers; no SQL oracle (sketch algorithms differ per
     // engine), tolerance vs exact is spec-checked
-    "q_approx_stats" -> ((s, dir) =>
+    // Sketch outputs (HLL++ cardinality, GK percentiles) are
+    // engine-specific, so the sketch VALUES can't hash-match DuckDB.
+    // Oracle-checkable form: emit the exact statistics plus accuracy
+    // flags asserting the sketch landed inside its error contract
+    // (HLL++ rsd 5%, checked at 10%; approx_percentile between the
+    // neighboring exact quantiles ±5% of the value range). The oracle
+    // computes the same exact stats and asserts the flags are 1 — if a
+    // sketch ever drifts outside its bound, the hash breaks.
+    "q_approx_stats" -> ((s, dir) => {
+      val exactQ = expr("percentile(value, array(0.45, 0.55, 0.9, 0.99))")
       Tables(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("__approx_users"),
           element_at(expr("approx_percentile(value, array(0.5, 0.95), 1000)"), 1)
-            .as("p50_approx"),
+            .as("__p50_approx"),
           element_at(expr("approx_percentile(value, array(0.5, 0.95), 1000)"), 2)
-            .as("p95_approx"))
-        .orderBy("event_type")),
+            .as("__p95_approx"),
+          element_at(exactQ, 1).as("__q45"), element_at(exactQ, 2).as("__q55"),
+          element_at(exactQ, 3).as("__q90"), element_at(exactQ, 4).as("__q99"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__approx_users") - col("exact_users")).cast("double") <=
+            col("exact_users") * 0.10).cast("long").as("hll_within_10pct"),
+          (col("__p50_approx") >= col("__q45") && col("__p50_approx") <= col("__q55"))
+            .cast("long").as("p50_in_band"),
+          (col("__p95_approx") >= col("__q90") && col("__p95_approx") <= col("__q99"))
+            .cast("long").as("p95_in_band"))
+        .orderBy("event_type")
+    }),
 
     // ── Dedup family ───────────────────────────────────────────────────
     "q_dedup_exact" -> ((s, dir) =>
@@ -379,6 +399,17 @@ object OpsQueries {
          |  md5(trim(lower(text))) AS fingerprint
          |FROM q ORDER BY doc_id""".stripMargin
     },
+
+    // The sketch-accuracy contract as an oracle: DuckDB recomputes the
+    // exact stats and asserts every accuracy flag is 1. The Spark side
+    // is deterministic (same input → same sketch), so a contract
+    // violation is a real regression, not flakiness.
+    "q_approx_stats" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  CAST(1 AS BIGINT) AS hll_within_10pct,
+        |  CAST(1 AS BIGINT) AS p50_in_band,
+        |  CAST(1 AS BIGINT) AS p95_in_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Winnowing oracle: the 61-bit polynomial rolling hash is exact in
     // DuckDB HUGEINT arithmetic (term ≤ 65535·257⁷ ≈ 4.8e21 ≪ 2¹²⁷), so
