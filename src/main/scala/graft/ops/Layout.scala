@@ -43,6 +43,27 @@ object Layout {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Incremental index maintenance: stat ONLY files not yet indexed and
+    * union with the prior index (dropping rows for deleted files). At
+    * scale this is the difference between an O(new data) maintenance
+    * tick after every ingest window and an O(table) rescan. */
+  def statsIndexIncremental(spark: SparkSession, dataDir: String,
+                            prior: DataFrame, cols: Seq[String]): DataFrame = {
+    val current = spark.read.parquet(dataDir).inputFiles.toSet
+    val known = prior.select("file").collect().map(_.getString(0)).toSet
+    val fresh = (current -- known).toSeq.sorted
+    val kept = prior.where(col("file").isin(current.toSeq: _*))
+    if (fresh.isEmpty) kept
+    else {
+      val aggs = cols.flatMap(c =>
+        Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+      val freshStats = spark.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+      kept.unionByName(freshStats)
+    }
+  }
+
   /** Range-pruned read: scan only files whose [min,max] interval for
     * `column` intersects [lo, hi], then apply the exact filter. Result
     * is identical to filtering the full scan; only the I/O differs.

@@ -43,6 +43,29 @@ class LayoutSpec extends SparkSpec {
     assert(readY == totalY, s"x-sorted layout unexpectedly pruned to $readY")
   }
 
+  test("incremental index maintenance equals a full rebuild") {
+    val base = Files.createTempDirectory("layout-inc").toString
+    val dir = s"$base/data"
+    grid.where(col("x") < 32).write.parquet(dir)
+    val idx0 = Layout.statsIndex(spark, dir, Seq("x", "y")).cache()
+    idx0.count()
+
+    // ingest a new window of files
+    grid.where(col("x") >= 32).write.mode("append").parquet(dir)
+    val inc = Layout.statsIndexIncremental(spark, dir, idx0, Seq("x", "y"))
+    val full = Layout.statsIndex(spark, dir, Seq("x", "y")).cache()
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("file").collect().map(_.toSeq).toSeq
+    assert(norm(inc) == norm(full) && norm(full).nonEmpty)
+
+    // deleted files drop out of the incremental index (prior still has
+    // the victim row; `full` was materialized before the delete)
+    val victim = full.select("file").collect().head.getString(0)
+    Files.delete(java.nio.file.Paths.get(new java.net.URI(victim)))
+    val afterDelete = Layout.statsIndexIncremental(spark, dir, full, Seq("x", "y"))
+    assert(!afterDelete.select("file").collect().map(_.getString(0)).contains(victim))
+  }
+
   test("disjoint range reads zero files and returns empty") {
     val dir = Files.createTempDirectory("layout-e").toString + "/data"
     Layout.zorderWrite(grid, "x", "y", dir, nFiles = 4)
