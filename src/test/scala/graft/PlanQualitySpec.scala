@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Physical-plan regression gate: the properties that make the flagship
+ * queries scale — filter pushdown into the parquet scan, broadcast of
+ * small sides, bounded exchange counts, codegen — asserted on the plan
+ * string so a refactor can't silently trade them away. (Results are
+ * covered by the oracle; THIS spec covers the plans.)
+ */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).length
+
+  test("filter + projection push into the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      s"no pushed filter on l_shipdate:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double"),
+      "projection not pruned to the 3 selected columns + filter column")
+  }
+
+  test("multi-way revenue join broadcasts the small dimensions") {
+    val p = plan("q_join_revenue")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"nation/region should broadcast:\n$p")
+  }
+
+  test("funnel runs in one scan and one data exchange") {
+    val p = plan("q_funnel")
+    assert(count(p, "Scan parquet") == 1, s"funnel should scan once:\n$p")
+    // one hash exchange for the user windows + the single-row final agg
+    assert(count(p, "Exchange") <= 2, s"funnel should shuffle once:\n$p")
+    assert(count(p, "Window") == 3, "three stage windows over one sort")
+  }
+
+  test("bloom semi join filters the fact scan before the join") {
+    val p = plan("q_bloom_semi")
+    assert(p.contains("LeftSemi"), "exact semi join must remain")
+    val filterIdx = p.indexOf("UDF(l_partkey")
+    assert(filterIdx >= 0, s"bloom probe not on the fact side:\n$p")
+  }
+
+  test("gap-fill joins broadcast the dimension grid") {
+    val p = plan("q_gapfill")
+    assert(count(p, "BroadcastExchange") >= 2,
+      s"days grid and daily agg should broadcast:\n$p")
+  }
+
+  test("hot-path queries keep whole-stage codegen") {
+    // an unexecuted AdaptiveSparkPlan reports 0 codegen subtrees; turn
+    // AQE off for the inspection so the static plan shows its spans
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q1_agg", "q_minhash", "q_window_rank")) {
+        val p = SparkEntry.queries(q)(spark, sf).queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+        val found = "Found (\\d+) WholeStageCodegen subtrees".r
+          .findFirstMatchIn(p).map(_.group(1).toInt).getOrElse(0)
+        assert(found > 0, s"$q lost codegen:\n${p.take(800)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
