@@ -135,13 +135,18 @@ object CdcMerge {
         Files.writeString(tmp, version)
         Files.move(tmp, stateRoot.resolve("CURRENT"),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        // GC superseded/orphaned versions strictly after the flip
-        graft.core.FsUtil.listDir(stateRoot)
-          .filter { p =>
-            val n = p.getFileName.toString
-            n.startsWith("state-v") && n != version
-          }
-          .foreach(graft.core.FsUtil.deleteRecursive)
+        // GC strictly after the flip, RETAINING the newest superseded
+        // version: an external reader that resolved CURRENT just before
+        // the flip may still be scanning it — one version of grace
+        // covers any read that began under the previous pointer.
+        // (Orphans from crashed batches sort below the retained pair
+        // and are collected here too.)
+        val versions = graft.core.FsUtil.listDir(stateRoot)
+          .filter(_.getFileName.toString.startsWith("state-v"))
+          .map(_.getFileName.toString).sorted
+        val keep = (versions.filter(_ < version).takeRight(1) :+ version).toSet
+        versions.filterNot(keep)
+          .foreach(v => graft.core.FsUtil.deleteRecursive(stateRoot.resolve(v)))
         ()
       }
     writer.start()

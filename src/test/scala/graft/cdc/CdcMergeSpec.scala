@@ -90,10 +90,16 @@ class CdcMergeSpec extends SparkSpec {
       Seq(tx(6, "I", 4, "four")).mkString("\n"))
     run()
     assert(readState() == Seq(1 -> "one-v2", 3 -> "three", 4 -> "four"))
-    // GC removed the orphan; only the live version remains
+    // GC removed the orphan; live version + ONE superseded version of
+    // grace remain (an external reader resolved under the old pointer
+    // may still be scanning it)
     val versions = graft.core.FsUtil.listDir(java.nio.file.Paths.get(state))
-      .map(_.getFileName.toString).filter(_.startsWith("state-v"))
-    assert(versions.length == 1)
+      .map(_.getFileName.toString).filter(_.startsWith("state-v")).sorted
+    assert(!versions.contains("state-v000000999999")) // orphan collected
+    assert(versions.length <= 2 && versions.nonEmpty)
+    val current = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(state, "CURRENT")).trim
+    assert(versions.last == current) // newest version is the live one
   }
 
   test("wal2json-shaped DELETE: old key in identity, no columns") {
