@@ -25,12 +25,26 @@ object CdcQueries {
 
   /** events rows → one wal2json tx line per row (commit_lsn defaults to
     * event_id; pass `lsn` to synthesize later transactions, e.g. updates
-    * and deletes after the initial inserts for the merge query). */
+    * and deletes after the initial inserts for the merge query).
+    * `deleteShape = true` emits the REAL wal2json format-2 DELETE wire
+    * shape: NO `columns` at all, old key values in `identity` — so the
+    * merge query's oracle check covers the identity decode path, not
+    * just the repo's columns-populated synthetic deletes. */
   def eventsAsWalLines(events: DataFrame,
                        action: org.apache.spark.sql.Column = lit("I"),
-                       lsn: org.apache.spark.sql.Column = col("event_id")): DataFrame = {
+                       lsn: org.apache.spark.sql.Column = col("event_id"),
+                       deleteShape: Boolean = false): DataFrame = {
     def pgcol(name: String, typ: String, value: org.apache.spark.sql.Column) =
       struct(lit(name).as("name"), lit(typ).as("type"), value.cast("string").as("value"))
+    val pgColArrType = "array<struct<name:string,type:string,value:string>>"
+    val columnsArr = array(
+      pgcol("event_id", "bigint", col("event_id")),
+      pgcol("ts", "timestamp without time zone",
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+      pgcol("user_id", "bigint", col("user_id")),
+      pgcol("event_type", "text", col("event_type")),
+      pgcol("value", "double precision", col("value")))
+    val identityArr = array(pgcol("event_id", "bigint", col("event_id")))
     val record = struct(
       action.as("action"),
       col("event_id").as("xid"),
@@ -39,16 +53,13 @@ object CdcQueries {
       date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("timestamp"),
       lit("public").as("schema"),
       lit("events").as("table"),
-      array(
-        pgcol("event_id", "bigint", col("event_id")),
-        pgcol("ts", "timestamp without time zone",
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")),
-        pgcol("user_id", "bigint", col("user_id")),
-        pgcol("event_type", "text", col("event_type")),
-        pgcol("value", "double precision", col("value"))
-      ).as("columns"),
+      (if (deleteShape) lit(null).cast(pgColArrType) else columnsArr).as("columns"),
+      (if (deleteShape) identityArr else lit(null).cast(pgColArrType)).as("identity"),
       array(struct(lit("event_id").as("name"), lit("bigint").as("type"))).as("pk")
     )
+    // to_json drops null fields (spark.sql.jsonGenerator.ignoreNullFields
+    // default): a deleteShape record serializes with identity and WITHOUT
+    // columns — byte-shape-identical to a real wal2json D record
     events.select(to_json(struct(
       lsn.as("commit_lsn"), array(record).as("records"))).as("value"))
   }
@@ -68,7 +79,7 @@ object CdcQueries {
       lit("U"), col("event_id") + 10000000L)
     val deletes = eventsAsWalLines(
       events.where(col("event_id") % 7 === 0),
-      lit("D"), col("event_id") + 20000000L)
+      lit("D"), col("event_id") + 20000000L, deleteShape = true)
     inserts.unionAll(updates).unionAll(deletes)
   }
 
