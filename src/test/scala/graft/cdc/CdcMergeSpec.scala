@@ -133,6 +133,14 @@ class CdcMergeSpec extends SparkSpec {
   }
 
   test("latest state equals a naive ordered fold on a randomized I/U/D history") {
+    // wal2json-shaped D: no columns, old key in identity
+    def dtxId(lsn: Long, id: Int): String =
+      s"""{"commit_lsn": $lsn, "records": [{"action": "D", "xid": 1,
+         |"lsn": "0/$lsn", "nextlsn": "", "timestamp": "t", "schema": "public",
+         |"table": "t",
+         |"identity": [{"name": "id", "type": "integer", "value": $id}],
+         |"pk": [{"name": "id", "type": "integer"}]}]}"""
+        .stripMargin.replace("\n", " ")
     val rnd = new scala.util.Random(42) // deterministic
     val hist = (1 to 300).map { lsn =>
       val id = rnd.nextInt(20)
@@ -144,8 +152,13 @@ class CdcMergeSpec extends SparkSpec {
       case (m, (_, "D", id, _)) => m - id
       case (m, (_, _, id, v)) => m + (id -> v)
     }
-    // feed the SAME history in scrambled line order across partitions
-    val scrambled = rnd.shuffle(hist).map { case (lsn, a, id, v) => tx(lsn, a, id, v) }
+    // the SAME history in scrambled line order across partitions; half
+    // the deletes use the real wal2json identity-only wire shape, half
+    // the repo's columns-populated synthetic shape — both must merge
+    val scrambled = rnd.shuffle(hist).map {
+      case (lsn, "D", id, _) if lsn % 2 == 0 => dtxId(lsn, id)
+      case (lsn, a, id, v) => tx(lsn, a, id, v)
+    }
     val feed = lines(scrambled: _*).repartition(7)
     val state = CdcMerge.latestState(feed, schemaT).collect()
       .map(r => r.getAs[Int]("id") -> r.getAs[String]("name")).toMap
