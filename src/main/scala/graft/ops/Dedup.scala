@@ -235,6 +235,31 @@ object Dedup {
   }
 
   /**
+   * Cross-corpus (incremental-batch) exact dedup: drop rows of `batch`
+   * whose normalized-text fingerprint already exists in `corpus`, then
+   * collapse within-batch duplicates keeping the lowest id — the admission
+   * gate an incremental ingest runs before appending a new crawl slice to
+   * an existing corpus.
+   *
+   * Scale: both the anti join and the within-batch window shuffle only
+   * (fingerprint, id) pairs — 32-byte keys, never documents; the corpus
+   * side reduces to DISTINCT fingerprints (one row per unique text ever
+   * admitted, the natural "seen set" a production pipeline keeps
+   * materialized between runs).
+   */
+  def dedupAgainst(batch: DataFrame, corpus: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seen = corpus.select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+    val w = Window.partitionBy("__fp").orderBy(idCol)
+    batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(seen, Seq("__fp"), "left_anti")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__fp", "__rk")
+  }
+
+  /**
    * Near-dup cluster resolution: connected components over the candidate
    * pair graph via iterative min-label propagation (each doc adopts the
    * smallest doc id reachable; iterate to fixpoint). Returns

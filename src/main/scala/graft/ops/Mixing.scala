@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Domain-mixture budgeting for pretraining corpora: given per-domain
+ * token counts and a total token budget, allocate each domain
+ * min(tokens, L) where the water level L is the largest integer with
+ * sum(min(tokens_i, L)) <= budget — the classic water-filling cap that
+ * keeps small domains intact and trims dominant ones (the "no domain
+ * above its fair share unless others leave room" mixing rule).
+ *
+ * Scale design: the input to the allocation is the per-domain aggregate —
+ * domain cardinality (dozens-to-thousands), not corpus cardinality — so
+ * the unpartitioned windows here are O(#domains) on purpose. The corpus-
+ * scale work (the token-count aggregation) happens before this operator
+ * as an ordinary map-side-combined groupBy.
+ *
+ * All arithmetic is exact BIGINT (floor divisions), so allocations are
+ * deterministic and engine-portable; the only double is the final
+ * `share` ratio (one division). The floor may leave < #domains tokens of
+ * the budget unassigned — standard, and callers can hand the remainder
+ * to any domain deterministically if they need exact exhaustion.
+ */
+object Mixing {
+
+  /**
+   * Water-fill allocation. `counts` must have one row per domain with
+   * (`keyCol`, `tokensCol`); returns (key, n_tokens, alloc, capped,
+   * share) with share = alloc / budget.
+   *
+   * Derivation of the closed form used below: sort domains by ascending
+   * token count. If domain i (1-based rank, cum_{i-1} tokens before it,
+   * k-i+1 domains at or after it) were the first CAPPED domain, every
+   * later domain is also capped (they're larger), so the level would be
+   * L_i = (budget - cum_{i-1}) div (k-i+1). Domain i actually IS capped
+   * iff L_i < tokens_i; cappedness is monotone in i, so the first capped
+   * rank fc determines L = L_fc, and alloc = min(tokens, L).
+   */
+  def waterfillBudget(counts: DataFrame, budget: Column,
+                      keyCol: String = "domain",
+                      tokensCol: String = "n_tokens"): DataFrame = {
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy(col(tokensCol), col(keyCol))
+    val ranked = counts
+      .withColumn("__budget", budget.cast("long"))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__cum_before",
+        coalesce(sum(col(tokensCol)).over(wOrd), lit(0L)) - col(tokensCol))
+      .withColumn("__cand",
+        expr(s"(__budget - __cum_before) div (__k - __rn + 1)"))
+      .withColumn("__capped_here", col("__cand") < col(tokensCol))
+    val leveled = ranked
+      .withColumn("__fc",
+        min(when(col("__capped_here"), col("__rn"))).over(wAll))
+      .withColumn("__level",
+        max(when(col("__rn") === col("__fc"), col("__cand"))).over(wAll))
+    leveled.select(
+      col(keyCol),
+      col(tokensCol),
+      when(col("__fc").isNull, col(tokensCol))
+        .otherwise(least(col(tokensCol), col("__level"))).as("alloc"),
+      (col("__fc").isNotNull && col(tokensCol) > col("__level")).cast("int")
+        .as("capped"),
+      (when(col("__fc").isNull, col(tokensCol))
+        .otherwise(least(col(tokensCol), col("__level"))).cast("double") /
+        col("__budget").cast("double")).as("share"))
+  }
+}

@@ -193,6 +193,47 @@ object TextAnalysis {
   def hashSample(df: DataFrame, keyCol: Column, hexThreshold: String = "1a"): DataFrame =
     df.where(substring(md5(keyCol.cast("string")), 1, hexThreshold.length) < hexThreshold)
 
+  /**
+   * Pattern redaction (PII-scrub shape): replace every match of `pattern`
+   * with `mask` and report match statistics. A narrow codegen'd
+   * projection — at scale this runs at parquet-scan speed. The pattern
+   * set for a real pass (emails, phone numbers, SSNs, IP addresses)
+   * plugs into the same call; patterns must stay in the portable
+   * RE2 ∩ java.util.regex dialect for oracle parity.
+   */
+  def redact(c: Column, pattern: String, mask: String = "#"): Column =
+    regexp_replace(c, pattern, mask)
+
+  /** #chars matched by single-char class `pattern` (portable length diff). */
+  def matchedChars(c: Column, pattern: String): Column =
+    (length(c) - length(regexp_replace(c, pattern, ""))).cast("long")
+
+  /**
+   * Intra-document repetition removal over tumbling `windowTokens`-token
+   * windows: duplicate windows within a document are dropped (first
+   * occurrence kept) — the within-doc analogue of paragraph dedup, used
+   * to strip boilerplate runs before training. Returns one row per doc:
+   * (doc_id, n_windows, n_kept, toks_total, toks_kept, rep_ratio).
+   *
+   * Built on [[chunks]] (narrow explode) + one hash aggregation on
+   * (doc_id, window text): the shuffle key is doc-local, so this scales
+   * as an ordinary map-side-combinable aggregation.
+   */
+  def repetitionStats(docs: DataFrame, windowTokens: Int = 8,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grouped = chunks(docs, windowTokens, 0, idCol, textCol)
+      .groupBy(col(idCol), col("chunk"))
+      .agg(count(lit(1)).as("occ"), min("n_chunk_tokens").as("ctoks"))
+    grouped.groupBy(col(idCol))
+      .agg(sum("occ").as("n_windows"),
+           count(lit(1)).as("n_kept"),
+           sum(col("ctoks") * col("occ")).as("toks_total"),
+           sum("ctoks").as("toks_kept"))
+      .withColumn("rep_ratio",
+        (col("toks_total") - col("toks_kept")).cast("double") /
+          col("toks_total").cast("double"))
+  }
+
   /** Full per-document annotation pass (single narrow projection). */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-4 corpus operators: cross-corpus dedup admission gate,
+  * intra-doc repetition removal, pattern redaction. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupAgainst drops corpus dups and within-batch dups, keeps min id") {
+    val corpus = Seq((1L, "seen text"), (2L, "other text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen text"),   // dup of corpus -> dropped
+      (11L, "fresh one"),   // kept
+      (12L, "fresh one"),   // within-batch dup of 11 -> dropped
+      (13L, "SEEN TEXT ")   // normalized dup (trim+lower) -> dropped
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(batch, corpus).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L))
+  }
+
+  test("dedupAgainst keeps schema and is empty-corpus safe") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(batch, corpus)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("repetitionStats counts duplicate tumbling windows once") {
+    // 24 tokens = 3 windows of 8; first and third identical
+    val w8 = "a b c d e f g h"
+    val doc = Seq((1L, s"$w8 x x x x x x x x $w8")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(doc, windowTokens = 8).collect().head
+    assert(r.getAs[Long]("n_windows") == 3L)
+    assert(r.getAs[Long]("n_kept") == 2L)
+    assert(r.getAs[Long]("toks_total") == 24L)
+    assert(r.getAs[Long]("toks_kept") == 16L)
+    assert(math.abs(r.getAs[Double]("rep_ratio") - 8.0 / 24.0) < 1e-12)
+  }
+
+  test("repetitionStats: unique doc has zero repetition, partial tail window") {
+    val doc = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text") // 10 toks
+    val r = TextAnalysis.repetitionStats(doc, windowTokens = 8).collect().head
+    assert(r.getAs[Long]("n_windows") == 2L) // 8 + 2-token tail
+    assert(r.getAs[Long]("toks_total") == 10L)
+    assert(r.getAs[Double]("rep_ratio") == 0.0)
+  }
+
+  test("redact masks every match and matchedChars counts them") {
+    val df = Seq(("""{"a": 12, "b": 345}""")).toDF("s")
+    val r = df.select(
+      TextAnalysis.redact(col("s"), "[0-9]+", "#").as("scrubbed"),
+      TextAnalysis.matchedChars(col("s"), "[0-9]").as("n")).collect().head
+    assert(r.getAs[String]("scrubbed") == """{"a": #, "b": #}""")
+    assert(r.getAs[Long]("n") == 5L)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Water-fill budget allocation: level optimality vs brute force,
+  * budget conservation, and the no-cap fast path. */
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def alloc(tokens: Seq[Long], budget: Long): Map[String, Long] = {
+    val df = tokens.zipWithIndex.map { case (t, i) => (s"d$i", t) }
+      .toDF("domain", "n_tokens")
+    Mixing.waterfillBudget(df, lit(budget))
+      .collect().map(r => r.getAs[String]("domain") -> r.getAs[Long]("alloc")).toMap
+  }
+
+  /** Brute-force water level: largest L with sum(min(t, L)) <= budget. */
+  private def bruteLevel(tokens: Seq[Long], budget: Long): Long =
+    (0L to tokens.max).foldLeft(0L) { (best, l) =>
+      if (tokens.map(math.min(_, l)).sum <= budget) l else best
+    }
+
+  test("allocations equal min(tokens, brute-force water level)") {
+    for (budget <- Seq(5L, 17L, 40L, 100L)) {
+      val toks = Seq(3L, 9L, 27L, 14L, 50L)
+      val got = alloc(toks, budget)
+      val lvl = bruteLevel(toks, budget)
+      toks.zipWithIndex.foreach { case (t, i) =>
+        val expected = if (toks.sum <= budget) t else math.min(t, lvl)
+        assert(got(s"d$i") == expected, s"budget=$budget domain=d$i level=$lvl")
+      }
+    }
+  }
+
+  test("total allocation within budget, and within #domains of it when capped") {
+    val toks = Seq(100L, 200L, 300L, 400L)
+    val budget = 500L
+    val total = alloc(toks, budget).values.sum
+    assert(total <= budget && total > budget - toks.length)
+  }
+
+  test("budget above total caps nothing") {
+    val toks = Seq(10L, 20L, 30L)
+    val df = toks.zipWithIndex.map { case (t, i) => (s"d$i", t) }
+      .toDF("domain", "n_tokens")
+    val rows = Mixing.waterfillBudget(df, lit(1000L)).collect()
+    assert(rows.forall(r => r.getAs[Int]("capped") == 0))
+    assert(rows.map(_.getAs[Long]("alloc")).sum == toks.sum)
+  }
+
+  test("ties split deterministically by domain name") {
+    val df = Seq(("b", 10L), ("a", 10L), ("c", 10L)).toDF("domain", "n_tokens")
+    val rows = Mixing.waterfillBudget(df, lit(25L))
+      .orderBy("domain").collect()
+    // level = 8: all capped at 8 (3*8=24 <= 25 but 3*9=27 > 25)
+    assert(rows.forall(_.getAs[Long]("alloc") == 8L))
+  }
+}
