@@ -3,6 +3,9 @@ package graft.cdc.source
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, Path => HadoopPath}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -11,6 +14,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 /**
@@ -37,9 +41,21 @@ import scala.jdk.CollectionConverters._
  *  - backpressure: `maxTxPerTrigger` caps a batch (the channel
  *    blocking-send of `replicator.go:70,194` becomes bounded admission).
  *
+ * **Scale design — driver holds metadata, executors read payload.** The
+ * driver-side feed keeps an incremental per-file byte cursor (like
+ * Spark's own `FileStreamSource` log) and an index of
+ * `(lsn, file, offset, length)` line locations; it never re-reads a
+ * byte it has already scanned, and [[WalInputPartition]]s carry only
+ * those location refs. Each executor's [[PartitionReader]] opens the
+ * file itself (Hadoop `FileSystem`, so `file://`/`hdfs://`/object
+ * stores all work) and reads the exact byte ranges. Driver memory is
+ * O(#pending tx) * ~60 bytes of metadata regardless of payload size,
+ * and refs below the durable ack are pruned as retention advances.
+ *
  * The transport is a pluggable [[WalFeed]]; [[FileWalFeed]] tails
  * JSON-lines files (zero-egress build). A pg-wire replication client
- * implements the same trait against a live database.
+ * implements the same trait against a live database by spooling
+ * received transactions to the same line-framed files.
  *
  * Usage: `spark.readStream.format("graft-wal").option("path", dir).load()`
  * → schema `(value STRING, commit_lsn LONG)`, directly consumable by
@@ -60,12 +76,41 @@ object WalSource {
     StructField("commit_lsn", LongType, nullable = false)))
 }
 
-/** Transaction feed: ordered (lsn, line) pairs + durable ack cursor. */
+/** Location of one transaction line in executor-readable storage: the
+  * driver plans with these; only executors touch the payload bytes. */
+final case class WalTxRef(lsn: Long, file: String, offset: Long, length: Int)
+
+/** Transaction feed: ordered tx-line *locations* + durable ack cursor.
+  * Payload stays in storage; the driver only ever sees metadata. */
 trait WalFeed extends Serializable {
-  def txAfter(lsn: Long, max: Int): Seq[(Long, String)]
+  /** Line locations with commit LSN strictly after `lsn`, LSN-ascending,
+    * at most `max` of them. Incremental: implementations must not rescan
+    * already-indexed bytes. */
+  def txRefsAfter(lsn: Long, max: Int): Seq[WalTxRef]
   def latestLsn: Long
   def ack(lsn: Long): Unit
   def ackedLsn: Long
+
+  /** Payload convenience for tests/CLI (driver-side, small windows). */
+  def txAfter(lsn: Long, max: Int): Seq[(Long, String)] =
+    txRefsAfter(lsn, max).map(r => (r.lsn, WalFeed.readRef(r)))
+}
+
+object WalFeed {
+  /** Driver-side range read of one ref (local-fs paths). */
+  def readRef(r: WalTxRef): String = {
+    val ch = java.nio.channels.FileChannel.open(Paths.get(r.file))
+    try {
+      val buf = java.nio.ByteBuffer.allocate(r.length)
+      var pos = r.offset
+      while (buf.hasRemaining) {
+        val n = ch.read(buf, pos)
+        if (n < 0) throw new java.io.EOFException(s"${r.file} truncated under reader")
+        pos += n
+      }
+      new String(buf.array(), StandardCharsets.UTF_8)
+    } finally ch.close()
+  }
 }
 
 /**
@@ -73,41 +118,127 @@ trait WalFeed extends Serializable {
  * `internal/app/testdata/wal.input`), ordered by commit LSN; the ack
  * cursor is a sidecar file — the durable analog of
  * `confirmed_flush_lsn`.
+ *
+ * Incremental tail: per-file scanned-byte cursors mean each refresh
+ * stats every file but reads only appended bytes; the in-memory index
+ * holds metadata refs only (never payload) and drops entries at or
+ * below the durable ack. Spool contract: writers append whole lines
+ * (the pg-wire spooler writes `line\n` in one call).
  */
 final class FileWalFeed(dir: String) extends WalFeed {
   private def ackPath: Path = Paths.get(dir, "_acked_lsn")
   private val LsnRe = """"commit_lsn"\s*:\s*(\d+)""".r
 
-  private def scan(): Seq[(Long, String)] = {
-    // scan runs several times per micro-batch on a long-lived query
-    // (latestOffset, planInputPartitions, reportLatestOffset) — the
-    // directory stream must be closed eagerly, not left to GC
-    graft.core.FsUtil.listDir(Paths.get(dir))
-      .filter(p => !p.getFileName.toString.startsWith("_"))
-      .flatMap(p => Files.readAllLines(p, StandardCharsets.UTF_8).asScala)
-      .filter(_.trim.nonEmpty)
-      .map { line =>
-        val lsn = LsnRe.findFirstMatchIn(line).map(_.group(1).toLong)
-          .getOrElse(throw new IllegalArgumentException(s"wal line without commit_lsn: $line"))
-        (lsn, line)
+  // Driver-side incremental state (rebuilt by rescan on a fresh feed).
+  @transient private lazy val scannedBytes = mutable.HashMap.empty[String, Long]
+  @transient private lazy val index = mutable.ArrayBuffer.empty[WalTxRef] // sorted by lsn
+  @transient private var maxSeenLsn = 0L
+  @transient private var ackedCache = -1L
+
+  /** Stat each file; read+parse only bytes beyond the per-file cursor. */
+  private def refresh(): Unit = synchronized {
+    if (ackedCache < 0) ackedCache = ackedLsn
+    var dirty = false
+    for (p <- graft.core.FsUtil.listDirSorted(Paths.get(dir))
+         if !p.getFileName.toString.startsWith("_") && Files.isRegularFile(p)) {
+      val key = p.toString
+      val size = Files.size(p)
+      val from = scannedBytes.getOrElse(key, 0L)
+      if (size > from) {
+        index ++= parseRange(p, from, size)
+        scannedBytes(key) = size
+        dirty = true
       }
-      .sortBy(_._1)
+    }
+    if (dirty) {
+      val sorted = index.sortBy(_.lsn)
+      index.clear(); index ++= sorted
+      if (index.nonEmpty) maxSeenLsn = math.max(maxSeenLsn, index.last.lsn)
+    }
+    // retention: refs at or below the durable ack are never requested
+    // again (initialOffset == ackedLsn), so the index stays O(pending)
+    if (index.nonEmpty && index.head.lsn <= ackedCache) {
+      val keep = index.filter(_.lsn > ackedCache)
+      index.clear(); index ++= keep
+    }
   }
 
-  override def txAfter(lsn: Long, max: Int): Seq[(Long, String)] =
-    scan().filter(_._1 > lsn).take(max)
-
-  override def latestLsn: Long = {
-    val s = scan()
-    if (s.isEmpty) ackedLsn else s.last._1
+  /** Parse `[from, to)` of one file into line refs (byte offsets). An
+    * unterminated final line is consumed — the spool contract is
+    * whole-line appends, and EOF terminates the last line. */
+  private def parseRange(p: Path, from: Long, to: Long): Seq[WalTxRef] = {
+    val out = Vector.newBuilder[WalTxRef]
+    def emit(lineBytes: Array[Byte], start: Long): Unit = {
+      var len = lineBytes.length
+      if (len > 0 && lineBytes(len - 1) == '\r') len -= 1
+      if (len > 0) {
+        val line = new String(lineBytes, 0, len, StandardCharsets.UTF_8)
+        if (line.trim.nonEmpty) {
+          val lsn = LsnRe.findFirstMatchIn(line).map(_.group(1).toLong)
+            .getOrElse(throw new IllegalArgumentException(s"wal line without commit_lsn: $line"))
+          out += WalTxRef(lsn, p.toString, start, len)
+        }
+      }
+    }
+    val in = Files.newInputStream(p)
+    try {
+      var skipped = 0L
+      while (skipped < from) {
+        val s = in.skip(from - skipped)
+        if (s <= 0) return Vector.empty
+        skipped += s
+      }
+      val buf = new Array[Byte](64 * 1024)
+      val line = new java.io.ByteArrayOutputStream()
+      var pos = from
+      var lineStart = from
+      var remaining = to - from
+      while (remaining > 0) {
+        val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+        if (n < 0) remaining = 0
+        else {
+          var i = 0
+          while (i < n) {
+            if (buf(i) == '\n') {
+              emit(line.toByteArray, lineStart)
+              line.reset()
+              lineStart = pos + i + 1
+            } else line.write(buf(i).toInt)
+            i += 1
+          }
+          pos += n
+          remaining -= n
+        }
+      }
+      if (line.size() > 0) emit(line.toByteArray, lineStart)
+      out.result()
+    } finally in.close()
   }
 
-  override def ack(lsn: Long): Unit = {
+  override def txRefsAfter(lsn: Long, max: Int): Seq[WalTxRef] = synchronized {
+    refresh()
+    // first index with ref.lsn > lsn (index sorted ascending)
+    var lo = 0; var hi = index.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (index(mid).lsn <= lsn) lo = mid + 1 else hi = mid
+    }
+    val end = math.min(index.length.toLong, lo.toLong + math.max(0, max).toLong).toInt
+    index.slice(lo, end).toVector
+  }
+
+  override def latestLsn: Long = synchronized {
+    refresh()
+    math.max(maxSeenLsn, ackedCache)
+  }
+
+  override def ack(lsn: Long): Unit = synchronized {
     val tmp = Paths.get(dir, "_acked_lsn.tmp")
     Files.createDirectories(Paths.get(dir))
     Files.writeString(tmp, lsn.toString)
     Files.move(tmp, ackPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ackedCache = math.max(ackedCache, lsn)
   }
 
   override def ackedLsn: Long =
@@ -133,11 +264,12 @@ class WalScan(options: Map[String, String]) extends Scan {
     val dir = options.getOrElse("path",
       throw new IllegalArgumentException("graft-wal requires option 'path'"))
     val maxTx = options.get("maxtxpertrigger").map(_.toInt).getOrElse(Int.MaxValue)
-    new WalMicroBatchStream(new FileWalFeed(dir), maxTx)
+    val conf = new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
+    new WalMicroBatchStream(new FileWalFeed(dir), maxTx, conf)
   }
 }
 
-class WalMicroBatchStream(feed: WalFeed, maxTxPerTrigger: Int)
+class WalMicroBatchStream(feed: WalFeed, maxTxPerTrigger: Int, hadoopConf: SerializableHadoopConf)
     extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -159,15 +291,16 @@ class WalMicroBatchStream(feed: WalFeed, maxTxPerTrigger: Int)
 
   /** Admission control: advance from `start` by at most the read limit
     * (the bounded analog of the reference's blocking channel send,
-    * `replicator.go:70,194`). */
+    * `replicator.go:70,194`). Metadata-only: the refs' payload is never
+    * read here. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[LsnOffset].lsn
-    val cap = limit match {
-      case r: ReadMaxRows => r.maxRows().toInt
-      case _ => Int.MaxValue
+    val end = limit match {
+      case r: ReadMaxRows =>
+        val refs = feed.txRefsAfter(from, r.maxRows().toInt)
+        if (refs.isEmpty) from else refs.last.lsn
+      case _ => math.max(from, feed.latestLsn)
     }
-    val txs = feed.txAfter(from, cap)
-    val end = if (txs.isEmpty) from else txs.last._1
     LsnOffset(availableNowTarget.fold(end)(t => math.min(end, t)))
   }
 
@@ -183,19 +316,20 @@ class WalMicroBatchStream(feed: WalFeed, maxTxPerTrigger: Int)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LsnOffset].lsn
     val e = end.asInstanceOf[LsnOffset].lsn
-    val txs = feed.txAfter(s, Int.MaxValue).filter(_._1 <= e)
-    if (txs.isEmpty) Array.empty
+    val refs = feed.txRefsAfter(s, Int.MaxValue).filter(_.lsn <= e)
+    if (refs.isEmpty) Array.empty
     else {
       // split a large batch into contiguous LSN-range chunks so decode
       // parallelizes across executors (one partition would serialize the
       // whole window into a single task at scale); tx atomicity is
-      // per-line so any chunking is safe
-      val chunkSize = math.max(1, math.min(10000, txs.length / 32 + 1))
-      txs.grouped(chunkSize).map(c => WalInputPartition(c.toArray): InputPartition).toArray
+      // per-line so any chunking is safe. Partitions carry location refs
+      // only — the payload bytes are read executor-side.
+      val chunkSize = math.max(1, math.min(10000, refs.length / 32 + 1))
+      refs.grouped(chunkSize).map(c => WalInputPartition(c.toArray): InputPartition).toArray
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new WalReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = new WalReaderFactory(hadoopConf)
 
   /** S5: LSN ack after the batch is durably committed by the engine. */
   override def commit(end: Offset): Unit = feed.ack(end.asInstanceOf[LsnOffset].lsn)
@@ -203,17 +337,48 @@ class WalMicroBatchStream(feed: WalFeed, maxTxPerTrigger: Int)
   override def stop(): Unit = ()
 }
 
-final case class WalInputPartition(txs: Array[(Long, String)]) extends InputPartition
+/** Metadata-only partition: file/byte-range refs, no payload. */
+final case class WalInputPartition(refs: Array[WalTxRef]) extends InputPartition
 
-class WalReaderFactory extends PartitionReaderFactory {
+/** Executor-side reader: opens each referenced file via Hadoop
+  * `FileSystem` (works for `file://`, `hdfs://`, object stores) and
+  * positioned-reads the exact line ranges the driver planned. */
+class WalReaderFactory(hadoopConf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val txs = partition.asInstanceOf[WalInputPartition].txs
+    val refs = partition.asInstanceOf[WalInputPartition].refs
     new PartitionReader[InternalRow] {
+      private val streams = mutable.HashMap.empty[String, FSDataInputStream]
       private var i = -1
-      override def next(): Boolean = { i += 1; i < txs.length }
-      override def get(): InternalRow =
-        InternalRow(UTF8String.fromString(txs(i)._2), txs(i)._1)
-      override def close(): Unit = ()
+      override def next(): Boolean = { i += 1; i < refs.length }
+      override def get(): InternalRow = {
+        val r = refs(i)
+        val in = streams.getOrElseUpdate(r.file, {
+          val p = new HadoopPath(r.file)
+          p.getFileSystem(hadoopConf.value).open(p)
+        })
+        val bytes = new Array[Byte](r.length)
+        in.readFully(r.offset, bytes) // positioned read; stream reusable across refs
+        InternalRow(UTF8String.fromBytes(bytes), r.lsn)
+      }
+      override def close(): Unit = {
+        streams.values.foreach(s => scala.util.Try(s.close()))
+        streams.clear()
+      }
     }
+  }
+}
+
+/** Java-serializable Hadoop `Configuration` carrier (the standard
+  * Writable round-trip), so the reader factory ships the driver's
+  * filesystem conf to executors. */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }

@@ -102,4 +102,68 @@ class WalSourceSpec extends SparkSpec {
     assert(feed.txAfter(0L, 10).map(_._1) == Seq(100L))
     assert(feed.txAfter(100L, 10).isEmpty)
   }
+
+  test("partitions carry file-range refs, never payload; executors read the bytes") {
+    val base = Files.createTempDirectory("walsrc5").toString
+    val wal = s"$base/wal"; Files.createDirectories(Paths.get(wal))
+    val lines = (1 to 5).map(i => tx(i * 100L, i))
+    Files.writeString(Paths.get(wal, "a.json"), lines.mkString("\n"))
+
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val stream = new WalMicroBatchStream(new FileWalFeed(wal), Int.MaxValue, conf)
+    val parts = stream.planInputPartitions(LsnOffset(0L), LsnOffset(500L))
+    val refs = parts.flatMap(_.asInstanceOf[WalInputPartition].refs)
+    assert(refs.map(_.lsn).toSeq == Seq(100L, 200L, 300L, 400L, 500L))
+
+    // the serialized task payload contains metadata only — no tx JSON
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    parts.foreach(oos.writeObject); oos.close()
+    val serialized = new String(bos.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!serialized.contains("\"records\""), "partition leaked payload to the driver plan")
+    assert(!serialized.contains("\"columns\""), "partition leaked payload to the driver plan")
+
+    // the executor-side reader reproduces the exact lines from the refs
+    val factory = new WalReaderFactory(conf)
+    val got = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = Vector.newBuilder[(Long, String)]
+      while (r.next()) { val row = r.get(); buf += ((row.getLong(1), row.getUTF8String(0).toString)) }
+      r.close()
+      buf.result()
+    }
+    assert(got.map(_._1).toSeq == Seq(100L, 200L, 300L, 400L, 500L))
+    assert(got.map(_._2).toSeq == lines)
+  }
+
+  test("incremental tail: appended bytes are indexed without rescanning, unterminated tail included") {
+    val base = Files.createTempDirectory("walsrc6").toString
+    val f = Paths.get(base, "a.json")
+    Files.writeString(f, tx(100, 1) + "\n")
+    val feed = new FileWalFeed(base)
+    assert(feed.txRefsAfter(0L, 100).map(_.lsn) == Seq(100L))
+
+    // append one terminated and one unterminated line to the SAME file
+    Files.writeString(f, tx(200, 2) + "\n" + tx(300, 3),
+      java.nio.file.StandardOpenOption.APPEND)
+    val refs = feed.txRefsAfter(0L, 100)
+    assert(refs.map(_.lsn) == Seq(100L, 200L, 300L))
+    // refs point at the exact line bytes
+    assert(refs.map(graft.cdc.source.WalFeed.readRef) == Seq(tx(100, 1), tx(200, 2), tx(300, 3)))
+    // a new file shows up too
+    Files.writeString(Paths.get(base, "b.json"), tx(400, 4))
+    assert(feed.txRefsAfter(250L, 100).map(_.lsn) == Seq(300L, 400L))
+    assert(feed.latestLsn == 400L)
+  }
+
+  test("index prunes refs at or below the durable ack (retention watermark)") {
+    val base = Files.createTempDirectory("walsrc7").toString
+    Files.writeString(Paths.get(base, "a.json"), (1 to 4).map(i => tx(i * 100L, i)).mkString("\n"))
+    val feed = new FileWalFeed(base)
+    assert(feed.txRefsAfter(0L, 100).size == 4)
+    feed.ack(200L)
+    // acked refs are dropped from the index; later reads still correct
+    assert(feed.txRefsAfter(200L, 100).map(_.lsn) == Seq(300L, 400L))
+    assert(feed.latestLsn == 400L)
+  }
 }
