@@ -1,0 +1,216 @@
+package graft.cdc.pgwire
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets
+import PgWire._
+
+/**
+ * Logical-replication client over a raw pg-wire socket — the transport
+ * layer of the reference's replicator (`pkg/pgrepl/replicator.go:61-226`
+ * and `conn.go:17-56`), built directly on the public protocol instead of
+ * the pgx/pglogrepl Go libraries:
+ *
+ *  - connect with `replication=database` (walsender accepts both the
+ *    replication grammar and normal SQL in logical mode);
+ *  - `confirmedFlushLsn` to resume an existing slot, or
+ *    `createReplicationSlot` (`CREATE_REPLICATION_SLOT ... LOGICAL
+ *    wal2json NOEXPORT_SNAPSHOT`) like `replicator.go:105-130`;
+ *  - `startReplication` issues `START_REPLICATION SLOT ... LOGICAL lsn
+ *    (opts)` and switches to CopyBoth streaming;
+ *  - `receive()` yields XLogData / keepalive frames; `sendStandbyStatus`
+ *    is the `confirmed_flush_lsn` ack (`replicator.go:213-226`).
+ *
+ * Auth: trust, cleartext and md5 password. SCRAM is intentionally out of
+ * scope for the zero-egress build (fails with a clear message).
+ */
+final class PgReplicationClient(
+    host: String,
+    port: Int,
+    user: String,
+    database: String,
+    password: Option[String] = None,
+    connectTimeoutMs: Int = 15000) extends AutoCloseable {
+
+  private var socket: Socket = _
+  private var in: DataInputStream = _
+  private var out: DataOutputStream = _
+  private val writeLock = new Object
+
+  def connect(): Unit = {
+    socket = new Socket()
+    socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    socket.setTcpNoDelay(true)
+    in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
+    out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+    // replication=database: logical walsender mode (replicator.go:87)
+    out.write(startupMessage(Seq(
+      "user" -> user, "database" -> database, "replication" -> "database")))
+    out.flush()
+    authenticate()
+    awaitReadyForQuery()
+  }
+
+  private def authenticate(): Unit = {
+    var done = false
+    while (!done) {
+      val m = readMessage(in)
+      m.tpe match {
+        case MsgAuthentication =>
+          authCode(m.body) match {
+            case 0 => done = true // AuthenticationOk
+            case 3 =>
+              val pw = password.getOrElse(sys.error("server requires a password"))
+              writeMessage(out, MsgPassword, passwordBody(pw))
+            case 5 =>
+              val pw = password.getOrElse(sys.error("server requires a password"))
+              val salt = m.body.drop(4)
+              writeMessage(out, MsgPassword, passwordBody(md5Credential(pw, salt)))
+            case other =>
+              sys.error(s"unsupported auth method $other (SCRAM not supported in this build)")
+          }
+        case MsgErrorResponse =>
+          val (code, msg) = parseErrorResponse(m.body)
+          sys.error(s"auth failed: $code $msg")
+        case _ => () // ParameterStatus / BackendKeyData / Notice before ready
+      }
+    }
+  }
+
+  /** md5 auth credential: "md5" + md5hex(md5hex(password+user) + salt). */
+  private def md5Credential(pw: String, salt: Array[Byte]): String = {
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map(x => f"$x%02x").mkString
+    val inner = md5hex((pw + user).getBytes(StandardCharsets.UTF_8))
+    "md5" + md5hex(inner.getBytes(StandardCharsets.UTF_8) ++ salt)
+  }
+
+  private def awaitReadyForQuery(): Unit = {
+    var done = false
+    while (!done) {
+      val m = readMessage(in)
+      m.tpe match {
+        case MsgReadyForQuery => done = true
+        case MsgErrorResponse =>
+          val (code, msg) = parseErrorResponse(m.body)
+          sys.error(s"error before ready: $code $msg")
+        case _ => ()
+      }
+    }
+  }
+
+  /** Simple-protocol query returning text rows keyed by column name.
+    * Replication metadata result sets only — always tiny. */
+  def simpleQuery(sql: String): Seq[Map[String, Option[String]]] = {
+    writeLock.synchronized(writeMessage(out, MsgQuery, queryBody(sql)))
+    var fields: Seq[String] = Nil
+    val rows = Vector.newBuilder[Map[String, Option[String]]]
+    var done = false
+    var error: Option[String] = None
+    while (!done) {
+      val m = readMessage(in)
+      m.tpe match {
+        case MsgRowDescription => fields = parseRowDescription(m.body)
+        case MsgDataRow => rows += fields.zip(parseDataRow(m.body)).toMap
+        case MsgCommandComplete | MsgEmptyQuery => ()
+        case MsgErrorResponse =>
+          val (code, msg) = parseErrorResponse(m.body)
+          error = Some(s"$code $msg")
+        case MsgReadyForQuery => done = true
+        case _ => ()
+      }
+    }
+    error.foreach(e => sys.error(s"query failed: $e"))
+    rows.result()
+  }
+
+  /** `confirmed_flush_lsn` of an existing slot (`conn.go:47-56`), None if
+    * the slot doesn't exist yet. */
+  def confirmedFlushLsn(slot: String): Option[Long] =
+    simpleQuery(
+      s"SELECT confirmed_flush_lsn FROM pg_replication_slots WHERE slot_name = '${ident(slot)}'")
+      .headOption.flatMap(_.getOrElse("confirmed_flush_lsn", None)).map(Lsn.parse)
+
+  /** Tables of a publication (`conn.go:18-44`), as schema.table. */
+  def publicationTables(publication: String): Seq[String] =
+    simpleQuery(
+      s"""SELECT schemaname, tablename FROM pg_publication p
+         | JOIN pg_publication_tables pt ON p.pubname = pt.pubname
+         | WHERE p.pubname = '${ident(publication)}'""".stripMargin)
+      .map(r => s"${r("schemaname").getOrElse("")}.${r("tablename").getOrElse("")}")
+
+  /** Create a durable logical slot; returns the consistent point LSN
+    * (`replicator.go:110-125`). */
+  def createReplicationSlot(slot: String, plugin: String = "wal2json"): Long = {
+    val rows = simpleQuery(
+      s"""CREATE_REPLICATION_SLOT "${ident(slot)}" LOGICAL $plugin NOEXPORT_SNAPSHOT""")
+    val point = rows.headOption.flatMap(_.getOrElse("consistent_point", None))
+      .getOrElse(sys.error("CREATE_REPLICATION_SLOT returned no consistent_point"))
+    Lsn.parse(point)
+  }
+
+  /** Switch the connection into CopyBoth streaming from `startLsn` with
+    * the given plugin options (`replicator.go:137-156`). */
+  def startReplication(slot: String, startLsn: Long, pluginOptions: Seq[(String, String)]): Unit = {
+    val opts =
+      if (pluginOptions.isEmpty) ""
+      else pluginOptions.map { case (k, v) => s""""$k" '$v'""" }.mkString(" (", ", ", ")")
+    val sql = s"""START_REPLICATION SLOT "${ident(slot)}" LOGICAL ${Lsn.format(startLsn)}$opts"""
+    writeLock.synchronized(writeMessage(out, MsgQuery, queryBody(sql)))
+    var started = false
+    while (!started) {
+      val m = readMessage(in)
+      m.tpe match {
+        case MsgCopyBothResponse => started = true
+        case MsgErrorResponse =>
+          val (code, msg) = parseErrorResponse(m.body)
+          sys.error(s"START_REPLICATION failed: $code $msg")
+        case _ => ()
+      }
+    }
+  }
+
+  /** Next replication event once streaming: Left(keepalive) or
+    * Right(xlogdata). Blocks; returns None on an orderly server close. */
+  def receive(): Option[Either[PrimaryKeepalive, XLogData]] = {
+    while (true) {
+      val m =
+        try readMessage(in)
+        catch { case _: java.io.EOFException => return None }
+      m.tpe match {
+        case MsgCopyData =>
+          m.body(0) match {
+            case XLogDataId => return Some(Right(parseXLogData(m.body)))
+            case PrimaryKeepaliveId => return Some(Left(parsePrimaryKeepalive(m.body)))
+            case _ => ()
+          }
+        case MsgCopyDone => return None
+        case MsgErrorResponse =>
+          val (code, msg) = parseErrorResponse(m.body)
+          sys.error(s"replication stream error: $code $msg")
+        case _ => ()
+      }
+    }
+    None
+  }
+
+  /** Standby status update: report `lsn` written+flushed+applied — the
+    * `Commit` of `replicator.go:213-226`. Safe to call from any thread
+    * while `receive()` blocks on the read side. */
+  def sendStandbyStatus(lsn: Long, replyRequested: Boolean = false): Unit =
+    writeLock.synchronized {
+      writeMessage(out, MsgCopyData,
+        standbyStatusUpdate(lsn, lsn, lsn, pgClockMicros(System.currentTimeMillis()), replyRequested))
+    }
+
+  /** Escape an identifier/literal fragment (metadata names only). */
+  private def ident(s: String): String = s.replace("'", "''").replace("\"", "")
+
+  override def close(): Unit = {
+    try {
+      if (out != null) writeLock.synchronized(writeMessage(out, MsgTerminate, Array.empty))
+    } catch { case _: Throwable => () }
+    try if (socket != null) socket.close() catch { case _: Throwable => () }
+  }
+}
