@@ -133,11 +133,13 @@ final class FileWalFeed(dir: String) extends WalFeed {
   @transient private lazy val scannedBytes = mutable.HashMap.empty[String, Long]
   @transient private lazy val index = mutable.ArrayBuffer.empty[WalTxRef] // sorted by lsn
   @transient private var maxSeenLsn = 0L
-  @transient private var ackedCache = -1L
+  // Boxed so the "unread" sentinel survives Java deserialization (a
+  // primitive -1L default would come back as 0 and skip the re-read).
+  @transient private var ackedCache: java.lang.Long = null
 
   /** Stat each file; read+parse only bytes beyond the per-file cursor. */
   private def refresh(): Unit = synchronized {
-    if (ackedCache < 0) ackedCache = ackedLsn
+    if (ackedCache == null) ackedCache = ackedLsn
     var dirty = false
     for (p <- graft.core.FsUtil.listDirSorted(Paths.get(dir))
          if !p.getFileName.toString.startsWith("_") && Files.isRegularFile(p)) {
@@ -145,9 +147,10 @@ final class FileWalFeed(dir: String) extends WalFeed {
       val size = Files.size(p)
       val from = scannedBytes.getOrElse(key, 0L)
       if (size > from) {
-        index ++= parseRange(p, from, size)
-        scannedBytes(key) = size
-        dirty = true
+        val (refs, consumedTo) = parseRange(p, from, size)
+        index ++= refs
+        if (consumedTo > from) scannedBytes(key) = consumedTo
+        if (refs.nonEmpty) dirty = true
       }
     }
     if (dirty) {
@@ -163,10 +166,17 @@ final class FileWalFeed(dir: String) extends WalFeed {
     }
   }
 
-  /** Parse `[from, to)` of one file into line refs (byte offsets). An
-    * unterminated final line is consumed — the spool contract is
-    * whole-line appends, and EOF terminates the last line. */
-  private def parseRange(p: Path, from: Long, to: Long): Seq[WalTxRef] = {
+  /** Parse `[from, to)` of one file into line refs (byte offsets);
+    * returns `(refs, consumedTo)`. Newline-terminated lines are always
+    * consumed. An unterminated final line is consumed only when it
+    * validates as complete JSON: the spool contract is whole-line
+    * appends, but regular-file appends are not atomic to concurrent
+    * readers — a torn read observed mid-write must stay *pending*
+    * (cursor parked at the line start) until the newline arrives, or a
+    * truncated payload would be served under a valid LSN and the line's
+    * remainder would later fail to parse on its own (sticky torn read,
+    * exactly-once violation on replay). */
+  private def parseRange(p: Path, from: Long, to: Long): (Seq[WalTxRef], Long) = {
     val out = Vector.newBuilder[WalTxRef]
     def emit(lineBytes: Array[Byte], start: Long): Unit = {
       var len = lineBytes.length
@@ -185,7 +195,7 @@ final class FileWalFeed(dir: String) extends WalFeed {
       var skipped = 0L
       while (skipped < from) {
         val s = in.skip(from - skipped)
-        if (s <= 0) return Vector.empty
+        if (s <= 0) return (Vector.empty, from)
         skipped += s
       }
       val buf = new Array[Byte](64 * 1024)
@@ -210,9 +220,28 @@ final class FileWalFeed(dir: String) extends WalFeed {
           remaining -= n
         }
       }
-      if (line.size() > 0) emit(line.toByteArray, lineStart)
-      out.result()
+      if (line.size() > 0) {
+        // Unterminated tail: accept only if it is a complete JSON value
+        // (a torn mid-write read is a truncated prefix and fails here).
+        val tail = line.toByteArray
+        val text = new String(tail, StandardCharsets.UTF_8)
+        if (isCompleteJson(text)) {
+          emit(tail, lineStart)
+          (out.result(), to)
+        } else (out.result(), lineStart) // leave pending until '\n' arrives
+      } else (out.result(), to)
     } finally in.close()
+  }
+
+  /** Strict full-input JSON parse (Jackson, shipped with Spark): a
+    * truncated line — even one whose visible prefix still matches the
+    * commit_lsn regex — is not complete JSON and stays pending. */
+  private def isCompleteJson(s: String): Boolean = {
+    val t = s.trim
+    if (t.isEmpty || !t.endsWith("}")) false
+    else
+      try { FileWalFeed.jsonMapper.readTree(t); true }
+      catch { case _: Exception => false }
   }
 
   override def txRefsAfter(lsn: Long, max: Int): Seq[WalTxRef] = synchronized {
@@ -229,7 +258,7 @@ final class FileWalFeed(dir: String) extends WalFeed {
 
   override def latestLsn: Long = synchronized {
     refresh()
-    math.max(maxSeenLsn, ackedCache)
+    math.max(maxSeenLsn, ackedCache.longValue)
   }
 
   override def ack(lsn: Long): Unit = synchronized {
@@ -238,11 +267,16 @@ final class FileWalFeed(dir: String) extends WalFeed {
     Files.writeString(tmp, lsn.toString)
     Files.move(tmp, ackPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ackedCache = math.max(ackedCache, lsn)
+    ackedCache = if (ackedCache == null) lsn else math.max(ackedCache.longValue, lsn)
   }
 
   override def ackedLsn: Long =
     if (Files.exists(ackPath)) Files.readString(ackPath).trim.toLong else 0L
+}
+
+object FileWalFeed {
+  /** Shared strict parser for tail-line completeness checks (thread-safe). */
+  private[source] val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }
 
 final case class LsnOffset(lsn: Long) extends Offset {

@@ -156,6 +156,39 @@ class WalSourceSpec extends SparkSpec {
     assert(feed.latestLsn == 400L)
   }
 
+  test("torn read: a truncated tail line stays pending until the newline arrives") {
+    val base = Files.createTempDirectory("walsrc8").toString
+    val f = Paths.get(base, "a.json")
+    val full = tx(200, 2)
+    // a concurrent writer's append observed mid-write: the visible prefix
+    // still matches the commit_lsn regex but is NOT a complete line
+    val torn = full.substring(0, full.length / 2)
+    Files.writeString(f, tx(100, 1) + "\n" + torn)
+    val feed = new FileWalFeed(base)
+    assert(feed.txRefsAfter(0L, 100).map(_.lsn) == Seq(100L), "torn tail must not be indexed")
+    assert(feed.latestLsn == 100L)
+
+    // the writer finishes the line: the SAME feed (cursor parked at the
+    // line start) indexes the completed line with byte-exact payload
+    Files.writeString(f, full.substring(full.length / 2) + "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    val refs = feed.txRefsAfter(0L, 100)
+    assert(refs.map(_.lsn) == Seq(100L, 200L))
+    assert(WalFeed.readRef(refs.last) == full, "payload must be the full line, not the torn prefix")
+  }
+
+  test("torn read: complete-JSON tail without newline is consumed (EOF-closed spool)") {
+    val base = Files.createTempDirectory("walsrc9").toString
+    val f = Paths.get(base, "a.json")
+    Files.writeString(f, tx(100, 1)) // no trailing newline, but complete JSON
+    val feed = new FileWalFeed(base)
+    val refs = feed.txRefsAfter(0L, 100)
+    assert(refs.map(_.lsn) == Seq(100L))
+    assert(WalFeed.readRef(refs.head) == tx(100, 1))
+    // re-refresh must not duplicate the consumed tail
+    assert(feed.txRefsAfter(0L, 100).map(_.lsn) == Seq(100L))
+  }
+
   test("index prunes refs at or below the durable ack (retention watermark)") {
     val base = Files.createTempDirectory("walsrc7").toString
     Files.writeString(Paths.get(base, "a.json"), (1 to 4).map(i => tx(i * 100L, i)).mkString("\n"))
