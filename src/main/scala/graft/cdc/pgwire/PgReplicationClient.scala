@@ -30,7 +30,8 @@ final class PgReplicationClient(
     user: String,
     database: String,
     password: Option[String] = None,
-    connectTimeoutMs: Int = 15000) extends AutoCloseable {
+    connectTimeoutMs: Int = 15000,
+    readTimeoutMs: Int = 120000) extends AutoCloseable {
 
   private var socket: Socket = _
   private var in: DataInputStream = _
@@ -41,6 +42,11 @@ final class PgReplicationClient(
     socket = new Socket()
     socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
     socket.setTcpNoDelay(true)
+    // A dead server without a FIN (partition, kill -9 of the walsender)
+    // must surface as a SocketTimeoutException — a reconnectable error —
+    // not an indefinite hang. Postgres keepalives arrive well inside
+    // this window (default wal_sender_timeout/2 = 30 s heartbeats).
+    socket.setSoTimeout(math.max(1, readTimeoutMs))
     in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
     out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
     // replication=database: logical walsender mode (replicator.go:87)
@@ -78,7 +84,7 @@ final class PgReplicationClient(
   }
 
   /** md5 auth credential: "md5" + md5hex(md5hex(password+user) + salt). */
-  private def md5Credential(pw: String, salt: Array[Byte]): String = {
+  private[pgwire] def md5Credential(pw: String, salt: Array[Byte]): String = {
     def md5hex(b: Array[Byte]): String =
       java.security.MessageDigest.getInstance("MD5").digest(b)
         .map(x => f"$x%02x").mkString
@@ -129,7 +135,7 @@ final class PgReplicationClient(
     * the slot doesn't exist yet. */
   def confirmedFlushLsn(slot: String): Option[Long] =
     simpleQuery(
-      s"SELECT confirmed_flush_lsn FROM pg_replication_slots WHERE slot_name = '${ident(slot)}'")
+      s"SELECT confirmed_flush_lsn FROM pg_replication_slots WHERE slot_name = '${literal(slot)}'")
       .headOption.flatMap(_.getOrElse("confirmed_flush_lsn", None)).map(Lsn.parse)
 
   /** Tables of a publication (`conn.go:18-44`), as schema.table. */
@@ -137,14 +143,14 @@ final class PgReplicationClient(
     simpleQuery(
       s"""SELECT schemaname, tablename FROM pg_publication p
          | JOIN pg_publication_tables pt ON p.pubname = pt.pubname
-         | WHERE p.pubname = '${ident(publication)}'""".stripMargin)
+         | WHERE p.pubname = '${literal(publication)}'""".stripMargin)
       .map(r => s"${r("schemaname").getOrElse("")}.${r("tablename").getOrElse("")}")
 
   /** Create a durable logical slot; returns the consistent point LSN
     * (`replicator.go:110-125`). */
   def createReplicationSlot(slot: String, plugin: String = "wal2json"): Long = {
     val rows = simpleQuery(
-      s"""CREATE_REPLICATION_SLOT "${ident(slot)}" LOGICAL $plugin NOEXPORT_SNAPSHOT""")
+      s"""CREATE_REPLICATION_SLOT "${identifier(slot)}" LOGICAL ${identifier(plugin)} NOEXPORT_SNAPSHOT""")
     val point = rows.headOption.flatMap(_.getOrElse("consistent_point", None))
       .getOrElse(sys.error("CREATE_REPLICATION_SLOT returned no consistent_point"))
     Lsn.parse(point)
@@ -155,8 +161,13 @@ final class PgReplicationClient(
   def startReplication(slot: String, startLsn: Long, pluginOptions: Seq[(String, String)]): Unit = {
     val opts =
       if (pluginOptions.isEmpty) ""
-      else pluginOptions.map { case (k, v) => s""""$k" '$v'""" }.mkString(" (", ", ", ")")
-    val sql = s"""START_REPLICATION SLOT "${ident(slot)}" LOGICAL ${Lsn.format(startLsn)}$opts"""
+      else pluginOptions.map { case (k, v) =>
+        require(k.nonEmpty && k.forall(c =>
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_' || c == '-'),
+          s"invalid plugin option name '$k'")
+        s""""$k" '${literal(v)}'"""
+      }.mkString(" (", ", ", ")")
+    val sql = s"""START_REPLICATION SLOT "${identifier(slot)}" LOGICAL ${Lsn.format(startLsn)}$opts"""
     writeLock.synchronized(writeMessage(out, MsgQuery, queryBody(sql)))
     var started = false
     while (!started) {
@@ -183,7 +194,10 @@ final class PgReplicationClient(
           m.body(0) match {
             case XLogDataId => return Some(Right(parseXLogData(m.body)))
             case PrimaryKeepaliveId => return Some(Left(parsePrimaryKeepalive(m.body)))
-            case _ => ()
+            case other =>
+              // an id this codec doesn't know means a protocol we don't
+              // speak — dropping it would silently lose WAL data
+              sys.error(f"unknown replication CopyData sub-message '${other.toChar}' (0x$other%02x)")
           }
         case MsgCopyDone => return None
         case MsgErrorResponse =>
@@ -204,8 +218,19 @@ final class PgReplicationClient(
         standbyStatusUpdate(lsn, lsn, lsn, pgClockMicros(System.currentTimeMillis()), replyRequested))
     }
 
-  /** Escape an identifier/literal fragment (metadata names only). */
-  private def ident(s: String): String = s.replace("'", "''").replace("\"", "")
+  /** Escape a string-literal fragment (single-quoted context): ' → ''. */
+  private[pgwire] def literal(s: String): String = s.replace("'", "''")
+
+  /** Validate a double-quoted identifier (slot/plugin names). Escaping
+    * would silently *rename* — a slot named `a"b` must fail loudly, not
+    * become a different slot — so reject anything outside the charset
+    * Postgres itself allows for replication slot names. */
+  private[pgwire] def identifier(s: String): String = {
+    require(s.nonEmpty && s.length <= 63 && s.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'),
+      s"invalid replication identifier '$s': must be 1-63 chars of [a-z0-9_]")
+    s
+  }
 
   override def close(): Unit = {
     try {

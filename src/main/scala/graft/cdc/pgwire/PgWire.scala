@@ -182,14 +182,17 @@ object PgWire {
 
   // ------------------------------------------------------------- LSN
 
-  /** Postgres textual LSN `X/Y` (two hex halves) ↔ 64-bit value. */
+  /** Postgres textual LSN `X/Y` (two hex halves) ↔ 64-bit value.
+    * `format` emits `%X/%08X` (PostgreSQL 17's `LSN_FORMAT_ARGS`
+    * convention — low half zero-padded to 8 digits); `parse` accepts
+    * both padded and unpadded halves, like the server. */
   object Lsn {
     def parse(s: String): Long = s.split('/') match {
       case Array(hi, lo) => (java.lang.Long.parseLong(hi, 16) << 32) | java.lang.Long.parseLong(lo, 16)
       case _ => throw new IllegalArgumentException(s"bad LSN: $s")
     }
     def format(lsn: Long): String =
-      f"${(lsn >>> 32).toHexString.toUpperCase}%s/${(lsn & 0xffffffffL).toHexString.toUpperCase}%s"
+      f"${lsn >>> 32}%X/${lsn & 0xffffffffL}%08X"
   }
 
   /** Microseconds since the Postgres epoch (2000-01-01 UTC) for status

@@ -299,7 +299,27 @@ class WalScan(options: Map[String, String]) extends Scan {
       throw new IllegalArgumentException("graft-wal requires option 'path'"))
     val maxTx = options.get("maxtxpertrigger").map(_.toInt).getOrElse(Int.MaxValue)
     val conf = new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
-    new WalMicroBatchStream(new FileWalFeed(dir), maxTx, conf)
+    // Live-database transport: `pgHost` + `publication` switch the feed
+    // to a pg-wire replication client spooling into `path`; otherwise
+    // `path` is consumed as pre-spooled JSON-lines files.
+    val feed: WalFeed = options.get("pghost") match {
+      case Some(host) =>
+        val f = new graft.cdc.pgwire.PgWalFeed(
+          new graft.cdc.pgwire.PgReplicationClient(
+            host = host,
+            port = options.get("pgport").map(_.toInt).getOrElse(5432),
+            user = options.getOrElse("pguser", "postgres"),
+            database = options.getOrElse("pgdatabase", "postgres"),
+            password = options.get("pgpassword"),
+            readTimeoutMs = options.get("pgreadtimeoutms").map(_.toInt).getOrElse(120000)),
+          publication = options.getOrElse("publication",
+            throw new IllegalArgumentException("graft-wal with pgHost requires option 'publication'")),
+          spoolDir = dir)
+        f.start()
+        f
+      case None => new FileWalFeed(dir)
+    }
+    new WalMicroBatchStream(feed, maxTx, conf)
   }
 }
 
@@ -368,7 +388,10 @@ class WalMicroBatchStream(feed: WalFeed, maxTxPerTrigger: Int, hadoopConf: Seria
   /** S5: LSN ack after the batch is durably committed by the engine. */
   override def commit(end: Offset): Unit = feed.ack(end.asInstanceOf[LsnOffset].lsn)
 
-  override def stop(): Unit = ()
+  override def stop(): Unit = feed match {
+    case c: AutoCloseable => c.close()
+    case _ => ()
+  }
 }
 
 /** Metadata-only partition: file/byte-range refs, no payload. */

@@ -1,0 +1,135 @@
+package graft.cdc.pgwire
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+import graft.cdc.{TableColumn, TableSchema, WalDecoder}
+import graft.cdc.source.{FileWalFeed, WalFeed}
+import org.apache.spark.sql.streaming.Trigger
+import PgWire._
+
+/**
+ * Parity proof for the pg-wire transport: the [[PgWalFeed]] spooler fed
+ * by a live (fake) walsender serves the SAME transactions — byte-exact
+ * lines at the [[WalFeed]] interface, identical decoded tables through
+ * the full `graft-wal` streaming source — as a [[FileWalFeed]] reading
+ * pre-spooled files. This is the integration the reference wires in
+ * `pkg/pgrepl/replicator.go:160-226` (stream → assemble → feed channel).
+ */
+class PgWalFeedSpec extends SparkSpec {
+
+  private val tSchema = TableSchema("t", Seq(
+    TableColumn("id", "integer", nullable = false, isPrimary = true),
+    TableColumn("name", "text", nullable = true, isPrimary = false)))
+
+  /** wal2json v2 frames for `n` transactions of two inserts each. */
+  private def scenario(n: Int): (Seq[String], Seq[Long]) = {
+    val frames = Vector.newBuilder[String]
+    val lsns = Vector.newBuilder[Long]
+    for (k <- 1 to n) {
+      val commit = 0x1000L * k
+      val commitText = Lsn.format(commit)
+      lsns += commit
+      frames += s"""{"action":"B","xid":$k,"lsn":"0/F00","nextlsn":"$commitText","timestamp":"ts"}"""
+      for (i <- 0 until 2)
+        frames += s"""{"action":"I","xid":$k,"lsn":"0/F0$i","nextlsn":"","timestamp":"ts","schema":"public","table":"t","columns":[{"name":"id","type":"integer","value":${k * 10 + i}},{"name":"name","type":"text","value":"row-$k-$i"}],"pk":[{"name":"id","type":"integer"}]}"""
+      frames += s"""{"action":"C","xid":$k,"lsn":"0/F09","nextlsn":"$commitText","timestamp":"ts"}"""
+    }
+    (frames.result(), lsns.result())
+  }
+
+  /** The envelope lines the same frames produce when assembled directly. */
+  private def directLines(frames: Seq[String]): Seq[String] = {
+    val b = new Wal2JsonTxBuilder
+    frames.flatMap(f => b.feed(f).map(_._2))
+  }
+
+  private def walsenderFor(frames: Seq[String]): FakeWalsender =
+    new FakeWalsender(
+      publications = Map("pub" -> Seq("public" -> "t")),
+      stream = frames.zipWithIndex.map { case (p, i) => (0xF00L + i * 8, p) })
+
+  test("WalFeed parity: spooled lines are byte-identical to direct assembly; ack reaches the server") {
+    val (frames, lsns) = scenario(6)
+    val expected = directLines(frames)
+    assert(expected.size == 6)
+
+    val base = Files.createTempDirectory("pgfeed").toString
+    val server = walsenderFor(frames)
+    val feed = new PgWalFeed(
+      new PgReplicationClient("127.0.0.1", server.port, "u", "db"), "pub", s"$base/spool")
+    try {
+      val tables = feed.start()
+      assert(tables == Seq("public.t"))
+      assert(feed.slot == "graft_pub")
+      server.awaitStreamed()
+
+      // poll: the background receive loop spools asynchronously
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (feed.latestLsn < lsns.last && System.nanoTime() < deadline) Thread.sleep(20)
+
+      val refs = feed.txRefsAfter(0L, Int.MaxValue)
+      assert(refs.map(_.lsn) == lsns)
+      assert(refs.map(WalFeed.readRef) == expected, "spooled lines must be byte-identical")
+
+      // ack: durable local cursor + standby status to the server
+      feed.ack(lsns.last)
+      assert(feed.ackedLsn == lsns.last)
+      val ackDeadline = System.nanoTime() + 10e9.toLong
+      while (server.acks.isEmpty && System.nanoTime() < ackDeadline) Thread.sleep(10)
+      assert(server.acks == Seq(lsns.last))
+      server.check()
+    } finally { feed.close(); server.close() }
+  }
+
+  test("end-to-end parity: graft-wal over pgHost decodes to the identical table as file input") {
+    val (frames, lsns) = scenario(6)
+    val expected = directLines(frames)
+
+    val base = Files.createTempDirectory("pgfeed2").toString
+    // PATH A: pre-spooled file consumed by the stock FileWalFeed path
+    val dirA = s"$base/direct"; Files.createDirectories(Paths.get(dirA))
+    Files.writeString(Paths.get(dirA, "feed.jsonl"), expected.mkString("", "\n", "\n"))
+
+    // PATH B: live pg-wire transport through the actual streaming source
+    val server = walsenderFor(frames)
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.format("graft-wal")
+      .option("path", s"$base/spool")
+      .option("pgHost", "127.0.0.1")
+      .option("pgPort", server.port.toString)
+      .option("pgUser", "u")
+      .option("pgDatabase", "db")
+      .option("publication", "pub")
+      .load()
+      .writeStream
+      .trigger(Trigger.ProcessingTime(100))
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => collected.add((r.getLong(1), r.getString(0)))): Unit
+      }
+      .start()
+    try {
+      val deadline = System.nanoTime() + 60e9.toLong
+      while (collected.size < expected.size && System.nanoTime() < deadline) Thread.sleep(50)
+    } finally { q.stop(); server.close() }
+
+    val got = { val b = Vector.newBuilder[(Long, String)]; collected.forEach(b += _); b.result() }
+      .sortBy(_._1)
+    assert(got.map(_._1) == lsns)
+    assert(got.map(_._2) == expected, "streamed lines must equal the file-feed lines")
+
+    // decode both paths with the replay pipeline — identical tables
+    import scala.jdk.CollectionConverters._
+    val linesA = spark.read.text(dirA)
+    val linesB = spark.createDataFrame(
+      got.map(l => org.apache.spark.sql.Row(l._2)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
+    def decode(lines: org.apache.spark.sql.DataFrame): Seq[(Int, String)] =
+      WalDecoder.decodeTables(spark, lines, Seq(tSchema))("t")
+        .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    val a = decode(linesA)
+    assert(a == decode(linesB))
+    assert(a.size == 12 && a.head == (10, "row-1-0"))
+  }
+}
