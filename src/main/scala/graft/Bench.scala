@@ -47,10 +47,28 @@ object Bench {
       val b = timeOnce(fn)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = "%.3f".format(v)
+    val qjson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+
+    // The harness capturing this output keeps only a bounded tail of
+    // stdout; a single line with all per-query timings at full precision
+    // overflows it and the head (and thus JSON validity) is lost. So:
+    //  1. persist the COMPLETE per-query map to a one-line JSON file,
+    //  2. print the complete map anyway (most of it survives in a tail),
+    //  3. end with a short, self-contained summary line — guaranteed to
+    //     fit whole in any tail window — carrying the slowest queries
+    //     inline plus a pointer to the full file.
+    val qfile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":$qjson}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(qfile),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(full)
+    val slowest = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"$qfile","queries":$slowest}""")
     spark.stop()
   }
 }
