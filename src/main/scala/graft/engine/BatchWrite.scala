@@ -54,14 +54,30 @@ object BatchWrite {
 /**
  * Retrieve (Q3): 2-tier read — try the hot cache store, fall back to the
  * cold store on any error (`internal/app/retriever.go:44-50`); `-`/empty
- * output streams to stdout. The reference's IPFS/Filecoin cold path is a
- * second [[ContentStore]] here (zero-egress build — SURVEY §2 Q3).
+ * output streams to stdout. The reference's cold path fetches a CAR v1
+ * archive and extracts the root block (`retriever.go:88-233`); here the
+ * network fetch is a second [[ContentStore]] (zero-egress build — SURVEY
+ * §2 Q3), and any cold artifact that IS a CAR v1 gets the same
+ * root-block extraction via [[CarV1.extract]].
  */
 final class Retriever(cache: ContentStore, cold: Option[ContentStore] = None) {
 
   def retrieve(cid: String): Option[Path] =
-    try cache.get(cid).orElse(cold.flatMap(_.get(cid)))
-    catch { case _: Exception => cold.flatMap(_.get(cid)) }
+    (try cache.get(cid).orElse(coldGet(cid))
+     catch { case _: Exception => coldGet(cid) })
+
+  /** Cold tier serves CARs (the lassie analogue): extract the root block
+    * like `retriever.go:216-233`; non-CAR artifacts pass through. */
+  private def coldGet(cid: String): Option[Path] =
+    cold.flatMap(_.get(cid)).map { p =>
+      if (CarV1.isCar(p)) CarV1.extract(p) match {
+        case Some(payload) =>
+          val tmp = Files.createTempFile("graft-car-extract", ".bin")
+          Files.write(tmp, payload)
+          tmp
+        case None => p // CAR without its root block: serve as-is
+      } else p
+    }
 
   /** Write to a file, or stdout for "-"/"" like the reference. */
   def retrieveTo(cid: String, output: String): Boolean = retrieve(cid) match {
