@@ -24,8 +24,8 @@ object OpsQueries {
     val ann =
       if (lsh) Similarity.annTopK(emb, queries, k = 5)
       else {
-        val (indexed, cents) = Similarity.ivfIndex(emb, nCells = 16, lloydIters = 2)
-        Similarity.ivfTopK(indexed, cents, queries, k = 5, nProbe = 4)
+        val (indexed, cents) = Similarity.ivfIndex(emb)
+        Similarity.ivfTopK(indexed, cents, queries, k = 5)
       }
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
       .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
@@ -228,22 +228,48 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // embedding-cosine near-dup: exact above-threshold pair set (the
-    // brute-force baseline; sign-LSH candidates are the 100 TB path)
+    // embedding-cosine near-dup: exact above-threshold pair set, hash-
+    // checked. The EXACT form is the oracle-matched one on purpose: the
+    // testdata's pair-similarity distribution is continuous through the
+    // 0.4 threshold (no gap), so no candidate generator can be both
+    // pruning and lossless here — the bucketed default is contract-
+    // checked separately in q_dedup_embed_lsh.
     "q_dedup_embed" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(Tables(s, dir, "embeddings"), threshold = 0.4)
+      Similarity.cosineNearDupPairsExact(Tables(s, dir, "embeddings"), threshold = 0.4)
         .orderBy("id_a", "id_b")),
+
+    // the PUBLIC bucketed near-dup path (sign-LSH candidates + exact
+    // verify): precision is 1 by construction (every emitted pair is
+    // re-verified), recall is contract-checked against the exact pair
+    // set — same oracle pattern as q_ann_lsh
+    "q_dedup_embed_lsh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val exact = Similarity.cosineNearDupPairsExact(emb, threshold = 0.4)
+        .select(col("id_a").as("ea"), col("id_b").as("eb"))
+      val lsh = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
+      val hits = lsh.join(exact,
+        col("id_a") === col("ea") && col("id_b") === col("eb"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("__n_lsh")))
+        .crossJoin(hits.agg(count(lit(1)).as("__n_hits")))
+        .select(col("n_exact"),
+          // subset of exact (precision 1): every lsh pair is an exact pair
+          (col("__n_hits") === col("__n_lsh")).cast("long").as("precision_ok"),
+          (col("__n_hits").cast("double") >= col("n_exact") * 0.9)
+            .cast("long").as("recall_ok"))
+    }),
 
     // ANN buckets are engine-specific, but the RECALL contract vs exact
     // brute force is oracle-checkable (same pattern as q_approx_stats):
     // the query emits result-shape counts plus a flag that measured
     // recall clears a bound safely under the observed floor (LSH
-    // 0.66-0.74, IVF 0.54-0.56 across sf0.001-0.1 — see RecallCheck);
-    // the oracle recomputes the shape and asserts the flag. ANN output
-    // is deterministic, so a flag flip is a real quality regression.
-    "q_ann_lsh" -> ((s, dir) => annRecallContract(s, dir, lsh = true, bound = 0.55)),
+    // 6 bits × 16 tables: 0.98-1.0; IVF 64 cells × 32 probes:
+    // 0.90-0.92 across sf0.001-0.1 — see RecallCheck); the oracle
+    // recomputes the shape and asserts the flag. ANN output is
+    // deterministic, so a flag flip is a real quality regression.
+    "q_ann_lsh" -> ((s, dir) => annRecallContract(s, dir, lsh = true, bound = 0.9)),
 
-    "q_ann_ivf" -> ((s, dir) => annRecallContract(s, dir, lsh = false, bound = 0.45)),
+    "q_ann_ivf" -> ((s, dir) => annRecallContract(s, dir, lsh = false, bound = 0.8)),
 
     // END-TO-END corpus dedup: LSH candidates → Jaccard ≥ 0.8 →
     // connected components → keep canonical docs only (hash-checked
@@ -787,6 +813,18 @@ object OpsQueries {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ${sqlDot("a", "b")} / (a.nrm * b.nrm) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // accuracy contract for the bucketed (sign-LSH + exact verify) form:
+    // the oracle recomputes the exact pair count and asserts precision
+    // (lsh ⊆ exact) and recall ≥ 0.9 both held on the Spark side
+    "q_dedup_embed_lsh" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |  sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+         |  FROM embeddings)
+         |SELECT count(*) AS n_exact,
+         |  CAST(1 AS BIGINT) AS precision_ok, CAST(1 AS BIGINT) AS recall_ok
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${sqlDot("a", "b")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
 
     "q_cosine_topk" ->
       s"""WITH scored AS (

@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev probe: ANN recall vs brute force per sf (bounds for the
-  * q_ann_* accuracy-contract oracles). */
+  * q_ann_* accuracy-contract oracles). Sweeps a small parameter grid so
+  * contract bounds are chosen from measurements, not hope. */
 object RecallCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[16]")
@@ -20,16 +21,25 @@ object RecallCheck {
       val queries = emb.where(col("vec_id") < 10)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
         .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      exact.cache(); val nExact = exact.count()
       def recall(ann: org.apache.spark.sql.DataFrame): Double = {
         val hits = ann.select("query_id", "neighbor_id")
           .join(exact, col("query_id") === col("eq") && col("neighbor_id") === col("en"), "left_semi")
           .count()
-        hits.toDouble / (10 * 5)
+        hits.toDouble / nExact
       }
-      val lsh = recall(Similarity.annTopK(emb, queries, k = 5))
-      val (indexed, cents) = Similarity.ivfIndex(emb, nCells = 16, lloydIters = 2)
-      val ivf = recall(Similarity.ivfTopK(indexed, cents, queries, k = 5, nProbe = 4))
-      println(s"RECALL $sf lsh=$lsh ivf=$ivf")
+      for ((bits, tables) <- Seq((6, 16))) { // shipped default
+        val r = recall(Similarity.annTopK(emb, queries, k = 5, nBits = bits, nTables = tables))
+        println(s"RECALL $sf lsh bits=$bits tables=$tables r=$r")
+      }
+      for ((cells, iters, probe) <- Seq((64, 4, 32))) { // shipped default
+        val (indexed, cents) = Similarity.ivfIndex(emb, nCells = cells, lloydIters = iters)
+        indexed.cache()
+        val r = recall(Similarity.ivfTopK(indexed, cents, queries, k = 5, nProbe = probe))
+        println(s"RECALL $sf ivf cells=$cells iters=$iters probe=$probe r=$r")
+        indexed.unpersist()
+      }
+      exact.unpersist()
     }
     spark.stop()
   }

@@ -206,18 +206,39 @@ class OpsSpec extends SparkSpec {
       (3L, Array(-1.0f, 0.0f, 0.0f)),   // opposite of 0
       (4L, Array(1.0f, 0.01f, 0.0f))    // near 0 and 1
     ).toDF("vec_id", "embedding")
-    val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.95)
+    val pairs = Similarity.cosineNearDupPairsExact(emb, threshold = 0.95)
       .orderBy("id_a", "id_b").collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     assert(pairs.toSeq == Seq((0L, 1L), (0L, 4L), (1L, 4L)))
     // sims agree with the brute-force top-k scorer on the shared pair
     // (0's nearest neighbor is 4)
-    val sim04 = Similarity.cosineNearDupPairs(emb, 0.95)
+    val sim04 = Similarity.cosineNearDupPairsExact(emb, 0.95)
       .where($"id_a" === 0 && $"id_b" === 4).collect()(0).getAs[Double]("sim")
     val topk0 = Similarity.bruteForceTopK(emb, emb.where($"vec_id" === 0), k = 1)
       .collect()(0)
     assert(topk0.getAs[Long]("neighbor_id") == 4L)
     assert(sim04 == topk0.getAs[Double]("sim"))
+  }
+
+  test("bucketed near-dup (default): subset of exact, high recall, no BNLJ") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.cosineNearDupPairsExact(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bucketed = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
+    val got = bucketed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // precision 1: every emitted pair is a true above-threshold pair,
+    // with the identical (rounded) similarity
+    assert(got.subsetOf(exact), s"false positives: ${got.diff(exact)}")
+    // recall on the test corpus clears the contract bound with margin
+    assert(exact.isEmpty || got.size.toDouble / exact.size >= 0.9,
+      s"recall ${got.size}/${exact.size}")
+    // plan shape: candidate generation is a hash join on (tbl, bucket) —
+    // the exact form's broadcast-nested-loop must NOT appear
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "bucketed path must not BNLJ")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "candidate join should be a hash/sort-merge join")
   }
 
   test("int8 quantization: reconstruction error bounded, top-k preserved") {
