@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
  * GPT-3's appendix, here with a configurable n).
  *
  * Scale design (100 TB):
- *  - shingles are hashed to a 128-bit md5 before the join, so the shuffle
- *    carries 32-byte keys, never the n-gram text;
+ *  - shingles are hashed to a 64-bit xxhash64 before the join, so the
+ *    shuffle carries 8-byte keys, never the n-gram text (the report
+ *    emits COUNTS, not hashes, so the key only has to discriminate:
+ *    P(any train↔eval collision) at 10^9 distinct shingles is ~5e-2 on
+ *    64 bits — switch `hashCol` to md5 when the corpus approaches that);
  *  - per-document shingles are DISTINCT'd before joining (bounds the join
  *    input at one row per (doc, distinct shingle));
  *  - the eval side is tiny relative to the corpus — broadcast it when it
@@ -34,10 +37,13 @@ object Contamination {
   def flagOverlap(trainDocs: DataFrame, evalDocs: DataFrame, n: Int = 8,
                   idCol: String = "doc_id", textCol: String = "text",
                   broadcastEval: Boolean = true): DataFrame = {
+    // ngram_hashes ≡ xxhash-of-shingles semantically (same grams, 64-bit
+    // keys) but runs as ONE codegen'd O(chars) loop per document — the
+    // shingle strings are never materialized (spec-proven gram-equal to
+    // TextAnalysis.shingles)
     def hashedShingles(docs: DataFrame, cols: Seq[String]) =
       docs.select((cols.map(col) :+
-          explode(TextAnalysis.shingles(col(textCol), n)).as("sh")): _*)
-        .select((cols.map(col) :+ md5(col("sh")).as("h")): _*)
+          explode(graft.functions.NgramHashes(col(textCol), n)).as("h")): _*)
         .distinct()
 
     val train = hashedShingles(trainDocs, Seq(idCol))
