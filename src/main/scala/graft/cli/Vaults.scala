@@ -107,6 +107,26 @@ final class Vaults(
     Signer.fromFile(Paths.get(keyFile)).signatureHex(Paths.get(file))
 }
 
+object Vaults {
+  /** Byte-progress renderer for uploads, the reference CLI's
+    * `progressbar.DefaultBytes(fi.Size(), "Writing...")`
+    * (`cmd/vaults/commands.go:327-330`): carriage-return overwritten
+    * `Writing... NN% (sent/total bytes)` line, newline at completion.
+    * Pass to [[graft.engine.HttpContentStore]]'s `progress`. */
+  def progressBar(out: java.io.PrintStream = System.err,
+                  label: String = "Writing..."): (Long, Long) => Unit = {
+    var lastPct = -1L
+    (sent, total) => {
+      val pct = if (total <= 0) 100L else sent * 100L / total
+      if (pct != lastPct) { // one render per percent, not per chunk
+        lastPct = pct
+        out.print(s"\r$label $pct%% ($sent/$total bytes)")
+        if (sent >= total) out.println()
+      }
+    }
+  }
+}
+
 /** M2: `--format table|json` output rendering
   * (`cmd/vaults/commands.go:399-420`, `:556-582`). */
 sealed trait OutputFormat { def render(df: DataFrame): String }

@@ -21,8 +21,15 @@ import java.time.Duration
  * Zero-egress builds exercise this against a localhost server (see
  * `HttpContentStoreSpec`); the CID is taken from the provider's JSON
  * response (`{"cid":"…"}`).
+ *
+ * `progress` mirrors the reference CLI's upload progress bar
+ * (`cmd/vaults/commands.go:312-330`, `progressbar.DefaultBytes`): called
+ * with (bytesSent, totalBytes) as the streamed body is consumed —
+ * monotone, ending at (total, total). Rendering is the caller's business
+ * (see `graft.cli.Vaults.progressBar`).
  */
-final class HttpContentStore(baseUrl: String, timeout: Duration = Duration.ofSeconds(10))
+final class HttpContentStore(baseUrl: String, timeout: Duration = Duration.ofSeconds(10),
+                             progress: Option[(Long, Long) => Unit] = None)
     extends ContentStore {
 
   @transient private lazy val client: HttpClient =
@@ -30,14 +37,39 @@ final class HttpContentStore(baseUrl: String, timeout: Duration = Duration.ofSec
 
   private val CidRe = """"cid"\s*:\s*"([^"]+)"""".r
 
+  /** File body publisher that reports consumed bytes to `progress`. */
+  private def bodyWithProgress(file: Path, report: (Long, Long) => Unit) = {
+    val total = Files.size(file)
+    HttpRequest.BodyPublishers.ofInputStream(() => {
+      val in = Files.newInputStream(file)
+      new java.io.FilterInputStream(in) {
+        private var sent = 0L
+        override def read(): Int = {
+          val r = super.read()
+          if (r >= 0) { sent += 1; report(sent, total) }
+          r
+        }
+        override def read(b: Array[Byte], off: Int, len: Int): Int = {
+          val r = super.read(b, off, len)
+          if (r > 0) { sent += r; report(sent, total) }
+          r
+        }
+      }
+    })
+  }
+
   override def put(vault: VaultName, file: Path, timestampSec: Long,
                    signature: Array[Byte]): String = {
     val sigHex = signature.map("%02x".format(_)).mkString
     val uri = URI.create(
       s"$baseUrl/vaults/$vault/events?timestamp=$timestampSec&signature=$sigHex")
+    val body = progress match {
+      case Some(report) => bodyWithProgress(file, report)
+      case None => HttpRequest.BodyPublishers.ofFile(file)
+    }
     val req = HttpRequest.newBuilder(uri)
       .header("filename", file.getFileName.toString)
-      .POST(HttpRequest.BodyPublishers.ofFile(file))
+      .POST(body)
       .build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)

@@ -64,6 +64,28 @@ class HttpContentStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(Files.readAllBytes(got.get)) == "payload-bytes")
   }
 
+  test("upload progress: monotone byte reports ending at (total, total)") {
+    val reports = scala.collection.mutable.Buffer.empty[(Long, Long)]
+    val store = new HttpContentStore(base,
+      progress = Some((sent, total) => reports.synchronized { reports += ((sent, total)) }))
+    val f = Files.createTempFile("prog", ".parquet")
+    Files.write(f, Array.fill[Byte](256 * 1024)(7)) // larger than one chunk
+    val cid = store.put(VaultName("ns", "t"), f, 0L, Array.emptyByteArray)
+    assert(cid.nonEmpty)
+    val rs = reports.synchronized { reports.toList }
+    assert(rs.nonEmpty)
+    assert(rs.forall(_._2 == 256L * 1024), "total is the file size")
+    assert(rs.map(_._1) == rs.map(_._1).sorted, "byte counts are monotone")
+    assert(rs.last._1 == 256L * 1024, "final report is (total, total)")
+    // the rendered bar writes one line per percent and a trailing newline
+    val buf = new java.io.ByteArrayOutputStream()
+    val bar = graft.cli.Vaults.progressBar(new java.io.PrintStream(buf), "Writing...")
+    rs.foreach { case (s2, t2) => bar(s2, t2) }
+    val rendered = buf.toString
+    assert(rendered.contains("Writing... 100%"))
+    assert(rendered.endsWith(System.lineSeparator()))
+  }
+
   test("404 → None; Retriever falls back to cold store (Q3)") {
     val hot = new HttpContentStore(base)
     assert(hot.get("not-there").isEmpty)
