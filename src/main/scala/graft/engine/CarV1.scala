@@ -69,8 +69,12 @@ object CarV1 {
 
   object Cid {
     /** CIDv1 with a sha2-256 multihash of `data`. */
-    def v1(codec: Int, data: Array[Byte]): Cid = {
-      val digest = java.security.MessageDigest.getInstance("SHA-256").digest(data)
+    def v1(codec: Int, data: Array[Byte]): Cid =
+      v1FromDigest(codec, java.security.MessageDigest.getInstance("SHA-256").digest(data))
+
+    /** CIDv1 from an already-computed sha2-256 digest (streamed hashing). */
+    def v1FromDigest(codec: Int, digest: Array[Byte]): Cid = {
+      require(digest.length == 32, "sha2-256 digest must be 32 bytes")
       val out = new ByteArrayOutputStream()
       writeVarint(1, out); writeVarint(codec, out)
       writeVarint(Sha256Code, out); writeVarint(32, out)

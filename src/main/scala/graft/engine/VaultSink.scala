@@ -44,9 +44,10 @@ final class LocalContentStore(rootDir: String) extends ContentStore {
 }
 
 object LocalContentStore {
-  /** Deterministic content id (sha-256 hex). The reference uses IPFS CIDs;
-    * any collision-resistant content hash preserves the semantics.
-    * Directory artifacts hash their files in name order. */
+  /** Deterministic content id: CIDv1 (raw codec, sha2-256 multihash) in
+    * multibase base32 — the reference's id format, computed offline
+    * from the streamed content hash. Directory artifacts hash their
+    * files in name order. */
   def contentId(file: Path): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def absorb(f: Path): Unit = {
@@ -60,7 +61,7 @@ object LocalContentStore {
     if (Files.isDirectory(file)) {
       FsUtil.listDirSorted(file).filter(Files.isRegularFile(_)).foreach(absorb)
     } else absorb(file)
-    md.digest().map("%02x".format(_)).mkString
+    CarV1.Cid.v1FromDigest(CarV1.CodecRaw, md.digest()).toString
   }
 }
 

@@ -103,7 +103,7 @@ class MainSpec extends SparkSpec {
 
     // event recorded → retrieve by cid → analyze the retrieved snapshot
     val ev = v.events("ns.metrics")
-    val cid = """"cid":"([0-9a-f]+)"""".r.findFirstMatchIn(ev).get.group(1)
+    val cid = """"cid":"([0-9a-z]+)"""".r.findFirstMatchIn(ev).get.group(1)
     val out = s"$root/retrieved.parquet"
     assert(v.retrieve(cid, out))
     val df = spark.read.parquet(out)
