@@ -140,6 +140,24 @@ object CdcQueries {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
           col("user_id"), col("event_type"), col("value"))
         .orderBy("event_id")
+    }),
+
+    // table-integrity digest over the merged state (C2 as a gate query):
+    // digest VALUES are engine-specific (ristretto255), but the accuracy
+    // contract is oracle-checkable — the multiset digest must be
+    // IDENTICAL no matter how the table is partitioned (commutative
+    // aggregation), and the row count matches the oracle's merge
+    "q_cdc_digest" -> ((s, dir) => {
+      val lines = s.read.text(upsertLinesDir(s, dir))
+      val state = CdcMerge.latestState(lines, eventsSchema)
+      val canonical = CdcMerge.canonicalRow(eventsSchema)
+      val d1 = state.agg(
+        graft.crypto.EcmhAggregator.digest(canonical).as("d1"))
+      val d2 = state.repartition(64, col("user_id")).agg(
+        graft.crypto.EcmhAggregator.digest(canonical).as("d2"))
+      state.agg(count(lit(1)).as("n_rows")).crossJoin(d1).crossJoin(d2)
+        .select(col("n_rows"),
+          (col("d1") === col("d2")).cast("long").as("digest_stable"))
     })
   )
 
@@ -156,6 +174,10 @@ object CdcQueries {
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, user_id,
         |  CASE WHEN event_id % 10 = 0 THEN 'updated' ELSE event_type END AS event_type,
         |  CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
-        |FROM events WHERE event_id % 7 != 0 ORDER BY event_id""".stripMargin
+        |FROM events WHERE event_id % 7 != 0 ORDER BY event_id""".stripMargin,
+
+    "q_cdc_digest" ->
+      """SELECT count(*) AS n_rows, CAST(1 AS BIGINT) AS digest_stable
+        |FROM events WHERE event_id % 7 != 0""".stripMargin
   )
 }

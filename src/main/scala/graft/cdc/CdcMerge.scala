@@ -83,6 +83,33 @@ object CdcMerge {
     mergeLatest(typedWithOrder(lines, schema), schema)
       .select(schema.columns.map(c => col(c.name)): _*)
 
+  /** Canonical row bytes for digesting: JSON of the schema's columns in
+    * declaration order (deterministic field order + value rendering),
+    * UTF-8. Both the from-scratch and the incremental digest paths MUST
+    * use this same encoding. */
+  def canonicalRow(schema: TableSchema): org.apache.spark.sql.Column =
+    to_json(struct(schema.columns.map(c => col(c.name)): _*)).cast("binary")
+
+  /**
+   * ECMH digest of a state table, from scratch: one distributed pass,
+   * `encode(Base + Σ deriveDalek(row))` — reference `MultisetHash`
+   * semantics over canonical row encodings. O(table).
+   */
+  def stateDigest(state: DataFrame, schema: TableSchema): String =
+    state.agg(graft.crypto.EcmhAggregator.digest(canonicalRow(schema)).as("d"))
+      .collect()(0).getString(0)
+
+  /** Pure point sum (no Base offset) of a set of rows, as hex. */
+  private def rowsPointSum(rows: DataFrame, schema: TableSchema): String =
+    rows.agg(graft.crypto.EcmhAggregator.pointSum(canonicalRow(schema)).as("d"))
+      .collect()(0).getString(0)
+
+  /** Render an accumulated point-sum as the reference-form digest. */
+  private def digestOfSum(sumHex: String): String = {
+    import graft.crypto.{Ecmh, Ristretto255}
+    Ecmh.encodeHex(Ristretto255.Base + Ecmh.decodeHex(sumHex))
+  }
+
   /**
    * Streaming form: maintain a materialized latest-state parquet table
    * from a WAL line stream, one merge per micro-batch in `foreachBatch`.
@@ -105,12 +132,24 @@ object CdcMerge {
    * Scale shape: one shuffle per batch keyed on the PK; state volume is
    * one row per live key. At warehouse scale the same merge runs against
    * a keyed table format instead of the parquet swap.
+   *
+   * `withDigest = true` additionally maintains the table's ECMH multiset
+   * digest INCREMENTALLY: per batch, only rows under changed primary
+   * keys are hashed — removed images subtract, surviving images add —
+   * and the accumulated point is stored (as its 32-byte hex encoding)
+   * in a `_digest` file inside the version directory (underscore: ignored by parquet directory scans), committed by the
+   * same pointer flip as the data. Cost per batch is O(changed keys),
+   * not O(table): the homomorphism (`pkg/ecmh/ecmh.go:41-48`) is what
+   * makes a 100 TB table's integrity digest maintainable at streaming
+   * rates. [[readStateDigest]] must equal the from-scratch
+   * [[stateDigest]] of [[readState]] at every version (spec-pinned).
    */
   def streamingLatestState(spark: org.apache.spark.sql.SparkSession,
                            walDir: String, schema: TableSchema,
                            stateDir: String, checkpointDir: String,
                            availableNow: Boolean = true,
-                           triggerSeconds: Long = 10L): org.apache.spark.sql.streaming.StreamingQuery = {
+                           triggerSeconds: Long = 10L,
+                           withDigest: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     val stream = spark.readStream.format("graft-wal")
       .option("path", walDir).load()
@@ -129,7 +168,34 @@ object CdcMerge {
             changes.schema))
         val merged = mergeLatest(prior.unionByName(changes), schema)
         val version = f"state-v$batchId%012d"
+        if (withDigest) merged.cache() // read twice: write + delta hash
         merged.write.mode("overwrite").parquet(stateRoot.resolve(version).toString)
+        if (withDigest) {
+          import graft.crypto.{Ecmh, Ristretto255}
+          val pk = pkOf(schema)
+          // rows whose key is touched this batch: their PRIOR image
+          // leaves the digest, their MERGED image (if it survived the
+          // merge — deletes don't) enters it
+          val touched = changes.select(pk.map(col): _*).distinct()
+          val removed = prior.join(touched, pk, "left_semi")
+          val added = merged.join(touched, pk, "left_semi")
+          // prior accumulated sum: the CURRENT version's digest file;
+          // a pre-digest state (feature enabled mid-stream) falls back
+          // to one full scan of the prior rows
+          val cur = stateRoot.resolve("CURRENT")
+          val priorSum =
+            if (!Files.exists(cur)) Ristretto255.Identity
+            else {
+              val f = stateRoot.resolve(Files.readString(cur).trim).resolve("_digest")
+              if (Files.exists(f)) Ecmh.decodeHex(Files.readString(f).trim)
+              else Ecmh.decodeHex(rowsPointSum(prior, schema))
+            }
+          val next = priorSum + Ecmh.decodeHex(rowsPointSum(added, schema)) -
+            Ecmh.decodeHex(rowsPointSum(removed, schema))
+          Files.writeString(stateRoot.resolve(version).resolve("_digest"),
+            Ecmh.encodeHex(next))
+          merged.unpersist()
+        }
         // commit point: pointer flip via atomic rename (same filesystem)
         val tmp = stateRoot.resolve("CURRENT.tmp")
         Files.writeString(tmp, version)
@@ -163,6 +229,21 @@ object CdcMerge {
       val version = java.nio.file.Files.readString(cur).trim
       val p = java.nio.file.Paths.get(stateDir, version)
       if (java.nio.file.Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
+  }
+
+  /** The incrementally-maintained ECMH digest of the live state, in the
+    * reference's `MultisetHash.String()` form — equal to
+    * `stateDigest(readState(...))` without rescanning the table. None
+    * before the first committed batch or when the stream runs without
+    * `withDigest`. */
+  def readStateDigest(stateDir: String): Option[String] = {
+    import java.nio.file.{Files, Paths}
+    val cur = Paths.get(stateDir, "CURRENT")
+    if (!Files.exists(cur)) None
+    else {
+      val f = Paths.get(stateDir, Files.readString(cur).trim, "_digest")
+      if (Files.exists(f)) Some(digestOfSum(Files.readString(f).trim)) else None
     }
   }
 }

@@ -55,6 +55,17 @@ object Ecmh {
       * the internal form the distributed aggregator folds. */
     def zero: MultisetHash = new MultisetHash(Identity)
   }
+
+  /** Hex forms of the canonical 32-byte point encoding — the interchange
+    * format for incrementally-maintained digests (decode → combine with
+    * ± point sums → re-encode). The all-zero string is the identity. */
+  def encodeHex(p: Pt): String = hex(encode(p))
+  def decodeHex(s: String): Pt = {
+    require(s.length == 64, s"ristretto hex encoding must be 64 chars, got ${s.length}")
+    val bytes = s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    Ristretto255.decode(bytes).getOrElse(
+      throw new IllegalArgumentException(s"invalid ristretto encoding: $s"))
+  }
 }
 
 /**
@@ -71,8 +82,14 @@ object Ecmh {
  * produces; the single generator offset that makes the digest equal to
  * the reference's `NewMultisetHash → InsertAll → String` is added in
  * `finish`. Shuffle traffic is 128 bytes per partial.
+ *
+ * `offsetBase = false` yields the PURE multiset sum (hex of
+ * encode(Σ points), identity → the all-zero encoding) — the algebraic
+ * form for incremental digest maintenance, where sums are decoded,
+ * combined (+ inserts, − removals) and re-encoded across batches;
+ * a constant Base offset would accumulate once per combination.
  */
-class EcmhAggregator extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], String] {
+class EcmhAggregator(offsetBase: Boolean = true) extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], String] {
   import Ristretto255.{Pt, Base, Identity, deriveDalek, encode}
 
   private def enc(p: Pt): Array[Byte] =
@@ -93,7 +110,8 @@ class EcmhAggregator extends org.apache.spark.sql.expressions.Aggregator[Array[B
     if (a.isEmpty) b else if (b.isEmpty) a
     else enc(dec(a) + dec(b))
   override def finish(buf: Array[Byte]): String = {
-    val digest = encode(Base + dec(buf))
+    val sum = dec(buf)
+    val digest = encode(if (offsetBase) Base + sum else sum)
     val sb = new java.lang.StringBuilder(64)
     digest.foreach(x => sb.append("%02x".format(x & 0xff)))
     sb.toString
@@ -108,4 +126,9 @@ object EcmhAggregator {
   /** Column form: `ecmhDigest(binaryCol)` — usable in any groupBy. */
   def digest(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.udaf(new EcmhAggregator).apply(c)
+
+  /** Pure multiset point sum (no generator offset) as hex — feed to
+    * `Ecmh.decodeHex` for incremental ± combination across batches. */
+  def pointSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new EcmhAggregator(offsetBase = false)).apply(c)
 }

@@ -102,6 +102,54 @@ class CdcMergeSpec extends SparkSpec {
     assert(versions.last == current) // newest version is the live one
   }
 
+  test("incremental ECMH digest equals from-scratch digest at every version") {
+    val base = java.nio.file.Files.createTempDirectory("cdcdigest").toString
+    val wal = s"$base/wal"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wal))
+    def run(): Unit = {
+      val q = CdcMerge.streamingLatestState(spark, wal, schemaT, state, ckpt,
+        withDigest = true)
+      q.awaitTermination(120000); ()
+    }
+    def check(tag: String): String = {
+      val incremental = CdcMerge.readStateDigest(state).get
+      val scratch = CdcMerge.stateDigest(
+        CdcMerge.readState(spark, state).get
+          .select(schemaT.columns.map(c => org.apache.spark.sql.functions.col(c.name)): _*),
+        schemaT)
+      assert(incremental == scratch, s"$tag: O(delta) digest != O(table) digest")
+      incremental
+    }
+
+    // batch 1: inserts only
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(wal, "a.json"),
+      Seq(tx(1, "I", 1, "one"), tx(2, "I", 2, "two")).mkString("\n"))
+    run()
+    val d1 = check("after inserts")
+
+    // batch 2: update + delete + insert — digest updated from CHANGED
+    // keys only, still equal to a full rescan
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(wal, "b.json"),
+      Seq(tx(3, "U", 1, "one-v2"), tx(4, "D", 2, "two"),
+          tx(5, "I", 3, "three")).mkString("\n"))
+    run()
+    val d2 = check("after update/delete/insert")
+    assert(d2 != d1)
+
+    // batch 3: revert id 1 and re-insert id 2 — same LIVE ROWS as a
+    // table that was never touched would have ⇒ same digest as a fresh
+    // from-scratch hash of those rows (content-determined, not
+    // history-determined)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(wal, "c.json"),
+      Seq(tx(6, "U", 1, "one"), tx(7, "I", 2, "two"), tx(8, "D", 3, "three"))
+        .mkString("\n"))
+    run()
+    check("after revert")
+    val rows = CdcMerge.readState(spark, state).get.orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("name"))).toSeq
+    assert(rows == Seq(1 -> "one", 2 -> "two"))
+  }
+
   test("wal2json-shaped DELETE: old key in identity, no columns") {
     // real wal2json format-2 D records carry the replica-identity key in
     // `identity` and have NO `columns` — the merge must still drop the row
