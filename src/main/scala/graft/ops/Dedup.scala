@@ -131,13 +131,25 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /**
-   * Codegen-friendly simhash: explode tokens, hash once per token, then 64
-   * conditional-sum bit votes in a single hash aggregation (map-side
-   * partial). Same result as [[simhash]]; use this form on the hot path —
-   * the Column version runs 64 interpreted `aggregate` lambdas per row.
+   * Hot-path simhash: ONE narrow codegen'd expression per document
+   * ([[graft.functions.SimhashExpr]]) — no token explode, no shuffle, no
+   * 64-column aggregation. Value-identical to [[simhash]] and to the
+   * exploded bit-vote aggregation it replaces ([[withSimhashAgg]],
+   * kept as the spec baseline).
    */
   def withSimhash(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", outCol: String = "simhash"): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par) // CPU-bound hashing: fan single-file scans out
+      .select(col(idCol), graft.functions.SimhashExpr(col(textCol)).as(outCol))
+  }
+
+  /** The distributed-aggregation form of [[withSimhash]] (explode tokens,
+    * hash once per token, 64 conditional-sum bit votes in one hash
+    * aggregation). Same output; the all-Column construction is the
+    * cross-check baseline for the native expression. */
+  def withSimhashAgg(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", outCol: String = "simhash"): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val toks = docs.repartition(par).select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("w"))

@@ -61,17 +61,30 @@ class OpsSpec extends SparkSpec {
     assert(j(1)._3 > 0.4 && j(1)._3 < 1.0)
   }
 
-  test("simhash: exploded equals Column form; near dups within distance") {
+  test("simhash: native expr = exploded agg = Column form; near dups within distance") {
     val a = Dedup.withSimhash(docs).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val b = docs.select($"doc_id", Dedup.simhash($"text").as("simhash"))
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(a.toSeq == b.toSeq)
+    // the distributed bit-vote aggregation (former hot path) agrees too
+    val c = Dedup.withSimhashAgg(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == c.toSeq)
     val byId = a.toMap
     assert(byId(1L) == byId(2L)) // identical text → identical simhash
     val nearDist = java.lang.Long.bitCount(byId(1L) ^ byId(3L))
     val farDist = java.lang.Long.bitCount(byId(1L) ^ byId(4L))
     assert(nearDist < farDist)
+  }
+
+  test("simhash native expr agrees with the aggregation on real documents") {
+    val real = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val fast = Dedup.withSimhash(real).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val agg = Dedup.withSimhashAgg(real).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fast == agg)
   }
 
   test("deduplicateKeepBest keeps the highest-scoring cluster member") {
