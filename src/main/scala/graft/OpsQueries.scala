@@ -238,6 +238,43 @@ object OpsQueries {
       Similarity.cosineNearDupPairsExact(Tables(s, dir, "embeddings"), threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup-style semantic dedup: IVF-cluster the embeddings, prune
+    // near-dups within clusters, keep component minima. Cells and
+    // components are engine-specific, so the oracle checks INVARIANTS
+    // recomputed from the raw embeddings: kept ⊎ dropped partitions the
+    // corpus, no kept pair within a cell is above-threshold (local
+    // completeness), and every dropped doc has an above-threshold
+    // neighbor somewhere (soundness — nothing unique was dropped)
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val kept = Similarity.semanticDedup(emb, threshold = 0.4).cache()
+      val n = emb.agg(count(lit(1)).as("n_docs"))
+      val keptPrep = kept.select(col("vec_id"), col("embedding"), col("cell"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      val ka = keptPrep.toDF("id_a", "va", "cell", "na")
+      val kb = keptPrep.toDF("id_b", "vb", "cell", "nb")
+      val keptDupPairs = ka.join(kb, "cell").where(col("id_a") < col("id_b"))
+        .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.4)
+        .agg(count(lit(1)).as("__kept_dups"))
+      val dropped = emb.join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
+        .select(col("vec_id").as("id_d"), col("embedding").as("vd"),
+          Similarity.norm(col("embedding")).as("nd"))
+      val corpus = emb.select(col("vec_id").as("id_c"), col("embedding").as("vc"),
+        Similarity.norm(col("embedding")).as("nc"))
+      val orphanDropped = dropped.join(corpus, col("id_d") =!= col("id_c"))
+        .where(Similarity.dot(col("vd"), col("vc")) / (col("nd") * col("nc")) >= 0.4)
+        .select("id_d").distinct()
+        .agg(count(lit(1)).as("__covered"))
+      val nDropped = dropped.agg(count(lit(1)).as("__n_dropped"))
+      val nKept = kept.agg(count(lit(1)).as("__n_kept"))
+      n.crossJoin(nKept).crossJoin(nDropped).crossJoin(keptDupPairs).crossJoin(orphanDropped)
+        .select(col("n_docs"),
+          (col("__n_kept") + col("__n_dropped") === col("n_docs"))
+            .cast("long").as("partition_ok"),
+          (col("__kept_dups") === 0).cast("long").as("kept_clean"),
+          (col("__covered") === col("__n_dropped")).cast("long").as("dropped_ok"))
+    }),
+
     // the PUBLIC bucketed near-dup path (sign-LSH candidates + exact
     // verify): precision is 1 by construction (every emitted pair is
     // re-verified), recall is contract-checked against the exact pair
@@ -813,6 +850,11 @@ object OpsQueries {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ${sqlDot("a", "b")} / (a.nrm * b.nrm) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_semantic_dedup" ->
+      """SELECT count(*) AS n_docs, CAST(1 AS BIGINT) AS partition_ok,
+        |  CAST(1 AS BIGINT) AS kept_clean, CAST(1 AS BIGINT) AS dropped_ok
+        |FROM embeddings""".stripMargin,
 
     // accuracy contract for the bucketed (sign-LSH + exact verify) form:
     // the oracle recomputes the exact pair count and asserts precision

@@ -204,6 +204,42 @@ object Similarity {
     (indexed, centroids)
   }
 
+  /**
+   * Semantic deduplication (the SemDeDup recipe, public literature):
+   * cluster embeddings with the IVF coarse quantizer, find near-dup
+   * pairs ONLY within clusters (exact cosine, `threshold`), resolve
+   * connected components, keep each component's lowest id. Returns the
+   * KEPT corpus rows plus their `cell`.
+   *
+   * Scale shape: pair search never crosses a cluster boundary —
+   * candidate volume is Σ|cell|², not n²; the centroids are broadcast,
+   * cell assignment is a narrow map, the within-cell pair join is keyed
+   * on `cell`, and component resolution reuses [[Dedup.clusters]]'
+   * distributed min-label iteration. The price vs all-pairs is recall at
+   * cluster boundaries (pairs split across cells are not compared) —
+   * the standard SemDeDup trade, quantified per-dataset by
+   * `q_semantic_dedup`'s contract flags.
+   */
+  def semanticDedup(corpus: DataFrame, threshold: Double, nCells: Int = 64,
+                    lloydIters: Int = 4, dims: Int = 64,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (indexed, _) = ivfIndex(corpus, nCells, lloydIters, dims, idCol, vecCol)
+    val prepared = indexed.select(col(idCol), col(vecCol), col("cell"),
+      norm(col(vecCol)).as("nrm"))
+    val a = prepared.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = prepared.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("nrm").as("nb"), col("cell"))
+    val pairs = a.join(b, "cell")
+      .where(col("id_a") < col("id_b"))
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("id_a", "id_b")
+    val dropped = Dedup.clusters(pairs)
+      .where(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as(idCol))
+    indexed.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** IVF search: probe the `nProbe` nearest cells per query, exact
     * cosine rank within them. */
   def ivfTopK(indexed: DataFrame, centroids: Array[(Int, Array[Double])],

@@ -233,6 +233,28 @@ class OpsSpec extends SparkSpec {
     assert(sim04 == topk0.getAs[Double]("sim"))
   }
 
+  test("semantic dedup: planted dup groups collapse to their min id") {
+    // three tight groups (pairwise cosine ~1 within, ~0 across) + one
+    // singleton; expect each group to keep its lowest id only
+    def v(base: Int, jitter: Float): Array[Float] = {
+      val a = Array.fill(8)(0.001f); a(base) = 1.0f; a((base + 1) % 8) += jitter; a
+    }
+    val emb = Seq(
+      (10L, v(0, 0.00f)), (11L, v(0, 0.01f)), (12L, v(0, 0.02f)), // group A
+      (20L, v(3, 0.00f)), (21L, v(3, 0.01f)),                     // group B
+      (30L, v(6, 0.00f))                                          // singleton
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(emb, threshold = 0.9, nCells = 2,
+        lloydIters = 2, dims = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 20L, 30L), s"got $kept")
+    // deterministic: same input -> same kept set
+    val again = Similarity.semanticDedup(emb, threshold = 0.9, nCells = 2,
+        lloydIters = 2, dims = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
   test("bucketed near-dup (default): subset of exact, high recall, no BNLJ") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = Similarity.cosineNearDupPairsExact(emb, threshold = 0.4)
