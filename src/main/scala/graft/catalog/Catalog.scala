@@ -77,18 +77,29 @@ final case class VaultCatalog(spark: SparkSession, root: String) {
     }
 
   /** P8/M1: record an uploaded file event. */
+  /** `digest`: optional ECMH multiset digest of the artifact's ROWS
+    * (hex, reference `MultisetHash.String()` form) — lets a reader
+    * verify retrieved content against the catalog without trusting the
+    * transport; "" when the writer didn't compute one. */
   def appendEvent(vault: VaultName, cid: String, timestampSec: Long,
-                  isArchived: Boolean, cacheExpiry: java.sql.Timestamp): Unit =
-    Seq((vault.toString, cid, timestampSec, isArchived, cacheExpiry))
-      .toDF("vault", "cid", "timestamp", "is_archived", "cache_expiry")
+                  isArchived: Boolean, cacheExpiry: java.sql.Timestamp,
+                  digest: String = ""): Unit =
+    Seq((vault.toString, cid, timestampSec, isArchived, cacheExpiry, digest))
+      .toDF("vault", "cid", "timestamp", "is_archived", "cache_expiry", "digest")
       .write.mode("append").partitionBy("vault").parquet(eventsPath)
 
   def events: DataFrame =
-    try spark.read.parquet(eventsPath)
+    try {
+      // mergeSchema: event files written before the digest column was
+      // introduced coexist with new ones (old rows read digest = NULL)
+      val df = spark.read.option("mergeSchema", "true").parquet(eventsPath)
+      if (df.columns.contains("digest")) df
+      else df.withColumn("digest", org.apache.spark.sql.functions.lit(null: String))
+    }
     catch { case _: Exception =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
-          "cid STRING, timestamp BIGINT, is_archived BOOLEAN, cache_expiry TIMESTAMP, vault STRING"))
+          "cid STRING, timestamp BIGINT, is_archived BOOLEAN, cache_expiry TIMESTAMP, digest STRING, vault STRING"))
     }
 
   /**

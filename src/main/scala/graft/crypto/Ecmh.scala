@@ -131,4 +131,14 @@ object EcmhAggregator {
     * `Ecmh.decodeHex` for incremental ± combination across batches. */
   def pointSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.udaf(new EcmhAggregator(offsetBase = false)).apply(c)
+
+  /** Content digest of a DataFrame's rows over `cols` (canonical JSON of
+    * the columns in the given order). Order- and partitioning-
+    * independent, so writer and reader need not agree on row layout —
+    * the vault-event verification digest. */
+  def rowDigest(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): String = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    df.agg(digest(to_json(struct(cols.map(col): _*)).cast("binary")).as("d"))
+      .collect()(0).getString(0)
+  }
 }

@@ -93,4 +93,21 @@ final class Retriever(cache: ContentStore, cold: Option[ContentStore] = None) {
   /** Retrieved parquet straight back into a DataFrame (read path). */
   def retrieveAsDataFrame(spark: SparkSession, cid: String): Option[org.apache.spark.sql.DataFrame] =
     retrieve(cid).map(p => spark.read.parquet(p.toString))
+
+  /** Retrieve + content verification (Q3 × C2): re-derive the ECMH row
+    * digest from the downloaded parquet and compare to the digest the
+    * writer recorded in the catalog event — order/partitioning
+    * independent, so ANY faithful copy verifies regardless of layout.
+    * Returns the DataFrame only when digests match; None on cache+cold
+    * miss; throws on mismatch (corrupt or tampered artifact — failing
+    * loud beats returning bad data). */
+  def retrieveVerified(spark: SparkSession, cid: String, expectedDigest: String,
+                       cols: Seq[String]): Option[org.apache.spark.sql.DataFrame] =
+    retrieveAsDataFrame(spark, cid).map { df =>
+      val got = graft.crypto.EcmhAggregator.rowDigest(df, cols)
+      if (got != expectedDigest)
+        throw new IllegalStateException(
+          s"content digest mismatch for $cid: catalog=$expectedDigest artifact=$got")
+      df
+    }
 }

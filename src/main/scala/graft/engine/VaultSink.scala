@@ -131,9 +131,18 @@ final class VaultSink(
           }
         val sig = signer.map(_.sign(artifact)).getOrElse(Array.emptyByteArray)
         val vault = VaultName(namespace, table)
+        // row-content ECMH digest recorded with the event: a retriever
+        // can re-derive it from the downloaded parquet and compare —
+        // content verification independent of the transport (the
+        // reference's stated purpose for pkg/ecmh). Order-independent,
+        // so it survives any row layout the reader produces.
+        val digest = schemas.find(_.table == table).map { sch =>
+          graft.crypto.EcmhAggregator.rowDigest(
+            spark.read.parquet(artifact.toString), sch.columns.map(_.name))
+        }.getOrElse("")
         val cid = store.put(vault, artifact, ts, sig)
         catalog.foreach(c => c.appendEvent(vault, cid, ts,
-          isArchived = false, c.cacheExpiryFor(vault, ts)))
+          isArchived = false, c.cacheExpiryFor(vault, ts), digest))
         FsUtil.deleteRecursive(stagePath)
         Some(table -> cid)
       }
