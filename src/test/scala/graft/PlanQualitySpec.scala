@@ -54,6 +54,24 @@ class PlanQualitySpec extends SparkSpec {
       s"days grid and daily agg should broadcast:\n$p")
   }
 
+  test("round-6 operators: no quadratic joins where hash joins suffice") {
+    // bucketed near-dup candidates: hash join keyed (tbl, bucket);
+    // all-pairs BNLJ is allowed ONLY in the exact baseline half of the
+    // contract query, never in the bucketed candidate subtree
+    val lsh = graft.ops.Similarity.cosineNearDupPairs(
+      Tables(spark, sf, "embeddings"), threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!lsh.contains("BroadcastNestedLoopJoin") && !lsh.contains("CartesianProduct"),
+      s"bucketed near-dup must not be quadratic:\n$lsh")
+    assert(count(lsh, "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)") >= 1)
+    // semantic dedup: within-cell pair join is keyed on cell, CC edges
+    // never cross a cluster — no cartesian anywhere
+    val sem = graft.ops.Similarity.semanticDedup(
+      Tables(spark, sf, "embeddings"), threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!sem.contains("CartesianProduct"), s"semantic dedup cartesian:\n$sem")
+  }
+
   test("hot-path queries keep whole-stage codegen") {
     // an unexecuted AdaptiveSparkPlan reports 0 codegen subtrees; turn
     // AQE off for the inspection so the static plan shows its spans
