@@ -96,6 +96,24 @@ final class Vaults(
   def retrieve(cid: String, output: String = "-"): Boolean =
     new Retriever(store).retrieveTo(cid, output)
 
+  /** Beyond-reference: `vaults verify <cid>` — retrieve the artifact and
+    * check its rows against the ECMH digest recorded on its catalog
+    * event. Returns Some(true/false) (false = no digest was recorded),
+    * None when the cid is unknown to the catalog or unretrievable;
+    * throws on a digest MISMATCH (corrupt/tampered content). */
+  def verifyArtifact(cid: String, schema: graft.cdc.TableSchema): Option[Boolean] = {
+    import org.apache.spark.sql.functions.col
+    val ev = catalog.events.where(col("cid") === cid)
+      .select("digest").collect().headOption
+    ev.flatMap { row =>
+      val digest = row.getString(0)
+      if (digest == null || digest.isEmpty) Some(false)
+      else new Retriever(store)
+        .retrieveVerified(spark, cid, digest, schema.columns.map(_.name))
+        .map(_ => true)
+    }
+  }
+
   /** C3: `vaults account create <keyfile>` → prints address */
   def accountCreate(keyFile: String): String = Signer.createAccount(Paths.get(keyFile))
 

@@ -31,7 +31,7 @@ class ContentVerifySpec extends SparkSpec {
     Files.writeString(Paths.get(s"$base/wal/a.json"),
       Seq(walTx(1, 1 -> "one", 2 -> "two"), walTx(2, 3 -> "three")).mkString("\n"))
     val store = new LocalContentStore(s"$base/store")
-    val catalog = new graft.catalog.VaultCatalog(spark, s"$base/catalog")
+    val catalog = new graft.catalog.VaultCatalog(spark, base)
     val q = StreamPipeline.start(spark, "ns", Seq(schemaT), s"$base/wal",
       s"$base/staging", s"$base/ckpt", store, catalog = Some(catalog),
       availableNow = true)
@@ -48,6 +48,13 @@ class ContentVerifySpec extends SparkSpec {
       val df = r.retrieveVerified(spark, cid, digest, schemaT.columns.map(_.name))
       assert(df.isDefined && df.get.count() > 0)
     }
+
+    // the CLI verb wraps the same check: catalog lookup → verified read
+    val cli = new graft.cli.Vaults(spark, base)
+    events.foreach { e =>
+      assert(cli.verifyArtifact(e.getString(0), schemaT) == Some(true))
+    }
+    assert(cli.verifyArtifact("no-such-cid", schemaT).isEmpty)
   }
 
   test("tampered artifact fails verification loudly") {
