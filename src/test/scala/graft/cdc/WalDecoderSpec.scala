@@ -289,4 +289,29 @@ class WalDecoderSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSet
     assert(t == Set((200232, "100"), (200242, "400")))
   }
+
+  test("malformed feed lines are skipped, surrounding records decode") {
+    val good =
+      """{"commit_lsn": 7, "records": [{"action": "I", "xid": 1,
+        | "lsn": "0/7", "nextlsn": "", "timestamp": "t", "schema": "public",
+        | "table": "t", "columns": [{"name": "id", "type": "integer", "value": 1},
+        | {"name": "name", "type": "text", "value": "ok"}],
+        | "pk": []}]}""".stripMargin.replace("\n", " ")
+    val lines = spark.createDataset(Seq(
+      good,
+      "",                                    // blank line
+      "{truncated json",                     // unterminated
+      "not json at all",                     // garbage
+      """{"commit_lsn": 8}""",               // valid json, no records
+      """{"commit_lsn": 9, "records": null}""" // explicit null records
+    ))(org.apache.spark.sql.Encoders.STRING).toDF("value")
+    val recs = WalDecoder.decodeRecords(lines).collect()
+    assert(recs.length == 1, "exactly the well-formed record survives")
+    assert(recs.head.getAs[Long]("commit_lsn") == 7L)
+    val schema = TableSchema("t", Seq(
+      TableColumn("id", "integer", false, true), TableColumn("name", "text", false, false)))
+    val t = WalDecoder.decodeTables(spark, lines, Seq(schema))("t")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(t == Set((1, "ok")))
+  }
 }
