@@ -149,7 +149,9 @@ object CdcQueries {
     // aggregation), and the row count matches the oracle's merge
     "q_cdc_digest" -> ((s, dir) => {
       val lines = s.read.text(upsertLinesDir(s, dir))
-      val state = CdcMerge.latestState(lines, eventsSchema)
+      // cached: the merged state feeds BOTH digest arms and the count —
+      // without it the upsert merge (scan+shuffle) runs three times
+      val state = CdcMerge.latestState(lines, eventsSchema).cache()
       val canonical = CdcMerge.canonicalRow(eventsSchema)
       val d1 = state.agg(
         graft.crypto.EcmhAggregator.digest(canonical).as("d1"))

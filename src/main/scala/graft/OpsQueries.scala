@@ -281,9 +281,11 @@ object OpsQueries {
     // set — same oracle pattern as q_ann_lsh
     "q_dedup_embed_lsh" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
+      // both pair sets feed a count AND the hit join — cache, or the
+      // all-pairs baseline and the bucketed pipeline each run twice
       val exact = Similarity.cosineNearDupPairsExact(emb, threshold = 0.4)
-        .select(col("id_a").as("ea"), col("id_b").as("eb"))
-      val lsh = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
+        .select(col("id_a").as("ea"), col("id_b").as("eb")).cache()
+      val lsh = Similarity.cosineNearDupPairs(emb, threshold = 0.4).cache()
       val hits = lsh.join(exact,
         col("id_a") === col("ea") && col("id_b") === col("eb"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))

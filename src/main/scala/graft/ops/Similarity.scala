@@ -183,8 +183,11 @@ object Similarity {
       df.withColumn("cell", graft.functions.ArgMaxDot(col(vecCol),
         cents.map(_._2.toSeq).toSeq, cents.map(_._1).toSeq))
 
+    // the Lloyd loop re-reads the projected corpus once per iteration —
+    // cache it for the loop, release before returning
+    val vecsOnly = corpus.select(col(vecCol)).cache()
     for (_ <- 0 until lloydIters) {
-      val assigned = withCell(corpus.select(col(vecCol)), centroids)
+      val assigned = withCell(vecsOnly, centroids)
       val agg = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "v")))
         .groupBy("cell", "d").agg(avg(col("v").cast("double")).as("m"))
@@ -200,6 +203,7 @@ object Similarity {
         }
       }
     }
+    vecsOnly.unpersist()
     val indexed = withCell(corpus, centroids)
     (indexed, centroids)
   }
