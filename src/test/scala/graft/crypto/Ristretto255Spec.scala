@@ -125,6 +125,39 @@ class Ristretto255Spec extends AnyFunSuite {
     assert(hex(encode(a + b - b)) == hex(encode(a)))
   }
 
+  test("property: random uniform bytes map to valid group elements") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val bytesGen = Gen.containerOfN[Array, Byte](64, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    val prop = Prop.forAll(bytesGen) { b: Array[Byte] =>
+      val p = fromUniformBytes(b)
+      // on-curve, consistent T, and the encoding round-trips canonically
+      val zInv = p.z.modInverse(P)
+      val x = p.x.multiply(zInv).mod(P)
+      val y = p.y.multiply(zInv).mod(P)
+      val onCurve = y.multiply(y).subtract(x.multiply(x)).mod(P) ==
+        BigInteger.ONE.add(D.multiply(x).multiply(x).multiply(y).multiply(y)).mod(P)
+      val tOk = p.z.multiply(p.t).subtract(p.x.multiply(p.y)).mod(P).signum() == 0
+      val enc = encode(p)
+      val rt = decode(enc).exists(q => hex(encode(q)) == hex(enc))
+      onCurve && tOk && rt
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop).passed)
+  }
+
+  test("property: group laws on randomly derived points") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val ptGen = Gen.alphaNumStr.map(s => deriveDalek(("pt-" + s).getBytes("UTF-8")))
+    val prop = Prop.forAll(Gen.zip(ptGen, ptGen, ptGen)) {
+      case (a: Pt, b: Pt, c: Pt) =>
+        (a + b).same(b + a) &&
+        ((a + b) + c).same(a + (b + c)) &&
+        (a + Identity).same(a) &&
+        (a - a).same(Identity) &&
+        hex(encode(a + b - b)) == hex(encode(a))
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop).passed)
+  }
+
   test("fromUniformBytes: deterministic, half-order sensitive") {
     val b1 = Array.tabulate[Byte](64)(i => i.toByte)
     assert(hex(encode(fromUniformBytes(b1))) == hex(encode(fromUniformBytes(b1.clone))))
