@@ -152,6 +152,15 @@ object OpsQueries {
       TextAnalysis.unigramLogProb(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // full canonicalization (NFC → control-strip → collapse → trim →
+    // lower) — each step mirrored in the DuckDB oracle, hash-matched
+    "q_normalize" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(TextAnalysis.normalizeText(col("text"))).as("norm_md5"),
+          length(TextAnalysis.normalizeText(col("text"))).cast("long").as("norm_len"))
+        .orderBy("doc_id")),
+
     // reproducible content-hash sampling (no RNG state)
     "q_sample_hash" -> ((s, dir) =>
       TextAnalysis.hashSample(Tables(s, dir, "documents"), col("doc_id"))
@@ -857,6 +866,14 @@ object OpsQueries {
       """SELECT count(*) AS n_docs, CAST(1 AS BIGINT) AS partition_ok,
         |  CAST(1 AS BIGINT) AS kept_clean, CAST(1 AS BIGINT) AS dropped_ok
         |FROM embeddings""".stripMargin,
+
+    "q_normalize" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g')))) AS norm_md5,
+        |  CAST(length(lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g')))) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // accuracy contract for the bucketed (sign-LSH + exact verify) form:
     // the oracle recomputes the exact pair count and asserts precision

@@ -96,6 +96,16 @@ object TextAnalysis {
   /** Content fingerprint: md5 of the normalized text (exact-dup key). */
   def fingerprint(text: Column): Column = md5(trim(lower(text)))
 
+  /** Full text canonicalization (the pre-dedup normalizer): Unicode NFC
+    * → strip C0/DEL control chars (incl. \t\n\r) → collapse space runs
+    * → trim → lowercase. Deterministic, idempotent, and expressible
+    * step-for-step in the SQL oracle (DuckDB `nfc_normalize` + regexes),
+    * so normalized fingerprints hash-match cross-engine. */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize(text), "[\\x00-\\x1F\\x7F]", ""),
+      " +", " ")))
+
   /** Word n-gram shingles as an array column (narrow; feeds minhash).
     * Codegen'd substring loop ([[graft.functions.NgramShingles]]);
     * output-identical to the transform(sequence, concat_ws(tokens…))

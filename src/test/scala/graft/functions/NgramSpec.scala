@@ -59,4 +59,27 @@ class NgramSpec extends SparkSpec {
       .agg(countDistinct(col("h"))).collect()(0).getLong(0)
     assert(viaStrings == viaHashes)
   }
+
+  test("normalizeText: NFC folds accents, controls stripped, idempotent") {
+    import graft.ops.TextAnalysis.normalizeText
+    val composed = "caf\u00e9"                 // é as one codepoint
+    val decomposed = "cafe\u0301"              // e + combining acute
+    val rows = Seq(
+      ("a", composed), ("b", decomposed),
+      ("c", "Tabs\tand\nnewlines\rhere"),
+      ("d", "  MANY   spaces   "),
+      ("e", "")
+    ).toDF("id", "t").select(col("id"), normalizeText(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("a") == rows("b"), "NFC makes composed = decomposed")
+    assert(rows("a") == "caf\u00e9")
+    assert(rows("c") == "tabsandnewlineshere", "control chars stripped")
+    assert(rows("d") == "many spaces")
+    assert(rows("e") == "")
+    // idempotence: normalizing a normalized string is a no-op
+    val once = Seq(("x", "  Caf\u00e9\t du   Monde ")).toDF("id", "t")
+      .select(normalizeText(col("t")).as("n"))
+    val twice = once.select(normalizeText(col("n")).as("n"))
+    assert(once.collect()(0).getString(0) == twice.collect()(0).getString(0))
+  }
 }
