@@ -138,7 +138,7 @@ object Vaults {
       val pct = if (total <= 0) 100L else sent * 100L / total
       if (pct != lastPct) { // one render per percent, not per chunk
         lastPct = pct
-        out.print(s"\r$label $pct%% ($sent/$total bytes)")
+        out.print(s"\r$label $pct% ($sent/$total bytes)")
         if (sent >= total) out.println()
       }
     }

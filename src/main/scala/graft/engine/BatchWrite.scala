@@ -66,15 +66,27 @@ final class Retriever(cache: ContentStore, cold: Option[ContentStore] = None) {
     (try cache.get(cid).orElse(coldGet(cid))
      catch { case _: Exception => coldGet(cid) })
 
+  /** Extracted root blocks land in one per-process dir, one file per
+    * cid, reused across repeated retrievals (no temp-file accumulation)
+    * and removed at JVM exit. */
+  private lazy val extractDir: Path = {
+    val d = Files.createTempDirectory("graft-car-extract")
+    d.toFile.deleteOnExit()
+    d
+  }
+
   /** Cold tier serves CARs (the lassie analogue): extract the root block
     * like `retriever.go:216-233`; non-CAR artifacts pass through. */
   private def coldGet(cid: String): Option[Path] =
     cold.flatMap(_.get(cid)).map { p =>
       if (CarV1.isCar(p)) CarV1.extract(p) match {
         case Some(payload) =>
-          val tmp = Files.createTempFile("graft-car-extract", ".bin")
-          Files.write(tmp, payload)
-          tmp
+          val out = extractDir.resolve(cid + ".bin")
+          if (!Files.exists(out)) {
+            Files.write(out, payload)
+            out.toFile.deleteOnExit()
+          }
+          out
         case None => p // CAR without its root block: serve as-is
       } else p
     }

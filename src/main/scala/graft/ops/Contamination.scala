@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
  * GPT-3's appendix, here with a configurable n).
  *
  * Scale design (100 TB):
- *  - shingles are hashed to a 64-bit xxhash64 before the join, so the
- *    shuffle carries 8-byte keys, never the n-gram text (the report
+ *  - shingles are hashed to a 61-bit value (NgramHashes' rolling
+ *    polynomial hash mod the Mersenne prime 2^61-1) before the join, so
+ *    the shuffle carries 8-byte keys, never the n-gram text (the report
  *    emits COUNTS, not hashes, so the key only has to discriminate:
- *    P(any train↔eval collision) at 10^9 distinct shingles is ~5e-2 on
- *    64 bits — switch `hashCol` to md5 when the corpus approaches that);
+ *    P(any train↔eval collision) at 10^9 distinct shingles per side is
+ *    ~4e-1 on the 2^61 space — switch `hashCol` to md5 well before the
+ *    corpus approaches that);
  *  - per-document shingles are DISTINCT'd before joining (bounds the join
  *    input at one row per (doc, distinct shingle));
  *  - the eval side is tiny relative to the corpus — broadcast it when it

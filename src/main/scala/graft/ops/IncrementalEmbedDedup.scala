@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,17 +22,25 @@ import org.apache.spark.sql.functions._
  * candidates against the full-precision table).
  *
  * Exactly-once caveat mirrors [[IncrementalDedup]]: a retried batch can
- * append its buckets twice; `dup_of` takes the min over matches so
- * flags stay stable, and index compaction can dedupe offline.
+ * append its buckets twice. Both candidate joins keep only
+ * strictly-lower `prior_id`s ("lower id = earlier"), so `dup_of` is a
+ * pure function of the set of vectors seen — a replayed batch returns
+ * byte-identical annotations; [[compactIndex]] dedupes the
+ * double-appended index rows offline.
  */
 final class IncrementalEmbedDedup(indexDir: String, threshold: Double,
                                   nBits: Int = 6, nTables: Int = 16, dims: Int = 64,
                                   idCol: String = "vec_id", vecCol: String = "embedding") {
   import Similarity.{dot, norm}
 
-  private def readIndex(spark: SparkSession): Option[DataFrame] =
-    try Some(spark.read.parquet(indexDir))
-    catch { case _: Exception => None }
+  /** None only when the index has never been written (missing path).
+    * A present-but-unreadable index must FAIL the batch — silently
+    * treating it as empty would report zero duplicates forever. */
+  private def readIndex(spark: SparkSession): Option[DataFrame] = {
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None else Some(spark.read.parquet(indexDir))
+  }
 
   private def bucketsOf(vecs: DataFrame): DataFrame =
     vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
@@ -62,12 +71,17 @@ final class IncrementalEmbedDedup(indexDir: String, threshold: Double,
       .where(dot(col("__v"), col("prior_v")) / (col("__n") * col("prior_n")) >= threshold)
       .select(col(idCol), col("prior_id"))
 
-    // vs earlier batches (persisted index carries its vectors)
+    // vs earlier batches (persisted index carries its vectors); a
+    // retried batch re-reads its own appended buckets, so keep only
+    // strictly-lower ids — same "lower id = earlier" precedence as the
+    // within-batch pass — which makes a replayed batch idempotent
+    // (without it every replayed row "dups" itself at cosine 1.0)
     val vsIndex = readIndex(spark) match {
       case Some(idx) =>
         val prior = idx.select(col("tbl"), col("bucket"),
           col(idCol).as("prior_id"), col(vecCol).as("prior_v"), col("nrm").as("prior_n"))
-        verified(probes.join(prior, Seq("tbl", "bucket")))
+        verified(probes.join(prior, Seq("tbl", "bucket"))
+          .where(col("prior_id") < col(idCol)))
       case None => spark.emptyDataFrame
           .withColumn(idCol, lit(null).cast("long"))
           .withColumn("prior_id", lit(null).cast("long"))
@@ -86,6 +100,22 @@ final class IncrementalEmbedDedup(indexDir: String, threshold: Double,
     buckets.write.mode("append").parquet(indexDir)
     buckets.unpersist()
     annotated
+  }
+
+  /** Dedupe index rows double-appended by retried batches: keep one row
+    * per (tbl, bucket, id). Rewrites via a sibling dir + rename so a
+    * crash mid-compaction leaves either the old or the new index whole. */
+  def compactIndex(spark: SparkSession): Unit = readIndex(spark).foreach { idx =>
+    val tmp = new Path(indexDir + ".compact")
+    val dst = new Path(indexDir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    idx.dropDuplicates("tbl", "bucket", idCol).write.parquet(tmp.toString)
+    val old = new Path(indexDir + ".old")
+    fs.delete(old, true)
+    if (!fs.rename(dst, old) || !fs.rename(tmp, dst))
+      sys.error(s"compactIndex: rename failed for $indexDir")
+    fs.delete(old, true)
   }
 
   /** Streaming entry: annotate each micro-batch, write results out. */

@@ -82,7 +82,9 @@ class HttpContentStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bar = graft.cli.Vaults.progressBar(new java.io.PrintStream(buf), "Writing...")
     rs.foreach { case (s2, t2) => bar(s2, t2) }
     val rendered = buf.toString
-    assert(rendered.contains("Writing... 100%"))
+    // exact rendered line: single % (no literal "%%" artifact)
+    assert(rendered.contains(s"\rWriting... 100% (${256L * 1024}/${256L * 1024} bytes)"))
+    assert(!rendered.contains("%%"))
     assert(rendered.endsWith(System.lineSeparator()))
   }
 

@@ -46,6 +46,49 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
     assert(r.head.isNullAt(r.head.fieldIndex("dup_of")))
   }
 
+  test("replayed batch is idempotent: no self-flags, identical annotations") {
+    val base = Files.createTempDirectory("incembed4").toString
+    val d = new IncrementalEmbedDedup(s"$base/index", threshold = 0.9, dims = 8)
+    // batch with one unique row and one within-batch near-dup pair
+    val b = Seq((1L, v(0, 0f)), (4L, v(6, 0f)), (5L, v(6, 0.01f)))
+      .toDF("vec_id", "embedding")
+    def annotate(): Map[Long, Option[Long]] = d.processBatch(b).collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(r.fieldIndex("dup_of"))) None
+                       else Some(r.getAs[Long]("dup_of")))).toMap
+    val first = annotate()
+    assert(first == Map(1L -> None, 4L -> None, 5L -> Some(4L)))
+    // simulate a retry AFTER the index append: the index already holds
+    // this batch's own buckets — annotations must not change
+    val replayed = annotate()
+    assert(replayed == first, s"replay changed flags: $first -> $replayed")
+  }
+
+  test("corrupt index fails the batch instead of degrading to empty") {
+    val base = Files.createTempDirectory("incembed5").toString
+    val idx = java.nio.file.Paths.get(s"$base/index")
+    Files.createDirectories(idx)
+    Files.write(idx.resolve("part-00000.parquet"), "not parquet".getBytes)
+    val d = new IncrementalEmbedDedup(idx.toString, threshold = 0.9, dims = 8)
+    val b = Seq((1L, v(0, 0f))).toDF("vec_id", "embedding")
+    intercept[Exception] { d.processBatch(b).collect() }
+  }
+
+  test("compactIndex dedupes retried-batch appends; probing still works") {
+    val base = Files.createTempDirectory("incembed6").toString
+    val d = new IncrementalEmbedDedup(s"$base/index", threshold = 0.9, dims = 8)
+    val b = Seq((1L, v(0, 0f)), (2L, v(3, 0f))).toDF("vec_id", "embedding")
+    d.processBatch(b).collect()
+    d.processBatch(b).collect() // retry double-appends the same buckets
+    val before = spark.read.parquet(s"$base/index").count()
+    d.compactIndex(spark)
+    val after = spark.read.parquet(s"$base/index").count()
+    assert(after == before / 2, s"expected half of $before, got $after")
+    // compacted index still answers probes
+    val r = d.processBatch(Seq((9L, v(0, 0.01f))).toDF("vec_id", "embedding"))
+      .collect()
+    assert(r.head.getAs[Long]("dup_of") == 1L)
+  }
+
   test("streaming entry annotates micro-batches across restarts") {
     val base = Files.createTempDirectory("incembed3").toString
     val in = s"$base/in"; Files.createDirectories(java.nio.file.Paths.get(in))
