@@ -71,6 +71,17 @@ final class Wal2JsonTxBuilder {
  * `confirmed_flush_lsn` via a standby status update — the
  * `Commit(ctx, lsn)` of `pkg/pgrepl/replicator.go:213-226`.
  *
+ * **Spool retention**: lines land in fixed-size segments
+ * (`spool-NNNNNNNN.jsonl`, rolled once a segment reaches `segmentBytes`;
+ * each restart opens a fresh segment). Sealed segments are immutable —
+ * never renamed, so [[WalTxRef]] file paths stay valid across rolls —
+ * and `ack` deletes every sealed segment whose highest commit LSN is at
+ * or below the durable ack: those refs are below the resume point
+ * (`initialOffset == ackedLsn`) and can never be requested again. Local
+ * disk is therefore O(unacked WAL) + one segment, the same bounded
+ * footprint the reference gets from deleting its buffer DB every window
+ * (`internal/app/db.go:404-421`).
+ *
  * Construction mirrors `replicator.go:61-130`: resume from the slot's
  * `confirmed_flush_lsn` when it exists, else create the slot and start
  * from its consistent point; plugin options are the reference's wal2json
@@ -80,7 +91,8 @@ final class PgWalFeed(
     client: PgReplicationClient,
     publication: String,
     spoolDir: String,
-    slotPrefix: String = "graft") extends WalFeed with AutoCloseable {
+    slotPrefix: String = "graft",
+    segmentBytes: Long = PgWalFeed.DefaultSegmentBytes) extends WalFeed with AutoCloseable {
 
   @transient private val inner = new FileWalFeed(spoolDir)
   @transient @volatile private var failure: Throwable = _
@@ -88,7 +100,22 @@ final class PgWalFeed(
   @transient @volatile private var lastAcked = 0L
   @transient private var loop: Thread = _
 
+  // Segment state: seq/size/lastLsn are owned by the receive loop after
+  // start() (thread-start happens-before); the active path is volatile
+  // so the GC on the ack thread never deletes the file being written.
+  @transient private var segSeq = 0L
+  @transient private var segSize = 0L
+  @transient private var segLastLsn = 0L
+  @transient @volatile private var activeSegment: String = ""
+  // sealed segment -> highest commit LSN it contains (lazy for segments
+  // inherited from a previous process, cached once computed)
+  @transient private val sealedMaxLsn =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, java.lang.Long]()
+
   val slot: String = s"${slotPrefix}_$publication"
+
+  private def segPath(seq: Long): java.nio.file.Path =
+    Paths.get(spoolDir, f"spool-$seq%08d.jsonl")
 
   /** Connect, resume-or-create the slot, start streaming; returns the
     * publication tables (like `StartReplication`'s second result). */
@@ -98,6 +125,18 @@ final class PgWalFeed(
     val tables = client.publicationTables(publication)
     val startLsn = client.confirmedFlushLsn(slot).getOrElse(client.createReplicationSlot(slot))
     lastAcked = inner.ackedLsn
+    // open a fresh segment after any pre-existing ones (old segments are
+    // sealed; their max LSNs are recovered lazily at GC time)
+    Files.createDirectories(Paths.get(spoolDir))
+    val existing = graft.core.FsUtil.listDirSorted(Paths.get(spoolDir))
+      .flatMap(p => p.getFileName.toString match {
+        case PgWalFeed.SegmentName(n) => Some(n.toLong)
+        case _ => None
+      })
+    segSeq = existing.foldLeft(-1L)(math.max) + 1
+    segSize = 0L
+    segLastLsn = 0L
+    activeSegment = segPath(segSeq).toString
     client.startReplication(slot, startLsn, PgWalFeed.pluginOptions(tables))
     running = true
     loop = new Thread(() => receiveLoop(), s"pg-wal-feed-$slot")
@@ -108,8 +147,6 @@ final class PgWalFeed(
 
   private def receiveLoop(): Unit = {
     val builder = new Wal2JsonTxBuilder
-    val spool = Paths.get(spoolDir, "spool.jsonl")
-    Files.createDirectories(Paths.get(spoolDir))
     try {
       var open = true
       while (open && running) {
@@ -119,16 +156,67 @@ final class PgWalFeed(
             if (ka.replyRequested) client.sendStandbyStatus(lastAcked)
           case Some(Right(x)) =>
             val payload = new String(x.payload, StandardCharsets.UTF_8)
-            builder.feed(payload).foreach { case (_, line) =>
+            builder.feed(payload).foreach { case (lsn, line) =>
               // whole line in one write call (spool contract: readers may
               // observe torn appends but never mixed lines)
-              Files.write(spool, (line + "\n").getBytes(StandardCharsets.UTF_8),
+              val bytes = (line + "\n").getBytes(StandardCharsets.UTF_8)
+              Files.write(segPath(segSeq), bytes,
                 StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+              segSize += bytes.length
+              segLastLsn = lsn
+              if (segSize >= segmentBytes) {
+                // seal the current segment (immutable from here on) and
+                // roll to the next; the seal records its max LSN for GC
+                sealedMaxLsn.put(segPath(segSeq), segLastLsn)
+                segSeq += 1
+                segSize = 0L
+                activeSegment = segPath(segSeq).toString
+              }
             }
         }
       }
     } catch {
       case t: Throwable => if (running) failure = t
+    }
+  }
+
+  /** Highest commit LSN in a sealed segment: from the seal record, else
+    * (segments inherited across restarts) one linear scan, cached. A
+    * garbage-only file reports 0 and is only removed when empty. */
+  private def maxLsnOf(p: java.nio.file.Path): Long =
+    sealedMaxLsn.computeIfAbsent(p, { p1 =>
+      val LsnRe = """"commit_lsn"\s*:\s*(\d+)""".r
+      var max = 0L
+      val reader = Files.newBufferedReader(p1, StandardCharsets.UTF_8)
+      try {
+        var line = reader.readLine()
+        while (line != null) {
+          LsnRe.findFirstMatchIn(line).foreach(m => max = math.max(max, m.group(1).toLong))
+          line = reader.readLine()
+        }
+      } finally reader.close()
+      max
+    })
+
+  /** Delete sealed segments whose every line is at or below the durable
+    * ack — the retention GC the round-6 audit flagged as missing. */
+  private def gcSpool(acked: Long): Unit = {
+    val dir = Paths.get(spoolDir)
+    if (!Files.isDirectory(dir)) return
+    for (p <- graft.core.FsUtil.listDirSorted(dir)
+         if p.toString != activeSegment && Files.isRegularFile(p)) {
+      val candidate = p.getFileName.toString match {
+        case PgWalFeed.SegmentName(_) => true
+        case "spool.jsonl" => true // pre-segmentation legacy spool
+        case _ => false
+      }
+      if (candidate) {
+        val max = if (Files.size(p) == 0L) 0L else maxLsnOf(p)
+        if (max <= acked && (max > 0L || Files.size(p) == 0L)) {
+          Files.deleteIfExists(p)
+          sealedMaxLsn.remove(p)
+        }
+      }
     }
   }
 
@@ -144,11 +232,12 @@ final class PgWalFeed(
   override def latestLsn: Long = { checkFailed(); inner.latestLsn }
 
   /** Durable ack: local retention cursor + the server's standby status
-    * update (`confirmed_flush_lsn`). */
+    * update (`confirmed_flush_lsn`) + spool segment GC. */
   override def ack(lsn: Long): Unit = {
     inner.ack(lsn)
     lastAcked = math.max(lastAcked, lsn)
     if (running && failure == null) client.sendStandbyStatus(lsn)
+    gcSpool(inner.ackedLsn)
   }
 
   override def ackedLsn: Long = inner.ackedLsn
@@ -161,6 +250,13 @@ final class PgWalFeed(
 }
 
 object PgWalFeed {
+  /** Default spool segment size before rolling (64 MB: large enough that
+    * segment count stays trivial, small enough that retention reclaims
+    * disk promptly after each ack). */
+  val DefaultSegmentBytes: Long = 64L * 1024 * 1024
+
+  private[pgwire] val SegmentName = """spool-(\d+)\.jsonl""".r
+
   /** The reference's wal2json plugin options (`replicator.go:140-150`). */
   def pluginOptions(tables: Seq[String]): Seq[(String, String)] = Seq(
     "pretty-print" -> "false",

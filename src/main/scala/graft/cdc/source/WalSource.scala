@@ -136,6 +136,12 @@ final class FileWalFeed(dir: String) extends WalFeed {
   // Boxed so the "unread" sentinel survives Java deserialization (a
   // primitive -1L default would come back as 0 and skip the re-read).
   @transient private var ackedCache: java.lang.Long = null
+  @transient private var malformedCount = 0L
+
+  /** Committed lines consumed-and-skipped because they carry no
+    * `commit_lsn` — the feed-level twin of [[graft.cdc.WalDecoder]]'s
+    * skip-malformed contract. */
+  def malformedSkipped: Long = synchronized(malformedCount)
 
   /** Stat each file; read+parse only bytes beyond the per-file cursor. */
   private def refresh(): Unit = synchronized {
@@ -152,6 +158,12 @@ final class FileWalFeed(dir: String) extends WalFeed {
         if (consumedTo > from) scannedBytes(key) = consumedTo
         if (refs.nonEmpty) dirty = true
       }
+    }
+    // drop cursors of files GC'd from the spool (segment names are never
+    // reused, so a dropped cursor can't cause a rescan)
+    if (scannedBytes.size > 64) {
+      val stale = scannedBytes.keys.filterNot(k => Files.exists(Paths.get(k))).toList
+      stale.foreach(scannedBytes.remove)
     }
     if (dirty) {
       val sorted = index.sortBy(_.lsn)
@@ -184,9 +196,17 @@ final class FileWalFeed(dir: String) extends WalFeed {
       if (len > 0) {
         val line = new String(lineBytes, 0, len, StandardCharsets.UTF_8)
         if (line.trim.nonEmpty) {
-          val lsn = LsnRe.findFirstMatchIn(line).map(_.group(1).toLong)
-            .getOrElse(throw new IllegalArgumentException(s"wal line without commit_lsn: $line"))
-          out += WalTxRef(lsn, p.toString, start, len)
+          LsnRe.findFirstMatchIn(line).map(_.group(1).toLong) match {
+            case Some(lsn) => out += WalTxRef(lsn, p.toString, start, len)
+            case None =>
+              // Poison-pill hardening: a committed line without a
+              // commit_lsn is skipped-and-counted, not thrown — a throw
+              // here would leave the byte cursor parked before the line
+              // and kill every subsequent trigger on the same bytes.
+              malformedCount += 1
+              FileWalFeed.log.warn(
+                s"skipping wal line without commit_lsn at $p offset $start len $len")
+          }
         }
       }
     }
@@ -277,6 +297,7 @@ final class FileWalFeed(dir: String) extends WalFeed {
 object FileWalFeed {
   /** Shared strict parser for tail-line completeness checks (thread-safe). */
   private[source] val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private[source] val log = org.slf4j.LoggerFactory.getLogger(classOf[FileWalFeed])
 }
 
 final case class LsnOffset(lsn: Long) extends Offset {

@@ -81,6 +81,55 @@ class PgWalFeedSpec extends SparkSpec {
     } finally { feed.close(); server.close() }
   }
 
+  test("spool rolls into segments; ack GCs segments below the durable watermark; refs survive a roll") {
+    val (frames, lsns) = scenario(6)
+    val expected = directLines(frames)
+    val base = Files.createTempDirectory("pgfeed3").toString
+    val spool = s"$base/spool"
+    val server = walsenderFor(frames)
+    // tiny segment threshold: every line seals its segment → 6 segments
+    val feed = new PgWalFeed(
+      new PgReplicationClient("127.0.0.1", server.port, "u", "db"), "pub", spool,
+      segmentBytes = 1L)
+    try {
+      feed.start()
+      server.awaitStreamed()
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (feed.latestLsn < lsns.last && System.nanoTime() < deadline) Thread.sleep(20)
+
+      def segments: Seq[String] =
+        graft.core.FsUtil.listDirSorted(Paths.get(spool))
+          .map(_.getFileName.toString).filter(_.startsWith("spool-"))
+      assert(segments.size == 6, s"one sealed segment per line, got $segments")
+
+      // refs span the roll boundaries and read back byte-identical
+      val refs = feed.txRefsAfter(0L, Int.MaxValue)
+      assert(refs.map(_.lsn) == lsns)
+      assert(refs.map(_.file).distinct.size == 6, "refs must span segments")
+      assert(refs.map(graft.cdc.source.WalFeed.readRef) == expected)
+
+      // ack at tx4: segments wholly at/below the watermark disappear;
+      // refs above it stay readable
+      feed.ack(lsns(3))
+      assert(segments.size == 2, s"acked segments must be deleted, got $segments")
+      val tail = feed.txRefsAfter(lsns(3), Int.MaxValue)
+      assert(tail.map(_.lsn) == lsns.drop(4))
+      assert(tail.map(graft.cdc.source.WalFeed.readRef) == expected.drop(4))
+
+      // final ack reclaims everything but the (empty) active segment
+      feed.ack(lsns.last)
+      assert(segments.forall(s => Files.size(Paths.get(spool, s)) == 0L),
+        s"only the active segment may remain, got $segments")
+      server.check()
+    } finally { feed.close(); server.close() }
+
+    // a fresh feed over the surviving spool resumes across segments:
+    // nothing below the ack is served again (restart-resume contract)
+    val resumed = new FileWalFeed(spool)
+    assert(resumed.ackedLsn == lsns.last)
+    assert(resumed.txRefsAfter(resumed.ackedLsn, Int.MaxValue).isEmpty)
+  }
+
   test("end-to-end parity: graft-wal over pgHost decodes to the identical table as file input") {
     val (frames, lsns) = scenario(6)
     val expected = directLines(frames)

@@ -189,6 +189,27 @@ class WalSourceSpec extends SparkSpec {
     assert(feed.txRefsAfter(0L, 100).map(_.lsn) == Seq(100L))
   }
 
+  test("poison pill: a committed line without commit_lsn is skipped, stream continues") {
+    val base = Files.createTempDirectory("walsrc10").toString
+    val wal = s"$base/wal"; Files.createDirectories(Paths.get(wal))
+    // garbage line BETWEEN two valid transactions — formerly this threw
+    // on every trigger (cursor never advanced past the line) and killed
+    // the stream permanently
+    Files.writeString(Paths.get(wal, "a.json"),
+      tx(100, 1) + "\n" + """{"oops": "no lsn here"}""" + "\n" + tx(200, 2) + "\n")
+    val feed = new FileWalFeed(wal)
+    assert(feed.txRefsAfter(0L, 100).map(_.lsn) == Seq(100L, 200L))
+    assert(feed.malformedSkipped == 1L)
+    // repeated refreshes do not re-count (cursor advanced past the line)
+    assert(feed.txRefsAfter(0L, 100).map(_.lsn) == Seq(100L, 200L))
+    assert(feed.malformedSkipped == 1L)
+
+    // the full streaming source delivers the surrounding transactions
+    val got = new java.util.ArrayList[Seq[Long]]()
+    runOnce(wal, s"$base/ckpt", got)
+    assert(flat(got) == Seq(100L, 200L))
+  }
+
   test("index prunes refs at or below the durable ack (retention watermark)") {
     val base = Files.createTempDirectory("walsrc7").toString
     Files.writeString(Paths.get(base, "a.json"), (1 to 4).map(i => tx(i * 100L, i)).mkString("\n"))
