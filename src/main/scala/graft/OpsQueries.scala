@@ -307,6 +307,24 @@ object OpsQueries {
             .cast("long").as("recall_ok"))
     }),
 
+    // the SAME bucketed production plan, hash-matched (not just contract
+    // flags): on a bimodal corpus — one-hot cluster vectors derived
+    // deterministically from the embeddings ids, so same-cluster pairs
+    // sit at cosine exactly 1.0 and cross-cluster at 0.0 — identical
+    // vectors land in identical sign-LSH buckets in EVERY table, so
+    // recall is exactly 1.0 by construction and the full above-threshold
+    // pair set is reproducible by a ground-truth oracle. The audited
+    // plan is the production (tbl, bucket) hash join + exact verify.
+    "q_dedup_embed_bucketed" -> ((s, dir) => {
+      val corpus = Tables(s, dir, "embeddings").select(col("vec_id"))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(63)),
+            i => when(i === (col("vec_id") % 40).cast("int"), lit(1.0f))
+              .otherwise(lit(0.0f))))
+      Similarity.cosineNearDupPairs(corpus, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ANN buckets are engine-specific, but the RECALL contract vs exact
     // brute force is oracle-checkable (same pattern as q_approx_stats):
     // the query emits result-shape counts plus a flag that measured
@@ -874,6 +892,14 @@ object OpsQueries {
         |  CAST(length(lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
         |    '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g')))) AS BIGINT) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ground truth for the bimodal fixture: same-cluster pairs are
+    // identical one-hot vectors (cosine exactly 1), cross-cluster 0
+    "q_dedup_embed_bucketed" ->
+      """WITH c AS (SELECT vec_id, vec_id % 40 AS cl FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(1 AS DOUBLE) AS sim
+        |FROM c a JOIN c b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // accuracy contract for the bucketed (sign-LSH + exact verify) form:
     // the oracle recomputes the exact pair count and asserts precision

@@ -102,9 +102,19 @@ object Similarity {
    * form is what the hash-matched oracle checks). Norms are computed
    * once per row, then the broadcast self-join evaluates one codegen'd
    * dot + one divide per pair; the corpus never shuffles.
+   *
+   * O(n²) by construction — guarded by `maxRows` so a production-scale
+   * corpus fails fast with a pointer to the bucketed form instead of
+   * launching a quadratic job.
    */
   def cosineNearDupPairsExact(corpus: DataFrame, threshold: Double,
-                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                              idCol: String = "vec_id", vecCol: String = "embedding",
+                              maxRows: Long = 1000000L): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"cosineNearDupPairsExact is O(n²): $n rows exceeds maxRows=$maxRows — " +
+        "use cosineNearDupPairs (sign-LSH bucketed) for production corpora, " +
+        "or raise maxRows explicitly for an oracle run")
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val prepared = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
     val a = prepared.toDF("id_a", "va", "na").repartition(par)

@@ -72,6 +72,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!sem.contains("CartesianProduct"), s"semantic dedup cartesian:\n$sem")
   }
 
+  test("q_dedup_embed_bucketed runs the production (tbl,bucket) hash-join plan") {
+    // the hash-matched bucketed row must audit as the scale-path plan:
+    // bucket-keyed hash join candidates + id-keyed verify, zero
+    // quadratic operators anywhere
+    val p = plan("q_dedup_embed_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed dedup query must not be quadratic:\n$p")
+    assert(count(p, "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)") >= 3,
+      s"expected candidate join + two verify joins as hash joins:\n$p")
+  }
+
+  test("exact near-dup baseline fails fast above its size guard") {
+    val emb = Tables(spark, sf, "embeddings")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.cosineNearDupPairsExact(emb, threshold = 0.4, maxRows = 1)
+    }
+    assert(e.getMessage.contains("cosineNearDupPairs"),
+      "guard message must point at the bucketed form")
+  }
+
   test("hot-path queries keep whole-stage codegen") {
     // an unexecuted AdaptiveSparkPlan reports 0 codegen subtrees; turn
     // AQE off for the inspection so the static plan shows its spans
