@@ -31,6 +31,41 @@ object Layout {
       .drop("__graft_zkey")
       .write.mode("overwrite").parquet(dir)
 
+  /** Write an IVF-indexed corpus (from [[Similarity.ivfIndex]]) as a
+    * `cell`-partitioned parquet layout plus a `_centroids.tsv` sidecar,
+    * so probes become Catalyst partition pruning: a query that filters
+    * `cell IN (probe cells)` lists and reads only those cell
+    * directories — nProbe/nCells of the files, no index lookup at query
+    * time. Rows are hash-repartitioned on `cell` first so each cell
+    * lands in one file (no small-file fan-out from the input
+    * partitioning). */
+  def ivfWrite(indexed: DataFrame, centroids: Array[(Int, Array[Double])],
+               dir: String): Unit = {
+    indexed
+      .repartition(centroids.length, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val spark = indexed.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir, "_centroids.tsv")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try centroids.foreach { case (cid, v) =>
+      out.write(s"$cid\t${v.mkString(",")}\n".getBytes("UTF-8"))
+    } finally out.close()
+  }
+
+  /** Centroid sidecar of an [[ivfWrite]] layout. */
+  def readIvfCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Double])] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_centroids.tsv")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null).map { line =>
+      val Array(cid, vec) = line.split("\t", 2)
+      (cid.toInt, vec.split(",").map(_.toDouble))
+    }.toArray
+    finally in.close()
+  }
+
   /** Min/max stats index over a parquet directory: one row per file,
     * (file, <c>_min, <c>_max) for each indexed column. Built with one
     * scan (an OPTIMIZE/ANALYZE-style maintenance job, not a query-time

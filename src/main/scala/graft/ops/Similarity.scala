@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -259,19 +259,30 @@ object Similarity {
   def ivfTopK(indexed: DataFrame, centroids: Array[(Int, Array[Double])],
               queries: DataFrame, k: Int, nProbe: Int = 32,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val probeCells = {
-      val sims = graft.functions.VecDotMulti(col(vecCol),
-        centroids.map(_._2.toSeq).toSeq)
-      val scored = centroids.zipWithIndex.map { case ((cid, _), i) =>
-        struct(element_at(sims, i + 1).as("sim"), lit(cid).as("cell"))
-      }
-      // top-nProbe cells: sort the (sim, cell) array descending, slice
-      slice(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1, nProbe)
-    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      explode(transform(probeCells, p => p.getField("cell"))).as("cell"))
+      explode(transform(probeCellsCol(centroids, nProbe, vecCol),
+        p => p.getField("cell"))).as("cell"))
     val c = indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"))
+    ivfScore(c, q, k)
+  }
+
+  /** Top-`nProbe` nearest cells for a query vector, as an
+    * array<struct(sim, cell)> sorted descending: the multi-dot against
+    * all centroids in one expression, then sort + slice. */
+  private def probeCellsCol(centroids: Array[(Int, Array[Double])], nProbe: Int,
+                            vecCol: String): Column = {
+    val sims = graft.functions.VecDotMulti(col(vecCol),
+      centroids.map(_._2.toSeq).toSeq)
+    val scored = centroids.zipWithIndex.map { case ((cid, _), i) =>
+      struct(element_at(sims, i + 1).as("sim"), lit(cid).as("cell"))
+    }
+    slice(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1, nProbe)
+  }
+
+  /** Shared IVF scoring tail: cell-keyed candidate join (queries
+    * broadcast), exact cosine, per-query top-k. */
+  private def ivfScore(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = c.join(broadcast(q), "cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 6))
@@ -280,6 +291,28 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /**
+   * IVF search against a [[Layout.ivfWrite]] cell-partitioned layout:
+   * the probe-cell set (bounded by nQueries × nProbe, collected to
+   * literals) becomes the scan's PARTITION filter, so Spark lists and
+   * reads only the probed cell directories — nProbe/nCells of the files
+   * with no query-time index structure at all. Same results as
+   * [[ivfTopK]] over the equivalent in-memory index (spec-checked).
+   */
+  def ivfTopKFromLayout(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+                        nProbe: Int = 32, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val centroids = Layout.readIvfCentroids(spark, dir)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      explode(transform(probeCellsCol(centroids, nProbe, vecCol),
+        p => p.getField("cell"))).as("cell"))
+    val cells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(dir)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"))
+    ivfScore(c, q, k)
   }
 
   /**

@@ -17,4 +17,22 @@ object Bridge {
   def showString(df: org.apache.spark.sql.DataFrame, numRows: Int, truncate: Int): String =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .showString(numRows, truncate)
+
+  /** `numFiles` metric of every file scan in an EXECUTED plan (run an
+    * action first; AQE subtrees are unwrapped). Lets specs assert
+    * partition pruning by files actually touched, not plan text. */
+  def scannedFileCounts(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def walk(p: SparkPlan): Seq[Long] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => walk(s.plan)
+      case r: ReusedExchangeExec => walk(r.child)
+      case f: FileSourceScanExec => Seq(f.metrics("numFiles").value)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 }

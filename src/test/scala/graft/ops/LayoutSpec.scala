@@ -73,4 +73,46 @@ class LayoutSpec extends SparkSpec {
     val (df, read, _) = Layout.prunedRead(spark, dir, idx, "x", 1000L, 2000L)
     assert(read == 0 && df.count() == 0)
   }
+
+  test("IVF cell layout: probes become partition pruning (nProbe/nCells files touched)") {
+    val dir = Files.createTempDirectory("layout-ivf").toString + "/ivf"
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val nCells = 16
+    val (indexed, centroids) = Similarity.ivfIndex(emb, nCells = nCells, lloydIters = 2)
+    Layout.ivfWrite(indexed, centroids, dir)
+
+    // sidecar round-trips the quantizer exactly
+    val back = Layout.readIvfCentroids(spark, dir)
+    assert(back.map(_._1).toSeq == centroids.map(_._1).toSeq)
+    assert(back.map(_._2.toSeq).toSeq == centroids.map(_._2.toSeq).toSeq)
+
+    // one file per cell (writer repartitions on cell), nCells total
+    val filesTotal = spark.read.parquet(dir).inputFiles.length
+    assert(filesTotal == nCells, s"expected one file per cell, got $filesTotal")
+
+    val queries = emb.where(col("vec_id") < 3)
+    val nProbe = 2
+    val result = Similarity.ivfTopKFromLayout(spark, dir, queries, k = 5, nProbe = nProbe)
+    val rows = result.collect()
+    assert(rows.length == 3 * 5)
+
+    // files actually read = distinct probed cells ≤ nQueries × nProbe —
+    // the partition filter, not the stats index, did the skipping
+    val scanned = org.apache.spark.sql.graftbridge.Bridge.scannedFileCounts(result)
+    assert(scanned.nonEmpty)
+    assert(scanned.max <= 3L * nProbe,
+      s"scan touched ${scanned.max} of $filesTotal files; probes must prune partitions")
+    assert(scanned.max < filesTotal)
+    // the physical plan carries the cell partition filter
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition filter in plan:\n$plan")
+
+    // parity: identical results to the in-memory ivfTopK on the same index
+    val direct = Similarity.ivfTopK(indexed, centroids, queries, k = 5, nProbe = nProbe)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val fromLayout = rows
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(fromLayout == direct)
+  }
 }
