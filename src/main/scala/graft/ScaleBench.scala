@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scaling-exponent bench: times the slowest SparkEntry queries across
+ * the driver's scale factors (sf0.001/0.01/0.1) PLUS a synthetic 10×
+ * amplification of sf0.1 (key-shifted union of 10 copies, so joins and
+ * distinct counts scale honestly and foreign keys stay consistent),
+ * then reports the log-log slope per decade. A measured exponent near
+ * 1.0 is linear scaling — the empirical counterpart of the per-operator
+ * design audit ("would this survive 100×?"); super-linear slopes flag
+ * the operators that would not.
+ *
+ * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleBench"
+ * Output: one JSON line + SCALING.json with per-query seconds at each
+ * scale and fitted exponents.
+ *
+ * Caveats recorded with the numbers: the amplified corpus duplicates
+ * document text 10× (a duplicate-rich corpus — the hard case for the
+ * dedup pipeline, not the easy one), and local[32] measures single-node
+ * throughput; the exponents speak to work growth, not cluster scaling.
+ */
+object ScaleBench {
+
+  /** The round-6 verdict's five slowest queries. */
+  val DefaultQueries: Seq[String] =
+    Seq("q_approx_stats", "q_ann_ivf", "q_bloom_semi", "q_bigrams", "q_corpus_curate")
+
+  /** Tables those queries read (only these are amplified). */
+  private val AmplifiedTables =
+    Seq("events", "embeddings", "documents", "lineitem", "part")
+
+  /** Key-shifted 10× union: every *key / *_id column is shifted by a
+    * per-copy offset (the same offset for every table, so foreign keys
+    * keep joining within a copy), types preserved. Idempotent: skips
+    * tables already written. */
+  def amplify(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+    val shift = 100000000L // above any sf0.1 key, int-safe at factor 10
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    for (t <- AmplifiedTables) {
+      val out = java.nio.file.Paths.get(outDir, s"$t.parquet")
+      if (!java.nio.file.Files.exists(out)) {
+        val df = spark.read.parquet(s"$srcDir/$t.parquet")
+        val keyCols = df.columns.filter(c => c.endsWith("key") || c.endsWith("_id"))
+        val copies = (0 until factor).map { i =>
+          keyCols.foldLeft(df) { (d, c) =>
+            d.withColumn(c, (col(c) + lit(i * shift)).cast(df.schema(c).dataType))
+          }
+        }
+        copies.reduce(_.unionByName(_)).write.mode("overwrite").parquet(out.toString)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq else DefaultQueries
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ampDir = sys.env.getOrElse("SPARK_GRAFT_AMPLIFIED_DIR", "/tmp/graft_sf1_amplified")
+    amplify(spark, "/root/testdata/sf0.1", ampDir, factor = 10)
+
+    val points: Seq[(String, Double)] = Seq(
+      "/root/testdata/sf0.001" -> 0.001,
+      "/root/testdata/sf0.01" -> 0.01,
+      "/root/testdata/sf0.1" -> 0.1,
+      ampDir -> 1.0)
+
+    def timeOnce(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val qs = names.map(n => n -> SparkEntry.queries(n))
+    val timings: Seq[(String, Seq[(Double, Double)])] = qs.map { case (name, fn) =>
+      val per = points.map { case (dir, sf) =>
+        timeOnce(fn, dir) // warmup at this scale (scan cache + codegen + JIT)
+        val a = timeOnce(fn, dir)
+        val b = timeOnce(fn, dir)
+        sf -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }
+      println(s"[scale] $name: " + per.map { case (sf, s) => f"sf$sf%s=$s%.2fs" }.mkString(" "))
+      name -> per
+    }
+
+    def fmt(v: Double): String = "%.3f".format(v)
+    val json = timings.map { case (name, per) =>
+      val secs = per.map { case (sf, s) => "\"" + sf + "\":" + fmt(s) }.mkString("{", ",", "}")
+      // per-decade exponents: sf0.01→0.1 (real data) and sf0.1→1.0(amp)
+      def expo(a: Double, b: Double): String = {
+        val ta = per.find(_._1 == a).map(_._2).getOrElse(-1.0)
+        val tb = per.find(_._1 == b).map(_._2).getOrElse(-1.0)
+        if (ta <= 0 || tb <= 0) "null" else fmt(math.log10(tb / ta))
+      }
+      s""""$name":{"sec":$secs,"exp_real":${expo(0.01, 0.1)},"exp_amplified":${expo(0.1, 1.0)}}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"scaling","unit":"sec","amplified_dir":"$ampDir","queries":$json}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
+    spark.stop()
+  }
+}
