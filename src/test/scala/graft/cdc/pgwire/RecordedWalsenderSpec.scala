@@ -113,14 +113,37 @@ class RecordedWalsenderSpec extends AnyFunSuite {
   private val KEEPALIVE = hex("64000000166b00000000015e800000027ca57357c00001")
   private val COPY_DONE = hex("6300000004")
 
+  // slot-missing response: RowDescription + zero DataRows + C("SELECT 0") + Z
+  private val RESP_SLOT_MISSING = hex(
+    "540000002c0001636f6e6669726d65645f666c7573685f6c736e000000000000" +
+    "0000000019ffffffffffff0000430000000d53454c4543542030005a00000005" +
+    "49")
+  // CREATE_REPLICATION_SLOT "graft_pub" LOGICAL wal2json NOEXPORT_SNAPSHOT
+  private val Q_CREATE_SLOT = hex(
+    "510000004b4352454154455f5245504c49434154494f4e5f534c4f5420226772" +
+    "6166745f70756222204c4f474943414c2077616c326a736f6e204e4f4558504f" +
+    "52545f534e415053484f5400")
+  // T(slot_name, consistent_point, snapshot_name, output_plugin) +
+  // D(graft_pub, 0/2000000, "", wal2json) + C + Z
+  private val RESP_CREATE_SLOT = hex(
+    "54000000850004736c6f745f6e616d650000000000000000000019ffffffffff" +
+    "ff0000636f6e73697374656e745f706f696e740000000000000000000019ffff" +
+    "ffffffff0000736e617073686f745f6e616d650000000000000000000019ffff" +
+    "ffffffff00006f75747075745f706c7567696e0000000000000000000019ffff" +
+    "ffffffff0000440000003000040000000967726166745f70756200000009302f" +
+    "32303030303030000000000000000877616c326a736f6e430000001e43524541" +
+    "54455f5245504c49434154494f4e5f534c4f542031005a0000000549")
+
   private sealed trait Step
   private final case class Expect(label: String, bytes: Array[Byte],
                                   maskFrom: Int = -1, maskLen: Int = 0) extends Step
   private final case class Send(bytes: Array[Byte]) extends Step
 
   /** Plays the byte script verbatim; any client byte that deviates from
-    * the golden trace is recorded and fails the test. */
-  private final class ScriptServer(steps: Seq[Step]) extends AutoCloseable {
+    * the golden trace is recorded and fails the test. With `dribble`,
+    * every server byte is written in its own flushed TCP write — the
+    * maximally fragmented delivery a real network can produce. */
+  private final class ScriptServer(steps: Seq[Step], dribble: Boolean = false) extends AutoCloseable {
     private val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
     val port: Int = server.getLocalPort
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -144,7 +167,8 @@ class RecordedWalsenderSpec extends AnyFunSuite {
                 s"expected ${golden.map(b => f"$b%02x").mkString})"): Unit
             }
           case Send(bytes) =>
-            out.write(bytes); out.flush()
+            if (dribble) bytes.foreach { b => out.write(b.toInt); out.flush() }
+            else { out.write(bytes); out.flush() }
         }
         sock.close()
       } catch {
@@ -158,6 +182,44 @@ class RecordedWalsenderSpec extends AnyFunSuite {
   }
 
   test("client session matches the hand-assembled protocol-doc byte trace") {
+    runGoldenSession(dribble = false)
+  }
+
+  test("frame parsing survives maximally fragmented TCP delivery (1 byte per write)") {
+    // a real walsender's frames arrive at arbitrary TCP segment
+    // boundaries; the client must never assume a read returns a whole
+    // frame. Same golden session, every server byte its own write.
+    runGoldenSession(dribble = true)
+  }
+
+  test("slot-create path: CREATE_REPLICATION_SLOT bytes match the golden trace") {
+    val script = Seq(
+      Expect("startup", STARTUP),
+      Send(AUTH_MD5),
+      Expect("md5 password", PASSWORD),
+      Send(AUTH_OK ++ PARAM_STATUS ++ KEY_DATA ++ READY),
+      Expect("slot resume query", Q_SLOT),
+      Send(RESP_SLOT_MISSING), // no rows: the slot does not exist yet
+      Expect("CREATE_REPLICATION_SLOT", Q_CREATE_SLOT),
+      Send(RESP_CREATE_SLOT),
+      Expect("terminate", TERMINATE))
+    val server = new ScriptServer(script)
+    val client = new PgReplicationClient("127.0.0.1", server.port, "u", "db",
+      password = Some("pw"))
+    try {
+      client.connect()
+      assert(client.confirmedFlushLsn("graft_pub").isEmpty)
+      assert(client.createReplicationSlot("graft_pub") == 0x2000000L)
+    } finally {
+      client.close()
+      server.awaitDone()
+      server.close()
+    }
+    val errs = { val b = Vector.newBuilder[String]; server.errors.forEach(b += _); b.result() }
+    assert(errs.isEmpty, s"client deviated from the recorded trace:\n${errs.mkString("\n")}")
+  }
+
+  private def runGoldenSession(dribble: Boolean): Unit = {
     val script = Seq(
       Expect("startup", STARTUP),
       Send(AUTH_MD5),
@@ -173,7 +235,7 @@ class RecordedWalsenderSpec extends AnyFunSuite {
       Expect("standby status", STANDBY_STATUS, maskFrom = 30, maskLen = 8),
       Send(COPY_DONE),
       Expect("terminate", TERMINATE))
-    val server = new ScriptServer(script)
+    val server = new ScriptServer(script, dribble)
     val client = new PgReplicationClient("127.0.0.1", server.port, "u", "db",
       password = Some("pw"))
     try {
