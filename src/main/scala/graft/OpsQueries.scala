@@ -321,7 +321,11 @@ object OpsQueries {
           transform(sequence(lit(0), lit(63)),
             i => when(i === (col("vec_id") % 40).cast("int"), lit(1.0f))
               .otherwise(lit(0.0f))))
-      Similarity.cosineNearDupPairs(corpus, threshold = 0.5)
+      // nTables=4: identical vectors share EVERY table's bucket, so one
+      // table already gives recall 1.0 — 4 keeps the multi-table
+      // production shape without paying 16x candidate multiplicity for
+      // pairs that collide in all tables at once
+      Similarity.cosineNearDupPairs(corpus, threshold = 0.5, nTables = 4)
         .orderBy("id_a", "id_b")
     }),
 

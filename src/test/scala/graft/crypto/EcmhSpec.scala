@@ -12,11 +12,19 @@ class EcmhSpec extends SparkSpec {
   private def b(s: String) = s.getBytes("UTF-8")
 
   test("wire format: golden digests match the go-ristretto construction") {
-    // digest(∅) = encode(Base): NewMultisetHash calls SetBase (ecmh.go:13-21)
+    // digest(∅) = encode(Base): NewMultisetHash calls SetBase (ecmh.go:13-21).
+    // This constant IS the RFC 9496 §B generator encoding
+    // (e2f2ae0a...2d76), so the empty-set digest is pinned by the RFC
+    // itself, independent of any implementation.
     assert(MultisetHash().digest ==
       "e2f2ae0a6abc4e71a884a961c500515f58e30b6aa582dd8db6a65945e08d2d76")
-    // the reference test's own multiset (ecmh_test.go:17-23), digests
-    // computed with an independent implementation of RFC 9496 + SHA-512
+    // The reference test's own multiset (ecmh_test.go:17-23). Digests
+    // computed with an independent implementation of RFC 9496 + SHA-512;
+    // the group is additionally pinned by the RFC A.1 (small multiples)
+    // and A.3 (hash-to-group) vectors in Ristretto255Spec. PENDING
+    // cross-check (needs a Go toolchain, absent in this sandbox): run
+    // the reference's ecmh_test.go once and diff its printed digests
+    // against these three constants — they must match byte-for-byte.
     assert(MultisetHash.of(b("apple"), b("banana"), b("cherry")).digest ==
       "bc78f637f1774acf148180af6a620fe4f5b381b56929e556d8d21f31e4125370")
     assert(MultisetHash.of(b("apple"), b("banana"), b("cherry"), b("apple")).digest ==
