@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AsofJoin, Dedup, EventTime, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, Dedup, EventTime, ImportanceResampling, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -305,6 +305,17 @@ object OpsQueries {
           (col("__n_hits") === col("__n_lsh")).cast("long").as("precision_ok"),
           (col("__n_hits").cast("double") >= col("n_exact") * 0.9)
             .cast("long").as("recall_ok"))
+    }),
+
+    // DSIR-style importance weights: raw = all documents, target = the
+    // deterministic doc_id % 7 == 0 slice (stands in for a curated
+    // sample); hashed-unigram bucket log-ratios, hash-matched like
+    // q_unigram_logprob
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      ImportanceResampling.importanceWeights(
+          docs, docs.where(col("doc_id") % 7 === 0))
+        .orderBy("doc_id")
     }),
 
     // the SAME bucketed production plan, hash-matched (not just contract
@@ -896,6 +907,27 @@ object OpsQueries {
         |  CAST(length(lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
         |    '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g')))) AS BIGINT) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH rw AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |rwf AS (SELECT doc_id, term FROM rw WHERE length(term) > 0),
+        |rwb AS (SELECT doc_id,
+        |  ('0x' || substr(md5(term), 1, 6))::BIGINT % 1024 AS bucket FROM rwf),
+        |tw AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |twf AS (SELECT term FROM tw WHERE length(term) > 0),
+        |twb AS (SELECT ('0x' || substr(md5(term), 1, 6))::BIGINT % 1024 AS bucket FROM twf),
+        |cr AS (SELECT bucket, count(*) AS cr FROM rwb GROUP BY bucket),
+        |ct AS (SELECT bucket, count(*) AS ct FROM twb GROUP BY bucket),
+        |tot AS (SELECT (SELECT count(*) FROM rwb) AS nr, (SELECT count(*) FROM twb) AS nt)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(
+        |    ln((coalesce(ct, 0) + 1)::DOUBLE / (nt + 1024)::DOUBLE) -
+        |    ln((cr + 1)::DOUBLE / (nr + 1024)::DOUBLE)), 6) AS weight
+        |FROM rwb JOIN cr USING (bucket) LEFT JOIN ct USING (bucket) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // ground truth for the bimodal fixture: same-cluster pairs are
     // identical one-hot vectors (cosine exactly 1), cross-cluster 0
