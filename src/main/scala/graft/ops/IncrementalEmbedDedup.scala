@@ -118,17 +118,24 @@ final class IncrementalEmbedDedup(indexDir: String, threshold: Double,
     fs.delete(old, true)
   }
 
-  /** Streaming entry: annotate each micro-batch, write results out. */
+  /** Streaming entry: annotate each micro-batch, write results out.
+    * With `compactEvery` > 0, the index is compacted after every Nth
+    * batch (cheap: the index is re-read next batch anyway, and
+    * compaction keeps retried-batch double-appends from accumulating
+    * over a long-lived stream). */
   def start(vecsStream: DataFrame, outDir: String, checkpointDir: String,
-            availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+            availableNow: Boolean = true,
+            compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val trigger =
       if (availableNow) org.apache.spark.sql.streaming.Trigger.AvailableNow()
       else org.apache.spark.sql.streaming.Trigger.ProcessingTime(10000L)
     vecsStream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch).write.mode("append").parquet(outDir)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          compactIndex(batch.sparkSession)
       }
       .start()
   }

@@ -99,7 +99,7 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
     val d = new IncrementalEmbedDedup(s"$base/index", threshold = 0.9, dims = 8)
     def run(): Unit = {
       val q = d.start(spark.readStream.schema(schema).parquet(in),
-        s"$base/out", s"$base/ckpt")
+        s"$base/out", s"$base/ckpt", compactEvery = 1)
       q.awaitTermination(120000); ()
     }
     run()
