@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AsofJoin, Dedup, EventTime, ImportanceResampling, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, CorpusSketch, Dedup, EventTime, ImportanceResampling, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -305,6 +305,15 @@ object OpsQueries {
           (col("__n_hits") === col("__n_lsh")).cast("long").as("precision_ok"),
           (col("__n_hits").cast("double") >= col("n_exact") * 0.9)
             .cast("long").as("recall_ok"))
+    }),
+
+    // KMV bottom-k corpus overlap: deterministic sketch (k smallest md5
+    // hashes), so the ESTIMATE itself hash-matches the SQL oracle — no
+    // tolerance contract needed, unlike HLL
+    "q_corpus_overlap" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      CorpusSketch.jaccardEstimate(
+        docs, docs.where(col("doc_id") % 2 === 0), col("text"), k = 128)
     }),
 
     // DSIR-style importance weights: raw = all documents, target = the
@@ -907,6 +916,22 @@ object OpsQueries {
         |  CAST(length(lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
         |    '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g')))) AS BIGINT) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_overlap" ->
+      """WITH sa AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h LIMIT 128),
+        |sb AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+        |  ORDER BY h LIMIT 128),
+        |u AS (
+        |  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+        |  ORDER BY h LIMIT 128)
+        |SELECT count(*) AS k_used,
+        |  CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  round(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+        |    THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS jaccard_est
+        |FROM u LEFT JOIN sa a ON u.h = a.h LEFT JOIN sb b ON u.h = b.h""".stripMargin,
 
     "q_dsir_weights" ->
       """WITH rw AS (

@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** KMV bottom-k sketches: mergeability, determinism, estimator accuracy. */
+class CorpusSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(ids: Range) = ids.map(i => (i.toLong, s"doc-$i")).toDF("id", "key")
+
+  test("merge of shard sketches equals the sketch of the whole corpus") {
+    val whole = corpus(0 until 1000)
+    val shards = Seq(corpus(0 until 300), corpus(300 until 650), corpus(650 until 1000))
+    val k = 64
+    val direct = CorpusSketch.bottomK(whole, col("key"), k).collect().map(_.getString(0)).toSeq
+    val merged = CorpusSketch.merge(
+      shards.map(s => CorpusSketch.bottomK(s, col("key"), k)), k)
+      .collect().map(_.getString(0)).toSeq
+    assert(merged == direct, "bottom-k must be algebraically mergeable")
+  }
+
+  test("sketch is deterministic across partitionings") {
+    val c = corpus(0 until 500)
+    val a = CorpusSketch.bottomK(c, col("key"), 32).collect().map(_.getString(0)).toSeq
+    val b = CorpusSketch.bottomK(c.repartition(13), col("key"), 32).collect().map(_.getString(0)).toSeq
+    assert(a == b)
+  }
+
+  test("jaccard estimate tracks the exact overlap") {
+    // |A| = 1000, |B| = 1000, |A ∩ B| = 500 → J = 500 / 1500 = 1/3
+    val a = corpus(0 until 1000)
+    val b = corpus(500 until 1500)
+    val est = CorpusSketch.jaccardEstimate(a, b, col("key"), k = 256)
+      .collect().head.getDouble(2)
+    assert(math.abs(est - 1.0 / 3.0) < 0.12, s"est $est vs exact ${1.0 / 3.0}")
+    // disjoint and identical corpora hit the boundaries exactly
+    val disj = CorpusSketch.jaccardEstimate(corpus(0 until 200), corpus(500 until 700),
+      col("key"), k = 64).collect().head.getDouble(2)
+    assert(disj == 0.0)
+    val same = CorpusSketch.jaccardEstimate(corpus(0 until 200), corpus(0 until 200),
+      col("key"), k = 64).collect().head.getDouble(2)
+    assert(same == 1.0)
+  }
+}
