@@ -81,4 +81,30 @@ object ImportanceResampling {
       .where(col(weightCol) >= col("cut"))
       .drop("cut")
   }
+
+  /**
+   * The faithful DSIR sampler: draw WITHOUT replacement with probability
+   * ∝ exp(weight / temperature) via the Gumbel-top-k trick — rank by
+   * `weight/temperature + Gumbel(doc)` and keep the top `fraction`.
+   * The Gumbel noise is hash-derived (`u = md5(id) prefix / 16^6`,
+   * `g = −ln(−ln u)`), so the "random" sample is reproducible across
+   * runs, engines and partitionings — the same no-RNG-state discipline
+   * as [[TextAnalysis.hashSample]]. Low temperature → approaches the
+   * deterministic top-fraction of [[resample]]; high temperature →
+   * approaches uniform sampling.
+   */
+  def resampleGumbel(weights: DataFrame, fraction: Double, temperature: Double = 1.0,
+                     idCol: String = "doc_id", weightCol: String = "weight"): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction must be in (0,1], got $fraction")
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("double") + lit(0.5)) / lit(16777216.0) // (0,1), never 0 or 1
+    val score = col(weightCol) / lit(temperature) - log(-log(u))
+    val cut = weights.select(score.as("s")).agg(
+      expr(s"percentile(s, ${1.0 - fraction})").as("cut"))
+    weights.withColumn("__s", score)
+      .crossJoin(broadcast(cut))
+      .where(col("__s") >= col("cut"))
+      .drop("__s", "cut")
+  }
 }

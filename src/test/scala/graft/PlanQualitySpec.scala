@@ -92,6 +92,24 @@ class PlanQualitySpec extends SparkSpec {
       "guard message must point at the bucketed form")
   }
 
+  test("round-7 corpus ops: broadcast-sized sides broadcast, nothing quadratic") {
+    // DSIR scoring: the ratio table (≤nBuckets rows) and totals must
+    // broadcast; the raw corpus shuffles only for its per-doc agg.
+    // (BroadcastNestedLoopJoin is expected ONLY for the single-row
+    // totals crossJoin — the same shape as q_unigram_logprob.)
+    val dsir = plan("q_dsir_weights")
+    assert(!dsir.contains("CartesianProduct"), s"dsir cartesian:\n$dsir")
+    assert(count(dsir, "BroadcastHashJoin") >= 1,
+      s"bucket-ratio join must be a broadcast hash join:\n$dsir")
+    assert(count(dsir, "BroadcastExchange") >= 2,
+      s"ratio table + totals should broadcast:\n$dsir")
+    // KMV overlap: only k-row sketches are joined — everything broadcasts
+    val kmv = plan("q_corpus_overlap")
+    assert(!kmv.contains("CartesianProduct"), s"kmv overlap cartesian:\n$kmv")
+    assert(count(kmv, "TakeOrderedAndProject") >= 2,
+      s"bottom-k must run as distributed TakeOrdered, not a global sort:\n$kmv")
+  }
+
   test("hot-path queries keep whole-stage codegen") {
     // an unexecuted AdaptiveSparkPlan reports 0 codegen subtrees; turn
     // AQE off for the inspection so the static plan shows its spans

@@ -41,6 +41,19 @@ class ImportanceResamplingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L), s"the science register must survive: $kept")
   }
 
+  test("gumbel resampling is reproducible and temperature-sensitive") {
+    val target = corpus.where(col("doc_id") <= 2)
+    val w = ImportanceResampling.importanceWeights(corpus, target).cache()
+    def draw(temp: Double): Set[Long] =
+      ImportanceResampling.resampleGumbel(w, fraction = 0.5, temperature = temp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // deterministic: same inputs, same "random" sample
+    assert(draw(1.0) == draw(1.0))
+    assert(draw(1.0).size == 3)
+    // near-zero temperature sharpens to the top-weight set
+    assert(draw(1e-6) == Set(1L, 2L, 3L))
+  }
+
   test("weights are deterministic across partitionings") {
     val target = corpus.where(col("doc_id") <= 2)
     val a = ImportanceResampling.importanceWeights(corpus, target)
