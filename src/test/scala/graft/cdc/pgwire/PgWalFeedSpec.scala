@@ -130,6 +130,62 @@ class PgWalFeedSpec extends SparkSpec {
     assert(resumed.txRefsAfter(resumed.ackedLsn, Int.MaxValue).isEmpty)
   }
 
+  test("restart resumes from the server slot: START_REPLICATION at the acked LSN, no re-spool") {
+    val (frames, lsns) = scenario(6)
+    val firstFrames = frames.take(3 * 4)  // txs 1-3 (B + 2×I + C each)
+    val restFrames = frames.drop(3 * 4)   // txs 4-6
+    val base = Files.createTempDirectory("pgfeed4").toString
+    val spool = s"$base/spool"
+
+    // session 1: fresh slot, stream txs 1-3, ack through tx3
+    val server1 = new FakeWalsender(
+      publications = Map("pub" -> Seq("public" -> "t")),
+      stream = firstFrames.zipWithIndex.map { case (p, i) => (0xF00L + i * 8, p) })
+    val feed1 = new PgWalFeed(
+      new PgReplicationClient("127.0.0.1", server1.port, "u", "db"), "pub", spool)
+    try {
+      feed1.start()
+      server1.awaitStreamed()
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (feed1.latestLsn < lsns(2) && System.nanoTime() < deadline) Thread.sleep(20)
+      feed1.ack(lsns(2))
+      assert(server1.createdSlots.size() == 1, "fresh run must create the slot")
+    } finally { feed1.close(); server1.close() }
+
+    // session 2: the server slot remembers the ack — resume streams 4-6
+    val server2 = new FakeWalsender(
+      publications = Map("pub" -> Seq("public" -> "t")),
+      slotLsn = Some(lsns(2)),
+      stream = restFrames.zipWithIndex.map { case (p, i) => (0xF80L + i * 8, p) })
+    val feed2 = new PgWalFeed(
+      new PgReplicationClient("127.0.0.1", server2.port, "u", "db"), "pub", spool)
+    try {
+      feed2.start()
+      server2.awaitStreamed()
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (feed2.latestLsn < lsns.last && System.nanoTime() < deadline) Thread.sleep(20)
+
+      assert(server2.createdSlots.isEmpty, "resume must NOT recreate the slot")
+      import scala.jdk.CollectionConverters._
+      val startRepl = server2.queries.asScala.find(_.startsWith("START_REPLICATION"))
+        .getOrElse(fail("no START_REPLICATION issued"))
+      assert(startRepl.contains(PgWire.Lsn.format(lsns(2))),
+        s"must resume from the slot's confirmed_flush_lsn: $startRepl")
+
+      // exactly the tail transactions appear after the ack (refs below
+      // the retention watermark are pruned from the index by design)
+      val tail = feed2.txRefsAfter(lsns(2), Int.MaxValue)
+      assert(tail.map(_.lsn) == lsns.drop(3))
+      // and nothing was re-spooled: the files hold 6 lines total
+      val spooledLines = graft.core.FsUtil.listDirSorted(Paths.get(spool))
+        .filter(p => !p.getFileName.toString.startsWith("_") && Files.isRegularFile(p))
+        .map(p => Files.readString(p).count(_ == '\n')).sum
+      assert(spooledLines == 6,
+        s"each tx exactly once across restarts, got $spooledLines lines")
+      server2.check()
+    } finally { feed2.close(); server2.close() }
+  }
+
   test("end-to-end parity: graft-wal over pgHost decodes to the identical table as file input") {
     val (frames, lsns) = scenario(6)
     val expected = directLines(frames)
