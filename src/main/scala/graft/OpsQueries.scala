@@ -152,6 +152,12 @@ object OpsQueries {
       TextAnalysis.unigramLogProb(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // bigram-LM log-prob: transition-level perplexity proxy (catches
+    // shuffled/stuffed text whose individual words are common)
+    "q_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // full canonicalization (NFC → control-strip → collapse → trim →
     // lower) — each step mirrored in the DuckDB oracle, hash-matched
     "q_normalize" -> ((s, dir) =>
@@ -629,6 +635,21 @@ object OpsQueries {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(avg(ln(tf::DOUBLE / total::DOUBLE)), 6) AS logprob
         |FROM w JOIN freq USING (term) CROSS JOIN total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+        |  WHERE ts[i] <> '' AND ts[i+1] <> ''),
+        |bi AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
+        |ctx AS (SELECT w1, count(*) AS cu FROM pairs GROUP BY w1),
+        |voc AS (SELECT count(*) AS v FROM
+        |  (SELECT w1 AS w FROM pairs UNION SELECT w2 FROM pairs))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((cb + 1)::DOUBLE / (cu + v)::DOUBLE)), 6) AS bigram_logprob
+        |FROM pairs JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_sample_hash" ->

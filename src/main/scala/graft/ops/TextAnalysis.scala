@@ -178,6 +178,44 @@ object TextAnalysis {
    * rare/garbled tokens. Two aggregations + one join on the token
    * dimension; the frequency table is corpus-derived (no external LM).
    */
+  /**
+   * Bigram-LM log-probability — the perplexity proxy one order above
+   * [[unigramLogProb]]: per-doc average of `ln P(w2 | w1)` under the
+   * corpus's own bigram model with add-one smoothing,
+   * `P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V)`. Documents made of
+   * improbable word transitions (shuffled text, keyword stuffing,
+   * boilerplate soup) score low even when their individual words are
+   * common — the failure mode unigram scoring cannot see.
+   *
+   * Scale shape: the model is two corpus-level count tables (bigram and
+   * context) plus one scalar vocabulary size — each one shuffle;
+   * scoring joins the doc's bigrams back against them. Documents with
+   * fewer than two non-empty tokens have no bigrams and drop out, as in
+   * the SQL formulation.
+   */
+  def bigramLogProb(docs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val pairs = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .where(col("w1") =!= "" && col("w2").isNotNull && col("w2") =!= "")
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = pairs.select(col("w1").as("w"))
+      .union(pairs.select(col("w2").as("w")))
+      .distinct().agg(count(lit(1)).as("v"))
+    pairs
+      .join(bi, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("cb") + 1).cast("double") / (col("cu") + col("v")).cast("double"))), 6)
+          .as("bigram_logprob"))
+  }
+
   def unigramLogProb(docs: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val words = docs

@@ -57,4 +57,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getAs[String]("scrubbed") == """{"a": #, "b": #}""")
     assert(r.getAs[Long]("n") == 5L)
   }
+
+  test("bigramLogProb: common transitions outscore shuffled same-vocabulary text") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the dog sat on the mat"),
+      // same vocabulary, transitions never seen elsewhere in the corpus
+      (4L, "mat the on cat the sat")
+    ).toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores.size == 4)
+    assert(Seq(1L, 2L, 3L).map(scores).min > scores(4L),
+      s"shuffled doc must score lowest: $scores")
+    // single-token and empty docs contribute no bigrams
+    val edge = TextAnalysis.bigramLogProb(
+      Seq((9L, "word"), (10L, "")).toDF("doc_id", "text"))
+    assert(edge.count() == 0)
+  }
 }
