@@ -38,4 +38,67 @@ class MultimodalSpec extends SparkSpec {
     assert(m.map(_.getString(1)).toSeq == Seq("image", "audio", "video"))
     assert(m.map(_.getAs[Array[Byte]]("payload").length).toSeq == Seq(3, 2, 1))
   }
+
+  /** Hand-built fixtures per the public BMP / RIFF-WAVE specs. */
+  private def bmp(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(26).putInt(0).putInt(26) // file size, reserved, pixel offset
+    b.putInt(12)                      // header size (values at 18/22 follow)
+    b.putInt(w).putInt(h)
+    b.array()
+  }
+
+  private def wav(sampleRate: Int, samples: Int): Array[Byte] = {
+    val dataLen = samples * 2 // 16-bit mono
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+    b.put("data".getBytes).putInt(dataLen)
+    (0 until samples).foreach(i => b.putShort((i % 1000).toShort))
+    b.array()
+  }
+
+  test("HeaderDecoder really parses BMP and WAV headers") {
+    val meta = Multimodal.HeaderDecoder.decode(1L, "image", bmp(640, 480))
+    assert(meta.width == 640 && meta.height == 480 && meta.kind == "image")
+
+    // 8 kHz mono 16-bit, 800 samples = exactly 100 ms
+    val audio = Multimodal.HeaderDecoder.decode(2L, "audio", wav(8000, 800))
+    assert(audio.sampleRate == 8000 && audio.durationMs == 100L)
+
+    // unknown bytes fall back to the stub (pipeline stays total)
+    val fb = Multimodal.HeaderDecoder.decode(3L, "video", Array[Byte](1, 2, 3))
+    assert(fb.nBytes == 3L && fb.sampleRate == 16000)
+  }
+
+  test("HeaderDecoder WAV truncation emits a valid WAV of the requested length") {
+    val full = wav(8000, 800)                             // 100 ms
+    val cut = Multimodal.HeaderDecoder.transform(full, 50) // -> 50 ms
+    val meta = Multimodal.HeaderDecoder.decode(9L, "audio", cut)
+    assert(meta.durationMs == 50L, s"got $meta")
+    assert(meta.sampleRate == 8000)
+    assert(cut.length == 44 + 400 * 2, "data truncated to 400 samples + header")
+    // idempotent beyond the available audio: asking for more keeps all
+    assert(Multimodal.HeaderDecoder.transform(cut, 500).length == cut.length)
+  }
+
+  test("decodeMeta runs the real decoder distributed (mapPartitions path)") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", bmp(32, 16)),
+      (2L, "audio", wav(16000, 1600))
+    ).toDF("media_id", "kind", "payload").repartition(2)
+    val out = Multimodal.decodeMeta(media, Multimodal.HeaderDecoder)
+      .collect().sortBy(_.id)
+    assert(out(0).width == 32 && out(0).height == 16)
+    assert(out(1).sampleRate == 16000 && out(1).durationMs == 100L)
+  }
 }
