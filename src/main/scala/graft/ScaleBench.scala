@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
  */
 object ScaleBench {
 
-  /** The round-6 verdict's five slowest queries. */
+  /** The round-6 verdict's five slowest queries, plus the round-7 DSIR
+    * scorer (its model sides must stay ≤nBuckets rows at any scale). */
   val DefaultQueries: Seq[String] =
-    Seq("q_approx_stats", "q_ann_ivf", "q_bloom_semi", "q_bigrams", "q_corpus_curate")
+    Seq("q_approx_stats", "q_ann_ivf", "q_bloom_semi", "q_bigrams", "q_corpus_curate",
+      "q_dsir_weights")
 
   /** Tables those queries read (only these are amplified). */
   private val AmplifiedTables =
