@@ -53,6 +53,16 @@ object R4Queries {
         .orderBy("domain")
     }),
 
+    // ── Temperature mixture weights (α = 0.5 over the same domains) ────
+    "q_mix_temperature" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source").as("domain"))
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+      val budget = expr("sum(n_tokens) OVER () * 3 div 5")
+      Mixing.temperatureWeights(counts.withColumn("__b", budget), alpha = 0.5, col("__b"))
+        .orderBy("domain")
+    }),
+
     // ── PII-style redaction (digit scrub over the events props JSON) ───
     "q_pii_scrub" -> ((s, dir) =>
       t(s, dir, "events")
@@ -248,6 +258,24 @@ object R4Queries {
         |       ELSE (start_off + n_tokens - 1) // 512 - start_off // 512 + 1 END
         |    AS n_seqs
         |FROM offs ORDER BY doc_id""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH counts AS (
+        |  SELECT source AS domain,
+        |    CAST(sum(CASE WHEN length(text) = 0 THEN 0
+        |         ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT domain, n_tokens,
+        |    pow(n_tokens::DOUBLE / (sum(n_tokens) OVER ()), 0.5) AS p,
+        |    (sum(n_tokens) OVER ()) * 3 // 5 AS b
+        |  FROM counts)
+        |SELECT domain, n_tokens,
+        |  round(p / sum(p) OVER (), 6) AS weight,
+        |  CAST(floor(p / sum(p) OVER () * b) AS BIGINT) AS eff_tokens,
+        |  round(p / sum(p) OVER () * b / n_tokens::DOUBLE, 6) AS epochs
+        |FROM t ORDER BY domain""".stripMargin,
 
     "q_mix_budget" ->
       """WITH counts AS (

@@ -69,4 +69,37 @@ object Mixing {
         .otherwise(least(col(tokensCol), col("__level"))).cast("double") /
         col("__budget").cast("double")).as("share"))
   }
+
+  /**
+   * Temperature-scaled mixture weights — the multilingual/multi-domain
+   * α-sampling recipe (public literature: mBERT / XLM-R exponentiated
+   * sampling): sampling weight `w_i ∝ (n_i / N)^α` with α ∈ (0, 1].
+   * α = 1 recovers proportional-to-size sampling; α → 0 approaches
+   * uniform, up-weighting low-resource domains at the cost of repeating
+   * them. Returns (key, n_tokens, weight, eff_tokens, epochs):
+   * `eff_tokens = ⌊weight · budget⌋` is the domain's token draw under
+   * the budget and `epochs = weight · budget / n_tokens` its repeat
+   * factor (> 1 ⇒ the domain is oversampled).
+   *
+   * Same scale shape as [[waterfillBudget]]: inputs are per-domain
+   * aggregates, so the unpartitioned windows are O(#domains).
+   */
+  def temperatureWeights(counts: DataFrame, alpha: Double, budget: Column,
+                         keyCol: String = "domain",
+                         tokensCol: String = "n_tokens"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("__budget", budget.cast("long"))
+      .withColumn("__p",
+        pow(col(tokensCol).cast("double") / sum(col(tokensCol)).over(wAll), alpha))
+      .withColumn("__w", col("__p") / sum(col("__p")).over(wAll))
+      .select(
+        col(keyCol),
+        col(tokensCol),
+        round(col("__w"), 6).as("weight"),
+        floor(col("__w") * col("__budget")).cast("long").as("eff_tokens"),
+        round(col("__w") * col("__budget") / col(tokensCol).cast("double"), 6)
+          .as("epochs"))
+  }
 }

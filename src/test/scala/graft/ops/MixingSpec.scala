@@ -56,4 +56,26 @@ class MixingSpec extends SparkSpec {
     // level = 8: all capped at 8 (3*8=24 <= 25 but 3*9=27 > 25)
     assert(rows.forall(_.getAs[Long]("alloc") == 8L))
   }
+
+  test("temperatureWeights: alpha=1 is proportional, low alpha lifts small domains") {
+    import org.apache.spark.sql.functions._
+    val counts = Seq(("big", 9000L), ("mid", 900L), ("small", 100L))
+      .toDF("domain", "n_tokens")
+    def weights(alpha: Double): Map[String, Double] =
+      Mixing.temperatureWeights(counts, alpha, lit(10000L))
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val w1 = weights(1.0)
+    assert(math.abs(w1("big") - 0.9) < 1e-6 && math.abs(w1("small") - 0.01) < 1e-6,
+      s"alpha=1 must be proportional: $w1")
+    val w5 = weights(0.5)
+    assert(w5("small") > w1("small") && w5("big") < w1("big"),
+      s"alpha<1 must shift mass to small domains: $w5")
+    // weights always sum to 1
+    assert(math.abs(w5.values.sum - 1.0) < 1e-5)
+    // oversampling shows up as epochs > 1 for the lifted domain
+    val rows = Mixing.temperatureWeights(counts, 0.3, lit(10000L))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(rows("small") > 1.0, s"small domain must be repeated: $rows")
+    assert(rows("big") < 1.0)
+  }
 }
