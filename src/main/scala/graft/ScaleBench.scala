@@ -24,11 +24,13 @@ import org.apache.spark.sql.functions._
  */
 object ScaleBench {
 
-  /** The round-6 verdict's five slowest queries, plus the round-7 DSIR
-    * scorer (its model sides must stay ≤nBuckets rows at any scale). */
+  /** The round-6 verdict's five slowest queries, plus the round-7
+    * corpus scorers (DSIR: model sides stay ≤nBuckets rows at any
+    * scale; bigram LM: the model table grows with DISTINCT bigrams, so
+    * a 10× duplicated corpus must not grow it at all). */
   val DefaultQueries: Seq[String] =
     Seq("q_approx_stats", "q_ann_ivf", "q_bloom_semi", "q_bigrams", "q_corpus_curate",
-      "q_dsir_weights")
+      "q_dsir_weights", "q_bigram_logprob")
 
   /** Tables those queries read (only these are amplified). */
   private val AmplifiedTables =
