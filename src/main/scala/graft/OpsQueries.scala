@@ -313,6 +313,15 @@ object OpsQueries {
             .cast("long").as("recall_ok"))
     }),
 
+    // deterministic train/val/test split: a row's slice is a pure
+    // function of its key hash — stable under dataset growth, unlike
+    // randomSplit — so the full assignment hash-matches the oracle
+    "q_split_hash" -> ((s, dir) =>
+      graft.ops.Sampling.splitByHash(
+          Tables(s, dir, "documents").select("doc_id"), col("doc_id"),
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")),
+
     // KMV bottom-k corpus overlap: deterministic sketch (k smallest md5
     // hashes), so the ESTIMATE itself hash-matches the SQL oracle — no
     // tolerance contract needed, unlike HLL
@@ -936,6 +945,17 @@ object OpsQueries {
         |    '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g')))) AS norm_md5,
         |  CAST(length(lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
         |    '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g')))) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // thresholds are the exact 2^32-space integers the Scala side
+    // computes (floor of the cumulative double weights)
+    "q_split_hash" ->
+      """SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3435973836
+        |         THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3865470566
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_corpus_overlap" ->

@@ -37,4 +37,30 @@ object Sampling {
 
   /** Exact integer threshold for a [0,1] rate over the 2^32 hash space. */
   def threshold(rate: Double): Long = math.floor(rate * 4294967296.0).toLong
+
+  /**
+   * Deterministic dataset split (train/val/test and friends): assigns
+   * each row a split label by where its key hash falls among the
+   * cumulative weight thresholds — the standard leakage-safe way to
+   * carve corpus slices, because a row's split is a pure function of
+   * its key: stable across runs, engines, partitionings AND dataset
+   * growth (new rows never move old rows between splits, unlike
+   * per-run `randomSplit`). Weights are normalized; thresholds are
+   * exact integers over the 2^32 hash space; `splits` order defines the
+   * ranges.
+   */
+  def splitByHash(df: DataFrame, key: Column,
+                  splits: Seq[(String, Double)],
+                  labelCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), s"positive weights required: $splits")
+    val total = splits.map(_._2).sum
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val h = hash32(key)
+    // last label is the otherwise-branch: covers the full remaining range
+    val expr = splits.init.zip(cum.init).reverse.foldLeft(lit(splits.last._1)) {
+      case (acc, ((label, _), cumFrac)) =>
+        when(h < lit(threshold(cumFrac)), lit(label)).otherwise(acc)
+    }
+    df.withColumn(labelCol, expr)
+  }
 }

@@ -40,4 +40,25 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(ids, col("id"), 1.0).count() == 1000L)
     assert(Sampling.hashSample(ids, col("id"), 0.0).count() == 0L)
   }
+
+  test("splitByHash: stable assignment, growth-safe, weights respected") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Sampling.splitByHash(docs, col("id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // weights approximately respected (hash-uniform)
+    val byLabel = assigned.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(byLabel("train") / 2000.0 - 0.8) < 0.05, s"$byLabel")
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // growth safety: adding rows never moves an existing row's split
+    val grown = Sampling.splitByHash((0L until 4000L).toDF("id"), col("id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assigned.forall { case (id, s) => grown(id) == s },
+      "existing rows must keep their split when the dataset grows")
+    // partitioning invariance
+    val reparted = Sampling.splitByHash(docs.repartition(17), col("id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reparted == assigned)
+  }
 }
