@@ -313,6 +313,25 @@ object OpsQueries {
             .cast("long").as("recall_ok"))
     }),
 
+    // categorized PII scan: per-category counts + tagged scrub over a
+    // corpus with PLANTED deterministic PII shapes (derived from doc_id
+    // identically in the oracle, so hits are real and non-zero) — the
+    // portable-pattern library q_pii_scrub's digit mask grows into
+    "q_pii_categories" -> ((s, dir) => {
+      val planted = concat(
+        lit("contact user"), col("doc_id"), lit("@mail.example.com from 10.0."),
+        col("doc_id") % 256, lit(".7 ref "), col("doc_id") * 1009 + 100000,
+        lit(" ssn "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" "), col("text"))
+      Tables(s, dir, "documents")
+        .select(Seq(col("doc_id")) ++
+          TextAnalysis.piiCounts(planted) :+
+          md5(TextAnalysis.piiScrub(planted)).as("scrub_md5"): _*)
+        .orderBy("doc_id")
+    }),
+
     // deterministic train/val/test split: a row's slice is a pure
     // function of its key hash — stable under dataset growth, unlike
     // randomSplit — so the full assignment hash-matches the oracle
@@ -946,6 +965,27 @@ object OpsQueries {
         |  CAST(length(lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
         |    '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g')))) AS BIGINT) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pii_categories" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    'contact user' || doc_id || '@mail.example.com from 10.0.' ||
+        |    (doc_id % 256) || '.7 ref ' || (doc_id * 1009 + 100000) ||
+        |    ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(t, '\d{6,}')) AS BIGINT) AS n_longnum,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |    '\d{6,}', '[LONGNUM]', 'g')) AS scrub_md5
+        |FROM planted ORDER BY doc_id""".stripMargin,
 
     // thresholds are the exact 2^32-space integers the Scala side
     // computes (floor of the cumulative double weights)

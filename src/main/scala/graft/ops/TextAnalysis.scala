@@ -251,6 +251,34 @@ object TextAnalysis {
   def redact(c: Column, pattern: String, mask: String = "#"): Column =
     regexp_replace(c, pattern, mask)
 
+  /**
+   * Categorized PII pattern library (portable subset: every pattern
+   * behaves identically under Java regex and RE2, so scans are
+   * oracle-checkable). Order matters for [[piiScrub]]: more specific
+   * shapes first so e.g. an SSN is labeled [SSN], not [LONGNUM].
+   * Extend per deployment — these are the common catch-most shapes,
+   * not a compliance guarantee.
+   */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "ipv4" -> """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""",
+    "ssn" -> """\b\d{3}-\d{2}-\d{4}\b""",
+    "longnum" -> """\d{6,}""")
+
+  /** Per-category match counts, measured independently on the input
+    * (overlapping categories each count their own view). */
+  def piiCounts(text: Column, patterns: Seq[(String, String)] = PiiPatterns): Seq[Column] =
+    patterns.map { case (name, re) =>
+      size(regexp_extract_all(text, lit(re), lit(0))).cast("long").as(s"n_$name")
+    }
+
+  /** Replace every match with its `[CATEGORY]` tag, categories applied
+    * in order (earlier tags win on overlaps). */
+  def piiScrub(text: Column, patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(text) { case (acc, (name, re)) =>
+      regexp_replace(acc, re, s"[${name.toUpperCase}]")
+    }
+
   /** #chars matched by single-char class `pattern` (portable length diff). */
   def matchedChars(c: Column, pattern: String): Column =
     (length(c) - length(regexp_replace(c, pattern, ""))).cast("long")

@@ -76,4 +76,20 @@ class CorpusOpsSpec extends SparkSpec {
       Seq((9L, "word"), (10L, "")).toDF("doc_id", "text"))
     assert(edge.count() == 0)
   }
+
+  test("piiScrub tags categories in order; piiCounts counts each view") {
+    val df = Seq((1L,
+      "mail a.b@x.co ip 10.1.2.3 ssn 123-45-6789 acct 12345678 done"))
+      .toDF("doc_id", "text")
+    val out = df.select(
+      (TextAnalysis.piiCounts(col("text")) :+
+        TextAnalysis.piiScrub(col("text")).as("scrubbed")): _*)
+      .collect().head
+    assert(out.getAs[Long]("n_email") == 1L)
+    assert(out.getAs[Long]("n_ipv4") == 1L)
+    assert(out.getAs[Long]("n_ssn") == 1L)
+    assert(out.getAs[Long]("n_longnum") == 1L) // acct only (ssn digits are hyphen-split)
+    val s = out.getAs[String]("scrubbed")
+    assert(s == "mail [EMAIL] ip [IPV4] ssn [SSN] acct [LONGNUM] done", s)
+  }
 }
