@@ -313,6 +313,14 @@ object OpsQueries {
             .cast("long").as("recall_ok"))
     }),
 
+    // C4-style corpus-wide span dedup: first occurrence of each exact
+    // 32-token chunk survives; docs reassembled from surviving chunks
+    "q_chunk_dedup" -> ((s, dir) =>
+      Dedup.corpusChunkDedup(Tables(s, dir, "documents"), chunkTokens = 32)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("text_dedup")).as("dedup_md5"))
+        .orderBy("doc_id")),
+
     // categorized PII scan: per-category counts + tagged scrub over a
     // corpus with PLANTED deterministic PII shapes (derived from doc_id
     // identically in the oracle, so hits are real and non-zero) — the
@@ -965,6 +973,23 @@ object OpsQueries {
         |  CAST(length(lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
         |    '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g')))) AS BIGINT) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(range(0, greatest(len(toks), 1), 32)) AS start FROM t),
+        |ch AS (SELECT doc_id, CAST(floor(start / 32) AS BIGINT) AS chunk_id,
+        |         array_to_string(toks[start + 1 : start + 32], ' ') AS chunk
+        |       FROM c),
+        |chf AS (SELECT * FROM ch WHERE chunk <> ''),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM chf GROUP BY doc_id),
+        |ranked AS (SELECT *, row_number() OVER
+        |  (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rn FROM chf)
+        |SELECT doc_id, n_chunks, CAST(count(*) AS BIGINT) AS n_kept,
+        |  md5(string_agg(chunk, ' ' ORDER BY chunk_id)) AS dedup_md5
+        |FROM ranked JOIN n USING (doc_id)
+        |WHERE rn = 1
+        |GROUP BY doc_id, n_chunks ORDER BY doc_id""".stripMargin,
 
     "q_pii_categories" ->
       """WITH planted AS (

@@ -371,4 +371,40 @@ object Dedup {
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("id_a"), col("id_b"), round(col("inter") / col("uni"), 6).as("jaccard"))
   }
+
+  /**
+   * C4-style corpus-wide span dedup: chunk every document into
+   * non-overlapping `chunkTokens`-token windows, keep only the FIRST
+   * corpus-wide occurrence of each exact chunk text (earliest
+   * (doc, chunk_id)), and reassemble each document from its surviving
+   * chunks. This is the cross-document boilerplate remover of the
+   * C4/RefinedWeb recipes — the third axis of dedup next to whole-doc
+   * near-dup ([[deduplicate]]) and within-doc repetition
+   * ([[TextAnalysis.repetitionStats]]): a doc survives with its unique
+   * spans even when parts of it are copied everywhere.
+   *
+   * Returns (idCol, n_chunks, n_kept, text_dedup); documents whose
+   * every chunk was seen earlier disappear (empty docs too).
+   *
+   * Scale shape: one shuffle partitioned on the chunk text for the
+   * first-occurrence window (at extreme scale partition on md5(chunk)
+   * — same result, 32-byte keys), one per-doc reassembly aggregation;
+   * reassembly order is pinned via sort_array over (chunk_id, chunk).
+   */
+  def corpusChunkDedup(docs: DataFrame, chunkTokens: Int,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = TextAnalysis.chunks(docs, chunkSize = chunkTokens, overlap = 0, idCol, textCol)
+      .where(col("chunk") =!= "")
+    val w = Window.partitionBy("chunk").orderBy(col(idCol), col("chunk_id"))
+    val kept = ch.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    val perDoc = ch.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("text_dedup"))
+      .join(perDoc, Seq(idCol))
+      .select(col(idCol), col("n_chunks"), col("n_kept"), col("text_dedup"))
+  }
 }

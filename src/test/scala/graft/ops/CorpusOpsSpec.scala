@@ -92,4 +92,21 @@ class CorpusOpsSpec extends SparkSpec {
     val s = out.getAs[String]("scrubbed")
     assert(s == "mail [EMAIL] ip [IPV4] ssn [SSN] acct [LONGNUM] done", s)
   }
+
+  test("corpusChunkDedup: duplicated spans survive only at first occurrence") {
+    val boiler = (1 to 4).map(i => s"boiler$i").mkString(" ") // one 4-token chunk
+    val docs = Seq(
+      (1L, boiler + " unique alpha beta gamma"),
+      (2L, boiler + " fresh delta epsilon zeta"), // repeats doc 1's boilerplate
+      (3L, boiler)                                 // nothing but the boilerplate
+    ).toDF("doc_id", "text")
+    val out = Dedup.corpusChunkDedup(docs, chunkTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 keeps everything (it IS the first occurrence)
+    assert(out(1L) == ((2L, 2L, boiler + " unique alpha beta gamma")))
+    // doc 2 loses the boilerplate chunk, keeps its unique tail
+    assert(out(2L) == ((2L, 1L, "fresh delta epsilon zeta")))
+    // doc 3 had only the boilerplate: it disappears entirely
+    assert(!out.contains(3L), s"doc 3 must vanish: $out")
+  }
 }
