@@ -108,6 +108,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!kmv.contains("CartesianProduct"), s"kmv overlap cartesian:\n$kmv")
     assert(count(kmv, "TakeOrderedAndProject") >= 2,
       s"bottom-k must run as distributed TakeOrdered, not a global sort:\n$kmv")
+    // corpus span dedup: chunk-keyed window + per-doc agg, nothing quadratic
+    val chunk = plan("q_chunk_dedup")
+    assert(!chunk.contains("CartesianProduct") && !chunk.contains("BroadcastNestedLoopJoin"),
+      s"chunk dedup must not be quadratic:\n$chunk")
+    // hash split / pii scan are narrow maps: a single scan, zero joins
+    for (q <- Seq("q_split_hash", "q_pii_categories")) {
+      val p = plan(q)
+      assert(count(p, "Scan parquet") == 1 && !p.contains("Join"),
+        s"$q must be a single-scan narrow map:\n$p")
+    }
   }
 
   test("hot-path queries keep whole-stage codegen") {
