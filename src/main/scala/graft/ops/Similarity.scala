@@ -309,9 +309,12 @@ object Similarity {
       explode(transform(probeCellsCol(centroids, nProbe, vecCol),
         p => p.getField("cell"))).as("cell"))
     val cells = q.select("cell").distinct().collect().map(_.getInt(0))
-    val c = spark.read.parquet(dir)
-      .where(col("cell").isin(cells.toIndexedSeq: _*))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"))
+    val all = spark.read.parquet(dir)
+    // empty query set → empty probe set: skip the scan entirely rather
+    // than build an empty IN filter
+    val pruned = if (cells.isEmpty) all.where(lit(false))
+      else all.where(col("cell").isin(cells.toIndexedSeq: _*))
+    val c = pruned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"))
     ivfScore(c, q, k)
   }
 
