@@ -111,10 +111,17 @@ object Multimodal {
     }
 
     override def decode(id: Long, kind: String, payload: Array[Byte]): MediaMeta =
-      if (isBmp(payload))
+      if (isBmp(payload)) {
+        // header-size field selects the layout: BITMAPINFOHEADER and its
+        // V4/V5 extensions (>= 40) carry int32 dims at 18/22; the legacy
+        // BITMAPCOREHEADER (12) carries int16 dims at 18/20
+        val hdrSize = leInt(payload, 14)
+        val (w, h) =
+          if (hdrSize >= 40) (leInt(payload, 18), math.abs(leInt(payload, 22)))
+          else (leShort(payload, 18), leShort(payload, 20))
         MediaMeta(id, "image", payload.length.toLong,
-          width = leInt(payload, 18), height = math.abs(leInt(payload, 22)),
-          durationMs = 0L, sampleRate = 0)
+          width = w, height = h, durationMs = 0L, sampleRate = 0)
+      }
       else if (isWav(payload)) parseWav(payload) match {
         case Some(w) =>
           MediaMeta(id, "audio", payload.length.toLong, width = 0, height = 0,

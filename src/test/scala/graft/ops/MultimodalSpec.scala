@@ -41,12 +41,15 @@ class MultimodalSpec extends SparkSpec {
 
   /** Hand-built fixtures per the public BMP / RIFF-WAVE specs. */
   private def bmp(w: Int, h: Int): Array[Byte] = {
-    val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // 14-byte file header + 40-byte BITMAPINFOHEADER (no pixel data —
+    // only headers are decoded): width int32 @18, height int32 @22
+    val b = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     b.put('B'.toByte).put('M'.toByte)
-    b.putInt(26).putInt(0).putInt(26) // file size, reserved, pixel offset
-    b.putInt(12)                      // header size (values at 18/22 follow)
+    b.putInt(54).putInt(0).putInt(54) // file size, reserved, pixel offset
+    b.putInt(40)                      // BITMAPINFOHEADER size
     b.putInt(w).putInt(h)
-    b.array()
+    b.putShort(1).putShort(24)        // planes, bits per pixel
+    b.array()                         // remaining INFO fields stay zero
   }
 
   private def wav(sampleRate: Int, samples: Int): Array[Byte] = {
