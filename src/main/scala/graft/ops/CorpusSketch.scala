@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
 object CorpusSketch {
 
   /** Bottom-k sketch of a corpus: the k smallest md5 hex hashes of the
-    * DISTINCT key values, one column `h`. */
+    * DISTINCT non-null key values, one column `h`. Null keys are
+    * excluded — a null hash has engine-dependent sort placement and is
+    * not a set member. */
   def bottomK(df: DataFrame, keyCol: Column, k: Int): DataFrame =
     df.select(md5(keyCol.cast("string")).as("h"))
+      .where(col("h").isNotNull)
       .distinct()
       .orderBy("h")
       .limit(k)

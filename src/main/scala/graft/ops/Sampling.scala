@@ -47,7 +47,9 @@ object Sampling {
    * growth (new rows never move old rows between splits, unlike
    * per-run `randomSplit`). Weights are normalized; thresholds are
    * exact integers over the 2^32 hash space; `splits` order defines the
-   * ranges.
+   * ranges. A null key hashes to null, which fails every `<` test and
+   * lands in the LAST split — deterministic (and identical in SQL CASE
+   * semantics), but filter nulls first if that's not intended.
    */
   def splitByHash(df: DataFrame, key: Column,
                   splits: Seq[(String, Double)],
