@@ -226,6 +226,14 @@ object OpsQueries {
       Dedup.jaccardVerify(cands, docs).orderBy("id_a", "id_b")
     }),
 
+    // asymmetric containment over the same LSH candidates: the
+    // subset-duplication view Jaccard can't see
+    "q_containment_pairs" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cands = Dedup.lshCandidates(docs, k = MINHASH_K, bands = LSH_BANDS)
+      Dedup.containmentVerify(cands, docs).orderBy("id_a", "id_b")
+    }),
+
     "q_simhash" -> ((s, dir) =>
       Dedup.withSimhash(Tables(s, dir, "documents")).orderBy("doc_id")),
 
@@ -862,6 +870,18 @@ object OpsQueries {
          |SELECT id_a, id_b,
          |  round(len(list_intersect(x.dsh, y.dsh))::DOUBLE /
          |        (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh)))::DOUBLE, 6) AS jaccard
+         |FROM cand JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_containment_pairs" ->
+      s"""$sqlSig, bands AS ($sqlBands),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+         |  WHERE a.doc_id < b.doc_id),
+         |ds AS (SELECT doc_id, list_distinct($sqlShingles) AS dsh FROM documents)
+         |SELECT id_a, id_b,
+         |  round(len(list_intersect(x.dsh, y.dsh))::DOUBLE / len(x.dsh)::DOUBLE, 6) AS containment_a,
+         |  round(len(list_intersect(x.dsh, y.dsh))::DOUBLE / len(y.dsh)::DOUBLE, 6) AS containment_b
          |FROM cand JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
          |ORDER BY id_a, id_b""".stripMargin,
 

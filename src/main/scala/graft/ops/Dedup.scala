@@ -373,6 +373,35 @@ object Dedup {
   }
 
   /**
+   * Asymmetric containment for candidate pairs: `C(A,B) = |A∩B| / |A|`
+   * and `C(B,A) = |A∩B| / |B|` over distinct word n-gram shingles — the
+   * subset-duplication signal symmetric Jaccard misses: a short doc
+   * fully embedded in a longer one has containment ≈ 1 from the short
+   * side while Jaccard stays low. Same candidate-verify shape (and
+   * cost) as [[jaccardVerify]].
+   *
+   * Candidate-generation caveat: minhash-LSH recalls high-JACCARD
+   * pairs; for high-containment / low-Jaccard pairs, feed candidates
+   * from a rare-shingle inverted index (any (id_a, id_b) DataFrame
+   * works here) — the verify itself is agnostic.
+   */
+  def containmentVerify(candidates: DataFrame, docs: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingleN: Int = 3): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(par)
+      .select(col(idCol), array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
+      .localCheckpoint()
+    candidates
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / size(col("sh_a")).cast("double"), 6).as("containment_a"),
+        round(col("inter") / size(col("sh_b")).cast("double"), 6).as("containment_b"))
+  }
+
+  /**
    * C4-style corpus-wide span dedup: chunk every document into
    * non-overlapping `chunkTokens`-token windows, keep only the FIRST
    * corpus-wide occurrence of each exact chunk text (earliest

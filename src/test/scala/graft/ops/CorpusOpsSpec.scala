@@ -109,4 +109,18 @@ class CorpusOpsSpec extends SparkSpec {
     // doc 3 had only the boilerplate: it disappears entirely
     assert(!out.contains(3L), s"doc 3 must vanish: $out")
   }
+
+  test("containmentVerify: embedded short doc has containment 1 from its side") {
+    val short = "alpha beta gamma delta epsilon" // 3 shingles at n=3
+    val long = short + " zeta eta theta iota kappa lambda mu nu xi"
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.containmentVerify(cands, docs).collect().head
+    assert(r.getDouble(2) == 1.0, s"short side fully contained: $r")
+    assert(r.getDouble(3) < 0.5, s"long side only partially covered: $r")
+    // symmetric jaccard on the same pair stays low — the signal
+    // containment adds
+    val j = Dedup.jaccardVerify(cands, docs).collect().head.getDouble(2)
+    assert(j < 0.5, s"jaccard must miss the subset duplication: $j")
+  }
 }
