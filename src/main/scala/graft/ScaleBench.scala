@@ -30,7 +30,7 @@ object ScaleBench {
     * a 10× duplicated corpus must not grow it at all). */
   val DefaultQueries: Seq[String] =
     Seq("q_approx_stats", "q_ann_ivf", "q_bloom_semi", "q_bigrams", "q_corpus_curate",
-      "q_dsir_weights", "q_bigram_logprob")
+      "q_dsir_weights", "q_bigram_logprob", "q_chunk_dedup")
 
   /** Tables those queries read (only these are amplified). */
   private val AmplifiedTables =
