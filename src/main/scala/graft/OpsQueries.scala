@@ -321,6 +321,32 @@ object OpsQueries {
             .cast("long").as("recall_ok"))
     }),
 
+    // per-source corpus health report: the summary table a curation
+    // pipeline publishes after every ingest — volume, quality-gate pass
+    // rate, and within-source exact-dup rate in one aggregation pass
+    "q_corpus_report" -> ((s, dir) => {
+      val t = col("text")
+      val nTok = TextAnalysis.tokenCount(t)
+      val meanWlen = round(
+        length(regexp_replace(t, " ", "")).cast("double") /
+          greatest(nTok, lit(1L)).cast("double"), 6)
+      val passes = (nTok.between(10, 5000) &&
+        TextAnalysis.dupRatio(t) <= 0.9 && meanWlen.between(2.0, 12.0)).cast("long")
+      Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(nTok).as("n_tokens"),
+          round(avg(nTok), 6).as("avg_tokens"),
+          sum(passes).as("n_pass"),
+          countDistinct(md5(t)).as("__uniq"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("avg_tokens"),
+          round(col("n_pass").cast("double") / col("n_docs").cast("double"), 6)
+            .as("pass_rate"),
+          round(lit(1.0) - col("__uniq").cast("double") / col("n_docs").cast("double"), 6)
+            .as("dup_rate"))
+        .orderBy("source")
+    }),
+
     // C4-style corpus-wide span dedup: first occurrence of each exact
     // 32-token chunk survives; docs reassembled from surviving chunks
     "q_chunk_dedup" -> ((s, dir) =>
@@ -993,6 +1019,25 @@ object OpsQueries {
         |  CAST(length(lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
         |    '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g')))) AS BIGINT) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_report" ->
+      s"""WITH t AS (SELECT source, text,
+         |  CAST($sqlNTok AS BIGINT) AS n_tokens,
+         |  round(1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE /
+         |    len(string_split(text, ' '))::DOUBLE, 6) AS dup_ratio,
+         |  round(length(replace(text, ' ', ''))::DOUBLE /
+         |    greatest(CAST($sqlNTok AS BIGINT), 1)::DOUBLE, 6) AS mean_wlen
+         |FROM documents)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(avg(n_tokens), 6) AS avg_tokens,
+         |  round(CAST(sum(CAST(n_tokens BETWEEN 10 AND 5000
+         |      AND dup_ratio <= 0.9
+         |      AND mean_wlen BETWEEN 2.0 AND 12.0 AS INT)) AS DOUBLE) /
+         |    count(*)::DOUBLE, 6) AS pass_rate,
+         |  round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*)::DOUBLE, 6) AS dup_rate
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     "q_chunk_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
