@@ -158,6 +158,27 @@ object OpsQueries {
       TextAnalysis.bigramLogProb(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // corpus-induced top-16 vocabulary → per-doc out-of-vocabulary rate
+    // (tokenizer-coverage check); vocab cut is (count desc, token)
+    // total-ordered so the cross-engine cut is identical
+    "q_vocab_oov" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      TextAnalysis.oovRate(docs, TextAnalysis.topVocab(docs, 16))
+        .orderBy("doc_id")
+    }),
+
+    // per-doc unigram Shannon entropy (low-diversity / keyword-stuffing
+    // signal), computed from exact counts as log2(n) - sum(c*log2 c)/n
+    "q_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // per-source unigram KL divergence vs the pooled corpus (domain-
+    // shift diagnostic for mixture re-weighting)
+    "q_domain_kl" -> ((s, dir) =>
+      graft.ops.Mixing.domainDivergence(Tables(s, dir, "documents"))
+        .orderBy("source")),
+
     // full canonicalization (NFC → control-strip → collapse → trim →
     // lower) — each step mirrored in the DuckDB oracle, hash-matched
     "q_normalize" -> ((s, dir) =>
@@ -721,6 +742,43 @@ object OpsQueries {
         |  round(avg(ln((cb + 1)::DOUBLE / (cu + v)::DOUBLE)), 6) AS bigram_logprob
         |FROM pairs JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_oov" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |toks AS (SELECT doc_id, tok FROM words WHERE length(tok) > 0),
+        |v AS (SELECT tok FROM (
+        |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        |  ORDER BY cnt DESC, tok LIMIT 16)),
+        |flagged AS (SELECT doc_id, CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END AS known
+        |  FROM toks LEFT JOIN v ON toks.tok = v.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(1.0 - sum(known)::DOUBLE / count(*)::DOUBLE, 6) AS oov_rate
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_token_entropy" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM words
+        |  WHERE length(tok) > 0 GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        |  round(log2(sum(c)::DOUBLE) - sum(c::DOUBLE * log2(c::DOUBLE)) / sum(c)::DOUBLE, 6)
+        |    AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_domain_kl" ->
+      """WITH words AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dt AS (SELECT source, tok, count(*) AS c FROM words
+        |  WHERE length(tok) > 0 GROUP BY source, tok),
+        |dtot AS (SELECT source, sum(c) AS n FROM dt GROUP BY source),
+        |corpus AS (SELECT tok, sum(c) AS cc FROM dt GROUP BY tok),
+        |tot AS (SELECT sum(cc) AS tt FROM corpus)
+        |SELECT dt.source, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  round(sum((c::DOUBLE / n::DOUBLE) *
+        |    log2((c::DOUBLE * tt::DOUBLE) / (n::DOUBLE * cc::DOUBLE))), 6) AS kl_bits
+        |FROM dt JOIN dtot USING (source) JOIN corpus USING (tok) CROSS JOIN tot
+        |GROUP BY dt.source ORDER BY dt.source""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket

@@ -102,4 +102,46 @@ object Mixing {
         round(col("__w") * col("__budget") / col(tokensCol).cast("double"), 6)
           .as("epochs"))
   }
+
+  /**
+   * Per-domain unigram KL divergence vs the whole corpus, in bits — the
+   * domain-shift diagnostic behind mixture re-weighting: domains whose
+   * token distribution diverges hardest from the pooled corpus are the
+   * ones a temperature/importance schedule most re-weights, and a sudden
+   * KL jump on re-ingest is the canonical drift alarm. Every domain
+   * token appears in the pooled corpus, so q > 0 and the sum is finite;
+   * KL ≥ 0 by Gibbs' inequality (spec-pinned).
+   *
+   * Scale shape: ONE corpus-scale aggregation — the map-side-combined
+   * (domain, token) count, persisted because four aggregate-sized
+   * derivations (per-domain totals, corpus token table, grand total,
+   * ratio join) branch from it and would otherwise each re-scan the
+   * corpus (exchange reuse does not dedup them: join-side nullability
+   * filters split the canonical subtrees). The persisted table is
+   * #domains × vocab rows — orders of magnitude below corpus size. The
+   * log argument `c·T / (n·cc)` is a ratio of exact integer products,
+   * so the only float steps are one divide, one log2, one multiply per
+   * (domain, token) row — rounded at 6 after the sum, the cross-libm
+   * discipline.
+   */
+  def domainDivergence(docs: DataFrame, keyCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val dt = docs
+      .select(col(keyCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col(keyCol), col("tok")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dTot = dt.groupBy(col(keyCol)).agg(sum("c").as("n"))
+    val corpus = dt.groupBy("tok").agg(sum("c").as("cc"))
+    val total = corpus.agg(sum("cc").as("tt"))
+    dt.join(broadcast(dTot), Seq(keyCol))
+      .join(broadcast(corpus), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n_tokens"),
+        round(sum((col("c").cast("double") / col("n").cast("double")) *
+          log2((col("c").cast("double") * col("tt").cast("double")) /
+               (col("n").cast("double") * col("cc").cast("double")))), 6)
+          .as("kl_bits"))
+  }
 }

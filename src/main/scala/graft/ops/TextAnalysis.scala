@@ -309,6 +309,66 @@ object TextAnalysis {
           col("toks_total").cast("double"))
   }
 
+  /**
+   * Corpus-driven vocabulary induction — the tokenizer-coverage side of a
+   * training pipeline: the top-`n` tokens by corpus frequency, ties broken
+   * lexicographically so the cut is a total order and engine-portable.
+   *
+   * Scale shape: one map-side-combined token aggregation; the top-n cut
+   * executes as `TakeOrderedAndProject` (per-partition top-k + n-row
+   * driver merge), never a global sort exchange.
+   */
+  def topVocab(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(n)
+
+  /**
+   * Per-document out-of-vocabulary rate against an induced (or external)
+   * vocabulary — docs the tokenizer can't cover get flagged for
+   * re-tokenization or exclusion. The vocabulary broadcasts (it is n
+   * rows by construction); the corpus shuffles once, for its per-doc
+   * aggregation. Docs with no non-empty tokens have no rows here, same
+   * as the SQL formulation.
+   */
+  def oovRate(docs: DataFrame, vocab: DataFrame,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+    toks.join(broadcast(vocab.select(col("tok"), lit(1L).as("__inv"))), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(coalesce(col("__inv"), lit(0L))).as("__known"))
+      .select(col(idCol), col("n_tokens"),
+        round(lit(1.0) - col("__known").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+  }
+
+  /**
+   * Per-document unigram Shannon entropy in bits — the low-diversity
+   * signal: keyword-stuffed or template docs score low relative to their
+   * length. Computed as `log2(n) − Σ c·log2(c) / n` from exact counts
+   * (one multiply-log per DISTINCT token, not per token), so the only
+   * shuffle is the doc-local (doc, token) aggregation — map-side
+   * combinable, no joins. round(,6) because log2 differs in the last
+   * ulp across libms.
+   */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+    toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_tokens"),
+           count(lit(1)).as("n_distinct"),
+           sum(col("c").cast("double") * log2(col("c").cast("double"))).as("__clog"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        round(log2(col("n_tokens").cast("double")) -
+          col("__clog") / col("n_tokens").cast("double"), 6).as("entropy"))
+  }
+
   /** Full per-document annotation pass (single narrow projection). */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

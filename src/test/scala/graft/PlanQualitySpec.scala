@@ -72,6 +72,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!sem.contains("CartesianProduct"), s"semantic dedup cartesian:\n$sem")
   }
 
+  test("vocab induction cuts with TakeOrdered and broadcasts the vocabulary") {
+    val p = plan("q_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject(limit=16"),
+      s"top-n vocab cut must be per-partition top-k + driver merge, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"n-row vocabulary must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("token entropy is a single scan and bounded exchanges, no joins") {
+    val p = plan("q_token_entropy")
+    assert(count(p, "Scan parquet") == 1, s"entropy should scan once:\n$p")
+    // (doc,tok) agg + doc agg + the final orderBy range partitioning
+    assert(count(p, "Exchange") <= 3, s"entropy should shuffle twice + sort:\n$p")
+    assert(!p.contains("Join"), s"entropy needs no joins:\n$p")
+  }
+
+  test("domain KL branches read the persisted (domain,token) table, not the corpus") {
+    val p = plan("q_domain_kl")
+    assert(p.contains("InMemoryTableScan"),
+      s"dTot/corpus/total branches must reuse the cached aggregate:\n$p")
+    // single-row grand-total cross join is the only nested-loop allowed
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1 && !p.contains("CartesianProduct"),
+      s"KL ratio join must stay hash/broadcast:\n$p")
+  }
+
   test("q_dedup_embed_bucketed runs the production (tbl,bucket) hash-join plan") {
     // the hash-matched bucketed row must audit as the scale-path plan:
     // bucket-keyed hash join candidates + id-keyed verify, zero

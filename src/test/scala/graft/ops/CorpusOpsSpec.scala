@@ -123,4 +123,40 @@ class CorpusOpsSpec extends SparkSpec {
     val j = Dedup.jaccardVerify(cands, docs).collect().head.getDouble(2)
     assert(j < 0.5, s"jaccard must miss the subset duplication: $j")
   }
+
+  test("tokenEntropy: uniform doc = log2(k) exactly, constant doc = 0") {
+    val docs = Seq(
+      (1L, "a b c d"),  // 4 distinct, uniform -> exactly 2 bits
+      (2L, "x x x x"),  // one token -> 0 bits
+      (3L, "a a b b")   // 2 distinct, uniform -> 1 bit
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    assert(got == Map(1L -> 2.0, 2L -> 0.0, 3L -> 1.0), s"got $got")
+  }
+
+  test("tokenEntropy bounded by log2(n_distinct); empty docs drop out") {
+    val docs = Seq((1L, "a a a b c"), (2L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tokenEntropy(docs).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    val r = rows.head
+    val h = r.getAs[Double]("entropy")
+    val maxH = math.log(r.getAs[Long]("n_distinct").toDouble) / math.log(2)
+    assert(h > 0.0 && h <= maxH + 1e-9, s"0 < $h <= $maxH")
+  }
+
+  test("topVocab breaks count ties by token; oovRate scores against the cut") {
+    val docs = Seq(
+      (1L, "a a a b b c"), // a=3 b=2 c=1
+      (2L, "d d c b a")    // d=2 c=1 b=1 a=1  -> totals a=4 b=3 c=2 d=2
+    ).toDF("doc_id", "text")
+    // top-3 = a(4), b(3), then the c/d tie at 2 breaks to 'c' (token asc)
+    val v = TextAnalysis.topVocab(docs, 3).select("tok").as[String].collect().toSet
+    assert(v == Set("a", "b", "c"), s"got $v")
+    val oov = TextAnalysis.oovRate(docs, TextAnalysis.topVocab(docs, 3))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("oov_rate")))).toMap
+    assert(oov(1L) == ((6L, 0.0)), s"doc1 fully covered: $oov")
+    assert(oov(2L) == ((5L, 0.4)), s"doc2 has d d OOV of 5: $oov")
+  }
 }

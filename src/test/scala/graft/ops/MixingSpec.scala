@@ -78,4 +78,26 @@ class MixingSpec extends SparkSpec {
     assert(rows("small") > 1.0, s"small domain must be repeated: $rows")
     assert(rows("big") < 1.0)
   }
+
+  test("domainDivergence: KL is exactly 0 when every domain matches the pool") {
+    val docs = Seq(("s1", "a b"), ("s2", "a a b b"))
+      .toDF("source", "text")
+    val got = Mixing.domainDivergence(docs).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("kl_bits")).toMap
+    // p = q = (0.5, 0.5) for both domains; the log argument is exactly 1.0
+    assert(got == Map("s1" -> 0.0, "s2" -> 0.0), s"got $got")
+  }
+
+  test("domainDivergence: skewed domains score the hand-computed positive KL") {
+    val docs = Seq(("s1", "a a a b"), ("s2", "b b b a"))
+      .toDF("source", "text")
+    // pooled q = (0.5, 0.5); each domain p = (0.75, 0.25) over its own order:
+    // KL = 0.75*log2(1.5) + 0.25*log2(0.5) = 0.188722 (6dp), symmetric
+    val rows = Mixing.domainDivergence(docs).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == 4L)
+      assert(r.getAs[Double]("kl_bits") == 0.188722, s"got $r")
+    }
+  }
 }
