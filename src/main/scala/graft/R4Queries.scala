@@ -63,6 +63,20 @@ object R4Queries {
         .orderBy("domain")
     }),
 
+    // ── Mixture materialization (epochs schedule → doc copy counts) ────
+    "q_mix_materialize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+      val budget = expr("sum(n_tokens) OVER () * 3 div 5")
+      val rates = Mixing.temperatureWeights(
+          counts.withColumn("__b", budget), alpha = 0.5, col("__b"),
+          keyCol = "source")
+        .select(col("source"), col("epochs").as("rate"))
+      Mixing.materializeMixture(docs, rates)
+        .orderBy("doc_id")
+    }),
+
     // ── PII-style redaction (digit scrub over the events props JSON) ───
     "q_pii_scrub" -> ((s, dir) =>
       t(s, dir, "events")
@@ -276,6 +290,33 @@ object R4Queries {
         |  CAST(floor(p / sum(p) OVER () * b) AS BIGINT) AS eff_tokens,
         |  round(p / sum(p) OVER () * b / n_tokens::DOUBLE, 6) AS epochs
         |FROM t ORDER BY domain""".stripMargin,
+
+    "q_mix_materialize" ->
+      """WITH counts AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN length(text) = 0 THEN 0
+        |         ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT source, n_tokens,
+        |    pow(n_tokens::DOUBLE / (sum(n_tokens) OVER ()), 0.5) AS p,
+        |    (sum(n_tokens) OVER ()) * 3 // 5 AS b
+        |  FROM counts),
+        |r AS (
+        |  SELECT source,
+        |    round(p / sum(p) OVER () * b / n_tokens::DOUBLE, 6) AS rate
+        |  FROM t),
+        |j AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(floor(rate) AS BIGINT) AS fl,
+        |    CAST(floor((rate - floor(rate)) * 4294967296.0) AS BIGINT) AS thresh,
+        |    ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM documents d JOIN r USING (source))
+        |SELECT doc_id, source,
+        |  fl + CASE WHEN h < thresh THEN 1 ELSE 0 END AS n_copies
+        |FROM j WHERE fl + CASE WHEN h < thresh THEN 1 ELSE 0 END > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_mix_budget" ->
       """WITH counts AS (

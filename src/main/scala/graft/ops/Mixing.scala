@@ -104,6 +104,39 @@ object Mixing {
   }
 
   /**
+   * Deterministic mixture materialization — executes a per-domain repeat
+   * schedule (e.g. [[temperatureWeights]]' `epochs` column) over the
+   * corpus without RNG state: every document gets ⌊rate⌋ guaranteed
+   * copies plus one more iff a 32-bit md5-derived uniform of its id
+   * falls under the fractional part — [[TextAnalysis.hashSample]]'s
+   * trick lifted to rates > 1. Reproducible across engines, runs and
+   * partitionings, so a train-set manifest is a stable, re-derivable
+   * artifact rather than a frozen file.
+   *
+   * Float discipline: the per-doc decision is the integer compare
+   * `h32 < ⌊frac(rate)·2^32⌋`; `rate` arrives pre-rounded (6dp) from
+   * the weights step, so the threshold is the same double in any
+   * engine and the boundary cannot drift cross-libm.
+   *
+   * Scale shape: `rates` is O(#domains) and broadcasts; the corpus pass
+   * is a narrow codegen'd projection (hash + compare), no shuffle.
+   * Returns (idCol, keyCol, n_copies > 0); explode a `sequence` over
+   * n_copies to physically repeat rows when writing.
+   */
+  def materializeMixture(docs: DataFrame, rates: DataFrame,
+                         keyCol: String = "source", idCol: String = "doc_id",
+                         rateCol: String = "rate"): DataFrame = {
+    val h32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    docs.join(broadcast(rates.select(col(keyCol), col(rateCol))), Seq(keyCol))
+      .withColumn("__floor", floor(col(rateCol)).cast("long"))
+      .withColumn("__thresh",
+        floor((col(rateCol) - col("__floor")) * lit(4294967296.0)).cast("long"))
+      .withColumn("n_copies", col("__floor") + (h32 < col("__thresh")).cast("long"))
+      .where(col("n_copies") > 0)
+      .select(col(idCol), col(keyCol), col("n_copies"))
+  }
+
+  /**
    * Per-domain unigram KL divergence vs the whole corpus, in bits — the
    * domain-shift diagnostic behind mixture re-weighting: domains whose
    * token distribution diverges hardest from the pooled corpus are the

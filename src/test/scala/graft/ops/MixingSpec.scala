@@ -79,6 +79,38 @@ class MixingSpec extends SparkSpec {
     assert(rows("big") < 1.0)
   }
 
+  test("materializeMixture: integral rates are exact copy counts") {
+    val docs = (0L until 20L).map(i => (i, "s1")).toDF("doc_id", "source")
+    val r1 = Seq(("s1", 1.0)).toDF("source", "rate")
+    val got = Mixing.materializeMixture(docs, r1).collect()
+    assert(got.length == 20 && got.forall(_.getAs[Long]("n_copies") == 1L))
+    val r3 = Seq(("s1", 3.0)).toDF("source", "rate")
+    assert(Mixing.materializeMixture(docs, r3).collect()
+      .forall(_.getAs[Long]("n_copies") == 3L))
+  }
+
+  test("materializeMixture: fractional rate lands in {floor, ceil}, deterministic across partitionings") {
+    val docs = (0L until 200L).map(i => (i, "s1")).toDF("doc_id", "source")
+    val r = Seq(("s1", 2.5)).toDF("source", "rate")
+    val first = Mixing.materializeMixture(docs, r).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_copies")).toMap
+    assert(first.values.forall(c => c == 2L || c == 3L))
+    val frac = first.values.count(_ == 3L).toDouble / first.size
+    assert(frac > 0.3 && frac < 0.7, s"~half should round up: $frac")
+    val again = Mixing.materializeMixture(docs.repartition(7), r).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_copies")).toMap
+    assert(first == again, "decision must not depend on partitioning")
+  }
+
+  test("materializeMixture: sub-1 rate subsamples near the rate; drops are absent rows") {
+    val docs = (0L until 400L).map(i => (i, "s1")).toDF("doc_id", "source")
+    val r = Seq(("s1", 0.25)).toDF("source", "rate")
+    val kept = Mixing.materializeMixture(docs, r).collect()
+    assert(kept.forall(_.getAs[Long]("n_copies") == 1L))
+    val f = kept.length / 400.0
+    assert(f > 0.15 && f < 0.35, s"~quarter kept: $f")
+  }
+
   test("domainDivergence: KL is exactly 0 when every domain matches the pool") {
     val docs = Seq(("s1", "a b"), ("s2", "a a b b"))
       .toDF("source", "text")
