@@ -190,6 +190,14 @@ object OpsQueries {
           length(TextAnalysis.normalizeText(col("text"))).cast("long").as("norm_len"))
         .orderBy("doc_id")),
 
+    // rendezvous (HRW) shard routing: minimal-movement placement —
+    // growing the shard fleet moves only the keys the new shard wins
+    "q_shard_route" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.Layout.shardRoute(col("doc_id"), 8).as("shard"))
+        .orderBy("doc_id")),
+
     // reproducible content-hash sampling (no RNG state)
     "q_sample_hash" -> ((s, dir) =>
       TextAnalysis.hashSample(Tables(s, dir, "documents"), col("doc_id"))
@@ -753,6 +761,12 @@ object OpsQueries {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(avg(ln((cb + 1)::DOUBLE / (cu + v)::DOUBLE)), 6) AS bigram_logprob
         |FROM pairs JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_shard_route" ->
+      """SELECT doc_id, arg_max(s::INT, h) AS shard FROM (
+        |  SELECT doc_id, s, md5(doc_id::VARCHAR || ':' || s::VARCHAR) AS h
+        |  FROM documents, LATERAL (SELECT unnest(range(0, 8)) AS s) g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_vocab_oov" ->

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.ZOrderKey
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -103,6 +103,29 @@ object Layout {
     * `column` intersects [lo, hi], then apply the exact filter. Result
     * is identical to filtering the full scan; only the I/O differs.
     * Returns (dataframe, filesRead, filesTotal). */
+  /**
+   * Rendezvous (highest-random-weight) shard routing: key → the shard
+   * whose `md5(key ":" shard)` is lexicographically largest. The
+   * placement function behind minimal-movement resharding: growing
+   * n → n+1 shards moves ONLY the keys the new shard wins (≈ 1/(n+1)
+   * of them), and every moved key lands on the NEW shard — no
+   * shard-to-shard churn, unlike `hash(key) % n` which relocates
+   * (n−1)/n of all keys (`LayoutSpec` pins both properties). Use it to
+   * route documents to bucketed tables, state-store partitions, or
+   * downstream services that must survive fleet growth.
+   *
+   * A narrow codegen'd projection (n md5s + an array_max over (hash,
+   * shard) structs — ties impossible, md5 collisions aside); no RNG
+   * state, engine-portable (the SQL oracle is DuckDB's `arg_max` over
+   * the same strings).
+   */
+  def shardRoute(key: Column, nShards: Int): Column = {
+    require(nShards > 0, "need at least one shard")
+    array_max(array((0 until nShards).map(s =>
+      struct(md5(concat(key.cast("string"), lit(":" + s))).as("h"),
+        lit(s).as("shard"))): _*)).getField("shard")
+  }
+
   def prunedRead(spark: SparkSession, dataDir: String, index: DataFrame,
                  column: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
     val total = index.count().toInt

@@ -455,6 +455,24 @@ object Similarity {
   }
 
   /**
+   * Bit-pack the default 16×4-bit PQ codes into ONE `long` — the 8-byte
+   * compressed-index row format (256 B float32 → 8 B, 32×). A packed
+   * word is groupable/joinable/sortable like any integer key, so the
+   * compressed index plays with every relational operator. Pure shift/or
+   * builtins — whole-stage codegen, no custom expression needed.
+   * Requires kSub ≤ 16 (codes fit 4 bits) and m ≤ 16.
+   */
+  def pqPack(codes: Column, m: Int = 16): Column =
+    (0 until m).map(i =>
+      shiftleft(element_at(codes, i + 1).cast("long"), (m - 1 - i) * 4))
+      .reduce(_ bitwiseOR _)
+
+  /** Inverse of [[pqPack]]: a packed word back to the m-code array. */
+  def pqUnpack(packed: Column, m: Int = 16): Column =
+    array((0 until m).map(i =>
+      shiftrightunsigned(packed, (m - 1 - i) * 4).bitwiseAND(lit(0xFL)).cast("int")): _*)
+
+  /**
    * PQ-ADC top-k with exact re-rank — the production read path of the
    * compressed index: per query, build the asymmetric-distance lookup
    * table (m·kSub partial squared distances — broadcast), score every

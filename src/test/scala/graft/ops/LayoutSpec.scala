@@ -115,4 +115,24 @@ class LayoutSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
     assert(fromLayout == direct)
   }
+
+  test("rendezvous routing: balanced-ish spread; resharding moves only winners to the NEW shard") {
+    import spark.implicits._
+    val keys = (0L until 2000L).toDF("k")
+    val r8 = keys.select($"k", Layout.shardRoute($"k", 8).as("s8"))
+    val r9 = r8.withColumn("s9", Layout.shardRoute($"k", 9))
+    val rows = r9.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // every shard sees traffic, no shard hogs (loose 2x-of-fair bound)
+    val byShard = rows.groupBy(_._2).view.mapValues(_.length)
+    assert(byShard.size == 8 && byShard.values.forall(c => c > 100 && c < 500), s"$byShard")
+    // HRW minimal movement: a key either stays put or moves TO shard 8
+    val moved = rows.filter { case (_, a, b) => a != b }
+    assert(moved.forall(_._3 == 8), "moved keys must all land on the new shard")
+    val frac = moved.length.toDouble / rows.length
+    assert(frac > 0.05 && frac < 0.2, s"~1/9 should move, got $frac")
+    // deterministic across partitionings
+    val again = keys.repartition(13).select($"k", Layout.shardRoute($"k", 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == again)
+  }
 }

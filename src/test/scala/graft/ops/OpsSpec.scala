@@ -387,6 +387,20 @@ class OpsSpec extends SparkSpec {
     assert(e3 <= e0 + 1e-9, s"Lloyd must not worsen reconstruction: $e0 -> $e3")
   }
 
+  test("PQ pack/unpack round-trips the default 16x4-bit codes through one long") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val books = Similarity.pqTrain(emb, lloydIters = 1)
+    val coded = Similarity.pqEncode(emb, books)
+    val rt = coded.select($"vec_id", $"codes",
+      Similarity.pqUnpack(Similarity.pqPack($"codes")).as("back"))
+    assert(rt.where(not($"codes" === $"back")).count() == 0,
+      "unpack(pack(codes)) must equal codes")
+    // packed words are honest 8-byte keys: distinct packed = distinct code arrays
+    val d1 = coded.select($"codes").distinct().count()
+    val d2 = coded.select(Similarity.pqPack($"codes")).distinct().count()
+    assert(d1 == d2, s"packing must be injective on 4-bit codes: $d1 != $d2")
+  }
+
   test("PQ-ADC top-k with re-rank recovers most of the exact top-5 (sf0.001)") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.where($"vec_id" < 5)
