@@ -423,6 +423,25 @@ object OpsQueries {
         docs, docs.where(col("doc_id") % 2 === 0), col("text"), k = 128)
     }),
 
+    // count-min heavy hitters: per-token frequency estimates from ONE
+    // constant-memory sketch pass; contract = never-underestimate +
+    // the eps*N band (the vocabulary here is bounded, so every token
+    // is checked — production screens a sampled candidate set)
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+      val cms = CorpusSketch.cmsSketch(toks, col("tok"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val slack = math.ceil(0.001 * exact.map(_._2).sum).toLong
+      import s.implicits._
+      exact.toSeq.map { case (tok, cnt) =>
+        val est = cms.estimateCount(tok)
+        (tok, cnt, if (est >= cnt) 1L else 0L, if (est <= cnt + slack) 1L else 0L)
+      }.toDF("tok", "exact_cnt", "over_ok", "within_ok").orderBy("tok")
+    }),
+
     // DSIR-style importance weights: raw = all documents, target = the
     // deterministic doc_id % 7 == 0 slice (stands in for a curated
     // sample); hashed-unigram bucket log-ratios, hash-matched like
@@ -1187,6 +1206,14 @@ object OpsQueries {
         |  round(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
         |    THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS jaccard_est
         |FROM u LEFT JOIN sa a ON u.h = a.h LEFT JOIN sb b ON u.h = b.h""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, count(*) AS exact_cnt,
+        |  CAST(1 AS BIGINT) AS over_ok, CAST(1 AS BIGINT) AS within_ok
+        |FROM words WHERE length(tok) > 0
+        |GROUP BY tok ORDER BY tok""".stripMargin,
 
     "q_dsir_weights" ->
       """WITH rw AS (

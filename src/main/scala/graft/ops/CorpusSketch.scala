@@ -63,4 +63,27 @@ object CorpusSketch {
         round(col("n_both").cast("double") / col("k_used").cast("double"), 6)
           .as("jaccard_est"))
   }
+
+  /**
+   * Count-min sketch of a key column — the third sketch family (after
+   * HLL distinct and KMV overlap): point-frequency estimates from ONE
+   * constant-memory mergeable aggregation. The sketch is
+   * `⌈e/ε⌉ × ⌈ln(1/δ)⌉` counters regardless of corpus size; counters
+   * are additive so partition merge order cannot matter, and the seed
+   * fixes the hash functions — deterministic across runs and
+   * partitionings. Guarantee per lookup: `exact ≤ est ≤ exact + εN`
+   * with probability ≥ `confidence` (never an underestimate) — the
+   * heavy-hitter screen for a 100 TB token stream where an exact
+   * groupBy of the full vocabulary would be the bottleneck: sketch
+   * first, verify only survivors.
+   */
+  def cmsSketch(keys: DataFrame, keyCol: Column, eps: Double = 0.001,
+                confidence: Double = 0.99, seed: Int = 42)
+      : org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = keys
+      .select(count_min_sketch(keyCol, lit(eps), lit(confidence), lit(seed)).as("s"))
+      .head.getAs[Array[Byte]](0)
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
 }

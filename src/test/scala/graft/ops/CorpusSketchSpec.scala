@@ -42,4 +42,25 @@ class CorpusSketchSpec extends SparkSpec {
       col("key"), k = 64).collect().head.getDouble(2)
     assert(same == 1.0)
   }
+
+  test("count-min sketch: never underestimates, heavy counts within the eps band, deterministic") {
+    import spark.implicits._
+    // skewed corpus: token t0 appears 1000x, t1..t9 100x, tail 1x each
+    val rows = Seq.fill(1000)("t0") ++
+      (1 to 9).flatMap(i => Seq.fill(100)(s"t$i")) ++
+      (0 until 500).map(i => s"rare$i")
+    val keys = rows.toDF("tok").repartition(8)
+    val exact = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cms = CorpusSketch.cmsSketch(keys, col("tok"), eps = 0.01, confidence = 0.99)
+    val n = rows.length
+    exact.foreach { case (tok, cnt) =>
+      val est = cms.estimateCount(tok)
+      assert(est >= cnt, s"$tok: CMS must never underestimate ($est < $cnt)")
+      assert(est <= cnt + math.ceil(0.01 * n).toLong + 1,
+        s"$tok: $est outside the eps band of $cnt")
+    }
+    // same seed, different partitioning -> identical estimates (counters add)
+    val cms2 = CorpusSketch.cmsSketch(keys.repartition(3), col("tok"), eps = 0.01, confidence = 0.99)
+    assert(exact.keys.forall(t => cms.estimateCount(t) == cms2.estimateCount(t)))
+  }
 }
