@@ -86,4 +86,14 @@ object CorpusSketch {
     org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(bytes))
   }
+
+  /** Merge per-shard / per-day CMS sketches into the global one —
+    * counters are additive, so the merge is EXACTLY the sketch of the
+    * concatenated corpora (spec-pinned), the property that lets a
+    * 100 TB crawl sketch shard-by-shard and combine in O(sketch size).
+    * All sketches must share eps/confidence/seed; mutates and returns
+    * the first. */
+  def cmsMerge(sketches: Seq[org.apache.spark.util.sketch.CountMinSketch])
+      : org.apache.spark.util.sketch.CountMinSketch =
+    sketches.reduce { (a, b) => a.mergeInPlace(b); a }
 }

@@ -486,16 +486,31 @@ object Similarity {
   def pqTopK(corpus: DataFrame, books: PqBooks, queries: DataFrame, k: Int,
              shortlist: Int = 100, dims: Int = 64,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = corpus.sparkSession
-    val m = books.length; val ds = dims / m
+    val ds = dims / books.length
     // queries are few (ANN contract: a bounded probe set) — build the
     // per-(query, sub, code) lookup table driver-side and broadcast it
-    val qRows = queries.select(col(idCol), col(vecCol)).collect()
+    val qRows = collectQueries(queries, idCol, vecCol)
+    val lut = pqLut(corpus.sparkSession, qRows, books, ds)
+    val coded = pqEncode(corpus, books, dims, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+    val approx = coded.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id").agg(sum("pd").as("adist"))
+    adcShortlistRerank(approx, corpus, queries, k, shortlist, idCol, vecCol)
+  }
+
+  private def collectQueries(queries: DataFrame, idCol: String,
+                             vecCol: String): Array[(Long, Array[Double])] =
+    queries.select(col(idCol), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-    val lut = spark.createDataFrame(for {
+
+  /** Per-(query, sub, code) partial squared distances — the broadcast
+    * ADC lookup table (|queries| · m · kSub rows). */
+  private def pqLut(spark: SparkSession, qRows: Array[(Long, Array[Double])],
+                    books: PqBooks, ds: Int): DataFrame =
+    spark.createDataFrame(for {
       (qid, qv) <- qRows.toSeq
-      s <- 0 until m
+      s <- books.indices
       (cid, c) <- books(s)
     } yield {
       var d2 = 0.0
@@ -503,15 +518,16 @@ object Similarity {
       while (i < ds) { val diff = qv(s * ds + i) - c(i); d2 += diff * diff; i += 1 }
       (qid, s, cid, d2)
     }).toDF("query_id", "sub", "code", "pd")
-    val coded = pqEncode(corpus, books, dims, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), posexplode(col("codes")).as(Seq("sub", "code")))
-    val approx = coded.join(broadcast(lut), Seq("sub", "code"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .groupBy("query_id", "neighbor_id").agg(sum("pd").as("adist"))
+
+  /** Shared PQ tail: shortlist by approximate distance, then exact
+    * cosine re-rank of the shortlist only. */
+  private def adcShortlistRerank(approx: DataFrame, corpus: DataFrame,
+                                 queries: DataFrame, k: Int, shortlist: Int,
+                                 idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wa = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
     val short = approx.withColumn("__rk", row_number().over(wa))
       .where(col("__rk") <= shortlist).select("query_id", "neighbor_id")
-    // exact re-rank of the shortlist only
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val rr = short.join(cv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
@@ -520,5 +536,47 @@ object Similarity {
     rr.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /**
+   * IVF+PQ composition — the standard billion-scale index recipe: the
+   * coarse quantizer bounds WHICH rows are scanned (each query ADC-
+   * scores only its `nProbe` nearest cells' code words) and PQ bounds
+   * the BYTES per scanned row (8–16 B codes, not 256 B floats); the
+   * exact re-rank touches only the shortlist. Cell membership is
+   * per-query — a broadcast (query, cell) probe join tags candidates,
+   * so a vector is scored only for queries probing its cell. Over a
+   * [[Layout.ivfWrite]] layout the same cell set is a partition filter,
+   * making the scan pruning physical on disk as well.
+   *
+   * Expects `indexed` from [[ivfIndex]] (has `cell`); train `books` on
+   * the same corpus.
+   */
+  def ivfPqTopK(indexed: DataFrame, centroids: Array[(Int, Array[Double])],
+                books: PqBooks, queries: DataFrame, k: Int, nProbe: Int = 32,
+                shortlist: Int = 100, dims: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = indexed.sparkSession
+    val ds = dims / books.length
+    val qRows = collectQueries(queries, idCol, vecCol)
+    val lut = pqLut(spark, qRows, books, ds)
+    // per-query probe cells, driver-side over the same bounded query set
+    // (ties on the dot break to the lower cell id — deterministic)
+    val probes = spark.createDataFrame(for {
+      (qid, qv) <- qRows.toSeq
+      cell <- centroids
+        .sortBy { case (cid, c) =>
+          (-c.zip(qv).map { case (a, b) => a * b }.sum, cid) }
+        .take(nProbe).map(_._1).toSeq
+    } yield (qid, cell)).toDF("query_id", "cell")
+    val coded = pqEncode(indexed, books, dims, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("codes"))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val approx = coded.join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "neighbor_id").agg(sum("pd").as("adist"))
+    adcShortlistRerank(approx, indexed, queries, k, shortlist, idCol, vecCol)
   }
 }

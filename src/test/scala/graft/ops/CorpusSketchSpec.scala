@@ -63,4 +63,21 @@ class CorpusSketchSpec extends SparkSpec {
     val cms2 = CorpusSketch.cmsSketch(keys.repartition(3), col("tok"), eps = 0.01, confidence = 0.99)
     assert(exact.keys.forall(t => cms.estimateCount(t) == cms2.estimateCount(t)))
   }
+
+  test("CMS shard merge equals sketching the concatenated corpus") {
+    import spark.implicits._
+    val shard1 = (Seq.fill(300)("hot") ++ (0 until 200).map(i => s"a$i")).toDF("tok")
+    val shard2 = (Seq.fill(150)("hot") ++ (0 until 200).map(i => s"b$i")).toDF("tok")
+    val direct = CorpusSketch.cmsSketch(shard1.unionAll(shard2), col("tok"), eps = 0.01)
+    val merged = CorpusSketch.cmsMerge(Seq(
+      CorpusSketch.cmsSketch(shard1, col("tok"), eps = 0.01),
+      CorpusSketch.cmsSketch(shard2, col("tok"), eps = 0.01)))
+    val probes = Seq("hot") ++ (0 until 200).map(i => s"a$i") ++
+      (0 until 200).map(i => s"b$i") ++ Seq("absent")
+    probes.foreach { t =>
+      assert(direct.estimateCount(t) == merged.estimateCount(t),
+        s"$t: merge must equal the direct sketch")
+    }
+    assert(merged.estimateCount("hot") >= 450L)
+  }
 }

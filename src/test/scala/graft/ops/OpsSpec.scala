@@ -387,6 +387,26 @@ class OpsSpec extends SparkSpec {
     assert(e3 <= e0 + 1e-9, s"Lloyd must not worsen reconstruction: $e0 -> $e3")
   }
 
+  test("IVF+PQ composition: probed-cell candidates only, recall above floor, sims exact") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.where($"vec_id" < 5)
+    val (indexed, cents) = Similarity.ivfIndex(emb, nCells = 8, lloydIters = 2)
+    val books = Similarity.pqTrain(emb, lloydIters = 1)
+    val r = Similarity.ivfPqTopK(indexed, cents, books, q, k = 5, nProbe = 6).collect()
+    val got = r.map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("neighbor_id"))).toSet
+    val bf = Similarity.bruteForceTopK(emb, q, k = 5).collect()
+    val exact = bf.map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVFPQ recall too low: $recall")
+    // the re-rank is exact: any pair also in brute force carries the same sim
+    val bfSim = bf.map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("neighbor_id")) ->
+      x.getAs[Double]("sim")).toMap
+    r.foreach { x =>
+      val key = (x.getAs[Long]("query_id"), x.getAs[Long]("neighbor_id"))
+      bfSim.get(key).foreach(s => assert(s == x.getAs[Double]("sim")))
+    }
+  }
+
   test("PQ pack/unpack round-trips the default 16x4-bit codes through one long") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val books = Similarity.pqTrain(emb, lloydIters = 1)
