@@ -193,6 +193,20 @@ object OpsQueries {
           length(TextAnalysis.normalizeText(col("text"))).cast("long").as("norm_len"))
         .orderBy("doc_id")),
 
+    // corpus snapshot diff (ingest audit): per-source added / removed /
+    // changed / unchanged between two versions, via a fingerprint
+    // full-outer join — prev is a deterministic mutation of the corpus
+    // (every 7th doc missing = added since; every 11th doc dropped from
+    // cur = removed; every 5th text case-flipped = changed)
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cur = docs.where(col("doc_id") % 11 =!= 0)
+      val prev = docs.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, upper(col("text"))).otherwise(col("text")))
+      graft.ops.CorpusDiff.report(cur, prev).orderBy("source")
+    }),
+
     // rendezvous (HRW) shard routing: minimal-movement placement —
     // growing the shard fleet moves only the keys the new shard wins
     "q_shard_route" -> ((s, dir) =>
@@ -794,6 +808,28 @@ object OpsQueries {
         |  round(avg(ln((cb + 1)::DOUBLE / (cu + v)::DOUBLE)), 6) AS bigram_logprob
         |FROM pairs JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH cur AS (
+        |  SELECT doc_id, source, md5(text) AS fp FROM documents
+        |  WHERE doc_id % 11 <> 0),
+        |prev AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |j AS (
+        |  SELECT coalesce(cur.source, prev.source) AS source,
+        |    CASE WHEN prev.fp IS NULL THEN 'added'
+        |         WHEN cur.fp IS NULL THEN 'removed'
+        |         WHEN cur.fp <> prev.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS st
+        |  FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "q_shard_route" ->
       """SELECT doc_id, arg_max(s::INT, h) AS shard FROM (

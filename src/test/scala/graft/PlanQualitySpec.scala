@@ -97,6 +97,20 @@ class PlanQualitySpec extends SparkSpec {
       s"KL ratio join must stay hash/broadcast:\n$p")
   }
 
+  test("IVF+PQ: probe and lut joins are broadcast hash joins, nothing quadratic") {
+    val p = plan("q_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), s"IVFPQ must not be quadratic:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"(query,cell) probes and the ADC lut must broadcast:\n$p")
+  }
+
+  test("corpus diff shuffles fingerprints, scans only the three needed columns") {
+    val p = plan("q_corpus_diff")
+    assert(p.contains("FullOuter"), "diff is a full-outer id join")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      s"diff must prune to id+text+source:\n$p")
+  }
+
   test("q_dedup_embed_bucketed runs the production (tbl,bucket) hash-join plan") {
     // the hash-matched bucketed row must audit as the scale-path plan:
     // bucket-keyed hash join candidates + id-keyed verify, zero

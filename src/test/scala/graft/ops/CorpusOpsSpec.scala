@@ -124,6 +124,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(j < 0.5, s"jaccard must miss the subset duplication: $j")
   }
 
+  test("CorpusDiff.report: added/removed/changed/unchanged counted per source") {
+    val cur = Seq((1L, "a", "s1"), (2L, "b", "s1"), (4L, "d", "s1"), (9L, "z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val prev = Seq((1L, "a", "s1"), (2L, "B", "s1"), (3L, "c", "s1"), (9L, "z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = CorpusDiff.report(cur, prev).collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("n_added"), x.getAs[Long]("n_removed"),
+          x.getAs[Long]("n_changed"), x.getAs[Long]("n_unchanged")))).toMap
+    assert(r("s1") == ((1L, 1L, 1L, 1L)), s"s1: $r") // 4 added, 3 removed, 2 changed, 1 same
+    assert(r("s2") == ((0L, 0L, 0L, 1L)), s"s2: $r")
+  }
+
   test("tokenEntropy: uniform doc = log2(k) exactly, constant doc = 0") {
     val docs = Seq(
       (1L, "a b c d"),  // 4 distinct, uniform -> exactly 2 bits
