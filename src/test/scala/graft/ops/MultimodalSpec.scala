@@ -104,4 +104,41 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).width == 32 && out(0).height == 16)
     assert(out(1).sampleRate == 16000 && out(1).durationMs == 100L)
   }
+
+  /** Real PNG via the JDK's own encoder — the independent oracle for
+    * our hand-rolled chunk/inflate/unfilter pipeline. */
+  private def png(w: Int, h: Int): (Array[Byte], java.awt.image.BufferedImage) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 7 + y) % 256 << 16) | ((y * 13) % 256 << 8) | ((x * 3) % 256))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    (buf.toByteArray, img)
+  }
+
+  test("HeaderDecoder parses real PNG dims (ImageIO-encoded)") {
+    val (bytes, _) = png(21, 13)
+    val meta = Multimodal.HeaderDecoder.decode(7L, "image", bytes)
+    assert(meta.kind == "image" && meta.width == 21 && meta.height == 13, meta.toString)
+  }
+
+  test("PNG crop: inflate + unfilter + re-encode round-trips through ImageIO pixel-exact") {
+    val (bytes, orig) = png(21, 13)
+    val cropped = Multimodal.HeaderDecoder.transform(bytes, 8)
+    // our own decoder sees the new dims
+    val meta = Multimodal.HeaderDecoder.decode(7L, "image", cropped)
+    assert(meta.width == 8 && meta.height == 8, meta.toString)
+    // the JDK reader accepts our file and every pixel equals the
+    // original's top-left 8x8 window
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cropped))
+    assert(back != null && back.getWidth == 8 && back.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((back.getRGB(x, y) & 0xFFFFFF) == (orig.getRGB(x, y) & 0xFFFFFF),
+        s"pixel ($x,$y) differs")
+    // arg larger than the image clamps to full size
+    val full = Multimodal.HeaderDecoder.transform(bytes, 999)
+    val fb = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(full))
+    assert(fb.getWidth == 21 && fb.getHeight == 13)
+  }
 }
