@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Contamination, Similarity, TextAnalysis}
+
+/**
+ * Round-7 curation additions: the Gopher quality-rule bundle,
+ * embedding-space decontamination, and fixed-centroid corpus
+ * clustering — the remaining first-class passes of a production
+ * pretraining-data pipeline (rule-attributed filtering, semantic
+ * leakage gating, domain discovery).
+ *
+ * Oracle discipline follows the earlier registries: integer arithmetic
+ * cross-multiplied instead of ratios wherever possible, float
+ * expressions mirrored term-for-term (same association order, same
+ * sequential sums) so DuckDB reproduces Spark bit-for-bit, one
+ * round(,6) at the emission point, deterministic ORDER BY.
+ */
+object CurationQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Eval split for embedding decontamination: label 9 plays the
+    * held-out benchmark (~10% of vectors). */
+  private val EvalLabel = 9
+
+  private val ContamThreshold = 0.4
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
+
+    // ── Gopher-style rule-attributed quality filter ────────────────────
+    "q_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherReport(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // ── Embedding-space decontamination (semantic leakage gate) ────────
+    "q_embed_contamination" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Contamination.embedOverlap(
+          emb.where(col("label") =!= EvalLabel),
+          emb.where(col("label") === EvalLabel),
+          threshold = ContamThreshold)
+        .orderBy("eval_id")
+    }),
+
+    // ── Fixed-centroid clustering (domain discovery) ───────────────────
+    // Centroids are the first 8 corpus vectors — a deterministic seed
+    // set both engines can reproduce; assignment is the narrow
+    // broadcast-centroids pass of Similarity.assignCentroids.
+    "q_embed_clusters" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.assignCentroids(emb, clusterSeeds(emb)).orderBy("vec_id")
+    }),
+
+    "q_cluster_sizes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.assignCentroids(emb, clusterSeeds(emb))
+        .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        .orderBy("cell")
+    }),
+
+    // ── HTML boilerplate strip (single-pass codegen'd expression) ──────
+    // The corpus is plain text, so the crawl wrapper is minted
+    // deterministically (tags, entities, an unterminated '<') with the
+    // SAME concat/replace both engines run; the operator under test is
+    // graft.functions.HtmlStrip vs the oracle's three-regex chain.
+    "q_html_strip" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.functions.HtmlStrip(htmlWrap(col("text"))).as("clean"))
+        .orderBy("doc_id"))
+  )
+
+  /** Pseudo-crawl wrapper: tags + entities + a trailing unterminated
+    * `<` — every branch of the stripper in one value. Mirrored
+    * verbatim by [[sqlHtmlWrap]]. */
+  private def htmlWrap(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("<p id=\"1\">"),
+      replace(text, lit(" a "), lit(" &amp; ")),
+      lit("</p>"), lit("\n"),
+      lit("<br/>&nbsp;&#39;end&#39; 2 < 3"))
+
+  /** Collect the 8 seed centroids (bounded: 8 × 64 floats). */
+  private def clusterSeeds(emb: DataFrame): Array[(Int, Array[Double])] =
+    emb.where(col("vec_id") < 8).select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+
+  // ── Oracle SQL ───────────────────────────────────────────────────────
+
+  private val sqlNTok =
+    "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
+  private def sqlOcc(w: String) =
+    s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2}"
+  private def sqlChar(c: Char) =
+    s"(length(text) - length(replace(text, '$c', '')))"
+  private def sqlDot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_gopher_rules" -> {
+      val stop = Seq("the", "a", "of", "and", "in").map(sqlOcc).mkString(" + ")
+      val digits = ('0' to '9').map(sqlChar).mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST($sqlNTok AS BIGINT) AS n_words,
+         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+         |  CAST($stop AS BIGINT) AS stop_hits,
+         |  CAST($digits AS BIGINT) AS n_digits,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+         |FROM documents),
+         |r AS (SELECT doc_id, n_words, n_chars,
+         |  CAST(n_words BETWEEN 20 AND 100000 AS INT) AS rule_word_count,
+         |  CAST(3 * n_words <= n_chars AND n_chars <= 10 * n_words AS INT) AS rule_word_len,
+         |  CAST(stop_hits >= 2 AS INT) AS rule_stopwords,
+         |  CAST(n_digits * 5 <= n_chars AS INT) AS rule_digits,
+         |  CAST(n_distinct * 5 >= n_words AS INT) AS rule_repetition
+         |FROM t)
+         |SELECT doc_id, n_words, n_chars AS n_alnum_chars,
+         |  rule_word_count, rule_word_len, rule_stopwords, rule_digits,
+         |  rule_repetition,
+         |  rule_word_count * rule_word_len * rule_stopwords * rule_digits *
+         |    rule_repetition AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "q_embed_contamination" ->
+      s"""WITH n AS (SELECT vec_id, label, embedding,
+         |  sqrt(list_sum(list_transform(range(1, 65),
+         |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+         |  FROM embeddings),
+         |p AS (SELECT e.vec_id AS eval_id,
+         |    ${sqlDot("t", "e")} / (t.nrm * e.nrm) AS sim
+         |  FROM n t JOIN n e ON t.label != $EvalLabel AND e.label = $EvalLabel)
+         |SELECT eval_id, count(*) AS n_near, round(max(sim), 6) AS max_sim
+         |FROM p WHERE sim >= $ContamThreshold
+         |GROUP BY eval_id ORDER BY eval_id""".stripMargin,
+
+    // same x·x − 2·x·c + c·c expansion, same association order, cc from
+    // a sequential list_sum — bit-identical to the Spark plan
+    "q_embed_clusters" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS cc
+         |  FROM embeddings WHERE vec_id < 8),
+         |s AS (SELECT e.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+         |    - 2 * list_sum(list_transform(range(1, 65),
+         |      i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE))
+         |    + c.cc AS dist2
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (SELECT vec_id, cid, dist2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rk
+         |  FROM s)
+         |SELECT vec_id, CAST(cid AS INT) AS cell, round(dist2, 6) AS dist2
+         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_html_strip" -> {
+      // the chain form the single-pass expression is contract-equal to:
+      // tags -> one space; entity decode (&amp; LAST so '&'-minting
+      // can't cascade); whitespace-run collapse; trim
+      val wrapped = "'<p id=\"1\">' || replace(text, ' a ', ' &amp; ') || " +
+        "'</p>' || chr(10) || '<br/>&nbsp;&#39;' || 'end&#39; 2 < 3'"
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace($wrapped, '<[^>]*>', ' ', 'g'),
+         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&#39;', chr(39)), '&amp;', '&'),
+         |    '[ \\t\\n\\r]+', ' ', 'g')) AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_cluster_sizes" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS cc
+         |  FROM embeddings WHERE vec_id < 8),
+         |s AS (SELECT e.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+         |    - 2 * list_sum(list_transform(range(1, 65),
+         |      i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE))
+         |    + c.cc AS dist2
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rk
+         |  FROM s)
+         |SELECT CAST(cid AS INT) AS cell, count(*) AS n_vecs
+         |FROM r WHERE rk = 1 GROUP BY cid ORDER BY cell""".stripMargin
+  )
+}

@@ -58,4 +58,35 @@ object Contamination {
            sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
       .withColumn("contaminated", (col("n_contaminated") > 0).cast("int"))
   }
+
+  /**
+   * Embedding-space decontamination: for each EVAL vector, count the
+   * training vectors whose cosine similarity clears `threshold` and
+   * report the closest one — the semantic twin of [[flagOverlap]] for
+   * paraphrased leakage the n-gram check can't see (public recipe, e.g.
+   * the GPT-4 / phi series technical reports).
+   *
+   * Scale shape: the eval set is the SMALL side by construction
+   * (benchmarks are thousands of rows, the corpus is the 100 TB side),
+   * so it is broadcast and the similarity test runs as a single narrow
+   * pass over the training corpus — no shuffle of corpus rows at all;
+   * the only exchange is the per-(eval, match) pairs feeding a tiny
+   * aggregation keyed by eval id. Cosine reuses the codegen'd
+   * [[graft.ops.Similarity.cosine]] dot/norm expressions.
+   *
+   * Returns one row per CONTAMINATED eval vector:
+   * (eval_id, n_near, max_sim) — eval vectors with no match above the
+   * threshold are absent (their nearest-neighbor distance is the ANN
+   * queries' job, not the decontamination gate's).
+   */
+  def embedOverlap(train: DataFrame, evalVecs: DataFrame, threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("__tv"))
+    val e = evalVecs.select(col(idCol).as("eval_id"), col(vecCol).as("__ev"))
+    val sim = graft.ops.Similarity.cosine(col("__tv"), col("__ev"))
+    t.join(broadcast(e), sim >= threshold)
+      .select(col("eval_id"), sim.as("sim"))
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_near"), round(max(col("sim")), 6).as("max_sim"))
+  }
 }

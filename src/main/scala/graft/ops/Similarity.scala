@@ -170,6 +170,34 @@ object Similarity {
    * reusable as a `partitionBy(cell)` layout so probes become partition
    * pruning); the probe join touches nProbe/nCells of the data.
    */
+  /**
+   * Nearest-centroid assignment against a FIXED centroid set (corpus
+   * clustering / domain discovery): per row, the argmin of squared L2
+   * distance over `centroids`, with the distance itself reported.
+   * Distances expand to `x·x − 2·x·c + c·c` so the x·c terms run in one
+   * codegen'd [[graft.functions.VecDotMulti]] loop; the argmin is an
+   * `array_min` over (dist², cell) structs — per-row, no shuffle, ties
+   * break to the lower cell id. Centroids are plan literals (broadcast
+   * with the task binary), so a 100 TB corpus is one narrow pass.
+   *
+   * The `c·c` constants are summed left-to-right (same order as the
+   * expression-side dots), keeping results bit-identical to a SQL oracle
+   * that computes the same expansion with sequential `list_sum`s.
+   */
+  def assignCentroids(corpus: DataFrame, centroids: Array[(Int, Array[Double])],
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dots = graft.functions.VecDotMulti(col(vecCol), centroids.map(_._2.toSeq).toSeq)
+    val xx = dot(col(vecCol), col(vecCol))
+    val entries = centroids.zipWithIndex.map { case ((cid, c), i) =>
+      val cc = c.foldLeft(0.0)((a, v) => a + v * v) // sequential, = list_sum order
+      struct((xx - lit(2.0) * element_at(dots, i + 1) + lit(cc)).as("dist2"),
+             lit(cid).as("cell"))
+    }
+    corpus.select(col(idCol), array_min(array(entries: _*)).as("__m"))
+      .select(col(idCol), col("__m.cell").as("cell"),
+              round(col("__m.dist2"), 6).as("dist2"))
+  }
+
   def ivfIndex(corpus: DataFrame, nCells: Int = 64, lloydIters: Int = 4, dims: Int = 64,
                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Array[(Int, Array[Double])]) = {
     val spark = corpus.sparkSession

@@ -369,6 +369,48 @@ object TextAnalysis {
           col("__clog") / col("n_tokens").cast("double"), 6).as("entropy"))
   }
 
+  /**
+   * Gopher-style quality-rule bundle (the public Rae et al. 2021
+   * repetition/length heuristics): each rule is its own 0/1 column so a
+   * per-source audit can attribute drops to specific rules, plus the
+   * conjunctive `keep` flag. Every test is an INTEGER comparison —
+   * ratios are cross-multiplied (`3·nTok ≤ nChars` instead of
+   * `nChars/nTok ≥ 3`) — so there is no float anywhere and the SQL
+   * oracle matches bit-for-bit. One narrow codegen'd projection: no
+   * shuffle, no join; at 100 TB this runs at parquet-scan speed.
+   *
+   * Rules: word count in [minWords, maxWords]; mean word length in
+   * [3, 10] chars; ≥ 2 stopword hits; ≤ 20% digit characters;
+   * duplicate-token ratio ≤ 0.8 (5·distinct ≥ total).
+   */
+  def gopherReport(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   minWords: Long = 20, maxWords: Long = 100000): DataFrame = {
+    val text = col(textCol)
+    val nTok = tokenCount(text)
+    val nChars = length(replace(text, lit(" "), lit(""))).cast("long")
+    val stopHits = Seq("the", "a", "of", "and", "in")
+      .map(w => occurrences(concat(lit(" "), text, lit(" ")), s" $w "))
+      .reduce(_ + _).cast("long")
+    val nDigits = ('0' to '9')
+      .map(d => occurrences(text, d.toString))
+      .reduce(_ + _).cast("long")
+    val nDistinct = size(array_distinct(tokens(text))).cast("long")
+    def flag(c: Column): Column = c.cast("int")
+    docs.select(
+      col(idCol),
+      nTok.as("n_words"),
+      nChars.as("n_alnum_chars"),
+      flag(nTok.between(minWords, maxWords)).as("rule_word_count"),
+      flag(lit(3L) * nTok <= nChars && nChars <= lit(10L) * nTok).as("rule_word_len"),
+      flag(stopHits >= 2L).as("rule_stopwords"),
+      flag(nDigits * 5L <= nChars).as("rule_digits"),
+      flag(nDistinct * 5L >= nTok).as("rule_repetition"))
+    .withColumn("keep",
+      (col("rule_word_count") * col("rule_word_len") * col("rule_stopwords") *
+       col("rule_digits") * col("rule_repetition")).cast("int"))
+  }
+
   /** Full per-document annotation pass (single narrow projection). */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
