@@ -86,6 +86,19 @@ object Dedup {
    * emit intra-bucket pairs — rather than a self-join, so the (expensive)
    * minhash subtree is evaluated once, not once per join side; the shuffle
    * carries only (band, band_sig, doc_id) triples.
+   *
+   * **Hot-bucket safety (100 TB):** pair expansion is TWO pipelined
+   * generates — `posexplode` picks `id_a`, a column-arg `slice` +
+   * `explode` streams each `id_b` tail — never one row holding all
+   * C(n,2) pairs (the earlier `flatten(transform(transform))` form
+   * materialized the full pair array in a single row, so one
+   * boilerplate bucket of 10⁶ near-identical docs — 5·10¹¹ pairs —
+   * would OOM its task; streamed, peak live memory is one O(n) tail
+   * slice and the quadratic output flows straight into the verify
+   * filter). The per-bucket id array itself stays O(bucket) — at
+   * buckets beyond ~10⁸ members run exact dedup first (identical
+   * boilerplate collapses there at linear cost, as q_corpus_curate
+   * does).
    */
   def lshCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                     k: Int = 8, bands: Int = 4): DataFrame = {
@@ -93,12 +106,11 @@ object Dedup {
     val buckets = bandsDf.groupBy("band", "band_sig")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) > 1)
-    val n = size(col("ids"))
-    val pairs = flatten(transform(sequence(lit(1), n - 1),
-      i => transform(slice(col("ids"), i + 1, n - i),
-        j => struct(element_at(col("ids"), i).as("id_a"), j.as("id_b")))))
-    buckets.select(explode(pairs).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    buckets
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")) - col("i") - lit(1)))
+          .as("id_b"))
       .distinct()
   }
 

@@ -53,6 +53,22 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("LSH hot bucket: pair expansion streams (complete C(n,2) set, no giant row)") {
+    // 2000 identical docs share every band bucket -> 1,999,000 pairs.
+    // The streamed two-generate expansion must produce the complete set;
+    // the plan must contain two Generate nodes and NO single flattened
+    // pair array (the old form built all pairs in one row -> a 10^6-doc
+    // boilerplate bucket would OOM one task).
+    val many = spark.range(0, 2000)
+      .selectExpr("id AS doc_id", "'same boilerplate text here' AS text")
+    val cands = Dedup.lshCandidates(many, k = 8, bands = 4)
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(plan.split("Generate").length - 1 >= 2, plan)
+    assert(cands.count() == 2000L * 1999 / 2)
+    // ordering contract survives: id_a < id_b on every pair
+    assert(cands.where(col("id_a") >= col("id_b")).count() == 0)
+  }
+
   test("jaccard verification: dup pair = 1.0, near pair high, ordered cols") {
     val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.jaccardVerify(cands, docs).orderBy("id_b")
