@@ -60,6 +60,29 @@ object CurationQueries {
         .orderBy("cell")
     }),
 
+    // ── Embedding outlier score (far-from-centroid curation gate) ──────
+    // z-score of each vector's (rounded) squared centroid distance
+    // within its cell. Float discipline: the rounded dist² is EXACT as
+    // DECIMAL(18,6), the moment sums are exact decimal arithmetic
+    // (order-independent), and the z expression is the single
+    // double-math step — same shape both engines. The per-cell stats
+    // are ≤ nCells rows and broadcast back onto the assignment.
+    "q_embed_outliers" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = Similarity.assignCentroids(emb, clusterSeeds(emb))
+      val dec = col("dist2").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      val stats = a.groupBy("cell").agg(
+        count(lit(1)).as("n"), sum(dec).as("s"), sum(dec * dec).as("sxx"))
+        .where(col("n") > 1)
+      val mean = col("s").cast("double") / col("n")
+      val variance = (col("sxx").cast("double") -
+        col("s").cast("double") * col("s").cast("double") / col("n")) / (col("n") - 1)
+      a.join(broadcast(stats), Seq("cell"))
+        .select(col("vec_id"), col("cell"), col("dist2"),
+          round((col("dist2") - mean) / sqrt(variance), 6).as("z"))
+        .orderBy("vec_id")
+    }),
+
     // ── HTML boilerplate strip (single-pass codegen'd expression) ──────
     // The corpus is plain text, so the crawl wrapper is minted
     // deterministically (tags, entities, an unterminated '<') with the
@@ -156,6 +179,32 @@ object CurationQueries {
          |  FROM s)
          |SELECT vec_id, CAST(cid AS INT) AS cell, round(dist2, 6) AS dist2
          |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_embed_outliers" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS cc
+         |  FROM embeddings WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+         |    - 2 * list_sum(list_transform(range(1, 65),
+         |      i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE))
+         |    + c.cc AS dist2
+         |  FROM embeddings e CROSS JOIN c),
+         |a AS (SELECT vec_id, cid, round(dist2, 6) AS dist2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rk
+         |  FROM sc),
+         |asg AS (SELECT vec_id, cid, dist2 FROM a WHERE rk = 1),
+         |st AS (SELECT cid, count(*) AS n,
+         |    sum(CAST(dist2 AS DECIMAL(18,6))) AS s,
+         |    sum(CAST(dist2 AS DECIMAL(18,6)) * CAST(dist2 AS DECIMAL(18,6))) AS sxx
+         |  FROM asg GROUP BY cid HAVING count(*) > 1)
+         |SELECT asg.vec_id, CAST(asg.cid AS INT) AS cell, asg.dist2,
+         |  round((asg.dist2 - st.s::DOUBLE / st.n) /
+         |    sqrt((st.sxx::DOUBLE - st.s::DOUBLE * st.s::DOUBLE / st.n) / (st.n - 1)),
+         |    6) AS z
+         |FROM asg JOIN st ON asg.cid = st.cid ORDER BY vec_id""".stripMargin,
 
     "q_html_strip" -> {
       // the chain form the single-pass expression is contract-equal to:

@@ -34,7 +34,16 @@ object ScaleBench {
   val DefaultQueries: Seq[String] =
     Seq("q_approx_stats", "q_ann_ivf", "q_bloom_semi", "q_bigrams", "q_corpus_curate",
       "q_dsir_weights", "q_bigram_logprob", "q_chunk_dedup",
-      "q_ann_pq", "q_domain_kl")
+      "q_ann_pq", "q_domain_kl",
+      // round-7b: the narrow curation passes (expect ~linear), fixed-
+      // centroid assignment (one VecDotMulti pass), and the FULL dedup
+      // pipeline on the amplified corpus — 10× duplication multiplies
+      // every LSH bucket, so candidate pairs grow ~×45 per original
+      // bucket (quadratic in the duplication factor by the exact-pair
+      // semantics); this is the hot-bucket stress the streamed pair
+      // expansion exists for, so the amplified point measures the worst
+      // case on purpose
+      "q_gopher_rules", "q_html_strip", "q_embed_clusters", "q_dedup_corpus")
 
   /** Tables those queries read (only these are amplified). */
   private val AmplifiedTables =

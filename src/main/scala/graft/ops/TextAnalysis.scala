@@ -383,10 +383,9 @@ object TextAnalysis {
    * [3, 10] chars; ≥ 2 stopword hits; ≤ 20% digit characters;
    * duplicate-token ratio ≤ 0.8 (5·distinct ≥ total).
    */
-  def gopherReport(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text",
-                   minWords: Long = 20, maxWords: Long = 100000): DataFrame = {
-    val text = col(textCol)
+  /** The five Gopher rules as named 0/1 columns (see [[gopherReport]]). */
+  def gopherRules(text: Column,
+                  minWords: Long = 20, maxWords: Long = 100000): Seq[(String, Column)] = {
     val nTok = tokenCount(text)
     val nChars = length(replace(text, lit(" "), lit(""))).cast("long")
     val stopHits = Seq("the", "a", "of", "and", "in")
@@ -397,15 +396,30 @@ object TextAnalysis {
       .reduce(_ + _).cast("long")
     val nDistinct = size(array_distinct(tokens(text))).cast("long")
     def flag(c: Column): Column = c.cast("int")
+    Seq(
+      "rule_word_count" -> flag(nTok.between(minWords, maxWords)),
+      "rule_word_len" -> flag(lit(3L) * nTok <= nChars && nChars <= lit(10L) * nTok),
+      "rule_stopwords" -> flag(stopHits >= 2L),
+      "rule_digits" -> flag(nDigits * 5L <= nChars),
+      "rule_repetition" -> flag(nDistinct * 5L >= nTok))
+  }
+
+  /** Conjunctive Gopher keep flag (0/1 int) — the single-column form
+    * for windowed monitors and filters. */
+  def gopherKeep(text: Column,
+                 minWords: Long = 20, maxWords: Long = 100000): Column =
+    gopherRules(text, minWords, maxWords).map(_._2).reduce(_ * _).cast("int")
+
+  def gopherReport(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   minWords: Long = 20, maxWords: Long = 100000): DataFrame = {
+    val text = col(textCol)
+    val nTok = tokenCount(text)
+    val nChars = length(replace(text, lit(" "), lit(""))).cast("long")
+    val ruleCols = gopherRules(text, minWords, maxWords)
+      .map { case (name, c) => c.as(name) }
     docs.select(
-      col(idCol),
-      nTok.as("n_words"),
-      nChars.as("n_alnum_chars"),
-      flag(nTok.between(minWords, maxWords)).as("rule_word_count"),
-      flag(lit(3L) * nTok <= nChars && nChars <= lit(10L) * nTok).as("rule_word_len"),
-      flag(stopHits >= 2L).as("rule_stopwords"),
-      flag(nDigits * 5L <= nChars).as("rule_digits"),
-      flag(nDistinct * 5L >= nTok).as("rule_repetition"))
+      (col(idCol) +: nTok.as("n_words") +: nChars.as("n_alnum_chars") +: ruleCols): _*)
     .withColumn("keep",
       (col("rule_word_count") * col("rule_word_len") * col("rule_stopwords") *
        col("rule_digits") * col("rule_repetition")).cast("int"))
