@@ -83,6 +83,27 @@ object CurationQueries {
         .orderBy("vec_id")
     }),
 
+    // ── Reproducible epoch shuffle (no global sort) ────────────────────
+    "q_epoch_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val shuffled = graft.ops.Sampling.epochShuffle(
+        t(s, dir, "documents").select("doc_id"), col("doc_id"), seed = 7, nShards = 16)
+      shuffled.withColumn("rank_in_shard",
+          row_number().over(Window.partitionBy("shard").orderBy("order_key", "doc_id")))
+        .select("doc_id", "shard", "order_key", "rank_in_shard")
+        .orderBy("doc_id")
+    }),
+
+    // ── Quantile-calibrated quality gate (top 30% per source) ──────────
+    "q_quality_gate" -> ((s, dir) =>
+      graft.ops.Sampling.topFractionByStratum(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              TextAnalysis.qualityScore(col("text")).as("quality")),
+          stratum = col("source"), score = col("quality"),
+          tieBreak = col("doc_id"), pct = 30)
+        .orderBy("doc_id")),
+
     // ── HTML boilerplate strip (single-pass codegen'd expression) ──────
     // The corpus is plain text, so the crawl wrapper is minted
     // deterministically (tags, entities, an unterminated '<') with the
@@ -179,6 +200,39 @@ object CurationQueries {
          |  FROM s)
          |SELECT vec_id, CAST(cid AS INT) AS cell, round(dist2, 6) AS dist2
          |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      """WITH s AS (SELECT doc_id,
+        |    md5('7:' || CAST(doc_id AS VARCHAR)) AS order_key
+        |  FROM documents),
+        |t AS (SELECT doc_id, order_key,
+        |    CAST(('0x' || substr(order_key, 1, 8))::BIGINT % 16 AS INT) AS shard
+        |  FROM s)
+        |SELECT doc_id, shard, order_key,
+        |  row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id)
+        |    AS rank_in_shard
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_quality_gate" -> {
+      val stop = Seq("the", "a", "of", "and", "in").map(sqlOcc).mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST($sqlNTok AS BIGINT) AS n_tok,
+         |  CAST($stop AS BIGINT) AS s_stop,
+         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha
+         |FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  greatest(n_tok, 1) AS nt1, least(n_tok, 64) AS ai,
+         |  least(s_stop * 5, greatest(n_tok, 1)) AS bi,
+         |  least(n_alpha, greatest(n_tok, 1) * 8) AS ci FROM t),
+         |sc AS (SELECT doc_id, source,
+         |  (32 * ai * nt1 + 1536 * bi + 192 * ci)::DOUBLE / (5120 * nt1)::DOUBLE
+         |    AS quality FROM q),
+         |r AS (SELECT doc_id, source, quality,
+         |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY source) AS n FROM sc)
+         |SELECT doc_id, source, quality FROM r
+         |WHERE rk * 100 <= 30 * n ORDER BY doc_id""".stripMargin
+    },
 
     "q_embed_outliers" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce,

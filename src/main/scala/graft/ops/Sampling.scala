@@ -65,4 +65,51 @@ object Sampling {
     }
     df.withColumn(labelCol, expr)
   }
+
+  /**
+   * Reproducible epoch shuffle WITHOUT a global sort: every row gets a
+   * deterministic `(shard, order_key)` from `md5(seed ‖ key)` — readers
+   * consume shards in index order, each shard internally ordered by
+   * `order_key`, which is a fixed pseudo-random permutation of the
+   * corpus for that seed. Changing the seed reshuffles; re-running
+   * doesn't. Materialization is shard-parallel (`repartition(shard)` +
+   * `sortWithinPartitions(order_key)` — one hash exchange, per-shard
+   * local sorts), never one corpus-wide total order: the standard way
+   * to shuffle a 100 TB training corpus per epoch.
+   */
+  def epochShuffle(df: DataFrame, key: Column, seed: Long,
+                   nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val okey = md5(concat(lit(seed.toString), lit(":"), key.cast("string")))
+    df.withColumn("order_key", okey)
+      .withColumn("shard",
+        (conv(substring(col("order_key"), 1, 8), 16, 10).cast("long") % nShards).cast("int"))
+  }
+
+  /**
+   * Quantile-calibrated per-stratum gate with EXACT integer-rank
+   * semantics: keep each stratum's top `pct`% rows by `score`
+   * (deterministic `tieBreak` total order). The keep test is
+   * `rank · 100 ≤ pct · n` — exact integers, so the cut is
+   * engine-portable with no float threshold anywhere.
+   *
+   * Scale note: exact ranks cost one per-stratum sort (fine for
+   * thousands of strata × millions of rows each; the window never
+   * crosses strata). At corpus scales where even that is unwanted, the
+   * standard shortcut is an `approx_percentile(score, 1−pct/100)`
+   * threshold per stratum broadcast back as a filter — same intent,
+   * sketch-bounded error, no sort; this exact form is the calibration
+   * oracle for it.
+   */
+  def topFractionByStratum(df: DataFrame, stratum: Column, score: Column,
+                           tieBreak: Column, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct in [0,100]: $pct")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratum).orderBy(score.desc, tieBreak)
+    val cw = Window.partitionBy(stratum)
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .where(col("__rk") * 100 <= lit(pct.toLong) * col("__n"))
+      .drop("__rk", "__n")
+  }
 }

@@ -61,4 +61,45 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(reparted == assigned)
   }
+
+  test("epochShuffle: deterministic per seed, reshuffles across seeds, shards balanced") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 4000L).toDF("id")
+    def perm(seed: Long) = Sampling.epochShuffle(docs, col("id"), seed, nShards = 16)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Int]("shard"), r.getAs[String]("order_key")))
+      .toMap
+    val p7a = perm(7); val p7b = perm(7); val p8 = perm(8)
+    assert(p7a == p7b) // same seed -> identical permutation
+    assert(p7a != p8)  // different seed -> different permutation
+    // permutation is total: order keys unique
+    assert(p7a.values.map(_._2).toSet.size == 4000)
+    // shards roughly balanced (hash-uniform over 16 shards)
+    val sizes = p7a.values.groupBy(_._1).view.mapValues(_.size)
+    assert(sizes.size == 16 && sizes.values.forall(s => s > 150 && s < 350), sizes.toMap.toString)
+    // partition-count invariance
+    val reparted = Sampling.epochShuffle(docs.repartition(13), col("id"), 7, 16)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Int]("shard"), r.getAs[String]("order_key")))
+      .toMap
+    assert(reparted == p7a)
+  }
+
+  test("topFractionByStratum: exact per-stratum cut, deterministic ties") {
+    import org.apache.spark.sql.functions._
+    // two strata of 10; scores with a tie band to exercise the tie-break
+    val rows = (0 until 10).map(i => ("a", i.toLong, (i / 2).toDouble)) ++
+      (0 until 10).map(i => ("b", i.toLong, i.toDouble))
+    val df = rows.toDF("src", "id", "score")
+    val kept = Sampling.topFractionByStratum(df, col("src"), col("score"), col("id"), pct = 30)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // each stratum keeps exactly 3 (rank*100 <= 30*10)
+    assert(kept.count(_._1 == "a") == 3 && kept.count(_._1 == "b") == 3, kept.toString)
+    // stratum b: plain top-3 by score
+    assert(kept.filter(_._1 == "b").map(_._2) == Set(7L, 8L, 9L))
+    // stratum a: scores tie in pairs (4,4,3,3,...) -> tie-break keeps the
+    // LOWER id among equals: ranks 1..3 are ids 8,9 (score 4) then 6 (score 3)
+    assert(kept.filter(_._1 == "a").map(_._2) == Set(8L, 9L, 6L))
+    // pct 0 keeps nothing, pct 100 keeps everything
+    assert(Sampling.topFractionByStratum(df, col("src"), col("score"), col("id"), 0).count() == 0)
+    assert(Sampling.topFractionByStratum(df, col("src"), col("score"), col("id"), 100).count() == 20)
+  }
 }
