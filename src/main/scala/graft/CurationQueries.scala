@@ -83,6 +83,11 @@ object CurationQueries {
         .orderBy("vec_id")
     }),
 
+    // ── BM25 ranked retrieval (inverted-index relevance) ───────────────
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(t(s, dir, "documents"), BmQuery)
+        .orderBy(col("score").desc, col("doc_id")).limit(20)),
+
     // ── Reproducible epoch shuffle (no global sort) ────────────────────
     "q_epoch_shuffle" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -123,6 +128,9 @@ object CurationQueries {
       replace(text, lit(" a "), lit(" &amp; ")),
       lit("</p>"), lit("\n"),
       lit("<br/>&nbsp;&#39;end&#39; 2 < 3"))
+
+  /** BM25 demo query terms (present in the synthetic vocabulary). */
+  private val BmQuery = Seq("spark", "query", "merge")
 
   /** Collect the 8 seed centroids (bounded: 8 × 64 floats). */
   private def clusterSeeds(emb: DataFrame): Array[(Int, Array[Double])] =
@@ -200,6 +208,29 @@ object CurationQueries {
          |  FROM s)
          |SELECT vec_id, CAST(cid AS INT) AS cell, round(dist2, 6) AS dist2
          |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    // same expression SHAPE as TextAnalysis.bm25 term by term: constants
+    // written as the same arithmetic ((1.2+1.0), (1.0-0.75)) so both
+    // engines evaluate identical doubles; one round(,6) on the doc sum
+    "q_bm25" -> {
+      val terms = BmQuery.map(t => s"'$t'").mkString(", ")
+      s"""WITH dl AS (SELECT doc_id, CAST($sqlNTok AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+         |p AS (SELECT doc_id, t.tok
+         |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+         |  WHERE t.tok IN ($terms)),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM p GROUP BY doc_id, tok),
+         |dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |ts AS (SELECT tf.doc_id, dl.dl,
+         |    ln(1.0 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+         |      (tf.tf * (1.2 + 1.0)) /
+         |      (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / st.avgdl)) AS s
+         |  FROM tf JOIN dfx USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN st)
+         |SELECT doc_id, dl, round(sum(s), 6) AS score FROM ts
+         |GROUP BY doc_id, dl
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
 
     "q_epoch_shuffle" ->
       """WITH s AS (SELECT doc_id,

@@ -425,6 +425,46 @@ object TextAnalysis {
        col("rule_digits") * col("rule_repetition")).cast("int"))
   }
 
+  /**
+   * Okapi BM25 ranked retrieval for a fixed term query — the classic
+   * inverted-index relevance score
+   * (`Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`, Lucene-style
+   * `idf = ln(1 + (N−df+0.5)/(df+0.5))`).
+   *
+   * Scale shape: the corpus reduces to query-matching postings BEFORE
+   * any shuffle (an `isin` filter on the exploded tokens — everything
+   * else dies at the scan); `df` is a ≤|query|-row broadcast; corpus
+   * stats (N, avgdl) are one tiny aggregate cross-joined in. The only
+   * doc-scale exchanges are the (doc, term) tf aggregation and the
+   * per-doc length join, both keyed on doc id. Returns
+   * (doc, dl, score) for every doc matching ≥1 term; callers rank with
+   * `orderBy(score.desc, id)`. Score is rounded to 6 — the per-doc
+   * term-sum order and `ln` libm differences live below that.
+   */
+  def bm25(docs: DataFrame, query: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val dl = docs.select(col(idCol), tokenCount(col(textCol)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val postings = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .where(col("tok").isin(query: _*))
+    val tf = postings.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val perTerm = tf
+      .join(broadcast(df), Seq("tok"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    perTerm.groupBy(col(idCol), col("dl"))
+      .agg(round(sum(col("term_score")), 6).as("score"))
+  }
+
   /** Full per-document annotation pass (single narrow projection). */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -42,6 +42,52 @@ class CurationSpec extends SparkSpec {
       schema.treeString)
   }
 
+  // ── bm25 ─────────────────────────────────────────────────────────────
+
+  test("bm25 matches a hand-rolled scorer; non-matching docs absent") {
+    val corpus = Seq(
+      (1L, "spark joins tables fast"),
+      (2L, "spark spark streaming"),
+      (3L, "ducks swim in ponds"),
+      (4L, "query planner of spark")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(corpus, Seq("spark", "query"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!got.contains(3L)) // no query term -> absent
+
+    // independent reimplementation with plain loops
+    val docs = Map(1L -> "spark joins tables fast", 2L -> "spark spark streaming",
+      3L -> "ducks swim in ponds", 4L -> "query planner of spark")
+    val toks = docs.view.mapValues(_.split(" ").toSeq).toMap
+    val n = docs.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def score(id: Long): Double = Seq("spark", "query").map { t =>
+      val tf = toks(id).count(_ == t)
+      if (tf == 0) 0.0
+      else {
+        val df = toks.values.count(_.contains(t))
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        idf * (tf * (1.2 + 1.0)) /
+          (tf + 1.2 * ((1.0 - 0.75) + 0.75 * toks(id).size / avgdl))
+      }
+    }.sum
+    for (id <- Seq(1L, 2L, 4L)) {
+      assert(got(id)._1 == toks(id).size.toLong)
+      assert(math.abs(got(id)._2 - score(id)) < 1e-6, s"doc $id: ${got(id)._2} vs ${score(id)}")
+    }
+    // doc 4 matches both terms -> outranks single-term doc 1
+    assert(got(4L)._2 > got(1L)._2)
+  }
+
+  test("bm25 plan: postings filtered before any exchange; df/stats broadcast") {
+    val corpus = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val plan = TextAnalysis.bm25(corpus, Seq("spark", "query"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the isin filter must sit below the first aggregate (prune-early)
+    assert("Filter tok#\\d+ IN".r.findFirstIn(plan).isDefined, plan)
+  }
+
   // ── embedOverlap ─────────────────────────────────────────────────────
 
   private def vecs(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
