@@ -88,6 +88,11 @@ object CurationQueries {
       TextAnalysis.bm25(t(s, dir, "documents"), BmQuery)
         .orderBy(col("score").desc, col("doc_id")).limit(20)),
 
+    // ── PMI collocations (statistical phrase discovery) ────────────────
+    "q_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), minCount = 20)
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(30)),
+
     // ── Reproducible epoch shuffle (no global sort) ────────────────────
     "q_epoch_shuffle" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -231,6 +236,30 @@ object CurationQueries {
          |GROUP BY doc_id, dl
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
+
+    "q_pmi" ->
+      """WITH toks AS (SELECT doc_id, i, ts[i] AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |    LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+        |  WHERE ts[i] <> ''),
+        |uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+        |tot AS (SELECT count(*) AS n_tok FROM toks),
+        |pairs AS (
+        |  SELECT ts[i] AS w1, ts[i+1] AS w2, count(*) AS cp
+        |  FROM (SELECT string_split(text, ' ') AS ts FROM documents),
+        |    LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+        |  WHERE ts[i] <> '' AND ts[i+1] <> ''
+        |  GROUP BY 1, 2),
+        |np AS (SELECT sum(cp) AS n_pair FROM pairs)
+        |SELECT w2, w1, cp,
+        |  round(ln((cp::DOUBLE * n_tok * n_tok) /
+        |    (n_pair::DOUBLE * a.cu * b.cu)), 6) AS pmi
+        |FROM pairs
+        |JOIN uni a ON pairs.w1 = a.w
+        |JOIN uni b ON pairs.w2 = b.w
+        |CROSS JOIN tot CROSS JOIN np
+        |WHERE cp >= 20
+        |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
 
     "q_epoch_shuffle" ->
       """WITH s AS (SELECT doc_id,

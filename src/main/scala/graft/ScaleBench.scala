@@ -43,7 +43,11 @@ object ScaleBench {
       // semantics); this is the hot-bucket stress the streamed pair
       // expansion exists for, so the amplified point measures the worst
       // case on purpose
-      "q_gopher_rules", "q_html_strip", "q_embed_clusters", "q_dedup_corpus")
+      "q_gopher_rules", "q_html_strip", "q_embed_clusters", "q_dedup_corpus",
+      // bm25 (postings prune + broadcasts: growth should track matching
+      // postings) and the exact-rank quality gate (per-source window
+      // sort — the one deliberate sort in the curation set)
+      "q_bm25", "q_quality_gate")
 
   /** Tables those queries read (only these are amplified). */
   private val AmplifiedTables =

@@ -465,6 +465,45 @@ object TextAnalysis {
       .agg(round(sum(col("term_score")), 6).as("score"))
   }
 
+  /**
+   * PMI collocations (statistical phrase discovery): pointwise mutual
+   * information of adjacent word pairs,
+   * `ln(p(ab) / (p(a)·p(b)))` over corpus counts, floored at `minCount`
+   * pair occurrences (PMI is noise below a count floor — the standard
+   * collocation-extraction setup, Church & Hanks 1990).
+   *
+   * Scale shape: tokens shuffle once keyed by doc (the lead window),
+   * then everything is (token)- or (pair)-keyed aggregation with
+   * map-side partials; no join touches unaggregated rows. The PMI
+   * ratio is computed as one double chain with fixed association
+   * (`(cp·N·N) / (Np·ca·cb)` left-to-right) so the oracle reproduces
+   * it bit-for-bit; round(,6) absorbs `ln` libm differences.
+   */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 20,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // pairs are adjacency in the ORIGINAL token sequence (empties filter
+    // AFTER the lead, as in q_bigrams, so an empty token breaks a pair
+    // identically in both engines)
+    val toksAll = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val toks = toksAll.where(col("w") =!= "")
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    val wnd = Window.partitionBy(idCol).orderBy("pos")
+    val pairsAll = toksAll.withColumn("w2", lead(col("w"), 1).over(wnd))
+      .where(col("w") =!= "" && col("w2").isNotNull && col("w2") =!= "")
+      .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("cp"))
+    val nPair = pairsAll.agg(sum(col("cp")).as("n_pair"))
+    pairsAll.where(col("cp") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPair))
+      .select(col("w1"), col("w2"), col("cp"),
+        round(log((col("cp").cast("double") * col("n_tok") * col("n_tok")) /
+          (col("n_pair").cast("double") * col("cu1") * col("cu2"))), 6).as("pmi"))
+  }
+
   /** Full per-document annotation pass (single narrow projection). */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
