@@ -66,6 +66,74 @@ object Layout {
     finally in.close()
   }
 
+  /**
+   * Inverted-index layout for BM25 serving: postings `(tok, doc_id,
+   * tf)` partitioned by a TERM-HASH BUCKET, a per-doc length table, and
+   * a one-row exact corpus-stats table (`n_docs`, `sum_dl` as longs, so
+   * `avgdl` is recomputed with the same exact division the ad-hoc
+   * scorer uses). A query's terms map to buckets → Catalyst partition
+   * pruning lists and reads only those bucket directories: serving a
+   * 3-term query against a petabyte corpus touches 3/nBuckets of the
+   * postings, no re-tokenization, no query-time index structure.
+   */
+  def postingsWrite(docs: DataFrame, dir: String, nBuckets: Int = 64,
+                    idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val toks = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+    toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", (Sampling.hash32(col("tok")) % nBuckets).cast("int"))
+      .repartition(nBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    val dl = docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$dir/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** The bucket a term's postings live in (driver-side twin of the
+    * writer's `hash32 % nBuckets`). */
+  def postingsBucket(term: String, nBuckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    val hex = md.take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % nBuckets).toInt
+  }
+
+  /**
+   * BM25 over a [[postingsWrite]] layout: identical scores to
+   * [[TextAnalysis.bm25]] (same expression shapes, exact avgdl from the
+   * stored long sums), but the corpus scan is replaced by a
+   * bucket-pruned postings read — `bucket IN (query buckets)` is a
+   * partition filter, `tok IN (terms)` prunes within the bucket.
+   */
+  def bm25FromLayout(spark: SparkSession, dir: String, query: Seq[String],
+                     k1: Double = 1.2, b: Double = 0.75, nBuckets: Int = 64,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val buckets = query.map(postingsBucket(_, nBuckets)).distinct
+    val tf = spark.read.parquet(s"$dir/postings")
+      .where(col("bucket").isin(buckets: _*) && col("tok").isin(query: _*))
+      .select(col(idCol), col("tok"), col("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$dir/doclen")
+    val stats = spark.read.parquet(s"$dir/stats")
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val perTerm = tf
+      .join(broadcast(df), Seq("tok"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    perTerm.groupBy(col(idCol), col("dl"))
+      .agg(round(sum(col("term_score")), 6).as("score"))
+  }
+
   /** Min/max stats index over a parquet directory: one row per file,
     * (file, <c>_min, <c>_max) for each indexed column. Built with one
     * scan (an OPTIMIZE/ANALYZE-style maintenance job, not a query-time

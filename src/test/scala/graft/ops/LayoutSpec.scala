@@ -116,6 +116,36 @@ class LayoutSpec extends SparkSpec {
     assert(fromLayout == direct)
   }
 
+  test("postings layout: bm25 served bucket-pruned, identical to the ad-hoc scorer") {
+    val dir = Files.createTempDirectory("layout-postings").toString + "/idx"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val nBuckets = 32
+    Layout.postingsWrite(docs, dir, nBuckets = nBuckets)
+
+    val query = Seq("spark", "query", "merge")
+    val served = Layout.bm25FromLayout(spark, dir, query, nBuckets = nBuckets)
+    val rows = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val adhoc = graft.ops.TextAnalysis.bm25(docs, query).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(rows == adhoc && rows.nonEmpty)
+
+    // the postings scan reads ≤ |query| buckets of nBuckets (partition
+    // pruning on the bucket dirs did the skipping; doclen/stats reads
+    // are separate scans and not counted against the postings dirs)
+    val postingsFilesTotal = spark.read.parquet(s"$dir/postings").inputFiles.length
+    val queryBuckets = query.map(Layout.postingsBucket(_, nBuckets)).distinct
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"no bucket partition filter in plan:\n$plan")
+    val scanned = org.apache.spark.sql.graftbridge.Bridge.scannedFileCounts(served)
+    assert(scanned.nonEmpty)
+    // the smallest per-scan count is the pruned postings scan
+    assert(scanned.min <= queryBuckets.length.toLong,
+      s"postings scan touched ${scanned.min} files for ${queryBuckets.length} buckets " +
+        s"(total $postingsFilesTotal)")
+  }
+
   test("rendezvous routing: balanced-ish spread; resharding moves only winners to the NEW shard") {
     import spark.implicits._
     val keys = (0L until 2000L).toDF("k")
