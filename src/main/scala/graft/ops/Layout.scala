@@ -92,6 +92,39 @@ object Layout {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /**
+   * Incremental index maintenance: tokenize ONLY `newDocs` and append
+   * their postings into the same bucket directories; doc lengths append
+   * likewise, and the stats row is replaced by exact long addition of
+   * the stored sums and the new docs' sums — the indexed corpus is
+   * never rescanned, so an ingest window costs O(new data) like
+   * [[statsIndexIncremental]]. Serving after an append is identical to
+   * a full rebuild over the union (`LayoutSpec` pins score equality).
+   * Caller contract: `newDocs` ids are new (re-indexing an id would
+   * double its postings — run a [[graft.ops.CorpusDiff]] first when in
+   * doubt).
+   */
+  def postingsAppend(newDocs: DataFrame, dir: String, nBuckets: Int = 64,
+                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val toks = newDocs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+    toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", (Sampling.hash32(col("tok")) % nBuckets).cast("int"))
+      .repartition(nBuckets, col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    val dl = newDocs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
+    dl.write.mode("append").parquet(s"$dir/doclen")
+    val old = spark.read.parquet(s"$dir/stats")
+      .select("n_docs", "sum_dl").collect()(0)
+    val fresh = dl.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    import spark.implicits._
+    Seq((old.getLong(0) + fresh.getLong(0), old.getLong(1) + fresh.getLong(1)))
+      .toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
   /** The bucket a term's postings live in (driver-side twin of the
     * writer's `hash32 % nBuckets`). */
   def postingsBucket(term: String, nBuckets: Int): Int = {

@@ -172,4 +172,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(oov(1L) == ((6L, 0.0)), s"doc1 fully covered: $oov")
     assert(oov(2L) == ((5L, 0.4)), s"doc2 has d d OOV of 5: $oov")
   }
+
+  test("pmiCollocations: a planted always-together pair outranks frequent-but-independent words") {
+    // 'new york' always adjacent; 'the' is everywhere next to everything
+    val docs = (0L until 30L).map { i =>
+      (i, s"the cat new york saw the dog w$i near new york and the bird")
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, minCount = 10)
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // (new, york) sits at the maximum PMI (other fully-deterministic
+    // word pairs in this synthetic tie with it — PMI is scale-free in
+    // the pair count) with its full 2-per-doc pair count
+    val ny = got.find(_._1 == (("new", "york"))).get
+    assert(ny._3 == got.head._3, got.take(5).mkString(", "))
+    assert(ny._2 == 60L) // 2 occurrences x 30 docs
+    // pairs involving 'the' (promiscuous) rank strictly below the top
+    val thePmi = got.filter(p => p._1._1 == "the" || p._1._2 == "the").map(_._3)
+    assert(thePmi.nonEmpty && thePmi.forall(_ < ny._3))
+  }
 }

@@ -146,6 +146,30 @@ class LayoutSpec extends SparkSpec {
         s"(total $postingsFilesTotal)")
   }
 
+  test("postings append: incremental maintenance equals full rebuild") {
+    val base = Files.createTempDirectory("layout-postings-inc").toString
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val first = docs.where(col("doc_id") % 3 =!= 0)
+    val later = docs.where(col("doc_id") % 3 === 0)
+    val nBuckets = 16
+
+    Layout.postingsWrite(first, s"$base/inc", nBuckets = nBuckets)
+    Layout.postingsAppend(later, s"$base/inc", nBuckets = nBuckets)
+    Layout.postingsWrite(docs, s"$base/full", nBuckets = nBuckets)
+
+    val query = Seq("spark", "query", "merge")
+    def scores(dir: String) = Layout.bm25FromLayout(spark, dir, query, nBuckets = nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val inc = scores(s"$base/inc")
+    val full = scores(s"$base/full")
+    assert(inc == full && inc.nonEmpty)
+
+    // stats were maintained by exact addition, not rescan
+    val st = spark.read.parquet(s"$base/inc/stats").collect()(0)
+    val expect = spark.read.parquet(s"$base/full/stats").collect()(0)
+    assert(st.getLong(0) == expect.getLong(0) && st.getLong(1) == expect.getLong(1))
+  }
+
   test("rendezvous routing: balanced-ish spread; resharding moves only winners to the NEW shard") {
     import spark.implicits._
     val keys = (0L until 2000L).toDF("k")
