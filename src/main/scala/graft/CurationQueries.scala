@@ -69,7 +69,10 @@ object CurationQueries {
     // are ≤ nCells rows and broadcast back onto the assignment.
     "q_embed_outliers" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val a = Similarity.assignCentroids(emb, clusterSeeds(emb))
+      // materialize the assignment once: both the stats aggregate and
+      // the final join read it — without this the VecDotMulti corpus
+      // pass runs twice (same reasoning as simhashNearPairs)
+      val a = Similarity.assignCentroids(emb, clusterSeeds(emb)).localCheckpoint()
       val dec = col("dist2").cast(org.apache.spark.sql.types.DecimalType(18, 6))
       val stats = a.groupBy("cell").agg(
         count(lit(1)).as("n"), sum(dec).as("s"), sum(dec * dec).as("sxx"))

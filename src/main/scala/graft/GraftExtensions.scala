@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.{Keccak256Expr, PgArrayParse, VecDot, WinnowFingerprints}
+import graft.functions.{HtmlStrip, Keccak256Expr, NfcNormalize, NgramHashes, NgramShingles, PgArrayParse, SimhashExpr, VecDot, WinnowFingerprints, ZOrderKey}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /**
  * SparkSessionExtensions installer: registers graft's custom Catalyst
@@ -57,8 +57,44 @@ object GraftExtensions {
       WinnowFingerprints(args.head, k = 8, w = 8)
     })
 
-  private def all: Seq[FunctionDescription] =
-    Seq(keccakDesc, pgArrayDesc, vecDotDesc, winnowDesc)
+  /** One-arg expression helper. */
+  private def unary(name: String, cls: Class[_],
+                    build: Expression => Expression): FunctionDescription = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"$name expects 1 argument")
+      build(args.head)
+    })
+
+  /** (expr, literal-int) expression helper (e.g. `ngram_hashes(text, 8)`). */
+  private def unaryWithInt(name: String, cls: Class[_],
+                           build: (Expression, Int) => Expression): FunctionDescription = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"$name expects 2 arguments (expr, INT literal)")
+      val n = args(1) match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$name: second argument must be an INT literal, got $other")
+      }
+      build(args.head, n)
+    })
+
+  private def all: Seq[FunctionDescription] = Seq(
+    keccakDesc, pgArrayDesc, vecDotDesc, winnowDesc,
+    unary("html_strip", classOf[HtmlStrip], HtmlStrip(_)),
+    unary("nfc_normalize", classOf[NfcNormalize], NfcNormalize(_)),
+    unary("simhash64", classOf[SimhashExpr], SimhashExpr(_)),
+    unaryWithInt("ngram_hashes", classOf[NgramHashes], NgramHashes(_, _)),
+    unaryWithInt("ngram_shingles", classOf[NgramShingles], NgramShingles(_, _)),
+    (FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "zorder_key expects 2 arguments")
+        ZOrderKey(args(0), args(1))
+      }))
 
   /** Register into an already-running session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

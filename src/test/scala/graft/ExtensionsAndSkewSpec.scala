@@ -29,6 +29,32 @@ class ExtensionsAndSkewSpec extends SparkSpec {
     assert(r.getInt(1) > 0)
   }
 
+  test("round-7 text/layout expressions callable from SQL") {
+    GraftExtensions.register(spark)
+    Seq(("<p>a &amp; b</p>", "x́bc", "the quick fox", 3L, 5L))
+      .toDF("h", "n", "t", "x", "y").createOrReplaceTempView("ext_r7")
+    val r = spark.sql(
+      """SELECT html_strip(h) AS clean, nfc_normalize(n) AS nfc,
+        |  simhash64(t) AS sh, size(ngram_hashes(t, 2)) AS ng,
+        |  ngram_shingles(t, 2) AS shingles, zorder_key(x, y) AS zk
+        |FROM ext_r7""".stripMargin).collect()(0)
+    assert(r.getString(0) == "a & b")
+    assert(r.getString(1) == "x́bc".replace("x́", "x́")) // NFC of x+combining = x́
+    // SQL results agree with the Column-API paths
+    val api = Seq(("<p>a &amp; b</p>", "the quick fox")).toDF("h", "t")
+      .select(graft.functions.HtmlStrip(col("h")),
+        graft.functions.SimhashExpr(col("t")),
+        graft.functions.NgramShingles(col("t"), 2)).collect()(0)
+    assert(r.getString(0) == api.getString(0))
+    assert(r.getLong(2) == api.getLong(1))
+    assert(r.getSeq[String](4) == api.getSeq[String](2))
+    assert(r.getInt(3) == 2) // "the quick", "quick fox"
+    // non-literal n is rejected with a clear error
+    val err = intercept[Exception](
+      spark.sql("SELECT ngram_hashes(t, cast(length(t) AS INT)) FROM ext_r7").collect())
+    assert(err.getMessage.contains("INT literal") || err.getMessage.contains("ngram_hashes"))
+  }
+
   test("salted equi-join equals plain join under extreme skew") {
     val large = (1 to 10000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "v") // 10% of rows share key 1
