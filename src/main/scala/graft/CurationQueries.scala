@@ -91,6 +91,15 @@ object CurationQueries {
       TextAnalysis.bm25(t(s, dir, "documents"), BmQuery)
         .orderBy(col("score").desc, col("doc_id")).limit(20)),
 
+    // ── Naive Bayes domain classifier (model-based corpus tagging) ─────
+    "q_nb_scores" -> ((s, dir) =>
+      graft.ops.NaiveBayes.domainScores(t(s, dir, "documents"))
+        .orderBy("doc_id", "label")),
+
+    "q_nb_predict" -> ((s, dir) =>
+      graft.ops.NaiveBayes.domainPredict(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // ── PMI collocations (statistical phrase discovery) ────────────────
     "q_pmi" -> ((s, dir) =>
       TextAnalysis.pmiCollocations(t(s, dir, "documents"), minCount = 20)
@@ -148,6 +157,35 @@ object CurationQueries {
       .sortBy(_._1)
 
   // ── Oracle SQL ───────────────────────────────────────────────────────
+
+  /** Naive Bayes score CTE body — mirrors NaiveBayes.domainScores term
+    * for term: exact-count model, (c+1)/(L+V) smoothing as one double
+    * division inside ln, per-doc sum of cnt·logp, prior added last,
+    * round(,6) at emission. Shared by q_nb_scores and q_nb_predict. */
+  private[graft] val sqlNbScoresBody: String =
+    """WITH toks AS (SELECT doc_id, source AS lbl, t.tok
+      |    FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      |    WHERE t.tok <> ''),
+      |  ct AS (SELECT lbl, tok, count(*) AS c FROM toks GROUP BY lbl, tok),
+      |  lt AS (SELECT lbl, count(*) AS l_total FROM toks GROUP BY lbl),
+      |  vocab AS (SELECT DISTINCT tok FROM toks),
+      |  vs AS (SELECT count(*) AS v FROM vocab),
+      |  pri AS (SELECT source AS lbl, count(*) AS n_lbl FROM documents GROUP BY source),
+      |  tot AS (SELECT count(*) AS n_all FROM documents),
+      |  model AS (SELECT vocab.tok, lt.lbl,
+      |      ln((coalesce(ct.c, 0) + 1)::DOUBLE / (lt.l_total + vs.v)::DOUBLE) AS logp
+      |    FROM vocab CROSS JOIN lt
+      |    LEFT JOIN ct ON ct.tok = vocab.tok AND ct.lbl = lt.lbl
+      |    CROSS JOIN vs),
+      |  dt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+      |  ll AS (SELECT dt.doc_id, model.lbl, sum(dt.cnt::DOUBLE * model.logp) AS s
+      |    FROM dt JOIN model ON dt.tok = model.tok GROUP BY dt.doc_id, model.lbl)
+      |SELECT ll.doc_id, ll.lbl AS label,
+      |  round(ln(pri.n_lbl::DOUBLE / tot.n_all) + ll.s, 6) AS score
+      |FROM ll JOIN pri ON ll.lbl = pri.lbl CROSS JOIN tot""".stripMargin
+
+  private[graft] val sqlNbScores: String =
+    sqlNbScoresBody + "\nORDER BY doc_id, label"
 
   private val sqlNTok =
     "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
@@ -239,6 +277,18 @@ object CurationQueries {
          |GROUP BY doc_id, dl
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
+
+    "q_nb_scores" -> CurationQueries.sqlNbScores,
+
+    "q_nb_predict" ->
+      s"""WITH scored AS (${CurationQueries.sqlNbScoresBody}),
+         |ranked AS (SELECT doc_id, label, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rk
+         |  FROM scored)
+         |SELECT r.doc_id, r.label AS predicted, d.source AS actual,
+         |  CAST(r.label = d.source AS INT) AS correct
+         |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+         |WHERE r.rk = 1 ORDER BY r.doc_id""".stripMargin,
 
     "q_pmi" ->
       """WITH toks AS (SELECT doc_id, i, ts[i] AS w

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Multinomial Naive Bayes over token counts — the classic count-based
+ * domain/source classifier (model-based corpus tagging: route unlabeled
+ * crawl shards to domains, sanity-check labeled ones). Everything
+ * derives from EXACT integer counts, so training is three aggregations
+ * and the model is reproducible bit-for-bit in any engine:
+ *
+ *   score(doc, label) = ln(n_docs(label) / N)                  [prior]
+ *     + Σ_{distinct tok} cnt(doc,tok) · ln((c(label,tok)+1) / (L(label)+V))
+ *
+ * with add-one smoothing over the corpus vocabulary V.
+ *
+ * Scale shape: the model is (V × #labels) rows of exact longs —
+ * token-keyed, built with map-side-combinable aggregations; scoring
+ * joins the doc's DISTINCT tokens (not occurrences) against the model
+ * on the token key and reduces per (doc, label). No broadcast of
+ * anything doc-scale; the model side broadcasts when it fits, else
+ * it's an 8-byte-key hash join. Floats appear only inside the two `ln`
+ * terms (exact-integer ratios) and the final per-doc sum, rounded at
+ * emission (the q_unigram_logprob discipline).
+ */
+object NaiveBayes {
+
+  /**
+   * Per-(doc, label) log-posterior scores, one row each, `score`
+   * rounded to 6. Tokens absent from the corpus vocabulary cannot
+   * occur (the vocab IS the corpus's); labels never seen with a doc's
+   * token contribute the smoothed floor ln(1/(L+V)).
+   */
+  def domainScores(docs: DataFrame, labelCol: String = "source",
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), col(labelCol).as("__lbl"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+
+    // exact-count model pieces
+    val classTok = toks.groupBy(col("__lbl"), col("tok")).agg(count(lit(1)).as("c"))
+    val classTotal = toks.groupBy(col("__lbl")).agg(count(lit(1)).as("l_total"))
+    val vocab = toks.select("tok").distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val priors = docs.groupBy(col(labelCol).as("__lbl"))
+      .agg(count(lit(1)).as("n_lbl"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_all"))))
+
+    // complete (tok × label) grid so unseen (label, tok) pairs take the
+    // smoothed floor; built from vocab × labels, counts coalesced to 0
+    val model = vocab.crossJoin(classTotal)
+      .join(classTok, Seq("tok", "__lbl"), "left")
+      .crossJoin(broadcast(vSize))
+      .select(col("tok"), col("__lbl"),
+        log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("l_total") + col("v")).cast("double")).as("logp"))
+
+    // per-doc distinct-token counts (multiplicity as an exact factor,
+    // NOT repeated float addition — the sum shape the oracle mirrors)
+    val docTok = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+
+    docTok.join(model, Seq("tok"))
+      .groupBy(col(idCol), col("__lbl"))
+      .agg(sum(col("cnt").cast("double") * col("logp")).as("__ll"))
+      .join(broadcast(priors), Seq("__lbl"))
+      .select(col(idCol), col("__lbl").as("label"),
+        round(log(col("n_lbl").cast("double") / col("n_all")) + col("__ll"), 6)
+          .as("score"))
+  }
+
+  /**
+   * Argmax prediction per doc with a fully deterministic cut: the max
+   * is taken over the ROUNDED scores (ties break to the smaller label),
+   * so both engines order identical values. Returns
+   * (id, predicted, actual, correct).
+   */
+  def domainPredict(docs: DataFrame, labelCol: String = "source",
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = domainScores(docs, labelCol, idCol, textCol)
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("label"))
+    val top = scores.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col(idCol), col("label").as("predicted"))
+    top.join(docs.select(col(idCol), col(labelCol).as("actual")), Seq(idCol))
+      .withColumn("correct", (col("predicted") === col("actual")).cast("int"))
+  }
+}
