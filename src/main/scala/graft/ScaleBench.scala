@@ -47,7 +47,10 @@ object ScaleBench {
       // bm25 (postings prune + broadcasts: growth should track matching
       // postings) and the exact-rank quality gate (per-source window
       // sort — the one deliberate sort in the curation set)
-      "q_bm25", "q_quality_gate")
+      "q_bm25", "q_quality_gate",
+      // NB: the model is (vocab × labels) exact longs — 10× duplication
+      // adds zero vocab, so only the scoring join should grow
+      "q_nb_predict")
 
   /** Tables those queries read (only these are amplified). */
   private val AmplifiedTables =
