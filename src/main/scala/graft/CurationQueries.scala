@@ -199,7 +199,10 @@ object CurationQueries {
   def oracleSql: Map[String, String] = Map(
 
     "q_gopher_rules" -> {
-      val stop = Seq("the", "a", "of", "and", "in").map(sqlOcc).mkString(" + ")
+      // stopword tokens via list_filter — token semantics, counting
+      // adjacent repeats (mirrors TextAnalysis.gopherRules exactly)
+      val stop = "len(list_filter(string_split(text, ' '), " +
+        "t -> t IN ('the', 'a', 'of', 'and', 'in')))"
       val digits = ('0' to '9').map(sqlChar).mkString(" + ")
       s"""WITH t AS (SELECT doc_id,
          |  CAST($sqlNTok AS BIGINT) AS n_words,
@@ -304,7 +307,7 @@ object CurationQueries {
         |  WHERE ts[i] <> '' AND ts[i+1] <> ''
         |  GROUP BY 1, 2),
         |np AS (SELECT sum(cp) AS n_pair FROM pairs)
-        |SELECT w2, w1, cp,
+        |SELECT w1, w2, cp,
         |  round(ln((cp::DOUBLE * n_tok * n_tok) /
         |    (n_pair::DOUBLE * a.cu * b.cu)), 6) AS pmi
         |FROM pairs

@@ -88,9 +88,18 @@ object Layout {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
     val dl = docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
     dl.write.mode("overwrite").parquet(s"$dir/doclen")
+    // nBuckets rides in the stats row: append/serve READ it, so a
+    // mismatched caller parameter cannot silently bucket new postings
+    // differently (wrong-dir appends) or prune serving reads to the
+    // wrong directories (silently missing docs)
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets))
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
+
+  /** The layout's bucket count, from the stats sidecar. */
+  def postingsBuckets(spark: SparkSession, dir: String): Int =
+    spark.read.parquet(s"$dir/stats").select("n_buckets").collect()(0).getInt(0)
 
   /**
    * Incremental index maintenance: tokenize ONLY `newDocs` and append
@@ -104,9 +113,10 @@ object Layout {
    * double its postings — run a [[graft.ops.CorpusDiff]] first when in
    * doubt).
    */
-  def postingsAppend(newDocs: DataFrame, dir: String, nBuckets: Int = 64,
+  def postingsAppend(newDocs: DataFrame, dir: String,
                      idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = newDocs.sparkSession
+    val nBuckets = postingsBuckets(spark, dir) // the layout's, never a guess
     val toks = newDocs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .where(col("tok") =!= "")
@@ -120,8 +130,8 @@ object Layout {
       .select("n_docs", "sum_dl").collect()(0)
     val fresh = dl.agg(count(lit(1)), sum(col("dl"))).collect()(0)
     import spark.implicits._
-    Seq((old.getLong(0) + fresh.getLong(0), old.getLong(1) + fresh.getLong(1)))
-      .toDF("n_docs", "sum_dl")
+    Seq((old.getLong(0) + fresh.getLong(0), old.getLong(1) + fresh.getLong(1), nBuckets))
+      .toDF("n_docs", "sum_dl", "n_buckets")
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
@@ -142,9 +152,10 @@ object Layout {
    * partition filter, `tok IN (terms)` prunes within the bucket.
    */
   def bm25FromLayout(spark: SparkSession, dir: String, query: Seq[String],
-                     k1: Double = 1.2, b: Double = 0.75, nBuckets: Int = 64,
+                     k1: Double = 1.2, b: Double = 0.75,
                      idCol: String = "doc_id"): DataFrame = {
     require(query.nonEmpty, "bm25 needs at least one query term")
+    val nBuckets = postingsBuckets(spark, dir) // the layout's, never a guess
     val buckets = query.map(postingsBucket(_, nBuckets)).distinct
     val tf = spark.read.parquet(s"$dir/postings")
       .where(col("bucket").isin(buckets: _*) && col("tok").isin(query: _*))

@@ -34,10 +34,15 @@ object NaiveBayes {
    */
   def domainScores(docs: DataFrame, labelCol: String = "source",
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // tokenize ONCE: four model aggregations (class counts, class
+    // totals, vocab, per-doc counts) all read this — without the
+    // checkpoint each one re-runs the corpus-scale explode (measured
+    // super-linear in the scaling bench before the fix)
     val toks = docs
       .select(col(idCol), col(labelCol).as("__lbl"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .where(col("tok") =!= "")
+      .localCheckpoint()
 
     // exact-count model pieces
     val classTok = toks.groupBy(col("__lbl"), col("tok")).agg(count(lit(1)).as("c"))
@@ -74,7 +79,10 @@ object NaiveBayes {
    * Argmax prediction per doc with a fully deterministic cut: the max
    * is taken over the ROUNDED scores (ties break to the smaller label),
    * so both engines order identical values. Returns
-   * (id, predicted, actual, correct).
+   * (id, predicted, actual, correct). A doc with NO non-empty tokens
+   * has no likelihood rows, so it falls back to the prior argmax
+   * (largest label by doc count, ties to the smaller label) instead of
+   * silently vanishing from the output.
    */
   def domainPredict(docs: DataFrame, labelCol: String = "source",
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -84,7 +92,13 @@ object NaiveBayes {
     val top = scores.withColumn("__rk", row_number().over(w))
       .where(col("__rk") === 1)
       .select(col(idCol), col("label").as("predicted"))
-    top.join(docs.select(col(idCol), col(labelCol).as("actual")), Seq(idCol))
+    val priorTop = docs.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(labelCol)).limit(1)
+      .collect()(0).getString(0)
+    docs.select(col(idCol), col(labelCol).as("actual"))
+      .join(top, Seq(idCol), "left")
+      .withColumn("predicted", coalesce(col("predicted"), lit(priorTop)))
+      .select(col(idCol), col("predicted"), col("actual"))
       .withColumn("correct", (col("predicted") === col("actual")).cast("int"))
   }
 }

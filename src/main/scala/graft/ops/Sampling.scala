@@ -109,7 +109,10 @@ object Sampling {
     val cw = Window.partitionBy(stratum)
     df.withColumn("__rk", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(cw))
-      .where(col("__rk") * 100 <= lit(pct.toLong) * col("__n"))
+      // rank cast to LONG before the multiply: row_number is an Int and
+      // an int `rank * 100` overflows past ~21.4M rows per stratum
+      // (ANSI kills the job; legacy silently keeps wrong rows)
+      .where(col("__rk").cast("long") * 100L <= lit(pct.toLong) * col("__n"))
       .drop("__rk", "__n")
   }
 }

@@ -388,9 +388,13 @@ object TextAnalysis {
                   minWords: Long = 20, maxWords: Long = 100000): Seq[(String, Column)] = {
     val nTok = tokenCount(text)
     val nChars = length(replace(text, lit(" "), lit(""))).cast("long")
-    val stopHits = Seq("the", "a", "of", "and", "in")
-      .map(w => occurrences(concat(lit(" "), text, lit(" ")), s" $w "))
-      .reduce(_ + _).cast("long")
+    // stopword TOKENS, counted as tokens (an array filter) — the
+    // replace-based occurrences() undercounts ADJACENT repeats of the
+    // same stopword ("the the" -> 1, the shared delimiter space is
+    // consumed), and the Gopher rule counts tokens
+    val stopWords = Seq("the", "a", "of", "and", "in")
+    val stopHits = size(filter(tokens(text),
+      t => stopWords.map(w => t === w).reduce(_ || _))).cast("long")
     val nDigits = ('0' to '9')
       .map(d => occurrences(text, d.toString))
       .reduce(_ + _).cast("long")

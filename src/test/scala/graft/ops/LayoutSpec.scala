@@ -123,7 +123,7 @@ class LayoutSpec extends SparkSpec {
     Layout.postingsWrite(docs, dir, nBuckets = nBuckets)
 
     val query = Seq("spark", "query", "merge")
-    val served = Layout.bm25FromLayout(spark, dir, query, nBuckets = nBuckets)
+    val served = Layout.bm25FromLayout(spark, dir, query)
     val rows = served.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     val adhoc = graft.ops.TextAnalysis.bm25(docs, query).collect()
@@ -146,6 +146,22 @@ class LayoutSpec extends SparkSpec {
         s"(total $postingsFilesTotal)")
   }
 
+  test("postings layout remembers nBuckets: append and serve read it from the sidecar") {
+    val dir = Files.createTempDirectory("layout-postings-nb").toString + "/idx"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    Layout.postingsWrite(docs.where(col("doc_id") < 50), dir, nBuckets = 8)
+    assert(Layout.postingsBuckets(spark, dir) == 8)
+    // append + serve carry no bucket parameter: a caller cannot
+    // mis-bucket appends or mis-prune reads with a wrong guess
+    Layout.postingsAppend(docs.where(col("doc_id") >= 50), dir)
+    assert(Layout.postingsBuckets(spark, dir) == 8)
+    val served = Layout.bm25FromLayout(spark, dir, Seq("spark", "query"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val adhoc = graft.ops.TextAnalysis.bm25(docs, Seq("spark", "query"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(served == adhoc && served.nonEmpty)
+  }
+
   test("postings append: incremental maintenance equals full rebuild") {
     val base = Files.createTempDirectory("layout-postings-inc").toString
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
@@ -154,11 +170,11 @@ class LayoutSpec extends SparkSpec {
     val nBuckets = 16
 
     Layout.postingsWrite(first, s"$base/inc", nBuckets = nBuckets)
-    Layout.postingsAppend(later, s"$base/inc", nBuckets = nBuckets)
+    Layout.postingsAppend(later, s"$base/inc")
     Layout.postingsWrite(docs, s"$base/full", nBuckets = nBuckets)
 
     val query = Seq("spark", "query", "merge")
-    def scores(dir: String) = Layout.bm25FromLayout(spark, dir, query, nBuckets = nBuckets)
+    def scores(dir: String) = Layout.bm25FromLayout(spark, dir, query)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     val inc = scores(s"$base/inc")
     val full = scores(s"$base/full")

@@ -47,6 +47,16 @@ class NaiveBayesSpec extends SparkSpec {
     assert(re == pred.view.mapValues(_._1).toMap)
   }
 
+  test("token-less docs fall back to the prior argmax instead of vanishing") {
+    val withEmpty = docs.union(Seq((9L, "b", ""), (10L, "a", "   ")).toDF("doc_id", "source", "text"))
+    val pred = NaiveBayes.domainPredict(withEmpty).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred.size == 6) // all 6 docs present, including the 2 empty ones
+    // prior tie (2 a-docs + the empty one counts too... priors come from
+    // the doc table: a=3, b=3 -> tie -> smaller label 'a')
+    assert(pred(9L) == "a" && pred(10L) == "a", pred.toString)
+  }
+
   test("real corpus: every (doc, source) pair scored, scores finite") {
     val d = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     val n = d.count()
