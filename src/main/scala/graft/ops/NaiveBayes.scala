@@ -66,7 +66,11 @@ object NaiveBayes {
     // NOT repeated float addition — the sum shape the oracle mirrors)
     val docTok = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
 
-    docTok.join(model, Seq("tok"))
+    // broadcast the MODEL explicitly: it is V×labels rows, but its
+    // lineage (aggregates + cross joins) defeats size estimation and
+    // Spark was observed broadcasting the doc-scale side instead
+    // (1.5M-row driver collect at the 10× bench — 20s, super-linear)
+    docTok.join(broadcast(model), Seq("tok"))
       .groupBy(col(idCol), col("__lbl"))
       .agg(sum(col("cnt").cast("double") * col("logp")).as("__ll"))
       .join(broadcast(priors), Seq("__lbl"))
