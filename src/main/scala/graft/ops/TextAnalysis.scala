@@ -499,9 +499,12 @@ object TextAnalysis {
       .where(col("w") =!= "" && col("w2").isNotNull && col("w2") =!= "")
       .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("cp"))
     val nPair = pairsAll.agg(sum(col("cp")).as("n_pair"))
+    // vocab-sized unigram tables are broadcast EXPLICITLY — their
+    // aggregate lineage defeats size estimation (the NB scoring join
+    // was observed broadcasting the doc-scale side without the hint)
     pairsAll.where(col("cp") >= minCount)
-      .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
-      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cu1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cu2"))), Seq("w2"))
       .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPair))
       .select(col("w1"), col("w2"), col("cp"),
         round(log((col("cp").cast("double") * col("n_tok") * col("n_tok")) /
