@@ -283,15 +283,25 @@ object CurationQueries {
 
     "q_nb_scores" -> CurationQueries.sqlNbScores,
 
+    // LEFT JOIN from documents + prior-argmax COALESCE mirrors
+    // NaiveBayes.domainPredict's token-less-doc fallback exactly — a doc
+    // with no tokens has no scored rows, and the Spark side predicts the
+    // most-frequent label (ties by label asc) rather than dropping it
     "q_nb_predict" ->
       s"""WITH scored AS (${CurationQueries.sqlNbScoresBody}),
          |ranked AS (SELECT doc_id, label, score,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rk
-         |  FROM scored)
-         |SELECT r.doc_id, r.label AS predicted, d.source AS actual,
-         |  CAST(r.label = d.source AS INT) AS correct
-         |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
-         |WHERE r.rk = 1 ORDER BY r.doc_id""".stripMargin,
+         |  FROM scored),
+         |prior AS (SELECT source AS plabel FROM documents
+         |  GROUP BY source ORDER BY count(*) DESC, source LIMIT 1)
+         |SELECT d.doc_id, COALESCE(r.label, p.plabel) AS predicted,
+         |  d.source AS actual,
+         |  CAST(COALESCE(r.label, p.plabel) = d.source AS INT) AS correct
+         |FROM documents d
+         |LEFT JOIN (SELECT doc_id, label FROM ranked WHERE rk = 1) r
+         |  ON d.doc_id = r.doc_id
+         |CROSS JOIN prior p
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_pmi" ->
       """WITH toks AS (SELECT doc_id, i, ts[i] AS w

@@ -83,7 +83,16 @@ final class Retriever(cache: ContentStore, cold: Option[ContentStore] = None) {
         case Some(payload) =>
           val out = extractDir.resolve(cid + ".bin")
           if (!Files.exists(out)) {
-            Files.write(out, payload)
+            // temp-write + atomic move: concurrent retrievals of the same
+            // cid may both pass the exists gate; neither may expose a
+            // half-written file to a third reader
+            val tmp = Files.createTempFile(extractDir, cid, ".part")
+            Files.write(tmp, payload)
+            try Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                Files.deleteIfExists(tmp) // the race's loser: winner's bytes are identical
+            }
             out.toFile.deleteOnExit()
           }
           out

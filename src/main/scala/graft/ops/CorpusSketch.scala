@@ -56,12 +56,19 @@ object CorpusSketch {
     val marked = union
       .join(sa.withColumn("in_a", lit(1)), Seq("h"), "left")
       .join(sb.withColumn("in_b", lit(1)), Seq("h"), "left")
-    marked.agg(
+    val out = marked.agg(
       count(lit(1)).as("k_used"),
       sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("n_both"))
       .select(col("k_used"), col("n_both"),
         round(col("n_both").cast("double") / col("k_used").cast("double"), 6)
           .as("jaccard_est"))
+    // one-row result: materialize, then release the two k-row sketch
+    // caches (no leaked blocks across invocations in a long session)
+    val spark = a.sparkSession
+    val rows = out.collect()
+    sa.unpersist(); sb.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }
 
   /**

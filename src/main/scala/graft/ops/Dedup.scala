@@ -427,17 +427,21 @@ object Dedup {
    * Returns (idCol, n_chunks, n_kept, text_dedup); documents whose
    * every chunk was seen earlier disappear (empty docs too).
    *
-   * Scale shape: one shuffle partitioned on the chunk text for the
-   * first-occurrence window (at extreme scale partition on md5(chunk)
-   * — same result, 32-byte keys), one per-doc reassembly aggregation;
-   * reassembly order is pinned via sort_array over (chunk_id, chunk).
+   * Scale shape: one shuffle partitioned on md5(chunk) for the
+   * first-occurrence window — 32-byte hex keys instead of the raw
+   * ~150-200 B chunk text (~6× less shuffle-key volume at 100 TB; the
+   * text rides as payload, and an md5 collision would only merge two
+   * distinct chunks' windows, odds ~2⁻¹²⁸·C(n,2)) — then one per-doc
+   * reassembly aggregation; reassembly order is pinned via sort_array
+   * over (chunk_id, chunk).
    */
   def corpusChunkDedup(docs: DataFrame, chunkTokens: Int,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ch = TextAnalysis.chunks(docs, chunkSize = chunkTokens, overlap = 0, idCol, textCol)
       .where(col("chunk") =!= "")
-    val w = Window.partitionBy("chunk").orderBy(col(idCol), col("chunk_id"))
+      .withColumn("__ck", md5(col("chunk")))
+    val w = Window.partitionBy("__ck").orderBy(col(idCol), col("chunk_id"))
     val kept = ch.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
     val perDoc = ch.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
     kept.groupBy(col(idCol))

@@ -128,11 +128,25 @@ object Layout {
     dl.write.mode("append").parquet(s"$dir/doclen")
     val old = spark.read.parquet(s"$dir/stats")
       .select("n_docs", "sum_dl").collect()(0)
-    val fresh = dl.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    // coalesce: sum over zero rows aggregates to null (empty newDocs is
+    // a legal no-op append, not an NPE)
+    val fresh = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
     import spark.implicits._
-    Seq((old.getLong(0) + fresh.getLong(0), old.getLong(1) + fresh.getLong(1), nBuckets))
+    val stats = Seq((old.getLong(0) + fresh.getLong(0), old.getLong(1) + fresh.getLong(1), nBuckets))
       .toDF("n_docs", "sum_dl", "n_buckets")
-      .write.mode("overwrite").parquet(s"$dir/stats")
+    // sibling-dir + rename (compactIndex's dance): the read-then-overwrite
+    // of the stats row must not be able to crash into a stats-less layout
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/stats.new")
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/stats.old")
+    fs.delete(tmp, true)
+    stats.write.parquet(tmp.toString)
+    fs.delete(bak, true)
+    if (!fs.rename(dst, bak) || !fs.rename(tmp, dst))
+      sys.error(s"postingsAppend: stats rename failed for $dir")
+    fs.delete(bak, true)
   }
 
   /** The bucket a term's postings live in (driver-side twin of the

@@ -167,7 +167,7 @@ object Mixing {
     val dTot = dt.groupBy(col(keyCol)).agg(sum("c").as("n"))
     val corpus = dt.groupBy("tok").agg(sum("c").as("cc"))
     val total = corpus.agg(sum("cc").as("tt"))
-    dt.join(broadcast(dTot), Seq(keyCol))
+    val out = dt.join(broadcast(dTot), Seq(keyCol))
       .join(broadcast(corpus), Seq("tok"))
       .crossJoin(broadcast(total))
       .groupBy(col(keyCol))
@@ -176,5 +176,13 @@ object Mixing {
           log2((col("c").cast("double") * col("tt").cast("double")) /
                (col("n").cast("double") * col("cc").cast("double")))), 6)
           .as("kl_bits"))
+    // the result is #domains rows: materialize it, then drop the cached
+    // (domain, token) table so a long-lived session doesn't leak a
+    // corpus-vocab-sized block per invocation
+    val spark = docs.sparkSession
+    val rows = out.collect()
+    dt.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }
 }

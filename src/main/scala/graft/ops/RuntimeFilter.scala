@@ -1,7 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{BinaryType, LongType}
 
 /**
  * Runtime (Bloom) filter pre-join pruning — the "small dim restricts a
@@ -19,10 +22,12 @@ import org.apache.spark.sql.functions._
  * it where the optimizer's heuristics don't fire (non-equi pre-filters,
  * multi-stage pipelines, checkpointed intermediates).
  *
- * The membership probe is a Scala UDF (Spark's `BloomFilter` sketch has
- * no public expression form); it costs a few hash ops per row and sits
- * behind the scan filter, so it does not break codegen of the surrounding
- * stages.
+ * The membership probe is Spark's own codegen'd
+ * [[BloomFilterMightContain]] expression (what `InjectRuntimeFilter`
+ * plants) over the serialized filter bits as a binary literal — the
+ * pre-filter stage stays inside whole-stage codegen, no Scala UDF. The
+ * literal rides the plan the same way the optimizer's subquery result
+ * would; at ~10 bits/key it is kilobytes for any broadcastable dim.
  */
 object RuntimeFilter {
 
@@ -35,10 +40,18 @@ object RuntimeFilter {
     val dimKeys = dim.select(col(dimKey).as("__rf_key")).distinct()
     val expected = math.max(dimKeys.count(), 1L)
     val bloom = dimKeys.stat.bloomFilter("__rf_key", expected, fpp)
-    val bcast = fact.sparkSession.sparkContext.broadcast(bloom)
-    val might = udf((k: java.lang.Long) =>
-      k != null && bcast.value.mightContainLong(k))
-    fact.where(might(col(factKey)))
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    // stat.bloomFilter inserts the RAW long keys (not xxhash64 of them,
+    // which is what BloomFilterAggregate would store), so the probe value
+    // is the key itself cast to long
+    val might = Bridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      Bridge.expression(col(factKey).cast(LongType))))
+    fact.where(might)
       .join(dimKeys, col(factKey) === col("__rf_key"), "left_semi")
   }
 }

@@ -455,7 +455,13 @@ object Similarity {
           element_at(array((0 until m).map(s => col(s"__c$s")): _*),
             (col("d") / ds).cast("int") + 1).as("code"),
           (col("d") % ds).as("dw"), col("v"))
-        .groupBy("sub", "code", "dw").agg(avg(col("v").cast("double")).as("mean"))
+        // exact decimal sums + one driver-side divide, NOT a shuffled avg:
+        // decimal addition is order-independent, so the trained centroids
+        // are bit-identical at any partitioning/AQE plan (the stats-agg
+        // queries use the same discipline)
+        .groupBy("sub", "code", "dw").agg(
+          sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 18))).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val bySubCode = agg.groupBy(r => (r.getInt(0), r.getInt(1)))
       books = books.zipWithIndex.map { case (book, s) =>
@@ -463,7 +469,7 @@ object Similarity {
           bySubCode.get((s, cid)) match {
             case Some(rows) =>
               val c = old.clone()
-              rows.foreach(r => c(r.getInt(2)) = r.getDouble(3))
+              rows.foreach(r => c(r.getInt(2)) = r.getDecimal(3).doubleValue() / r.getLong(4))
               (cid, c)
             case None => (cid, old)
           }

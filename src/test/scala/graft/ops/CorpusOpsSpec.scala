@@ -110,6 +110,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out.contains(3L), s"doc 3 must vanish: $out")
   }
 
+  test("corpusChunkDedup md5 shuffle keys: identical to a raw-text-keyed window") {
+    import org.apache.spark.sql.expressions.Window
+    // a corpus with cross-doc duplicate chunks, empty chunks, and docs
+    // that vanish entirely — the md5-keyed production form must match a
+    // reference computed with the window partitioned on the raw text
+    val docs = (1L to 40L).map { i =>
+      val shared = s"common ${i % 5} span tok"
+      val own = s"own$i a b c"
+      (i, if (i % 7 == 0) shared else s"$shared $own")
+    }.toDF("doc_id", "text")
+    val got = Dedup.corpusChunkDedup(docs, chunkTokens = 4)
+      .orderBy("doc_id").collect().map(_.toSeq)
+
+    val ch = TextAnalysis.chunks(docs, chunkSize = 4, overlap = 0, "doc_id", "text")
+      .where(col("chunk") =!= "")
+    val w = Window.partitionBy("chunk").orderBy(col("doc_id"), col("chunk_id"))
+    val kept = ch.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    val perDoc = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val ref = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("text_dedup"))
+      .join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("text_dedup"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(got.toSeq == ref.toSeq)
+  }
+
   test("containmentVerify: embedded short doc has containment 1 from its side") {
     val short = "alpha beta gamma delta epsilon" // 3 shingles at n=3
     val long = short + " zeta eta theta iota kappa lambda mu nu xi"

@@ -162,6 +162,18 @@ class LayoutSpec extends SparkSpec {
     assert(served == adhoc && served.nonEmpty)
   }
 
+  test("postings append of ZERO new docs is a no-op, not an NPE") {
+    val dir = Files.createTempDirectory("layout-postings-empty").toString + "/idx"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    Layout.postingsWrite(docs.where(col("doc_id") < 50), dir, nBuckets = 8)
+    val before = spark.read.parquet(s"$dir/stats").collect()(0)
+    Layout.postingsAppend(docs.where(lit(false)), dir) // empty batch
+    val after = spark.read.parquet(s"$dir/stats").collect()(0)
+    assert(after.getLong(0) == before.getLong(0) &&
+           after.getLong(1) == before.getLong(1) &&
+           after.getInt(2) == 8)
+  }
+
   test("postings append: incremental maintenance equals full rebuild") {
     val base = Files.createTempDirectory("layout-postings-inc").toString
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")

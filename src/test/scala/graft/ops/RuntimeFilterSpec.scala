@@ -23,6 +23,17 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("pre-filter stage is codegen'd might_contain, not a Scala UDF") {
+    // spark.range, not a local Seq: ConvertToLocalRelation would evaluate
+    // a filter over a LocalRelation away at optimize time and hide the node
+    val fact = spark.range(100).toDF("k")
+    val dim = Seq(1L, 50L).toDF("dk")
+    val plan = RuntimeFilter.bloomSemiJoin(fact, "k", dim, "dk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected native bloom probe in:\n$plan")
+    assert(!plan.contains("UDF"), s"no interpreted UDF node allowed in:\n$plan")
+  }
+
   test("null fact keys never match") {
     val fact = Seq(Some(1L), None, Some(2L)).toDF("k")
     val dim = Seq(1L, 2L).toDF("dk")
