@@ -335,7 +335,9 @@ class WalScan(options: Map[String, String]) extends Scan {
             readTimeoutMs = options.get("pgreadtimeoutms").map(_.toInt).getOrElse(120000)),
           publication = options.getOrElse("publication",
             throw new IllegalArgumentException("graft-wal with pgHost requires option 'publication'")),
-          spoolDir = dir)
+          spoolDir = dir,
+          segmentBytes = options.get("segmentbytes").map(_.toLong)
+            .getOrElse(graft.cdc.pgwire.PgWalFeed.DefaultSegmentBytes))
         f.start()
         f
       case None => new FileWalFeed(dir)

@@ -37,12 +37,16 @@ object StreamPipeline {
       availableNow: Boolean = false,
       maxTxPerTrigger: Option[Int] = None,
       replayActions: Set[String] = Set("I"),
-      singleFile: Boolean = true): StreamingQuery = {
+      singleFile: Boolean = true,
+      sourceOptions: Map[String, String] = Map.empty): StreamingQuery = {
 
     schemas.foreach(_.validate())
     // custom CDC source (graft.cdc.source.WalSource): LSN offsets +
-    // ack-on-commit, the S1-S5 semantics; yields (value, commit_lsn)
+    // ack-on-commit, the S1-S5 semantics; yields (value, commit_lsn).
+    // `sourceOptions` passes transport switches through (pgHost/pgPort/
+    // publication select the pg-wire feed spooling into walInputDir).
     var reader = spark.readStream.format("graft-wal").option("path", walInputDir)
+    sourceOptions.foreach { case (k, v) => reader = reader.option(k, v) }
     maxTxPerTrigger.foreach(n => reader = reader.option("maxTxPerTrigger", n.toString))
     val lines = reader.load()
 

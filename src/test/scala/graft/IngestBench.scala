@@ -1,0 +1,265 @@
+package graft
+
+import graft.cdc.{TableColumn, TableSchema}
+import graft.cdc.pgwire.{FakeWalsender, PgWire}
+import graft.engine.{LocalContentStore, StreamPipeline}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/**
+ * Flagship-path ingest benchmark: the full CDC pipeline — `WalSource` →
+ * wal2json decode → typed pivot → `VaultSink` (parquet + sign + content
+ * store + event log) — measured end-to-end through BOTH transports:
+ *
+ *  - **file feed**: pre-spooled JSON-lines WAL consumed with
+ *    `Trigger.AvailableNow` (deterministic drain, multiple micro-batches
+ *    via `maxTxPerTrigger`), at 1× and at 10× for a scaling row;
+ *  - **pg feed**: a live (fake) walsender streaming wal2json frames over
+ *    a real localhost socket into the pg-wire client, assembled and
+ *    spooled to rolling segments (small `segmentBytes` so segment GC
+ *    runs under load), consumed concurrently by the same pipeline.
+ *
+ * This is the measured analog of the reference's entire purpose
+ * (`internal/app/streamer.go:39-64`) — the one surface the 138-query
+ * batch bench never times. Lives in test sources because the pg side
+ * drives the [[FakeWalsender]] test double (zero-egress build: no real
+ * Postgres); run with `sbt "Test/runMain graft.IngestBench"`. Writes
+ * `INGEST_BENCH.json` (env `SPARK_GRAFT_INGEST_OUT` overrides), gated by
+ * `IngestBenchSpec`'s parse check.
+ *
+ * Workload: `SPARK_GRAFT_INGEST_TX` transactions (default 100k), 10
+ * records each across 3 tables = 1M+ row changes at the default, every
+ * batch's rows verified against the store artifacts.
+ */
+object IngestBench {
+
+  private val RecordsPerTx = 10
+  private val TableNames = Seq("t0", "t1", "t2")
+
+  private val schemas: Seq[TableSchema] = TableNames.map(tn =>
+    TableSchema(tn, Seq(
+      TableColumn("id", "integer", nullable = false, isPrimary = true),
+      TableColumn("name", "text", nullable = false, isPrimary = false),
+      TableColumn("v", "double precision", nullable = false, isPrimary = false))))
+
+  /** wal2json v2 record for one insert (deterministic content). */
+  private def record(tx: Long, i: Int): String = {
+    val table = TableNames((tx % TableNames.length).toInt) // one table per tx
+    val id = tx * RecordsPerTx + i
+    s"""{"action":"I","xid":$tx,"lsn":"0/${(tx * 16 + i).toHexString}","nextlsn":"","timestamp":"2024-01-01 00:00:00.000000+00","schema":"public","table":"$table","columns":[{"name":"id","type":"integer","value":$id},{"name":"name","type":"text","value":"row-$tx-$i-payload-abcdefghijklmnop"},{"name":"v","type":"double precision","value":${(id % 1000)}.25}],"pk":[{"name":"id","type":"integer"}]}"""
+  }
+
+  private def commitLsn(tx: Long): Long = 0x1000L * (tx + 1)
+
+  /** One spool envelope line (the FileWalFeed wire format). */
+  private def txLine(tx: Long): String =
+    s"""{"commit_lsn":${commitLsn(tx)},"records":[${(0 until RecordsPerTx).map(record(tx, _)).mkString(",")}]}"""
+
+  /** Write `nTx` envelope lines into `files` spool files, LSN-ordered
+    * within each file (the feed's index merges across files). */
+  private def genSpool(dir: String, nTx: Long, files: Int): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val perFile = (nTx + files - 1) / files
+    for (f <- 0 until files) {
+      val p = Paths.get(dir, f"wal-$f%04d.jsonl")
+      val out = Files.newBufferedWriter(p, StandardCharsets.UTF_8,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        var tx = f * perFile
+        while (tx < math.min((f + 1) * perFile, nTx)) {
+          out.write(txLine(tx)); out.write("\n")
+          tx += 1
+        }
+      } finally out.close()
+    }
+  }
+
+  /** wal2json frame stream for the fake walsender, generated lazily so a
+    * million-record script never materializes in memory: element i is
+    * computed on access (B, R×10, C per tx). */
+  private def frameStream(nTx: Long): IndexedSeq[(Long, String)] =
+    new scala.collection.immutable.IndexedSeq[(Long, String)] {
+      private val perTx = RecordsPerTx + 2
+      override def length: Int = (nTx * perTx).toInt
+      override def apply(i: Int): (Long, String) = {
+        val tx = i / perTx
+        val j = i % perTx
+        val ct = PgWire.Lsn.format(commitLsn(tx))
+        val payload =
+          if (j == 0) s"""{"action":"B","xid":$tx,"lsn":"0/F00","nextlsn":"$ct","timestamp":"ts"}"""
+          else if (j == perTx - 1) s"""{"action":"C","xid":$tx,"lsn":"0/F09","nextlsn":"$ct","timestamp":"ts"}"""
+          else record(tx, j - 1)
+        (0xF000L + i.toLong * 8, payload)
+      }
+    }
+
+  /** Collects per-batch progress keyed by query runId — the listener bus
+    * is ASYNC and global, so a previous query's late events can arrive
+    * after this collector registers; counting them would fake an early
+    * drain. Callers read only their own run's rows. */
+  private final class ProgressCollector extends StreamingQueryListener {
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(java.util.UUID, Long, Long, Long)]()
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      if (p.numInputRows > 0) {
+        val dur = Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
+        batches.add((p.runId, p.batchId, p.numInputRows, dur))
+      }
+    }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    def rowsOf(runId: java.util.UUID): Long = {
+      import scala.jdk.CollectionConverters._
+      batches.asScala.filter(_._1 == runId).map(_._3).sum
+    }
+    def dursOf(runId: java.util.UUID): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      batches.asScala.filter(_._1 == runId).map(_._4).toSeq
+    }
+  }
+
+  private def latencyStats(durs: Seq[Long]): (Long, Long, Long) = {
+    val s = durs.sorted
+    (s.head, s(s.length / 2), s.last)
+  }
+
+  /** Row-count gate: every artifact in the store read back, total rows
+    * must equal nTx * RecordsPerTx. */
+  private def storedRows(spark: SparkSession, storeDir: String): Long =
+    graft.core.FsUtil.listDir(Paths.get(storeDir))
+      .map(p => spark.read.parquet(p.toString).count()).sum
+
+  private def runFileFeed(spark: SparkSession, base: String, nTx: Long,
+                          nBatches: Int): Map[String, Any] = {
+    val wal = s"$base/wal"; val store = s"$base/store"
+    genSpool(wal, nTx, files = 8)
+    val collector = new ProgressCollector
+    spark.streams.addListener(collector)
+    val t0 = System.nanoTime()
+    val q = StreamPipeline.start(spark, "bench", schemas, wal, s"$base/staging",
+      s"$base/ckpt", new LocalContentStore(store),
+      availableNow = true, maxTxPerTrigger = Some((nTx / nBatches).toInt max 1),
+      singleFile = false)
+    q.awaitTermination(600000)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    spark.streams.removeListener(collector)
+    val rows = storedRows(spark, store)
+    require(rows == nTx * RecordsPerTx, s"row gate: stored $rows != ${nTx * RecordsPerTx}")
+    val durs = collector.dursOf(q.runId)
+    val (mn, md, mx) = latencyStats(durs)
+    Map("n_tx" -> nTx, "n_records" -> nTx * RecordsPerTx,
+      "wall_sec" -> wallSec, "records_per_sec" -> (nTx * RecordsPerTx / wallSec),
+      "tx_per_sec" -> (nTx / wallSec), "n_batches" -> durs.length,
+      "batch_ms_min" -> mn, "batch_ms_median" -> md, "batch_ms_max" -> mx,
+      "rows_verified" -> rows)
+  }
+
+  private def runPgFeed(spark: SparkSession, base: String, nTx: Long): Map[String, Any] = {
+    import scala.jdk.CollectionConverters._
+    val spool = s"$base/spool"; val store = s"$base/store"
+    val server = new FakeWalsender(
+      publications = Map("pub" -> TableNames.map("public" -> _)),
+      stream = frameStream(nTx))
+    val collector = new ProgressCollector
+    spark.streams.addListener(collector)
+    val t0 = System.nanoTime()
+    // small segments force many rolls → the ack-time GC runs under load
+    val q = StreamPipeline.start(spark, "bench", schemas, spool, s"$base/staging",
+      s"$base/ckpt", new LocalContentStore(store),
+      availableNow = false, windowSeconds = 1L,
+      maxTxPerTrigger = Some((nTx / 10).toInt max 1), singleFile = false,
+      sourceOptions = Map(
+        "pghost" -> "127.0.0.1", "pgport" -> server.port.toString,
+        "pguser" -> "bench", "pgdatabase" -> "db", "publication" -> "pub",
+        "segmentbytes" -> (8L * 1024 * 1024).toString))
+    try {
+      // End-of-stream signal: an IDLE progress report whose end offset is
+      // already the final commit LSN — an idle trigger constructs only
+      // after the previous (= last data) batch fully committed, so every
+      // record is durably in the store by then. Listener row counts are
+      // NOT a drain signal (async events; a batch can be mid-foreachBatch
+      // with its rows visible), and the final ACK never comes while the
+      // sender is idle (source.commit fires on the next DATA batch).
+      val finalLsn = commitLsn(nTx - 1)
+      val OffsetLsn = """"lsn"\s*:\s*(\d+)""".r
+      def drained: Boolean = Option(q.lastProgress).exists { p =>
+        p.numInputRows == 0 && p.sources.nonEmpty &&
+          OffsetLsn.findFirstMatchIn(Option(p.sources(0).endOffset).getOrElse(""))
+            .exists(_.group(1).toLong >= finalLsn)
+      }
+      val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+      while (!drained && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        if (q.exception.isDefined) throw q.exception.get
+      }
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      require(drained, s"pg feed not drained to $finalLsn before deadline")
+      q.stop(); q.awaitTermination(60000)
+      spark.streams.removeListener(collector)
+      val rows = storedRows(spark, store)
+      require(rows == nTx * RecordsPerTx, s"row gate: stored $rows != ${nTx * RecordsPerTx}")
+      // segment GC gate: the spool must not retain the whole stream
+      val segs = graft.core.FsUtil.listDir(Paths.get(spool))
+        .filter(_.getFileName.toString.startsWith("spool-"))
+      val spoolBytes = segs.map(Files.size).sum
+      // GC gate: after the final ack every SEALED segment is reclaimable;
+      // only the active segment (+ at most one raced seal) may remain
+      require(segs.length <= 2,
+        s"segment GC left ${segs.length} spool segments: $segs")
+      val durs = collector.dursOf(q.runId)
+      val (mn, md, mx) = latencyStats(durs)
+      Map("n_tx" -> nTx, "n_records" -> nTx * RecordsPerTx,
+        "wall_sec" -> wallSec, "records_per_sec" -> (nTx * RecordsPerTx / wallSec),
+        "tx_per_sec" -> (nTx / wallSec), "n_batches" -> durs.length,
+        "batch_ms_min" -> mn, "batch_ms_median" -> md, "batch_ms_max" -> mx,
+        "rows_verified" -> rows,
+        "spool_segments_left" -> segs.length, "spool_bytes_left" -> spoolBytes)
+    } finally server.close()
+  }
+
+  private def js(v: Any): String = v match {
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+        .map { case (k, x) => s""""$k":${js(x)}""" }.mkString("{", ",", "}")
+    case d: Double => f"$d%.2f"
+    case other => other.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nTx = sys.env.getOrElse("SPARK_GRAFT_INGEST_TX", "100000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_INGEST_OUT", "INGEST_BENCH.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Files.createTempDirectory("ingest-bench").toString
+    // warmup: a small AvailableNow drain JITs the decode/pivot/sink path
+    // so the 1x point isn't charged the one-time compile cost
+    runFileFeed(spark, s"$base/warm", nTx / 100 max 10, nBatches = 2)
+
+    val file1x = runFileFeed(spark, s"$base/file1x", nTx / 10, nBatches = 10)
+    val file10x = runFileFeed(spark, s"$base/file10x", nTx, nBatches = 10)
+    val pg = runPgFeed(spark, s"$base/pg", nTx / 10)
+
+    val exp = math.log10((file10x("wall_sec").asInstanceOf[Double]) /
+      (file1x("wall_sec").asInstanceOf[Double]))
+    val result = Map(
+      "recordsPerTx" -> RecordsPerTx, "tables" -> TableNames.length,
+      "cpus" -> cpus.toInt,
+      "file_feed_1x" -> file1x, "file_feed_10x" -> file10x,
+      "pg_feed" -> pg,
+      "scaling_exponent_file_feed" -> exp)
+    val json = js(result)
+    println(s"INGEST_BENCH: $json")
+    Files.writeString(Paths.get(outPath), json + "\n")
+    spark.stop()
+  }
+}

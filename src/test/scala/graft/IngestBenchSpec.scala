@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Gate for the committed `INGEST_BENCH.json` (written by [[IngestBench]],
+ * the end-to-end CDC ingest benchmark): the artifact must parse, carry
+ * every contract field for all three runs, have verified row counts, a
+ * sub-linear file-feed scaling exponent, and a GC-bounded spool. Keeps a
+ * stale or hand-mangled artifact from riding along silently.
+ */
+class IngestBenchSpec extends AnyFunSuite {
+
+  private val required = Seq("n_tx", "n_records", "wall_sec", "records_per_sec",
+    "tx_per_sec", "n_batches", "batch_ms_min", "batch_ms_median",
+    "batch_ms_max", "rows_verified")
+
+  test("INGEST_BENCH.json parses and its numbers are coherent") {
+    val p = java.nio.file.Paths.get("INGEST_BENCH.json")
+    assume(java.nio.file.Files.exists(p), "artifact not yet generated")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(p))
+
+    for (run <- Seq("file_feed_1x", "file_feed_10x", "pg_feed")) {
+      val node = root.get(run)
+      assert(node != null, s"missing run $run")
+      for (f <- required)
+        assert(node.has(f), s"$run missing field $f")
+      assert(node.get("rows_verified").asLong == node.get("n_records").asLong,
+        s"$run rows not verified")
+      assert(node.get("records_per_sec").asDouble > 0 &&
+             node.get("wall_sec").asDouble > 0 &&
+             node.get("n_batches").asLong > 1, s"$run numbers not positive")
+      assert(node.get("batch_ms_min").asLong <= node.get("batch_ms_median").asLong &&
+             node.get("batch_ms_median").asLong <= node.get("batch_ms_max").asLong,
+        s"$run latency stats out of order")
+    }
+    // the 10x point is a real decade over the 1x point
+    assert(root.get("file_feed_10x").get("n_records").asLong ==
+      10 * root.get("file_feed_1x").get("n_records").asLong)
+    // ≥1M records through the flagship path, sub-linear through the decade
+    assert(root.get("file_feed_10x").get("n_records").asLong >= 1000000L)
+    assert(root.get("scaling_exponent_file_feed").asDouble < 1.0)
+    // pg feed: spool segment GC ran (bounded leftover, not the stream)
+    assert(root.get("pg_feed").get("spool_segments_left").asLong <= 2)
+  }
+}
