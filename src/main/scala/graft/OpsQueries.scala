@@ -514,6 +514,39 @@ object OpsQueries {
     // the IVF probe set is the binding constraint, as in q_ann_ivf
     "q_ann_ivfpq" -> ((s, dir) => annRecallContract(s, dir, "ivfpq", bound = 0.8)),
 
+    // The PERSISTED compressed index: train IVF+PQ, pqWrite the packed
+    // codes + sidecars to a cell-partitioned layout, serve ADC straight
+    // off disk, and assert (a) the same recall contract and (b) row
+    // parity with the in-memory composed index — the on-disk serving
+    // story measured end to end (LayoutSpec adds the files-touched gate)
+    "q_ann_ivfpq_layout" -> ((s, dir) => {
+      import graft.ops.{Layout, Similarity}
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val (indexed, cents) = Similarity.ivfIndex(emb)
+      val books = Similarity.pqTrain(emb)
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val layoutDir = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_$sf"
+      Layout.pqWrite(indexed, cents, books, layoutDir)
+      val served = Layout.ivfPqTopKFromLayout(s, layoutDir, emb, queries, k = 5)
+      val direct = Similarity.ivfPqTopK(indexed, cents, books, queries, k = 5)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      val hits = served.select("query_id", "neighbor_id")
+        .join(exact, col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+          "left_semi")
+      served.agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_results"))
+        .crossJoin(hits.agg(count(lit(1)).as("__hits")))
+        .crossJoin(
+          served.exceptAll(direct).unionAll(direct.exceptAll(served))
+            .agg(count(lit(1)).as("__diff")))
+        .select(col("n_queries"), col("n_results"),
+          (col("__hits").cast("double") >= col("n_results") * 0.8)
+            .cast("long").as("recall_ok"),
+          (col("__diff") === 0L).cast("long").as("layout_parity"))
+    }),
+
     // END-TO-END corpus dedup: LSH candidates → Jaccard ≥ 0.8 →
     // connected components → keep canonical docs only (hash-checked
     // against the full SQL replica incl. recursive closure)
@@ -712,6 +745,11 @@ object OpsQueries {
     "q_ann_ivfpq" ->
       """SELECT count(*) AS n_queries, count(*) * 5 AS n_results,
         |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q_ann_ivfpq_layout" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_results,
+        |  CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS layout_parity
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     // The sketch-accuracy contract as an oracle: DuckDB recomputes the

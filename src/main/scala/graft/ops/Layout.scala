@@ -53,6 +53,94 @@ object Layout {
     } finally out.close()
   }
 
+  /**
+   * Persist the full compressed index (IVF + PQ): 8-byte packed code
+   * words partitioned by coarse cell, plus the centroid and codebook
+   * sidecars — everything ADC serving needs, no raw vectors. At 100 TB
+   * this is THE serving layout: a 256 B float32 row shrinks to one
+   * `(vec_id, packed long)` row in exactly the cell directory a probe
+   * prunes to, so a query reads nProbe/nCells of an index that is
+   * itself ~32× smaller than the corpus; full-precision vectors stay
+   * in the corpus table and are fetched for the shortlist only.
+   *
+   * Expects `indexed` from [[Similarity.ivfIndex]] (has `cell`) and
+   * `books` from [[Similarity.pqTrain]] on the same corpus.
+   */
+  def pqWrite(indexed: DataFrame, centroids: Array[(Int, Array[Double])],
+              books: Similarity.PqBooks, dir: String, dims: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val m = books.length
+    Similarity.pqEncode(indexed, books, dims, idCol, vecCol)
+      .select(col(idCol), col("cell"), Similarity.pqPack(col("codes"), m).as("packed"))
+      .repartition(centroids.length, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    val spark = indexed.sparkSession
+    writeTsv(spark, s"$dir/_centroids.tsv",
+      centroids.iterator.map { case (cid, v) => s"$cid\t${v.mkString(",")}" })
+    writeTsv(spark, s"$dir/_codebooks.tsv",
+      for { s <- books.indices.iterator; (cid, c) <- books(s).iterator }
+        yield s"$s\t$cid\t${c.mkString(",")}")
+  }
+
+  /** Codebook sidecar of a [[pqWrite]] layout. */
+  def readPqBooks(spark: SparkSession, dir: String): Similarity.PqBooks = {
+    val rows = readTsvLines(spark, s"$dir/_codebooks.tsv").map { line =>
+      val Array(s, cid, vec) = line.split("\t", 3)
+      (s.toInt, cid.toInt, vec.split(",").map(_.toDouble))
+    }
+    rows.groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(r => (r._2, r._3)))
+  }
+
+  /**
+   * ADC top-k served straight off a [[pqWrite]] layout — identical
+   * results to the in-memory [[Similarity.ivfPqTopK]] (same probe
+   * cells, same lookup table, same shortlist re-rank; `LayoutSpec`
+   * pins parity), but the scan is a partition-pruned read of packed
+   * codes: `cell IN (probes)` lists only the probed directories and
+   * each scanned row is 8 bytes. `corpus` supplies the raw vectors for
+   * the shortlist re-rank only.
+   */
+  def ivfPqTopKFromLayout(spark: SparkSession, dir: String, corpus: DataFrame,
+                          queries: DataFrame, k: Int, nProbe: Int = 32,
+                          shortlist: Int = 100, dims: Int = 64,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = readIvfCentroids(spark, dir)
+    val books = readPqBooks(spark, dir)
+    val m = books.length
+    val qRows = Similarity.collectQueries(queries, idCol, vecCol)
+    val lut = Similarity.pqLut(spark, qRows, books, dims / m)
+    val probes = Similarity.probeCells(spark, centroids, qRows, nProbe)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val coded = spark.read.parquet(s"$dir/codes")
+      .where(col("cell").isin(cells: _*)) // partition filter: probed dirs only
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        posexplode(Similarity.pqUnpack(col("packed"), m)).as(Seq("sub", "code")))
+    val approx = coded.join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "neighbor_id").agg(sum("pd").as("adist"))
+    Similarity.adcShortlistRerank(approx, corpus, queries, k, shortlist, idCol, vecCol)
+  }
+
+  private def writeTsv(spark: SparkSession, path: String,
+                       lines: Iterator[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8")))
+    finally out.close()
+  }
+
+  private def readTsvLines(spark: SparkSession, path: String): Array[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null).toArray
+    finally in.close()
+  }
+
   /** Centroid sidecar of an [[ivfWrite]] layout. */
   def readIvfCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Double])] = {
     val p = new org.apache.hadoop.fs.Path(dir, "_centroids.tsv")

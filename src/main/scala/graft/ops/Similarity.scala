@@ -533,15 +533,31 @@ object Similarity {
     adcShortlistRerank(approx, corpus, queries, k, shortlist, idCol, vecCol)
   }
 
-  private def collectQueries(queries: DataFrame, idCol: String,
-                             vecCol: String): Array[(Long, Array[Double])] =
+  /** Per-query probe cells — driver-side over the bounded query set
+    * (ties on the dot break to the lower cell id — deterministic).
+    * Shared by the in-memory composed index and the persisted-layout
+    * server so both probe the IDENTICAL cells. */
+  private[ops] def probeCells(spark: SparkSession,
+                              centroids: Array[(Int, Array[Double])],
+                              qRows: Array[(Long, Array[Double])],
+                              nProbe: Int): DataFrame =
+    spark.createDataFrame(for {
+      (qid, qv) <- qRows.toSeq
+      cell <- centroids
+        .sortBy { case (cid, c) =>
+          (-c.zip(qv).map { case (a, b) => a * b }.sum, cid) }
+        .take(nProbe).map(_._1).toSeq
+    } yield (qid, cell)).toDF("query_id", "cell")
+
+  private[ops] def collectQueries(queries: DataFrame, idCol: String,
+                                  vecCol: String): Array[(Long, Array[Double])] =
     queries.select(col(idCol), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
 
   /** Per-(query, sub, code) partial squared distances — the broadcast
     * ADC lookup table (|queries| · m · kSub rows). */
-  private def pqLut(spark: SparkSession, qRows: Array[(Long, Array[Double])],
-                    books: PqBooks, ds: Int): DataFrame =
+  private[ops] def pqLut(spark: SparkSession, qRows: Array[(Long, Array[Double])],
+                         books: PqBooks, ds: Int): DataFrame =
     spark.createDataFrame(for {
       (qid, qv) <- qRows.toSeq
       s <- books.indices
@@ -555,9 +571,9 @@ object Similarity {
 
   /** Shared PQ tail: shortlist by approximate distance, then exact
     * cosine re-rank of the shortlist only. */
-  private def adcShortlistRerank(approx: DataFrame, corpus: DataFrame,
-                                 queries: DataFrame, k: Int, shortlist: Int,
-                                 idCol: String, vecCol: String): DataFrame = {
+  private[ops] def adcShortlistRerank(approx: DataFrame, corpus: DataFrame,
+                                      queries: DataFrame, k: Int, shortlist: Int,
+                                      idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wa = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
     val short = approx.withColumn("__rk", row_number().over(wa))
@@ -594,15 +610,7 @@ object Similarity {
     val ds = dims / books.length
     val qRows = collectQueries(queries, idCol, vecCol)
     val lut = pqLut(spark, qRows, books, ds)
-    // per-query probe cells, driver-side over the same bounded query set
-    // (ties on the dot break to the lower cell id — deterministic)
-    val probes = spark.createDataFrame(for {
-      (qid, qv) <- qRows.toSeq
-      cell <- centroids
-        .sortBy { case (cid, c) =>
-          (-c.zip(qv).map { case (a, b) => a * b }.sum, cid) }
-        .take(nProbe).map(_._1).toSeq
-    } yield (qid, cell)).toDF("query_id", "cell")
+    val probes = probeCells(spark, centroids, qRows, nProbe)
     val coded = pqEncode(indexed, books, dims, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("cell"), col("codes"))
       .join(broadcast(probes), Seq("cell"))

@@ -116,6 +116,56 @@ class LayoutSpec extends SparkSpec {
     assert(fromLayout == direct)
   }
 
+  test("IVF+PQ layout: ADC served off packed codes, partition-pruned, parity with in-memory") {
+    val dir = Files.createTempDirectory("layout-ivfpq").toString + "/ivfpq"
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val nCells = 16
+    val (indexed, centroids) = Similarity.ivfIndex(emb, nCells = nCells, lloydIters = 2)
+    val books = Similarity.pqTrain(emb)
+    Layout.pqWrite(indexed, centroids, books, dir)
+
+    // both sidecars round-trip exactly
+    val cb = Layout.readIvfCentroids(spark, dir)
+    assert(cb.map(_._1).toSeq == centroids.map(_._1).toSeq)
+    assert(cb.map(_._2.toSeq).toSeq == centroids.map(_._2.toSeq).toSeq)
+    val bb = Layout.readPqBooks(spark, dir)
+    assert(bb.length == books.length)
+    for (s <- books.indices) {
+      assert(bb(s).map(_._1).toSeq == books(s).map(_._1).toSeq)
+      assert(bb(s).map(_._2.toSeq).toSeq == books(s).map(_._2.toSeq).toSeq)
+    }
+
+    // the persisted index rows are 8-byte packed words, one file per cell
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.schema("packed").dataType.typeName == "long")
+    assert(codes.inputFiles.length == nCells)
+
+    val queries = emb.where(col("vec_id") < 3)
+    val nProbe = 2
+    val result = Layout.ivfPqTopKFromLayout(spark, dir, emb, queries,
+      k = 5, nProbe = nProbe)
+    val rows = result.collect()
+    assert(rows.length == 3 * 5)
+
+    // the codes scan is partition-pruned to the probed cells
+    val scanned = org.apache.spark.sql.graftbridge.Bridge.scannedFileCounts(result)
+    assert(scanned.nonEmpty)
+    assert(scanned.max <= 3L * nProbe,
+      s"a scan touched ${scanned.max} files (> ${3 * nProbe}); probes must prune the codes partitions")
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition filter in plan:\n$plan")
+
+    // parity: identical (query, rank, neighbor, sim) to the in-memory
+    // composed index on the same quantizer + codebooks
+    val direct = Similarity.ivfPqTopK(indexed, centroids, books, queries,
+        k = 5, nProbe = nProbe)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val fromLayout = rows
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(fromLayout == direct)
+  }
+
   test("postings layout: bm25 served bucket-pruned, identical to the ad-hoc scorer") {
     val dir = Files.createTempDirectory("layout-postings").toString + "/idx"
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
