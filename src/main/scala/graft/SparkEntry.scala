@@ -348,7 +348,7 @@ object SparkEntry {
         .select(col("l_returnflag"), interp("p50"), interp("p95"), col("lo"), col("hi"))
         .orderBy("l_returnflag")
     })
-  ) ++ CdcQueries.queries ++ OpsQueries.queries ++ ExtQueries.queries ++ R4Queries.queries ++ CurationQueries.queries
+  ) ++ CdcQueries.queries ++ OpsQueries.queries ++ ExtQueries.queries ++ R4Queries.queries ++ CurationQueries.queries ++ R8Queries.queries
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -570,5 +570,5 @@ object SparkEntry {
         |  round(min(l_extendedprice), 4) AS lo,
         |  round(max(l_extendedprice), 4) AS hi
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
-  ) ++ CdcQueries.oracleSql ++ OpsQueries.oracleSql ++ ExtQueries.oracleSql ++ R4Queries.oracleSql ++ CurationQueries.oracleSql
+  ) ++ CdcQueries.oracleSql ++ OpsQueries.oracleSql ++ ExtQueries.oracleSql ++ R4Queries.oracleSql ++ CurationQueries.oracleSql ++ R8Queries.oracleSql
 }

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Learned BPE: hand-computed merge tables, Sennrich greedy (leftmost,
+  * non-overlapping) application, deterministic tie-breaks, and the
+  * double-space state invariants the engine-portable replace trick
+  * relies on. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learns the classic low/lower corpus merges with exact counts") {
+    // word freqs: low×5, lower×2 → pair counts over chars:
+    // (l,o)=7 (o,w)=7 (w,e)=2 (e,r)=2; tie (l,o) vs (o,w) → (l,o) first
+    val docs = Seq((1L, "low low low low low"), (2L, "lower lower")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, nMerges = 3)
+    assert(m.map(x => (x.rank, x.l, x.r, x.count)) == Seq(
+      (1, "l", "o", 7L),   // tie with (o,w): lexicographic left wins
+      (2, "lo", "w", 7L),  // after merge 1, (lo,w)=7
+      (3, "e", "r", 2L)))  // tie (low,e)=2 vs (e,r)=2 → "e" < "low"
+  }
+
+  test("application is leftmost-first non-overlapping (aaa with merge a+a)") {
+    val merges = Seq(Bpe.Merge(1, "a", "a", 99L))
+    val df = Seq((1L, "aaa aaaa")).toDF("doc_id", "text")
+    // aaa → [aa, a] = 2 tokens; aaaa → [aa, aa] = 2 tokens
+    val n = df.select(Bpe.tokenCountAfter(col("text"), merges)).head().getLong(0)
+    assert(n == 4L)
+  }
+
+  test("merges never cross word boundaries") {
+    // merge (b, c): "ab ca" must NOT merge the b|c across the space
+    val merges = Seq(Bpe.Merge(1, "b", "c", 99L))
+    val df = Seq((1L, "ab ca")).toDF("doc_id", "text")
+    val st = df.select(Bpe.encodeState(col("text"), merges)).head().getString(0)
+    assert(st == " a  b | c  a ")
+    assert(df.select(Bpe.tokenCountAfter(col("text"), merges)).head().getLong(0) == 4L)
+  }
+
+  test("state invariant survives chained merges (doubles between, singles at edges)") {
+    val docs = Seq((1L, "abab abab")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, nMerges = 2)
+    // (a,b)=4 → ab; then (ab,ab)=2 → abab
+    assert(m.map(x => (x.l, x.r, x.count)) == Seq(("a", "b", 4L), ("ab", "ab", 2L)))
+    val st = docs.select(Bpe.encodeState(col("text"), m)).head().getString(0)
+    assert(st == " abab | abab ")
+    assert(docs.select(Bpe.tokenCountAfter(col("text"), m)).head().getLong(0) == 2L)
+  }
+
+  test("train matches its own generated oracle semantics on the driver tables") {
+    // sf0.001 documents: counts must be exact, ranks strictly ordered,
+    // chosen pair counts non-increasing (classic BPE monotonicity),
+    // merged symbols concatenations of their parts
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val m = Bpe.train(docs, nMerges = 10)
+    assert(m.size == 10)
+    assert(m.map(_.rank) == (1 to 10))
+    assert(m.sliding(2).forall { case Seq(a, b) => a.count >= b.count; case _ => true })
+    // recompute rank-1 independently: argmax over initial char pairs
+    val pairs = docs.select(explode(Bpe.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("f"), split(trim(Bpe.initState(col("w"))), "  ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("f"), explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("l"),
+                    element_at(col("t"), i + 2).as("r")))).as("p"))
+      .groupBy("p.l", "p.r").agg(sum("f").as("cnt"))
+      .orderBy(desc("cnt"), asc("l"), asc("r")).head()
+    assert((m.head.l, m.head.r, m.head.count) ==
+      (pairs.getString(0), pairs.getString(1), pairs.getLong(2)))
+    // applying all merges strictly compresses vs chars and never below words
+    val r = docs.select(
+      sum(Bpe.tokenCountAfter(col("text"), m)).as("bpe"),
+      sum(length(replace(col("text"), lit(" "), lit("")))).as("chars"),
+      sum(TextAnalysis.tokenCount(col("text"))).as("words")).head()
+    assert(r.getLong(0) < r.getLong(1) && r.getLong(0) >= r.getLong(2))
+  }
+}
