@@ -237,6 +237,68 @@ object Layout {
     fs.delete(bak, true)
   }
 
+  /**
+   * Small-file compaction for a postings layout: every [[postingsAppend]]
+   * lands one parquet file set per bucket directory (plus one under
+   * `doclen`), so a layout ingesting a window every few minutes
+   * accumulates files forever — at 100 TB that is the classic
+   * small-file death spiral (open/seek cost dwarfs byte cost, NameNode/
+   * listing pressure grows unbounded). This OPTIMIZE-style maintenance
+   * job rewrites `postings` back to `filesPerBucket` files per bucket
+   * and `doclen` to ~`rowsPerFile` rows per file, then swaps each
+   * directory into place with the same rename dance as the stats
+   * rewrite (a crash leaves either the old or the new layout, never a
+   * half-compacted one). Contents are byte-identical for serving —
+   * `LayoutSpec` pins score parity and the file-count drop — and the
+   * stats sidecar is untouched (row counts don't change), so appends
+   * keep working after compaction.
+   */
+  def postingsCompact(spark: SparkSession, dir: String,
+                      filesPerBucket: Int = 1,
+                      rowsPerFile: Long = 4000000L): Unit = {
+    require(filesPerBucket > 0 && rowsPerFile > 0, "positive targets required")
+    val nBuckets = postingsBuckets(spark, dir)
+    // shuffle keyed on (bucket, tok-salt mod filesPerBucket): a bucket's
+    // rows land in at most filesPerBucket distinct tasks, so partitionBy
+    // writes at most filesPerBucket files into each bucket directory.
+    // (Keying on raw tok would spread one bucket over every task and
+    // FAN OUT files instead of compacting them.)
+    spark.read.parquet(s"$dir/postings")
+      .withColumn("__salt",
+        pmod(Sampling.hash32(col("tok")), lit(filesPerBucket)).cast("int"))
+      .repartition(nBuckets * filesPerBucket, col("bucket"), col("__salt"))
+      .drop("__salt")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings.compact")
+    val nDocs = spark.read.parquet(s"$dir/stats")
+      .select("n_docs").collect()(0).getLong(0)
+    val dlParts = math.max(1L, (nDocs + rowsPerFile - 1) / rowsPerFile).toInt
+    spark.read.parquet(s"$dir/doclen")
+      .repartition(dlParts)
+      .write.mode("overwrite").parquet(s"$dir/doclen.compact")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    swapDir(fs, s"$dir/postings")
+    swapDir(fs, s"$dir/doclen")
+  }
+
+  /** Atomically promote `<path>.compact` over `<path>` (old → `.old`,
+    * compact → live, drop `.old`). */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val next = new org.apache.hadoop.fs.Path(s"$path.compact")
+    val bak = new org.apache.hadoop.fs.Path(s"$path.old")
+    fs.delete(bak, true)
+    if (!fs.rename(live, bak) || !fs.rename(next, live))
+      sys.error(s"postingsCompact: directory swap failed for $path")
+    fs.delete(bak, true)
+  }
+
+  /** Parquet data files under a layout subdirectory (recursive; excludes
+    * _SUCCESS etc.) — the compaction gate's measurement. */
+  def dataFileCount(spark: SparkSession, path: String): Int =
+    spark.read.parquet(path).inputFiles.length
+
   /** The bucket a term's postings live in (driver-side twin of the
     * writer's `hash32 % nBuckets`). */
   def postingsBucket(term: String, nBuckets: Int): Int = {

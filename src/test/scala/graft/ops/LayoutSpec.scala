@@ -248,6 +248,56 @@ class LayoutSpec extends SparkSpec {
     assert(st.getLong(0) == expect.getLong(0) && st.getLong(1) == expect.getLong(1))
   }
 
+  test("postings compaction: file count drops, serving and appends unchanged") {
+    val dir = Files.createTempDirectory("layout-postings-compact").toString + "/idx"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val nBuckets = 8
+    // simulate a few ingest windows: each append fans more files into
+    // every bucket directory
+    Layout.postingsWrite(docs.where(col("doc_id") % 4 === 0), dir, nBuckets = nBuckets)
+    (1 to 3).foreach(r =>
+      Layout.postingsAppend(docs.where(col("doc_id") % 4 === r), dir))
+
+    val query = Seq("spark", "query", "merge")
+    def scores = Layout.bm25FromLayout(spark, dir, query)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val before = scores
+    val postingsBefore = Layout.dataFileCount(spark, s"$dir/postings")
+    val doclenBefore = Layout.dataFileCount(spark, s"$dir/doclen")
+
+    Layout.postingsCompact(spark, dir)
+
+    // the gate: each bucket dir back to ≤ filesPerBucket(=1) files,
+    // doclen to one file at this row count
+    val postingsAfter = Layout.dataFileCount(spark, s"$dir/postings")
+    val doclenAfter = Layout.dataFileCount(spark, s"$dir/doclen")
+    assert(postingsAfter <= nBuckets && postingsAfter < postingsBefore,
+      s"postings: $postingsBefore files -> $postingsAfter (nBuckets=$nBuckets)")
+    assert(doclenAfter == 1 && doclenAfter < doclenBefore,
+      s"doclen: $doclenBefore files -> $doclenAfter")
+    // no leftover swap directories
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/postings.compact")) &&
+           !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/postings.old")))
+
+    // parity: identical scores, stats sidecar untouched
+    assert(scores == before && before.nonEmpty)
+    assert(Layout.postingsBuckets(spark, dir) == nBuckets)
+
+    // the layout is still live: appends after compaction keep serving
+    // equal to a full rebuild
+    val extra = docs.where(col("doc_id") % 4 === 0) // re-use rows w/ new ids
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    Layout.postingsAppend(extra, dir)
+    val full = Files.createTempDirectory("layout-postings-compact-full").toString + "/idx"
+    Layout.postingsWrite(docs.unionByName(extra), full, nBuckets = nBuckets)
+    val inc2 = scores
+    val full2 = Layout.bm25FromLayout(spark, full, query)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(inc2 == full2 && inc2.nonEmpty)
+  }
+
   test("rendezvous routing: balanced-ish spread; resharding moves only winners to the NEW shard") {
     import spark.implicits._
     val keys = (0L until 2000L).toDF("k")
