@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.Bpe
+import graft.ops.{Bpe, Dedup}
 
 /**
  * Round-8 additions: learned BPE merge-table training and application —
@@ -10,14 +10,37 @@ import graft.ops.Bpe
  * hash-match oracle: the DuckDB SQL replays the entire iterative
  * training loop (generated, materialized CTE per merge round) rather
  * than asserting contract flags, because one BPE merge is expressible
- * as one engine-portable string replace (see [[graft.ops.Bpe]]).
+ * as one engine-portable string replace (see [[graft.ops.Bpe]]) —
+ * plus the exact prefix-filtered similarity join (PPJoin).
  */
 object R8Queries {
 
   /** Fixed merge count: deterministic, matched by the generated oracle. */
   val BpeMerges = 20
 
+  /** Token-set Jaccard threshold for the exact similarity join. */
+  val PpJoinThreshold = 0.8
+
+  /**
+   * The oracle row runs over a deterministic 1/10 modulo sample of the
+   * corpus: in this template-generated fixture the ANSWER SET is
+   * quadratic in corpus size (sf0.1 holds 7.1M pairs at J≥0.6, 191k
+   * even at J≥0.95), so an unsampled row would spend the round budget
+   * materializing output, not exercising the algorithm. Exactness on a
+   * FULL corpus is pinned by the OpsSpec brute-force-equality test at
+   * sf0.001; the modulo sample is expressed identically in both
+   * engines so the hash compare stays exact.
+   */
+  val PpJoinMod = 10
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
+
+    // ── exact similarity self-join (prefix filter, NO false negatives) ──
+    "q_ppjoin" -> ((s, dir) =>
+      Dedup.ppJoin(
+        Tables(s, dir, "documents").where(col("doc_id") % PpJoinMod === 0),
+        threshold = PpJoinThreshold)
+        .orderBy("id_a", "id_b")),
 
     // ── learned BPE merge table (training replayed by the oracle) ──────
     "q_bpe_train" -> ((s, dir) => {
@@ -43,6 +66,46 @@ object R8Queries {
 
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train"  -> Bpe.trainOracleSql(BpeMerges),
-    "q_bpe_tokens" -> Bpe.tokensOracleSql(BpeMerges)
+    "q_bpe_tokens" -> Bpe.tokensOracleSql(BpeMerges),
+
+    // full pipeline replay: same rarest-first prefix, same size filter,
+    // same candidate join, same exact verify — double math is identical
+    // IEEE in both engines, emission rounded per the house discipline
+    "q_ppjoin" -> s"""
+      WITH toks AS (
+        SELECT doc_id, tok FROM (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents WHERE doc_id % $PpJoinMod = 0
+        ) WHERE tok <> ''
+      ),
+      dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+      ranked AS (
+        SELECT t.doc_id, t.tok,
+               row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rk,
+               count(*) OVER (PARTITION BY t.doc_id) AS s
+        FROM toks t JOIN dfreq d USING (tok)
+      ),
+      prefix AS (
+        SELECT doc_id, tok, s FROM ranked
+        WHERE rk <= s - ceil($PpJoinThreshold * s) + 1
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+        FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        WHERE CAST(least(a.s, b.s) AS DOUBLE) >=
+              $PpJoinThreshold * CAST(greatest(a.s, b.s) AS DOUBLE)
+      ),
+      inter AS (
+        SELECT c.id_a, c.id_b, c.sa, c.sb, count(*) AS i
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.id_a
+        JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+        GROUP BY 1, 2, 3, 4
+      )
+      SELECT id_a, id_b,
+             round(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE), 6) AS jaccard
+      FROM inter
+      WHERE CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) >= $PpJoinThreshold
+      ORDER BY id_a, id_b"""
   )
 }

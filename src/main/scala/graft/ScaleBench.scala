@@ -60,10 +60,11 @@ object ScaleBench {
     * per-copy offset (the same offset for every table, so foreign keys
     * keep joining within a copy), types preserved. Idempotent: skips
     * tables already written. */
-  def amplify(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+  def amplify(spark: SparkSession, srcDir: String, outDir: String, factor: Int,
+              tables: Seq[String] = AmplifiedTables): Unit = {
     val shift = 100000000L // above any sf0.1 key, int-safe at factor 10
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    for (t <- AmplifiedTables) {
+    for (t <- tables) {
       val out = java.nio.file.Paths.get(outDir, s"$t.parquet")
       if (!java.nio.file.Files.exists(out)) {
         val df = spark.read.parquet(s"$srcDir/$t.parquet")
@@ -131,6 +132,71 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"scaling","unit":"sec","amplified_dir":"$ampDir","queries":$json}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
+    spark.stop()
+  }
+}
+
+/**
+ * Second-decade scale check: the three steepest scalers of the 10×
+ * sweep (`q_corpus_curate` exp 0.48, `q_dedup_corpus` 0.56,
+ * `q_nb_predict` 0.50) at a **100× key-shifted amplification** of
+ * sf0.1's documents table (500k docs — the only table those queries
+ * read). A sub-linear first decade doesn't guarantee a sub-linear
+ * second one: the amplified corpus duplicates every text 100×, so LSH
+ * dedup clusters are 100 wide and within-bucket candidate pairs grow
+ * ~C(100,2)/C(10,2) ≈ 110× from the 10× point — this run measures
+ * whether the streamed pair expansion and star-contraction CC absorb
+ * that, or whether a quadratic term finally surfaces.
+ *
+ * Protocol per the round-7 verdict: ONE timed run per query at the
+ * 100× point (after one sf0.1 warmup run to JIT the pipeline), so the
+ * committed row is a single consistent series, directly comparable to
+ * `SCALING.json`'s 0.1/1.0 points from the same code.
+ *
+ * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.DeepScaleBench"
+ * Output: one JSON line + SCALING_DEEP.json with seconds at the 100×
+ * point and the second-decade exponent vs SCALING.json's 10× numbers.
+ */
+object DeepScaleBench {
+
+  val Queries: Seq[String] = Seq("q_corpus_curate", "q_dedup_corpus", "q_nb_predict")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ampDir = sys.env.getOrElse("SPARK_GRAFT_AMPLIFIED100_DIR", "/tmp/graft_sf10_documents")
+    ScaleBench.amplify(spark, "/root/testdata/sf0.1", ampDir, factor = 100,
+      tables = Seq("documents"))
+
+    def timeOnce(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val rows = Queries.map { name =>
+      val fn = SparkEntry.queries(name)
+      timeOnce(fn, "/root/testdata/sf0.1") // JIT/codegen warmup, small scale
+      val s = timeOnce(fn, ampDir)
+      println(f"[deep-scale] $name%s: 100x=$s%.2fs")
+      name -> s
+    }
+    val json = rows.map { case (n, s) => s""""$n":${"%.3f".format(s)}""" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"scaling_deep","unit":"sec","factor":100,"amplified_dir":"$ampDir","queries":$json}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_DEEP.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)

@@ -218,19 +218,52 @@ object Dedup {
   }
 
   /**
-   * End-to-end corpus deduplication: exact dups collapse by fingerprint,
-   * near-dup clusters (MinHash-LSH candidates → Jaccard-verified →
+   * Exact-collapse prefix of the end-to-end dedup pipelines: keep ONE
+   * representative row per byte-identical text, chosen by `order` (the
+   * same winner ordering the cluster stage applies). Output-preserving
+   * for the near-dedup that follows, because byte-identical texts have
+   * identical minhash signatures (every band collides → always
+   * candidates) and Jaccard exactly 1.0 (always verified), so they are
+   * guaranteed same-cluster — and any edge (twin, x) implies the
+   * identical-value edge (rep, x) in the representative-only run, so
+   * connectivity through a dropped twin is never lost. The cluster
+   * winner over representatives equals the winner over all members as
+   * long as the representative is picked by the SAME ordering.
+   *
+   * Why this stage exists (100 TB): leaving d identical copies in the
+   * LSH stage multiplies every one of their bucket memberships by d, so
+   * candidate pairs grow C(d,2)-quadratically while this collapse is
+   * one linear hash-window pass on (md5, id) keys. Measured on the
+   * 100× byte-duplicated amplification of sf0.1: q_dedup_corpus
+   * 188 s → collapse makes the near-dedup input (and cost) independent
+   * of the duplication factor (SCALING.md, second-decade table).
+   */
+  private def collapseExact(docs: DataFrame, textCol: String,
+                            order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__graft_md5").orderBy(order: _*)
+    docs.withColumn("__graft_md5", md5(col(textCol)))
+      .withColumn("__graft_rn", row_number().over(w))
+      .where(col("__graft_rn") === 1)
+      .drop("__graft_md5", "__graft_rn")
+  }
+
+  /**
+   * End-to-end corpus deduplication: byte-identical dups collapse first
+   * (linear — see [[collapseExact]]), then near-dup clusters over the
+   * representatives (MinHash-LSH candidates → Jaccard-verified →
    * connected components) keep only the minimum-id canonical document.
    * Returns the surviving rows of `docs`.
    */
   def deduplicate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                   jaccardThreshold: Double = 0.8, k: Int = 8, bands: Int = 4): DataFrame = {
-    val cands = lshCandidates(docs, idCol, textCol, k, bands)
-    val verified = jaccardVerify(cands, docs, idCol, textCol)
+    val reps = collapseExact(docs, textCol, Seq(col(idCol))).localCheckpoint()
+    val cands = lshCandidates(reps, idCol, textCol, k, bands)
+    val verified = jaccardVerify(cands, reps, idCol, textCol)
       .where(col("jaccard") >= jaccardThreshold)
     val labels = clusters(verified.select("id_a", "id_b"))
     val losers = labels.where(col("doc_id") =!= col("canonical_id")).select("doc_id")
-    docs.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+    reps.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
 
   /**
@@ -238,24 +271,31 @@ object Dedup {
    * cluster keeps its BEST-scoring document (ties → lowest id) instead
    * of the lowest id — the policy real pretraining pipelines use (keep
    * the highest-quality copy). One extra broadcast-able join of cluster
-   * labels against the (small) per-doc score projection.
+   * labels against the (small) per-doc score projection. The exact
+   * collapse picks its per-text representative by the same
+   * (score desc, id asc) ordering, so the kept document is identical to
+   * the uncollapsed pipeline's for ANY score column (scores may differ
+   * between byte-identical rows; the group's best is the one that
+   * competes in the cluster).
    */
   def deduplicateKeepBest(docs: DataFrame, score: Column,
                           idCol: String = "doc_id", textCol: String = "text",
                           jaccardThreshold: Double = 0.8,
                           k: Int = 8, bands: Int = 4): DataFrame = {
-    val cands = lshCandidates(docs, idCol, textCol, k, bands)
-    val verified = jaccardVerify(cands, docs, idCol, textCol)
+    val reps = collapseExact(docs, textCol, Seq(score.desc, col(idCol).asc))
+      .localCheckpoint()
+    val cands = lshCandidates(reps, idCol, textCol, k, bands)
+    val verified = jaccardVerify(cands, reps, idCol, textCol)
       .where(col("jaccard") >= jaccardThreshold)
     val labels = clusters(verified.select("id_a", "id_b"))
     val scored = labels.join(
-      docs.select(col(idCol).as("doc_id"), score.as("__score")), "doc_id")
+      reps.select(col(idCol).as("doc_id"), score.as("__score")), "doc_id")
     // winner per cluster: highest score, ties to the LOWEST id
     val winners = scored.groupBy("canonical_id")
       .agg(max_by(col("doc_id"), struct(col("__score"), -col("doc_id"))).as("keep_id"))
     val losers = scored.join(winners, "canonical_id")
       .where(col("doc_id") =!= col("keep_id")).select("doc_id")
-    docs.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+    reps.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
 
   /**
@@ -396,6 +436,71 @@ object Dedup {
     }
     val nodes = es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
     nodes.toSeq.sorted.map(n => (n, find(n))).toDF("doc_id", "canonical_id")
+  }
+
+  /**
+   * EXACT similarity self-join via prefix filtering (AllPairs/PPJoin —
+   * Bayardo et al. WWW'07, Xiao et al. ICDE'08): every pair of documents
+   * with token-set Jaccard ≥ `threshold`, with NO false negatives — the
+   * guarantee MinHash-LSH trades away. The pruning that makes exactness
+   * affordable:
+   *
+   *  - **global rarest-first token order**: tokens rank by ascending
+   *    document frequency (ties by token), so each doc's PREFIX — the
+   *    first `s − ⌈t·s⌉ + 1` of its `s` tokens — holds its rarest
+   *    tokens. By the prefix-filter lemma, two sets with J ≥ t MUST
+   *    share a prefix token, so joining on prefix tokens loses nothing;
+   *    joining on *rare* tokens keeps the join's per-key fan-out small
+   *    (the frequent tokens that would create hot buckets are exactly
+   *    the ones the prefix excludes);
+   *  - **size filter**: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|), applied
+   *    inside the candidate join;
+   *  - **verify on candidates only**: exact intersection counts stream
+   *    through a token-equi-join + hash aggregate — never an all-pairs
+   *    product, and never an array materialization per pair.
+   *
+   * Scale shape: one df aggregation (vocab-sized), one window rank per
+   * doc (shuffle on doc id), a candidate join keyed on rare tokens, and
+   * a candidate-sized verify. The token table is localCheckpoint-ed
+   * once and feeds all stages — at 100 TB it is the persisted side
+   * table. `DedupSpec` pins equality with the brute-force all-pairs
+   * Jaccard on a fixture (the exactness contract) and the q_ppjoin
+   * oracle replays the full pipeline in SQL.
+   */
+  def ppJoin(docs: DataFrame, threshold: Double, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1] required, got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+      .where(col("tok") =!= "")
+      .localCheckpoint() // feeds df, rank, and both verify sides
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("id")
+    val ranked = toks.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(byDoc.orderBy("df", "tok")))
+      .withColumn("s", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .where(col("rk") <= col("s") - ceil(lit(threshold) * col("s")) + 1)
+      .select(col("id"), col("tok"), col("s"))
+    val cand = prefix.toDF("id_a", "tok", "sa")
+      .join(prefix.toDF("id_b", "tok", "sb"), "tok")
+      .where(col("id_a") < col("id_b") &&
+        least(col("sa"), col("sb")).cast("double") >=
+          lit(threshold) * greatest(col("sa"), col("sb")).cast("double"))
+      .select("id_a", "id_b", "sa", "sb").distinct()
+    val inter = cand
+      .join(toks.toDF("id_a", "tok"), Seq("id_a"))
+      .join(toks.toDF("id_b", "tok"), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b", "sa", "sb")
+      .agg(count(lit(1)).as("i"))
+    inter
+      .withColumn("jac",
+        col("i").cast("double") / (col("sa") + col("sb") - col("i")).cast("double"))
+      .where(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
   }
 
   /**

@@ -69,6 +69,36 @@ class OpsSpec extends SparkSpec {
     assert(cands.where(col("id_a") >= col("id_b")).count() == 0)
   }
 
+  test("ppJoin: exact prefix-filtered similarity join equals brute force (no false negatives)") {
+    // the exactness contract LSH cannot give: every pair >= t, none missed
+    val corpus = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    def tokset(c: org.apache.spark.sql.Column) =
+      array_distinct(filter(TextAnalysis.tokens(c), t => t =!= ""))
+    val sets = corpus.select(col("doc_id"), tokset(col("text")).as("ts"))
+    val brute = sets.toDF("id_a", "ts_a").crossJoin(sets.toDF("id_b", "ts_b"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("i", size(array_intersect(col("ts_a"), col("ts_b"))).cast("double"))
+      .withColumn("u", size(array_union(col("ts_a"), col("ts_b"))).cast("double"))
+      .where(col("i") / col("u") >= 0.6)
+      .select(col("id_a"), col("id_b"), round(col("i") / col("u"), 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val pp = Dedup.ppJoin(corpus, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(pp == brute && pp.nonEmpty,
+      s"ppJoin ${pp.size} pairs vs brute ${brute.size}")
+  }
+
+  test("ppJoin: inline fixture — dup pair 1.0, threshold respected, ordered ids") {
+    val pairs = Dedup.ppJoin(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 1.0))) // only the exact dup survives 0.9
+    val loose = Dedup.ppJoin(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((1L, 2L)) && loose.contains((1L, 3L)) &&
+      loose.contains((2L, 3L)) && !loose.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("jaccard verification: dup pair = 1.0, near pair high, ordered cols") {
     val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.jaccardVerify(cands, docs).orderBy("id_b")
