@@ -99,6 +99,63 @@ class OpsSpec extends SparkSpec {
       loose.contains((2L, 3L)) && !loose.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ppJoin: seeded random corpora equal pure-Scala brute force at three thresholds") {
+    // property check of the exactness contract: the prefix filter may
+    // only prune pairs that CANNOT reach the threshold, on corpora with
+    // deliberately hot tokens (12-token vocab over 30 docs)
+    val rnd = new scala.util.Random(420815L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    for (trial <- 1 to 3; t <- Seq(0.5, 0.75, 0.9)) {
+      val corpus = (1L to 30L).map { id =>
+        val n = 3 + rnd.nextInt(8)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val sets = corpus.map { case (id, tx) =>
+        id -> tx.split(" ").filter(_.nonEmpty).toSet }.toMap
+      val brute = (for {
+        a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+        i = (sets(a) & sets(b)).size.toDouble
+        u = (sets(a) | sets(b)).size.toDouble
+        if i / u >= t
+      } yield (a, b, BigDecimal(i / u).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)).sorted
+      val pp = Dedup.ppJoin(corpus.toDF("doc_id", "text"), threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      assert(pp == brute, s"trial=$trial t=$t: pp=${pp.size} brute=${brute.size}")
+    }
+  }
+
+  test("deduplicate: byte-duplicate amplification is a no-op on the surviving set") {
+    // the collapse-first stage must make the pipeline's OUTPUT (not
+    // just its cost) independent of byte-duplication: duplicating every
+    // text under fresh higher ids changes nothing
+    val base = docs
+    val amplified = base.unionByName(
+      base.withColumn("doc_id", col("doc_id") + 100))
+    val orig = Dedup.deduplicate(base, jaccardThreshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val amp = Dedup.deduplicate(amplified, jaccardThreshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(amp == orig && orig.nonEmpty)
+  }
+
+  test("deduplicateKeepBest: a byte twin with the best score wins its cluster") {
+    // the exact collapse picks its representative by (score desc, id
+    // asc) — a duplicate that outscores the original must survive
+    val scored = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 1.0),
+      (2L, "the quick brown fox jumps over the lazy dog", 5.0), // twin, best
+      (3L, "the quick brown fox jumps over the lazy cat", 3.0), // near dup
+      (4L, "completely different content about spark engines", 2.0)
+    ).toDF("doc_id", "text", "score")
+    val kept = Dedup.deduplicateKeepBest(scored, score = col("score"),
+      jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L))
+  }
+
   test("jaccard verification: dup pair = 1.0, near pair high, ordered cols") {
     val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.jaccardVerify(cands, docs).orderBy("id_b")
