@@ -33,6 +33,10 @@ object R8Queries {
    */
   val PpJoinMod = 10
 
+  /** Duplicated-substring window length in tokens (Lee et al. use 50
+    * on web-scale text; the fixture's docs are tens of tokens). */
+  val DupSpanWindow = 8
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
 
     // ── exact similarity self-join (prefix filter, NO false negatives) ──
@@ -41,6 +45,11 @@ object R8Queries {
         Tables(s, dir, "documents").where(col("doc_id") % PpJoinMod === 0),
         threshold = PpJoinThreshold)
         .orderBy("id_a", "id_b")),
+
+    // ── exact substring dedup at arbitrary offsets (Lee et al. ACL'22) ─
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(Tables(s, dir, "documents"), windowTokens = DupSpanWindow)
+        .orderBy("doc_id", "span_start")),
 
     // ── learned BPE merge table (training replayed by the oracle) ──────
     "q_bpe_train" -> ((s, dir) => {
@@ -65,6 +74,37 @@ object R8Queries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // replay of all three stages: per-doc window hashes (1-based list
+    // slice = 0-based start + 1, chr(31) separator on both engines),
+    // corpus-wide repeat filter, island merge of
+    // window starts (two starts are one span iff gap <= window)
+    "q_dup_spans" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      wh AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               md5(array_to_string(toks[u.i+1 : u.i+$DupSpanWindow], chr(31))) AS h
+        FROM t, unnest(range(len(toks) - $DupSpanWindow + 1)) AS u(i)
+        WHERE len(toks) >= $DupSpanWindow
+      ),
+      dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
+      starts AS (SELECT w.doc_id, w.pos FROM wh w JOIN dup USING (h)),
+      gaps AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    > $DupSpanWindow THEN 1 ELSE 0 END AS brk
+        FROM starts
+      ),
+      grp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM gaps
+      )
+      SELECT doc_id, min(pos) AS span_start,
+             max(pos) + $DupSpanWindow - 1 AS span_end,
+             count(*) AS n_windows
+      FROM grp GROUP BY doc_id, g
+      ORDER BY doc_id, span_start""",
+
     "q_bpe_train"  -> Bpe.trainOracleSql(BpeMerges),
     "q_bpe_tokens" -> Bpe.tokensOracleSql(BpeMerges),
 

@@ -504,6 +504,108 @@ object Dedup {
   }
 
   /**
+   * Exact substring-duplication detection at ARBITRARY offsets (the
+   * Lee et al. ACL'22 "Deduplicating Training Data" recipe, re-expressed
+   * relationally): every maximal token span whose every length-`windowTokens`
+   * sub-window occurs ≥ 2 times corpus-wide (including within one
+   * document). Complements [[corpusChunkDedup]], which can only see
+   * duplication aligned to fixed chunk boundaries — a copied paragraph
+   * that straddles a boundary is invisible there and found here.
+   *
+   * Relational shape instead of the paper's suffix array: a duplicated
+   * substring of length ≥ L exists iff some L-token window repeats, so
+   *  1. each doc's window hashes materialize in ONE narrow projection —
+   *     `transform(sequence(0, n−L), i → md5(slice(toks, i+1, L)))` on
+   *     the already-split token array, no per-window explode, no shuffle;
+   *  2. repeated hashes surface via one hash aggregate (the only
+   *     corpus-wide shuffle, keyed on a 32-hex string);
+   *  3. surviving window starts merge into maximal spans with one
+   *     windowed island pass per doc (starts p, p' of L-windows are
+   *     contiguous-or-overlapping iff p' − p ≤ L).
+   * Output: (doc_id, span_start, span_end, n_windows) in token
+   * coordinates, every occurrence reported. The q_dup_spans oracle
+   * replays all three stages in SQL; OpsSpec pins hand-computed extents
+   * on a planted cross-doc copy, a within-doc repeat, and the
+   * straddling-chunk-boundary case chunk dedup misses.
+   */
+  def duplicateSpans(docs: DataFrame, windowTokens: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
+    import org.apache.spark.sql.expressions.Window
+    val L = windowTokens
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+    val wh = toks.where(size(col("toks")) >= L)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - L),
+        // chr(31) separator: without one ("ab","c") and ("a","bc")
+        // would hash equal; the DuckDB oracle mirrors with chr(31)
+        i => md5(concat_ws("\u001f", slice(col("toks"), i + 1, lit(L)))))))
+      .toDF(idCol, "pos", "h")
+      // feeds the dup aggregate AND the join-back: one scan, not two
+      .localCheckpoint()
+    val dup = wh.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") >= 2).select("h")
+    val starts = wh.join(dup, "h").select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val grouped = starts
+      .withColumn("brk", when(col("pos") - lag("pos", 1).over(byDoc) > L, 1).otherwise(0))
+      .withColumn("g", sum("brk").over(byDoc))
+    grouped.groupBy(col(idCol), col("g"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + L - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("g")
+  }
+
+  /**
+   * One-pass removal of the spans [[duplicateSpans]] detects, keeping
+   * the globally-first occurrence of each repeated window (min
+   * (doc_id, pos) — the paper's "all but one" policy): tokens covered
+   * only by non-canonical repeated windows are dropped and the text is
+   * rebuilt from the survivors. A document can be canonical for one
+   * window and not another, so partial strips can fragment text — the
+   * same property the reference recipe's byte-range cuts have. Linear:
+   * the ×L expansion runs over REMOVABLE window starts only, never the
+   * corpus. Returns every input row with `text_stripped` + `n_removed`.
+   */
+  def stripDuplicateSpans(docs: DataFrame, windowTokens: Int,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
+    val L = windowTokens
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+    val wh = toks.where(size(col("toks")) >= L)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - L),
+        // chr(31) separator: without one ("ab","c") and ("a","bc")
+        // would hash equal; the DuckDB oracle mirrors with chr(31)
+        i => md5(concat_ws("\u001f", slice(col("toks"), i + 1, lit(L)))))))
+      .toDF(idCol, "pos", "h")
+      .localCheckpoint()
+    val byHash = wh.groupBy("h").agg(
+      count(lit(1)).as("c"),
+      min(struct(col(idCol), col("pos"))).as("first"))
+    val removable = wh.join(byHash.where(col("c") >= 2), "h")
+      .where(!(col(idCol) === col("first").getField(idCol) &&
+        col("pos") === col("first").getField("pos")))
+      .select(col(idCol), col("pos"))
+    val covered = removable
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + L - 1)).as("p"))
+      .distinct()
+    val kept = toks
+      .select(col(idCol), posexplode(col("toks")))
+      .toDF(idCol, "p", "tok")
+      .join(covered, Seq(idCol, "p"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok")), " ").as("text_stripped"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("__n"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_stripped"), lit("")).as("text_stripped"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for candidate pairs: |A∩B|/|A∪B| over
    * distinct word n-gram shingles. Used to verify LSH candidates; at scale
    * only runs on the candidate set, never all pairs.

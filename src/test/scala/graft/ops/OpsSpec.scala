@@ -156,6 +156,52 @@ class OpsSpec extends SparkSpec {
     assert(kept == Seq(2L, 4L))
   }
 
+  test("duplicateSpans: planted cross-doc copy, within-doc repeat, boundary straddler") {
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    val a = words("x", 20)                                  // x1..x20, all unique
+    val copied = a.slice(2, 12)                             // x3..x12 (10 tokens)
+    val b = words("y", 5) ++ copied ++ words("z", 5)        // copy at positions 5..14
+    val c = words("p", 4) ++ words("r", 8) ++ words("q", 4) ++ words("r", 8)  // within-doc repeat
+    val corpus = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")), (3L, c.mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, windowTokens = 8)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc 1: copy covers token idx 2..11 → window starts 2,3,4 merge
+    // doc 2: same content at idx 5..14 → starts 5,6,7
+    // doc 3: r1..r8 at idx 4..11 and 16..23 → one start each, two spans
+    assert(spans == Seq(
+      (1L, 2L, 11L, 3L), (2L, 5L, 14L, 3L),
+      (3L, 4L, 11L, 1L), (3L, 16L, 23L, 1L)))
+
+    // the straddler contract: chunk dedup at the same granularity sees
+    // NOTHING (the copy crosses its fixed 8-token boundaries), span
+    // detection reports the full extent
+    val chunked = Dedup.corpusChunkDedup(corpus, chunkTokens = 8)
+      .agg(sum(col("n_chunks") - col("n_kept"))).collect()(0).getLong(0)
+    assert(chunked == 0L)
+  }
+
+  test("stripDuplicateSpans: canonical occurrence survives, copies removed, no-dup identity") {
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    val a = words("x", 20)
+    val b = words("y", 5) ++ a.slice(2, 12) ++ words("z", 5)
+    val corpus = Seq((1L, a.mkString(" ")), (2L, b.mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(corpus, windowTokens = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text_stripped") == a.mkString(" ") &&
+      out(0).getAs[Long]("n_removed") == 0L)
+    assert(out(1).getAs[String]("text_stripped") ==
+      (words("y", 5) ++ words("z", 5)).mkString(" ") &&
+      out(1).getAs[Long]("n_removed") == 10L)
+
+    val clean = Seq((1L, words("u", 12).mkString(" ")), (2L, words("v", 12).mkString(" ")))
+      .toDF("doc_id", "text")
+    val ident = Dedup.stripDuplicateSpans(clean, windowTokens = 8).orderBy("doc_id").collect()
+    assert(ident.forall(_.getAs[Long]("n_removed") == 0L) &&
+      ident(0).getAs[String]("text_stripped") == words("u", 12).mkString(" "))
+  }
+
   test("jaccard verification: dup pair = 1.0, near pair high, ordered cols") {
     val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.jaccardVerify(cands, docs).orderBy("id_b")
