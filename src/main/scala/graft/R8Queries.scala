@@ -51,6 +51,11 @@ object R8Queries {
       Dedup.duplicateSpans(Tables(s, dir, "documents"), windowTokens = DupSpanWindow)
         .orderBy("doc_id", "span_start")),
 
+    // ── all-but-first removal of those spans (text rebuild oracled) ────
+    "q_dup_span_strip" -> ((s, dir) =>
+      Dedup.stripDuplicateSpans(Tables(s, dir, "documents"), windowTokens = DupSpanWindow)
+        .orderBy("doc_id")),
+
     // ── learned BPE merge table (training replayed by the oracle) ──────
     "q_bpe_train" -> ((s, dir) => {
       val merges = Bpe.train(Tables(s, dir, "documents"), nMerges = BpeMerges)
@@ -104,6 +109,48 @@ object R8Queries {
              count(*) AS n_windows
       FROM grp GROUP BY doc_id, g
       ORDER BY doc_id, span_start""",
+
+    // strip replay: same window hashes, canonical occurrence = first by
+    // (doc_id, pos) per repeated hash, covered positions from removable
+    // starts only, text rebuilt from surviving positions
+    "q_dup_span_strip" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      wh AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               md5(array_to_string(toks[u.i+1 : u.i+$DupSpanWindow], chr(31))) AS h
+        FROM t, unnest(range(len(toks) - $DupSpanWindow + 1)) AS u(i)
+        WHERE len(toks) >= $DupSpanWindow
+      ),
+      stats AS (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY h) AS c,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM wh
+      ),
+      removable AS (SELECT doc_id, pos FROM stats WHERE c >= 2 AND rn > 1),
+      covered AS (
+        SELECT DISTINCT doc_id, pos + CAST(u.k AS BIGINT) AS p
+        FROM removable, unnest(range($DupSpanWindow)) AS u(k)
+      ),
+      all_toks AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS p, toks[u.i+1] AS tok
+        FROM t, unnest(range(len(toks))) AS u(i)
+      ),
+      kept AS (
+        SELECT a.doc_id, a.p, a.tok FROM all_toks a
+        WHERE NOT EXISTS (SELECT 1 FROM covered c
+                          WHERE c.doc_id = a.doc_id AND c.p = a.p)
+      ),
+      rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_stripped,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+      )
+      SELECT t.doc_id,
+             coalesce(r.text_stripped, '') AS text_stripped,
+             len(t.toks) - coalesce(r.n_kept, 0) AS n_removed
+      FROM t LEFT JOIN rebuilt r USING (doc_id)
+      ORDER BY doc_id""",
 
     "q_bpe_train"  -> Bpe.trainOracleSql(BpeMerges),
     "q_bpe_tokens" -> Bpe.tokensOracleSql(BpeMerges),
