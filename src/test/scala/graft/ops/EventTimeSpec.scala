@@ -12,17 +12,38 @@ class EventTimeSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Normalize a `ts` column to TIMESTAMP_LTZ whatever the parquet reader
+    * surfaced it as: legacy nanos-as-LongType → µs timestamps (Tables.scala's
+    * conversion), TIMESTAMP_NTZ (what Spark 4.1.2 gives for TIMESTAMP(NANOS)
+    * even under nanosAsLong) → LTZ cast, which is wall-clock-preserving
+    * because the spec session pins timeZone=UTC. Watermarks accept only LTZ,
+    * so an unconditional — or missing — cast breaks analysis on one Spark
+    * build or the other. Both the batch and streaming side of every parity
+    * test must go through here so the collected values compare equal and a
+    * Spark upgrade can't silently disable the suite again. */
+  private def normalizeTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  private def streamEvents(dir: String): org.apache.spark.sql.DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    normalizeTs(spark.readStream.schema(schema).parquet(dir))
+  }
+
   test("tumbling daily stats: streaming (watermarked) equals batch") {
-    val batch = EventTime.tumblingStats(graft.Tables(spark, sf, "events"))
+    val batch = EventTime.tumblingStats(normalizeTs(graft.Tables(spark, sf, "events")))
       .orderBy("window_start").collect().map(_.toSeq).toSeq
 
     // stream the same parquet through a file source
     val dir = Files.createTempDirectory("events-stream")
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"))
-    val raw = spark.read.parquet(dir.toString)
-    val sdf = spark.readStream.schema(raw.schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = EventTime.tumblingStats(sdf, watermarkDelay = Some("1 hour"))
+    val agg = EventTime.tumblingStats(streamEvents(dir.toString),
+      watermarkDelay = Some("1 hour"))
 
     val q = agg.writeStream.outputMode("complete").format("memory")
       .queryName("et_stream").trigger(Trigger.AvailableNow()).start()
@@ -35,15 +56,13 @@ class EventTimeSpec extends SparkSpec {
   }
 
   test("session windows: streaming (watermarked state merge) equals batch") {
-    val batch = EventTime.sessionStats(graft.Tables(spark, sf, "events"))
+    val batch = EventTime.sessionStats(normalizeTs(graft.Tables(spark, sf, "events")))
       .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
 
     val dir = Files.createTempDirectory("sessions-stream")
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"))
-    val raw = spark.read.parquet(dir.toString)
-    val sdf = spark.readStream.schema(raw.schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = EventTime.sessionStats(sdf, watermarkDelay = Some("1 hour"))
+    val agg = EventTime.sessionStats(streamEvents(dir.toString),
+      watermarkDelay = Some("1 hour"))
 
     val q = agg.writeStream.outputMode("complete").format("memory")
       .queryName("sess_stream").trigger(Trigger.AvailableNow()).start()
@@ -68,9 +87,7 @@ class EventTimeSpec extends SparkSpec {
         .write.mode("append").parquet(in)
 
     def run(): Unit = {
-      val schema = spark.read.parquet(in).schema
-      val sdf = spark.readStream.schema(schema).parquet(in)
-      val q = EventTime.tumblingStats(sdf, windowLength = "10 minutes",
+      val q = EventTime.tumblingStats(streamEvents(in), windowLength = "10 minutes",
           watermarkDelay = Some("10 minutes"))
         .writeStream.outputMode("append").format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
@@ -122,9 +139,8 @@ class EventTimeSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(expected == Set((100L, 2L), (101L, 3L)))
 
-    val ps = spark.readStream.schema(spark.read.parquet(pDir).schema).parquet(pDir)
-    val cs = spark.readStream.schema(spark.read.parquet(cDir).schema).parquet(cDir)
-    val q = EventTime.clickAttribution(ps, cs, watermarkDelay = Some("10 minutes"))
+    val q = EventTime.clickAttribution(streamEvents(pDir), streamEvents(cDir),
+        watermarkDelay = Some("10 minutes"))
       .writeStream.outputMode("append").format("memory").queryName("ss_join")
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow()).start()
