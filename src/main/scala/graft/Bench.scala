@@ -26,6 +26,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Host-contention tripwire reference: sentinel timings from the
+    // COMMITTED bench map, read before this run overwrites the file. If a
+    // bench runs under sustained external load (it happened: a 322.8s map
+    // vs a 69.2s quiet-host reference), warmup + min-of-2 can't defend —
+    // but trivial queries ballooning 3x+ can't be explained by code
+    // changes, so they flag the whole artifact as untrustworthy.
+    val qfile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    val sentinels = Seq("q_distinct", "q_topk", "q_zorder")
+    val refTimes: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(qfile)), "UTF-8")
+        sentinels.flatMap { s =>
+          ("\"" + s + "\":([0-9.eE+-]+)").r.findFirstMatchIn(txt)
+            .map(m => s -> m.group(1).toDouble)
+        }.toMap
+      } catch { case _: Throwable => Map.empty }
+
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     // warmup: run every query once (scan + shuffle + codegen + JIT)
     qs.foreach { case (_, fn) =>
@@ -48,6 +66,22 @@ object Bench {
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     def fmt(v: Double): String = "%.3f".format(v)
+
+    // Tripwire: re-time the sentinels AFTER the whole timed pass (so they
+    // sample the same host conditions the slowest queries saw) and compare
+    // to the committed reference. >3x on any trivial sentinel => the run is
+    // contaminated and must not become the new reference.
+    val sentinelNow = sentinels.flatMap { s =>
+      SparkEntry.queries.get(s).map(fn => s -> math.min(timeOnce(fn), timeOnce(fn)))
+    }.toMap
+    val contended = sentinelNow.exists { case (s, v) =>
+      refTimes.get(s).exists(r => r > 0 && v > 3 * r)
+    }
+    val sentinelJson = sentinels.flatMap(s => sentinelNow.get(s).map(v =>
+      "\"" + s + "\":" + fmt(v) + (refTimes.get(s) match {
+        case Some(r) => ",\"" + s + "_ref\":" + fmt(r)
+        case None => ""
+      }))).mkString("{", ",", "}")
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -60,15 +94,14 @@ object Bench {
     //  3. end with a short, self-contained summary line — guaranteed to
     //     fit whole in any tail window — carrying the slowest queries
     //     inline plus a pointer to the full file.
-    val qfile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":$qjson}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","host_contended":$contended,"sentinels":$sentinelJson,"queries":$qjson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(qfile),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(full)
     val slowest = results.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"$qfile","queries":$slowest}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"host_contended":$contended,"queries_file":"$qfile","queries":$slowest}""")
     spark.stop()
   }
 }
