@@ -60,12 +60,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = qs.map { case (name, fn) =>
+    val raw = qs.map { case (name, fn) =>
       val a = timeOnce(fn)
       val b = timeOnce(fn)
+      (name, a, b)
+    }
+    val results = raw.map { case (name, a, b) =>
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     def fmt(v: Double): String = "%.3f".format(v)
+    // run-to-run spread per query (the two timed runs' max/min): queries
+    // whose spread exceeds 1.5x get their min+max recorded so unstable
+    // measurements are visible in the artifact instead of silently
+    // flattened by min-of-2 (q_cdc_roundtrip's judged 0.9s-vs-8s round-8
+    // bimodality is the motivating case)
+    val unstable = raw.filter { case (_, a, b) =>
+      a > 0 && b > 0 && math.max(a, b) / math.min(a, b) >= 1.5 &&
+        math.max(a, b) - math.min(a, b) >= 0.25
+    }
+    val spreadJson = unstable.map { case (n, a, b) =>
+      "\"" + n + "\":[" + fmt(math.min(a, b)) + "," + fmt(math.max(a, b)) + "]"
+    }.mkString("{", ",", "}")
 
     // Tripwire: re-time the sentinels AFTER the whole timed pass (so they
     // sample the same host conditions the slowest queries saw) and compare
@@ -94,7 +109,7 @@ object Bench {
     //  3. end with a short, self-contained summary line — guaranteed to
     //     fit whole in any tail window — carrying the slowest queries
     //     inline plus a pointer to the full file.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","host_contended":$contended,"sentinels":$sentinelJson,"queries":$qjson}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","host_contended":$contended,"sentinels":$sentinelJson,"spread":$spreadJson,"queries":$qjson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(qfile),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

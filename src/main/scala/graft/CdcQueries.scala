@@ -111,8 +111,8 @@ object CdcQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     "q_cdc_roundtrip" -> ((s, dir) => {
-      val lines = s.read.text(walLinesDir(s, dir))
-      val decoded = WalDecoder.decodeTables(s, lines, Seq(eventsSchema))("events")
+      val decoded = WalDecoder.decodeTablesFromDir(
+        s, walLinesDir(s, dir), Seq(eventsSchema))("events")
       decoded.select(
         col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
@@ -126,16 +126,15 @@ object CdcQueries {
       // a deterministic subset tagged U/D: event_id % 3 == 1 → U, == 2 → D
       val action = when(col("event_id") % 3 === 1, "U")
         .when(col("event_id") % 3 === 2, "D").otherwise("I")
-      val lines = s.read.text(walLinesDir(s, dir, action, tag = "IUD"))
-      val decoded = WalDecoder.decodeTables(s, lines, Seq(eventsSchema))("events")
+      val decoded = WalDecoder.decodeTablesFromDir(
+        s, walLinesDir(s, dir, action, tag = "IUD"), Seq(eventsSchema))("events")
       decoded.select(col("event_id"), col("event_type")).orderBy("event_id")
     }),
 
     // merge/upsert materialization: latest live row per PK after an
     // I → U → D change history (one max_by aggregation, no window sort)
     "q_cdc_upsert" -> ((s, dir) => {
-      val lines = s.read.text(upsertLinesDir(s, dir))
-      CdcMerge.latestState(lines, eventsSchema)
+      CdcMerge.latestStateFromDir(s, upsertLinesDir(s, dir), eventsSchema)
         .select(col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
           col("user_id"), col("event_type"), col("value"))
@@ -148,10 +147,10 @@ object CdcQueries {
     // IDENTICAL no matter how the table is partitioned (commutative
     // aggregation), and the row count matches the oracle's merge
     "q_cdc_digest" -> ((s, dir) => {
-      val lines = s.read.text(upsertLinesDir(s, dir))
       // cached: the merged state feeds BOTH digest arms and the count —
       // without it the upsert merge (scan+shuffle) runs three times
-      val state = CdcMerge.latestState(lines, eventsSchema).cache()
+      val state = CdcMerge.latestStateFromDir(s, upsertLinesDir(s, dir),
+        eventsSchema).cache()
       val canonical = CdcMerge.canonicalRow(eventsSchema)
       val d1 = state.agg(
         graft.crypto.EcmhAggregator.digest(canonical).as("d1"))

@@ -41,9 +41,16 @@ object CdcMerge {
     * survives) — handling PK-rewrites needs a delete+insert split
     * upstream.
     */
-  private def typedWithOrder(lines: DataFrame, schema: TableSchema): DataFrame = {
-    val records = WalDecoder.decodeRecords(
-        lines, recordFields = Some(Seq("action", "table", "columns", "identity")))
+  private val mergeRecordFields = Seq("action", "table", "columns", "identity")
+
+  private def typedWithOrder(lines: DataFrame, schema: TableSchema): DataFrame =
+    typedRecordsWithOrder(
+      WalDecoder.decodeRecords(lines, recordFields = Some(mergeRecordFields)), schema)
+
+  /** As [[typedWithOrder]] but over already-exploded records (shared by
+    * the line-fed streaming path and the scan-parsed batch-dir path). */
+  private def typedRecordsWithOrder(records0: DataFrame, schema: TableSchema): DataFrame = {
+    val records = records0
       .where(col("table") === schema.table &&
         col("action").isin("I", "U", "D"))
       .withColumn("columns",
@@ -81,6 +88,16 @@ object CdcMerge {
    */
   def latestState(lines: DataFrame, schema: TableSchema): DataFrame =
     mergeLatest(typedWithOrder(lines, schema), schema)
+      .select(schema.columns.map(c => col(c.name)): _*)
+
+  /** [[latestState]] over an on-disk feed directory: the json data source
+    * parses each line once at the scan (see
+    * [[WalDecoder.decodeTablesFromDir]]); the merge plan is identical. */
+  def latestStateFromDir(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, schema: TableSchema): DataFrame =
+    mergeLatest(typedRecordsWithOrder(
+        WalDecoder.explodeTx(WalDecoder.parseTxDir(spark, dir,
+          recordFields = Some(mergeRecordFields))), schema), schema)
       .select(schema.columns.map(c => col(c.name)): _*)
 
   /** Canonical row bytes for digesting: JSON of the schema's columns in

@@ -17,19 +17,46 @@ import org.apache.spark.sql.functions._
  */
 object WalDecoder {
 
-  /** Raw text lines (one JSON tx per line) → one row per WAL record.
-    * `recordFields = Some(...)` projects the parse schema to just those
-    * record fields (cheaper JSON decode on the replay hot path). */
+  /** Parsed tx envelope (commit_lsn, records) → one row per WAL record.
+    * Malformed-line skip is free: a failed parse yields a null `records`
+    * array and `posexplode` of null emits no rows. */
+  private[cdc] def explodeTx(parsed: DataFrame): DataFrame =
+    parsed
+      .select(col("commit_lsn"),
+              posexplode(col("records")).as(Seq("record_idx", "r")))
+      .select(col("commit_lsn"), col("record_idx"), col("r.*"))
+
+  /** Raw text lines (one JSON tx per line) → one row per WAL record via
+    * `from_json` — the STREAMING decode path (a socket/file-stream feed
+    * has no scan to push parsing into). `recordFields = Some(...)`
+    * projects the parse schema to just those record fields (cheaper JSON
+    * decode on the replay hot path).
+    *
+    * Plan caveat, measured: optimizer rules (predicate pushdown alias
+    * substitution, InferFiltersFromGenerate) duplicate the `from_json` —
+    * a CodegenFallback expression with no subexpression elimination —
+    * into derived null/size filters, so each line parses ~3x. For BATCH
+    * decode of an on-disk feed use [[decodeTablesFromDir]], which parses
+    * once at the scan. */
   def decodeRecords(lines: DataFrame,
                     recordFields: Option[Seq[String]] = None): DataFrame = {
     val valueCol = lines.columns.headOption.getOrElse("value")
     val schema = recordFields.fold(WalModel.txSchema)(WalModel.txSchemaProjected)
-    lines
+    explodeTx(lines
       .select(from_json(col(valueCol), schema).as("tx"))
-      .where(col("tx").isNotNull && col("tx.records").isNotNull)
-      .select(col("tx.commit_lsn").as("commit_lsn"),
-              posexplode(col("tx.records")).as(Seq("record_idx", "r")))
-      .select(col("commit_lsn"), col("record_idx"), col("r.*"))
+      .select(col("tx.commit_lsn").as("commit_lsn"), col("tx.records").as("records")))
+  }
+
+  /** A WAL text-feed directory parsed by the json DATA SOURCE: each line
+    * is parsed exactly once at the scan (PERMISSIVE mode nulls malformed
+    * lines), the record-field projection is real column pruning in the
+    * reader, and no optimizer rule can duplicate the parse — unlike the
+    * `from_json` expression path (see [[decodeRecords]]). This is the
+    * batch decode entry for everything already spooled to disk. */
+  def parseTxDir(spark: SparkSession, dir: String,
+                 recordFields: Option[Seq[String]] = None): DataFrame = {
+    val schema = recordFields.fold(WalModel.txSchema)(WalModel.txSchemaProjected)
+    spark.read.schema(schema).json(dir)
   }
 
   /**
@@ -72,6 +99,22 @@ object WalDecoder {
     val records = filterActions(
       decodeRecords(actionPrefilter(lines, replayActions),
         recordFields = Some(Seq("action", "table", "columns"))),
+      replayActions)
+    schemas.map { ts =>
+      ts.table -> PgValueDecoder.pivotToTable(records.where(col("table") === ts.table), ts)
+    }.toMap
+  }
+
+  /** [[decodeTables]] over an on-disk feed directory, single-parse at the
+    * scan via [[parseTxDir]]. Preferred for batch replay of spooled WAL. */
+  def decodeTablesFromDir(
+      spark: SparkSession,
+      dir: String,
+      schemas: Seq[TableSchema],
+      replayActions: Set[String] = Set("I")): Map[String, DataFrame] = {
+    val records = filterActions(
+      explodeTx(parseTxDir(spark, dir,
+        recordFields = Some(Seq("action", "table", "columns")))),
       replayActions)
     schemas.map { ts =>
       ts.table -> PgValueDecoder.pivotToTable(records.where(col("table") === ts.table), ts)
