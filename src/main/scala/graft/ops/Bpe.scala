@@ -55,15 +55,48 @@ object Bpe {
    * each selecting the adjacent symbol pair with the highest exact
    * corpus count (ties broken by (left, right) ascending — total order,
    * engine-independent). Stops early only if no pair remains.
+   *
+   * HYBRID placement of the merge loop: the corpus-scale work (word
+   * count) always runs distributed and reduces to a vocab-sized
+   * (freq, state) table. When that table fits comfortably on the driver
+   * (`localVocabThreshold` rows — a production tokenizer corpus has a
+   * few million distinct words; the states are short strings), the
+   * nMerges iterations run DRIVER-LOCAL over the collected table:
+   * identical counts, tie-breaks, and replace semantics
+   * (`BpeSpec` pins local ≡ distributed), but one merge costs a map
+   * scan instead of a Spark job + one-row collect. Measured at sf0.1
+   * (vocab saturates at 89 merges): hybrid 4.0 s end-to-end vs 12.7 s
+   * distributed, identical outputs — and the gap is linear in nMerges,
+   * so a realistic 30k-merge run would otherwise be 30k sequential
+   * driver round-trips (SCALING.md). Corpora whose vocab genuinely
+   * exceeds the threshold keep the distributed loop, where a
+   * vocab-sized shuffle per merge is the correct cost.
    */
   def train(docs: DataFrame, textCol: String = "text",
-            nMerges: Int = 20): Seq[Merge] = {
+            nMerges: Int = 20,
+            localVocabThreshold: Long = 2000000L): Seq[Merge] = {
     // corpus-scale pass #1: word frequencies (vocab-sized result)
-    var vocab = docs
+    val vocab = vocabOf(docs, textCol)
+    val probe = vocab.limit(localVocabThreshold.toInt + 1).count()
+    if (probe <= localVocabThreshold)
+      trainLocal(
+        vocab.collect().map(r => (r.getLong(0), r.getString(1))).toSeq, nMerges)
+    else trainDistributed(vocab, nMerges)
+  }
+
+  /** The corpus-scale word-frequency pass: reduces `docs` to the
+    * vocab-sized (freq, state) table both merge loops train over. */
+  private[ops] def vocabOf(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("freq"), initState(col("word")).as("state"))
       .localCheckpoint()
+
+  /** The distributed merge loop: one pair-count job + one-row argmax
+    * collect per merge over the (already vocab-sized) state table. */
+  private[ops] def trainDistributed(vocab0: DataFrame, nMerges: Int): Seq[Merge] = {
+    var vocab = vocab0
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
@@ -87,6 +120,45 @@ object Bpe {
         vocab = vocab
           .select(col("freq"), applyMerge(col("state"), l, r).as("state"))
           .localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The driver-local merge loop over a collected (freq, state) vocab.
+    * Every step mirrors the distributed loop operation-for-operation so
+    * the two are result-identical (spec-pinned):
+    *  - `state.trim.split("  ")` = Spark `split(trim(state), "  ")`
+    *    (both regex splits; states contain only spaces and [a-z]);
+    *  - pair counts sum freq over adjacent token pairs;
+    *  - argmax by (cnt desc, l asc, r asc) — Java String compareTo and
+    *    Spark's UTF8String binary ordering agree on [a-z] symbols;
+    *  - `String.replace` = Spark `replace` = leftmost-first
+    *    non-overlapping replace-all. */
+  private[ops] def trainLocal(vocab0: Seq[(Long, String)], nMerges: Int): Seq[Merge] = {
+    var vocab = vocab0
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (freq, state) =>
+        val toks = state.trim.split("  ")
+        if (toks.length >= 2) {
+          var i = 0
+          while (i < toks.length - 1) {
+            val key = (toks(i), toks(i + 1))
+            counts.update(key, counts.getOrElse(key, 0L) + freq)
+            i += 1
+          }
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += Merge(rank, l, r, cnt)
+        vocab = vocab.map { case (f, s) => (f, s.replace(s" $l  $r ", s" $l$r ")) }
         rank += 1
       }
     }

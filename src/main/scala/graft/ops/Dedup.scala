@@ -219,33 +219,78 @@ object Dedup {
 
   /**
    * Exact-collapse prefix of the end-to-end dedup pipelines: keep ONE
-   * representative row per byte-identical text, chosen by `order` (the
-   * same winner ordering the cluster stage applies). Output-preserving
-   * for the near-dedup that follows, because byte-identical texts have
-   * identical minhash signatures (every band collides → always
-   * candidates) and Jaccard exactly 1.0 (always verified), so they are
-   * guaranteed same-cluster — and any edge (twin, x) implies the
-   * identical-value edge (rep, x) in the representative-only run, so
-   * connectivity through a dropped twin is never lost. The cluster
-   * winner over representatives equals the winner over all members as
-   * long as the representative is picked by the SAME ordering.
+   * representative row per byte-identical text, chosen by `winnerOrd`
+   * (a struct whose MAX is the winner — the same winner ordering the
+   * cluster stage applies). Output-preserving for the near-dedup that
+   * follows, because byte-identical texts have identical minhash
+   * signatures (every band collides → always candidates) and Jaccard
+   * exactly 1.0 (always verified), so they are guaranteed same-cluster
+   * — and any edge (twin, x) implies the identical-value edge (rep, x)
+   * in the representative-only run, so connectivity through a dropped
+   * twin is never lost. The cluster winner over representatives equals
+   * the winner over all members as long as the representative is
+   * picked by the SAME ordering.
    *
    * Why this stage exists (100 TB): leaving d identical copies in the
    * LSH stage multiplies every one of their bucket memberships by d, so
-   * candidate pairs grow C(d,2)-quadratically while this collapse is
-   * one linear hash-window pass on (md5, id) keys. Measured on the
-   * 100× byte-duplicated amplification of sf0.1: q_dedup_corpus
-   * 188 s → collapse makes the near-dedup input (and cost) independent
-   * of the duplication factor (SCALING.md, second-decade table).
+   * candidate pairs grow C(d,2)-quadratically while the collapse is
+   * linear. Measured on the 100× byte-duplicated amplification of
+   * sf0.1: q_dedup_corpus 188 s → collapse makes the near-dedup input
+   * (and cost) independent of the duplication factor (SCALING.md,
+   * second-decade table).
+   *
+   * Plan (r9): a keys-only census — groupBy(md5) carrying (count,
+   * max_by(id, winnerOrd)) — shuffles 16-byte keys, never documents,
+   * and already KNOWS each twin group's winner. The census must be
+   * exact, not a sketch: one text duplicated 10k times in an
+   * otherwise-unique corpus moves a distinct-count estimate by ~0.01%
+   * yet is exactly the C(d,2) blowup this collapse exists to kill.
+   * Then:
+   *  - no twin groups → identity (the pre-r9 full-row window was a
+   *    pure constant on every clean corpus);
+   *  - twin groups fit a broadcast (the real-world post-crawl norm;
+   *    probe bounded by limit+count) → ONE scan of `docs` with a
+   *    broadcast (md5 → keep_id) lookup: keep a row iff its text has
+   *    no twins or it IS the group winner. No full-row shuffle at all.
+   *  - twin groups exceed the broadcast bound (duplicate-saturated
+   *    corpus, e.g. the 100× amplification) → full-corpus window,
+   *    whose cost the second-decade SCALING.md measurement justifies.
+   * All arms produce identical rows (winner choice is the same
+   * deterministic ordering), and collapse itself is output-preserving
+   * downstream (theorem above), so the plan choice can never change
+   * results.
    */
-  private def collapseExact(docs: DataFrame, textCol: String,
-                            order: Seq[Column]): DataFrame = {
+  private def collapseExact(docs: DataFrame, idCol: String, textCol: String,
+                            winnerOrd: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("__graft_md5").orderBy(order: _*)
-    docs.withColumn("__graft_md5", md5(col(textCol)))
-      .withColumn("__graft_rn", row_number().over(w))
-      .where(col("__graft_rn") === 1)
-      .drop("__graft_md5", "__graft_rn")
+    val broadcastGroups = 100000
+    val census = docs
+      .select(md5(col(textCol)).as("__graft_md5"), col(idCol).as("__graft_id"),
+        winnerOrd.as("__graft_ord"))
+      .groupBy("__graft_md5")
+      .agg(count(lit(1)).as("__graft_n"),
+        max_by(col("__graft_id"), col("__graft_ord")).as("__graft_keep"))
+      .where(col("__graft_n") > 1)
+      .select("__graft_md5", "__graft_keep")
+    val probe = census.limit(broadcastGroups + 1).count()
+    // identity arm returns `docs` UNCHECKPOINTED: the downstream 4x
+    // re-read is then plain parquet re-scans (the pre-collapse plan);
+    // a localCheckpoint would only add a block-store copy of the corpus
+    if (probe == 0L) docs
+    else if (probe <= broadcastGroups)
+      docs.withColumn("__graft_md5", md5(col(textCol)))
+        .join(broadcast(census), Seq("__graft_md5"), "left")
+        .where(col("__graft_keep").isNull || col(idCol) === col("__graft_keep"))
+        .drop("__graft_md5", "__graft_keep")
+        .localCheckpoint()
+    else
+      docs.withColumn("__graft_md5", md5(col(textCol)))
+        .withColumn("__graft_ord", winnerOrd)
+        .withColumn("__graft_rn", row_number().over(
+          Window.partitionBy("__graft_md5").orderBy(col("__graft_ord").desc)))
+        .where(col("__graft_rn") === 1)
+        .drop("__graft_md5", "__graft_ord", "__graft_rn")
+        .localCheckpoint()
   }
 
   /**
@@ -257,7 +302,7 @@ object Dedup {
    */
   def deduplicate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                   jaccardThreshold: Double = 0.8, k: Int = 8, bands: Int = 4): DataFrame = {
-    val reps = collapseExact(docs, textCol, Seq(col(idCol))).localCheckpoint()
+    val reps = collapseExact(docs, idCol, textCol, struct(-col(idCol)))
     val cands = lshCandidates(reps, idCol, textCol, k, bands)
     val verified = jaccardVerify(cands, reps, idCol, textCol)
       .where(col("jaccard") >= jaccardThreshold)
@@ -282,8 +327,7 @@ object Dedup {
                           idCol: String = "doc_id", textCol: String = "text",
                           jaccardThreshold: Double = 0.8,
                           k: Int = 8, bands: Int = 4): DataFrame = {
-    val reps = collapseExact(docs, textCol, Seq(score.desc, col(idCol).asc))
-      .localCheckpoint()
+    val reps = collapseExact(docs, idCol, textCol, struct(score, -col(idCol)))
     val cands = lshCandidates(reps, idCol, textCol, k, bands)
     val verified = jaccardVerify(cands, reps, idCol, textCol)
       .where(col("jaccard") >= jaccardThreshold)

@@ -48,6 +48,27 @@ class BpeSpec extends SparkSpec {
     assert(docs.select(Bpe.tokenCountAfter(col("text"), m)).head().getLong(0) == 2L)
   }
 
+  test("driver-local merge loop ≡ distributed merge loop (classic, testdata, seeded random)") {
+    def both(docs: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+      val vocab = Bpe.vocabOf(docs, "text")
+      val local = Bpe.trainLocal(
+        vocab.collect().map(r => (r.getLong(0), r.getString(1))).toSeq, n)
+      val dist = Bpe.trainDistributed(vocab, n)
+      assert(local == dist)
+      assert(local.nonEmpty)
+    }
+    both(Seq((1L, "low low low low low"), (2L, "lower lower")).toDF("doc_id", "text"), 6)
+    both(graft.Tables(spark, "/root/testdata/sf0.001", "documents"), 12)
+    // seeded random corpus: short alphabet forces heavy pair-count ties,
+    // exercising the (cnt desc, l asc, r asc) tie-break in both loops
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 60L).map { i =>
+      (i, Seq.fill(rnd.nextInt(8) + 2)(
+        Seq.fill(rnd.nextInt(6) + 1)("abc" (rnd.nextInt(3))).mkString).mkString(" "))
+    }.toDF("doc_id", "text")
+    both(docs, 8)
+  }
+
   test("train matches its own generated oracle semantics on the driver tables") {
     // sf0.001 documents: counts must be exact, ranks strictly ordered,
     // chosen pair counts non-increasing (classic BPE monotonicity),
