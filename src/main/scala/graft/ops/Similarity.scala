@@ -198,6 +198,18 @@ object Similarity {
               round(col("__m.dist2"), 6).as("dist2"))
   }
 
+  /** Nearest-centroid cell assignment under an ALREADY-TRAINED coarse
+    * quantizer (the serve half of build-once/serve-many — training via
+    * [[ivfIndex]]). Score + argmax FUSED in one expression — exposing
+    * the scores as a column invites the optimizer to inline the
+    * multi-dot into every per-cell use (same values/tie order as an
+    * array_max over (sim, cell) structs: ties go to the larger cell
+    * id). */
+  def assignCells(df: DataFrame, centroids: Array[(Int, Array[Double])],
+                  vecCol: String = "embedding"): DataFrame =
+    df.withColumn("cell", graft.functions.ArgMaxDot(col(vecCol),
+      centroids.map(_._2.toSeq).toSeq, centroids.map(_._1).toSeq))
+
   def ivfIndex(corpus: DataFrame, nCells: Int = 64, lloydIters: Int = 4, dims: Int = 64,
                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Array[(Int, Array[Double])]) = {
     val spark = corpus.sparkSession
@@ -212,14 +224,8 @@ object Similarity {
         (i, r.getSeq[Float](1).map(_.toDouble).toArray)
       }
 
-    // nearest centroid by dot-product distance (vectors near-normalized):
-    // score + argmax FUSED in one expression — exposing the scores as a
-    // column invites the optimizer to inline the multi-dot into every
-    // per-cell use (same values/tie order as an array_max over
-    // (sim, cell) structs: ties go to the larger cell id)
     def withCell(df: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
-      df.withColumn("cell", graft.functions.ArgMaxDot(col(vecCol),
-        cents.map(_._2.toSeq).toSeq, cents.map(_._1).toSeq))
+      assignCells(df, cents, vecCol)
 
     // the Lloyd loop re-reads the projected corpus once per iteration —
     // cache it for the loop, release before returning
