@@ -13,6 +13,18 @@ import org.apache.spark.sql.SparkSession
  * queries happen to run first.
  */
 object Bench {
+  /** Extract a FLAT `"key":{...}` object from the committed one-line
+    * artifact as name→value pairs. Anchored to the named key (not
+    * first-match over the whole file) so the sentinels object and the
+    * queries map can never shadow each other. */
+  private def flatObj(txt: String, key: String): Map[String, Double] = {
+    val m = ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt)
+    m.map(_.group(1)).toSeq.flatMap { body =>
+      "\"([A-Za-z0-9_]+)\":([0-9.eE+-]+)".r.findAllMatchIn(body)
+        .map(g => g.group(1) -> g.group(2).toDouble)
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,23 +38,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Host-contention tripwire reference: sentinel timings from the
-    // COMMITTED bench map, read before this run overwrites the file. If a
-    // bench runs under sustained external load (it happened: a 322.8s map
-    // vs a 69.2s quiet-host reference), warmup + min-of-2 can't defend —
-    // but trivial queries ballooning 3x+ can't be explained by code
-    // changes, so they flag the whole artifact as untrustworthy.
+    // Committed reference map, read before this run overwrites the file.
+    // Two uses: (1) host-contention tripwire — sentinel timings that
+    // balloon 3x+ on trivial queries flag the whole artifact; (2) the
+    // per-query confirm pass — any query slower than 1.5x its committed
+    // reference gets a third run and is flagged even when its own two
+    // runs agree (a both-runs-slow query is invisible to run-to-run
+    // spread; q_corpus_curate's 6.8s-vs-2.9s same-code swing is the
+    // motivating case). A reference whose own run was host_contended is
+    // NOT adopted: its inflated values would mask future contention.
     val qfile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
     val sentinels = Seq("q_distinct", "q_topk", "q_zorder")
-    val refTimes: Map[String, Double] =
+    val (refSentinels, refQueries): (Map[String, Double], Map[String, Double]) =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(qfile)), "UTF-8")
-        sentinels.flatMap { s =>
-          ("\"" + s + "\":([0-9.eE+-]+)").r.findFirstMatchIn(txt)
-            .map(m => s -> m.group(1).toDouble)
-        }.toMap
-      } catch { case _: Throwable => Map.empty }
+        val refContended =
+          "\"host_contended\":(true|false)".r.findFirstMatchIn(txt)
+            .exists(_.group(1) == "true")
+        if (refContended) (Map.empty, Map.empty)
+        else (flatObj(txt, "sentinels").filter { case (k, _) => sentinels.contains(k) },
+              flatObj(txt, "queries"))
+      } catch { case _: Throwable => (Map.empty, Map.empty) }
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     // warmup: run every query once (scan + shuffle + codegen + JIT)
@@ -63,23 +80,42 @@ object Bench {
     val raw = qs.map { case (name, fn) =>
       val a = timeOnce(fn)
       val b = timeOnce(fn)
-      (name, a, b)
+      // confirm pass: both runs above 1.5x the committed reference (with
+      // a 0.25s absolute floor so sub-second job-overhead constants don't
+      // trigger it) => a third run decides whether the slowdown is real
+      val minAb = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      val ref = refQueries.getOrElse(name, -1.0)
+      val c =
+        if (minAb > 0 && ref > 0 && minAb > 1.5 * ref && minAb - ref >= 0.25)
+          timeOnce(fn)
+        else -1.0
+      (name, Seq(a, b, c).filter(_ >= 0))
     }
-    val results = raw.map { case (name, a, b) =>
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    val results = raw.map { case (name, runs) =>
+      name -> (if (runs.size < 2) -1.0 else runs.min)
     }
     def fmt(v: Double): String = "%.3f".format(v)
-    // run-to-run spread per query (the two timed runs' max/min): queries
+    // run-to-run spread per query (the timed runs' max/min): queries
     // whose spread exceeds 1.5x get their min+max recorded so unstable
     // measurements are visible in the artifact instead of silently
-    // flattened by min-of-2 (q_cdc_roundtrip's judged 0.9s-vs-8s round-8
+    // flattened by min-of-n (q_cdc_roundtrip's judged 0.9s-vs-8s round-8
     // bimodality is the motivating case)
-    val unstable = raw.filter { case (_, a, b) =>
-      a > 0 && b > 0 && math.max(a, b) / math.min(a, b) >= 1.5 &&
-        math.max(a, b) - math.min(a, b) >= 0.25
+    val unstable = raw.filter { case (_, runs) =>
+      runs.size >= 2 && runs.max / runs.min >= 1.5 && runs.max - runs.min >= 0.25
     }
-    val spreadJson = unstable.map { case (n, a, b) =>
-      "\"" + n + "\":[" + fmt(math.min(a, b)) + "," + fmt(math.max(a, b)) + "]"
+    val spreadJson = unstable.map { case (n, runs) =>
+      "\"" + n + "\":[" + fmt(runs.min) + "," + fmt(runs.max) + "]"
+    }.mkString("{", ",", "}")
+    // regressions the confirm pass could NOT explain away: best-of-3
+    // still >1.5x the committed reference. Recorded as [ref, measured]
+    // so a slow row can never pass unflagged just because its own runs
+    // agreed with each other.
+    val regressed = results.filter { case (n, v) =>
+      val ref = refQueries.getOrElse(n, -1.0)
+      v > 0 && ref > 0 && v > 1.5 * ref && v - ref >= 0.25
+    }
+    val regressedJson = regressed.map { case (n, v) =>
+      "\"" + n + "\":[" + fmt(refQueries(n)) + "," + fmt(v) + "]"
     }.mkString("{", ",", "}")
 
     // Tripwire: re-time the sentinels AFTER the whole timed pass (so they
@@ -90,10 +126,10 @@ object Bench {
       SparkEntry.queries.get(s).map(fn => s -> math.min(timeOnce(fn), timeOnce(fn)))
     }.toMap
     val contended = sentinelNow.exists { case (s, v) =>
-      refTimes.get(s).exists(r => r > 0 && v > 3 * r)
+      refSentinels.get(s).exists(r => r > 0 && v > 3 * r)
     }
     val sentinelJson = sentinels.flatMap(s => sentinelNow.get(s).map(v =>
-      "\"" + s + "\":" + fmt(v) + (refTimes.get(s) match {
+      "\"" + s + "\":" + fmt(v) + (refSentinels.get(s) match {
         case Some(r) => ",\"" + s + "_ref\":" + fmt(r)
         case None => ""
       }))).mkString("{", ",", "}")
@@ -109,7 +145,7 @@ object Bench {
     //  3. end with a short, self-contained summary line — guaranteed to
     //     fit whole in any tail window — carrying the slowest queries
     //     inline plus a pointer to the full file.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","host_contended":$contended,"sentinels":$sentinelJson,"spread":$spreadJson,"queries":$qjson}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","host_contended":$contended,"sentinels":$sentinelJson,"spread":$spreadJson,"regressed":$regressedJson,"queries":$qjson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(qfile),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

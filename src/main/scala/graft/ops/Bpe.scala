@@ -33,7 +33,13 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** Words for training: lowercase letter runs (mirrors the oracle's
-    * `regexp_extract_all(lower(text), '[a-z]+')`). */
+    * `regexp_extract_all(lower(text), '[a-z]+')`).
+    *
+    * INVARIANT the hybrid merge loop depends on: symbols are strictly
+    * ASCII `[a-z]`, so Java `String.compareTo` (driver-local argmax
+    * tie-break) and Spark's `UTF8String` binary ordering agree. Widening
+    * this alphabet beyond single-byte code points requires re-validating
+    * the local ≡ distributed equivalence in [[train]] / `BpeSpec`. */
   def words(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
 
@@ -75,6 +81,11 @@ object Bpe {
   def train(docs: DataFrame, textCol: String = "text",
             nMerges: Int = 20,
             localVocabThreshold: Long = 2000000L): Seq[Merge] = {
+    // the probe is a limit(threshold + 1), which is an Int in Spark's
+    // API — a larger threshold would overflow to a negative/small limit
+    // and silently misroute giant vocabs to the driver-local loop
+    require(localVocabThreshold >= 0 && localVocabThreshold < Int.MaxValue,
+      s"localVocabThreshold must be in [0, ${Int.MaxValue}): $localVocabThreshold")
     // corpus-scale pass #1: word frequencies (vocab-sized result)
     val vocab = vocabOf(docs, textCol)
     val probe = vocab.limit(localVocabThreshold.toInt + 1).count()

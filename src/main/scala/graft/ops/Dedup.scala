@@ -260,18 +260,30 @@ object Dedup {
    * downstream (theorem above), so the plan choice can never change
    * results.
    */
-  private def collapseExact(docs: DataFrame, idCol: String, textCol: String,
-                            winnerOrd: Column): DataFrame = {
+  private[ops] def collapseExact(docs: DataFrame, idCol: String, textCol: String,
+                                 scoreOpt: Option[Column],
+                                 broadcastGroups: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val broadcastGroups = 100000
+    // Winner per byte-identical group: highest score (if any), ties →
+    // LOWEST id. Expressed as min_by over an ASCENDING key so the id
+    // needs only to be orderable (long, string, ...): only the score —
+    // inherently numeric — is negated, never the id.
+    val ascOrd: Column => Column = id => scoreOpt match {
+      case Some(s) => struct((-s).as("__graft_ns"), id.as("__graft_ai"))
+      case None    => id
+    }
+    // census is keys-only (md5 → winner id) and shares one corpus scan
+    // between the probe count and the broadcast arm: localCheckpoint
+    // materializes it once instead of re-aggregating the corpus per use
     val census = docs
       .select(md5(col(textCol)).as("__graft_md5"), col(idCol).as("__graft_id"),
-        winnerOrd.as("__graft_ord"))
+        ascOrd(col(idCol)).as("__graft_ord"))
       .groupBy("__graft_md5")
       .agg(count(lit(1)).as("__graft_n"),
-        max_by(col("__graft_id"), col("__graft_ord")).as("__graft_keep"))
+        min_by(col("__graft_id"), col("__graft_ord")).as("__graft_keep"))
       .where(col("__graft_n") > 1)
       .select("__graft_md5", "__graft_keep")
+      .localCheckpoint()
     val probe = census.limit(broadcastGroups + 1).count()
     // identity arm returns `docs` UNCHECKPOINTED: the downstream 4x
     // re-read is then plain parquet re-scans (the pre-collapse plan);
@@ -285,11 +297,11 @@ object Dedup {
         .localCheckpoint()
     else
       docs.withColumn("__graft_md5", md5(col(textCol)))
-        .withColumn("__graft_ord", winnerOrd)
         .withColumn("__graft_rn", row_number().over(
-          Window.partitionBy("__graft_md5").orderBy(col("__graft_ord").desc)))
+          Window.partitionBy("__graft_md5").orderBy(
+            (scoreOpt.map(_.desc).toSeq :+ col(idCol).asc): _*)))
         .where(col("__graft_rn") === 1)
-        .drop("__graft_md5", "__graft_ord", "__graft_rn")
+        .drop("__graft_md5", "__graft_rn")
         .localCheckpoint()
   }
 
@@ -299,10 +311,15 @@ object Dedup {
    * representatives (MinHash-LSH candidates → Jaccard-verified →
    * connected components) keep only the minimum-id canonical document.
    * Returns the surviving rows of `docs`.
+   *
+   * The exact-collapse stage accepts any orderable id type; the NEAR-dup
+   * stage requires a numeric (long-castable) `idCol` because connected
+   * components labels clusters as `Dataset[(Long, Long)]` — non-numeric
+   * ids fail analysis loudly there, never silently.
    */
   def deduplicate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                   jaccardThreshold: Double = 0.8, k: Int = 8, bands: Int = 4): DataFrame = {
-    val reps = collapseExact(docs, idCol, textCol, struct(-col(idCol)))
+    val reps = collapseExact(docs, idCol, textCol, None)
     val cands = lshCandidates(reps, idCol, textCol, k, bands)
     val verified = jaccardVerify(cands, reps, idCol, textCol)
       .where(col("jaccard") >= jaccardThreshold)
@@ -327,16 +344,19 @@ object Dedup {
                           idCol: String = "doc_id", textCol: String = "text",
                           jaccardThreshold: Double = 0.8,
                           k: Int = 8, bands: Int = 4): DataFrame = {
-    val reps = collapseExact(docs, idCol, textCol, struct(score, -col(idCol)))
+    val reps = collapseExact(docs, idCol, textCol, Some(score))
     val cands = lshCandidates(reps, idCol, textCol, k, bands)
     val verified = jaccardVerify(cands, reps, idCol, textCol)
       .where(col("jaccard") >= jaccardThreshold)
     val labels = clusters(verified.select("id_a", "id_b"))
     val scored = labels.join(
       reps.select(col(idCol).as("doc_id"), score.as("__score")), "doc_id")
-    // winner per cluster: highest score, ties to the LOWEST id
+    // winner per cluster: highest score, ties to the LOWEST id — min_by
+    // over (-score, id) so only the numeric score is negated, never the
+    // id (which may be any orderable type)
     val winners = scored.groupBy("canonical_id")
-      .agg(max_by(col("doc_id"), struct(col("__score"), -col("doc_id"))).as("keep_id"))
+      .agg(min_by(col("doc_id"),
+        struct((-col("__score")).as("__ns"), col("doc_id"))).as("keep_id"))
     val losers = scored.join(winners, "canonical_id")
       .where(col("doc_id") =!= col("keep_id")).select("doc_id")
     reps.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")

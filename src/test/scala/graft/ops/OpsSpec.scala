@@ -141,6 +141,35 @@ class OpsSpec extends SparkSpec {
     assert(amp == orig && orig.nonEmpty)
   }
 
+  test("collapseExact: string doc ids collapse to the lowest id (both arms)") {
+    // regression: the winner ordering once negated the id column
+    // (struct(-col(idCol))), which breaks on non-numeric ids — the
+    // ordering must work for any orderable id type, in the broadcast
+    // arm AND the full-window arm (forced via broadcastGroups = 0)
+    val d = Seq(
+      ("doc-b", "the quick brown fox jumps over the lazy dog"),
+      ("doc-a", "the quick brown fox jumps over the lazy dog"), // twin, lower id
+      ("doc-c", "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    for (bound <- Seq(100000, 0)) {
+      val kept = Dedup.collapseExact(d, "doc_id", "text", None, bound)
+        .select("doc_id").collect().map(_.getString(0)).sorted.toSeq
+      assert(kept == Seq("doc-a", "doc-c"), s"bound=$bound")
+    }
+    // scored path: negation must hit the numeric score, never the id
+    val scored = Seq(
+      ("doc-b", "the quick brown fox jumps over the lazy dog", 5.0), // best
+      ("doc-a", "the quick brown fox jumps over the lazy dog", 1.0),
+      ("doc-c", "completely different content about spark engines", 2.0)
+    ).toDF("doc_id", "text", "score")
+    for (bound <- Seq(100000, 0)) {
+      val keptScored = Dedup.collapseExact(scored, "doc_id", "text",
+        Some(col("score")), bound)
+        .select("doc_id").collect().map(_.getString(0)).sorted.toSeq
+      assert(keptScored == Seq("doc-b", "doc-c"), s"bound=$bound")
+    }
+  }
+
   test("deduplicateKeepBest: a byte twin with the best score wins its cluster") {
     // the exact collapse picks its representative by (score desc, id
     // asc) — a duplicate that outscores the original must survive
