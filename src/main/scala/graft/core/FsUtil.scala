@@ -17,6 +17,24 @@ object FsUtil {
   /** `listDir` sorted by path name. */
   def listDirSorted(dir: Path): Vector[Path] = listDir(dir).sorted
 
+  /** O(listing) snapshot fingerprint of a file or directory tree:
+    * regular-file count, newest modification time, and total bytes. Any
+    * rewrite of a dataset directory (new files, appended files, touched
+    * files) changes it; reading no data keeps it cheap enough to probe
+    * on every cache lookup. Used to invalidate per-corpus memoizations
+    * (ANN trainings, persisted index fixtures) when the data under a
+    * path is regenerated within one JVM lifetime. */
+  def snapshotFingerprint(p: Path): String =
+    if (!Files.exists(p)) "absent"
+    else {
+      val files = Using.resource(Files.walk(p))(
+        _.iterator().asScala.filter(Files.isRegularFile(_)).toVector)
+      val (n, maxM, bytes) = files.foldLeft((0L, 0L, 0L)) { case ((c, m, b), f) =>
+        (c + 1, math.max(m, Files.getLastModifiedTime(f).toMillis), b + Files.size(f))
+      }
+      s"$n:$maxM:$bytes"
+    }
+
   /** Depth-first delete of a file or directory tree. */
   def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
