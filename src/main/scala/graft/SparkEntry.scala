@@ -181,6 +181,28 @@ object SparkEntry {
         .select(col("event_id"), fts(col("ts")).as("ts_s"), col("event_type"))
         .limit(20)),
 
+    // retention/archival view (EventInfo.IsArchived/CacheExpiry): uploads
+    // roll off the hot cache cache_duration minutes after their upload
+    // time; at the as-of instant (max ts — data-derived, deterministic)
+    // expired uploads are flagged archived. Vault 0 has NO cache
+    // duration → epoch-0 expiry, archived from the start (the reference
+    // renders "(null)"-style rows for those). Newest-first, top 100.
+    "q_events_expiry" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val uploads = ev.select((col("user_id") % 10).as("vault"),
+        col("event_id"), col("ts"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val vaultDims = (0L until 10L).map(b => (b, b * 1440L))
+        .toDF("vault", "cache_duration")
+      val asOf = ev.agg(max(unix_micros(col("ts").cast("timestamp"))).as("__asof"))
+      graft.catalog.VaultCatalog.withArchivalStatus(
+          uploads.crossJoin(broadcast(asOf)), vaultDims, col("__asof"))
+        .orderBy(col("ts").desc, col("event_id"))
+        .select(col("vault"), col("event_id"), fts(col("ts")).as("ts_s"),
+          col("cache_expiry_us"), col("is_archived"))
+        .limit(100)
+    }),
+
     "q_catalog_groups" -> ((s, dir) =>
       t(s, dir, "events").groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
@@ -459,6 +481,19 @@ object SparkEntry {
     "q_events_latest" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, event_type
         |FROM events ORDER BY ts DESC, event_id LIMIT 20""".stripMargin,
+
+    "q_events_expiry" ->
+      """WITH dims AS (SELECT b AS vault, b * 1440 AS cache_duration FROM range(0, 10) t(b)),
+        |u AS (SELECT user_id % 10 AS vault, event_id, ts, epoch_us(ts) AS ts_us FROM events),
+        |ref_t AS (SELECT max(epoch_us(ts)) AS asof_us FROM events)
+        |SELECT u.vault, u.event_id, strftime(u.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  CAST(CASE WHEN d.cache_duration > 0
+        |       THEN u.ts_us + d.cache_duration * 60000000 ELSE 0 END AS BIGINT) AS cache_expiry_us,
+        |  CAST(CASE WHEN (CASE WHEN d.cache_duration > 0
+        |       THEN u.ts_us + d.cache_duration * 60000000 ELSE 0 END) <= asof_us
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_archived
+        |FROM u JOIN dims d USING (vault) CROSS JOIN ref_t
+        |ORDER BY u.ts DESC, u.event_id LIMIT 100""".stripMargin,
 
     "q_catalog_groups" ->
       """SELECT event_type, count(*) AS n_events, min(event_id) AS first_event,

@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.core.{Account, VaultName}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -112,6 +112,17 @@ final case class VaultCatalog(spark: SparkSession, root: String) {
   def listEvents(vault: VaultName,
                  before: Option[Long] = None, after: Option[Long] = None,
                  at: Option[Long] = None,
+                 limit: Option[Int] = None, offset: Option[Int] = None): DataFrame =
+    VaultCatalog.filterEvents(events, vault, before, after, at, limit, offset)
+}
+
+object VaultCatalog {
+
+  /** Q2 filter core, shared by the instance method (separated so the
+    * archival view below can reuse the exact newest-first semantics). */
+  private[catalog] def filterEvents(events: DataFrame, vault: VaultName,
+                 before: Option[Long] = None, after: Option[Long] = None,
+                 at: Option[Long] = None,
                  limit: Option[Int] = None, offset: Option[Int] = None): DataFrame = {
     val (b, a) = at.map(t => (Some(t), Some(t))).getOrElse((before, after))
     var df = events.where(col("vault") === vault.toString)
@@ -122,4 +133,31 @@ final case class VaultCatalog(spark: SparkSession, root: String) {
     limit.foreach(n => df = df.limit(n))
     df.select("cid", "timestamp", "is_archived", "cache_expiry")
   }
+
+  /**
+   * Retention/archival view of an upload log — the provider-side
+   * computation behind `EventInfo.IsArchived`/`CacheExpiry`
+   * (`internal/app/models.go:40-46`, rendered at
+   * `cmd/vaults/commands.go:556-582`): an upload stays in the hot cache
+   * for its vault's `cache_duration` minutes after its upload time, and
+   * once `asOf` passes that expiry only the archived copy remains. A
+   * vault with no (or non-positive) cache duration never caches — its
+   * expiry is epoch 0 and the upload is archived from the start, the
+   * `cacheExpiryFor` convention above.
+   *
+   * `uploads` needs (`vault`, `ts_us` — upload time in epoch micros);
+   * `vaultDims` needs (`vault`, `cache_duration` minutes). Adds
+   * `cache_expiry_us` and `is_archived`. The vault dimension is tiny by
+   * construction (one row per vault) → broadcast join, no shuffle of the
+   * upload log at any scale.
+   */
+  def withArchivalStatus(uploads: DataFrame, vaultDims: DataFrame,
+                         asOfUs: Column): DataFrame =
+    uploads.join(broadcast(vaultDims), Seq("vault"), "left")
+      .withColumn("cache_expiry_us",
+        when(col("cache_duration").isNotNull && col("cache_duration") > 0,
+          col("ts_us") + col("cache_duration").cast("long") * 60000000L)
+        .otherwise(lit(0L)))
+      .withColumn("is_archived", (col("cache_expiry_us") <= asOfUs).cast("long"))
+      .drop("cache_duration")
 }
