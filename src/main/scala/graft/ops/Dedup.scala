@@ -262,8 +262,13 @@ object Dedup {
    */
   private[ops] def collapseExact(docs: DataFrame, idCol: String, textCol: String,
                                  scoreOpt: Option[Column],
-                                 broadcastGroups: Int = 100000): DataFrame = {
+                                 broadcastGroups: Int = 100000,
+                                 checkpoint: Boolean = true): DataFrame = {
+    // checkpoint=false is for PLAN INSPECTION only (OpsPlanShapeSpec):
+    // it returns the un-materialized collapse so its physical plan —
+    // normally hidden behind the localCheckpoint — can be asserted on
     import org.apache.spark.sql.expressions.Window
+    def ckpt(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
     // Winner per byte-identical group: highest score (if any), ties →
     // LOWEST id. Expressed as min_by over an ASCENDING key so the id
     // needs only to be orderable (long, string, ...): only the score —
@@ -290,19 +295,17 @@ object Dedup {
     // a localCheckpoint would only add a block-store copy of the corpus
     if (probe == 0L) docs
     else if (probe <= broadcastGroups)
-      docs.withColumn("__graft_md5", md5(col(textCol)))
+      ckpt(docs.withColumn("__graft_md5", md5(col(textCol)))
         .join(broadcast(census), Seq("__graft_md5"), "left")
         .where(col("__graft_keep").isNull || col(idCol) === col("__graft_keep"))
-        .drop("__graft_md5", "__graft_keep")
-        .localCheckpoint()
+        .drop("__graft_md5", "__graft_keep"))
     else
-      docs.withColumn("__graft_md5", md5(col(textCol)))
+      ckpt(docs.withColumn("__graft_md5", md5(col(textCol)))
         .withColumn("__graft_rn", row_number().over(
           Window.partitionBy("__graft_md5").orderBy(
             (scoreOpt.map(_.desc).toSeq :+ col(idCol).asc): _*)))
         .where(col("__graft_rn") === 1)
-        .drop("__graft_md5", "__graft_rn")
-        .localCheckpoint()
+        .drop("__graft_md5", "__graft_rn"))
   }
 
   /**

@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Plan-shape regression gate for the LLM-pipeline headliners — the
+ * graft.PlanShapeSpec discipline (shuffle budgets, no-cartesian,
+ * broadcast-required) extended to the expensive operator plans PLANS.md
+ * argues about. Lives in graft.ops so it can open the stage plans that
+ * hide behind localCheckpoint in the composed queries (collapseExact's
+ * census arm is invisible in q_corpus_curate's final plan).
+ *
+ * Budgets are UPPER bounds read off the current audited plans; a new
+ * exchange over budget needs a PLANS.md disposition + budget bump in
+ * the same commit.
+ */
+class OpsPlanShapeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = graft.Tables(spark, sf, "documents")
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+  private def exchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+  private def assertShape(name: String, p: String, maxEx: Int,
+                          wantBroadcast: Boolean): Unit = {
+    assert(!p.contains("CartesianProduct"), s"$name fell back to a cartesian:\n$p")
+    val ex = exchanges(p)
+    info(s"$name: $ex shuffle exchanges (budget $maxEx)")
+    assert(ex <= maxEx, s"$name has $ex shuffle exchanges (budget $maxEx):\n$p")
+    if (wantBroadcast)
+      assert(p.contains("BroadcastHashJoin"), s"$name lost its broadcast join:\n$p")
+  }
+
+  test("collapseExact broadcast arm: one corpus scan + broadcast census lookup, zero shuffles") {
+    // guaranteed byte twins regardless of fixture content
+    val twinned = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+    val p = planOf(Dedup.collapseExact(twinned, "doc_id", "text", None,
+      broadcastGroups = 100000, checkpoint = false))
+    // the census side is materialized separately (localCheckpoint); the
+    // RETURNED plan — the one that touches the full corpus — must be
+    // scan → md5 → broadcast-join → filter with NO shuffle of the docs
+    assertShape("collapseExact/broadcast", p, maxEx = 0, wantBroadcast = true)
+  }
+
+  test("collapseExact window arm: exactly one md5-keyed shuffle of the corpus") {
+    val twinned = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+    val p = planOf(Dedup.collapseExact(twinned, "doc_id", "text", None,
+      broadcastGroups = 0, checkpoint = false))
+    assertShape("collapseExact/window", p, maxEx = 1, wantBroadcast = false)
+    assert(p.contains("Window"), s"window arm lost its window operator:\n$p")
+  }
+
+  test("ppJoin: prefix equi-join shape, never a cartesian") {
+    val p = planOf(Dedup.ppJoin(docs, threshold = 0.8))
+    // stages post token-table checkpoint: df aggregate, per-doc rank
+    // window, prefix self-join (tok key), candidate distinct, verify
+    // joins + final aggregate — measured 4 exchanges, +2 headroom for
+    // AQE stage-split variance
+    assertShape("ppJoin", p, maxEx = 6, wantBroadcast = false)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"ppJoin lost its equi-join:\n$p")
+  }
+
+  test("duplicateSpans: one corpus-wide hash shuffle + per-doc window, bounded") {
+    val p = planOf(Dedup.duplicateSpans(docs, windowTokens = 8))
+    // post window-hash checkpoint: dup aggregate on h (the ONE
+    // corpus-wide shuffle), join-back on h, island window on doc_id
+    // (final span aggregate reuses the doc_id partitioning)
+    assertShape("duplicateSpans", p, maxEx = 3, wantBroadcast = false)
+  }
+
+  test("ivfPqTopK serve path: cell pruning via broadcast joins, no corpus shuffle before it") {
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val cents = graft.OpsQueries.ivfCentsFor(spark, sf)
+    val books = graft.OpsQueries.pqBooksFor(spark, sf)
+    val served = Similarity.ivfPqTopK(Similarity.assignCells(emb, cents), cents,
+      books, emb.where(col("vec_id") < 10), k = 5)
+    val p = planOf(served)
+    // probes and LUT are broadcast — the corpus side must reach the
+    // cell-pruning join unshuffled; the only hash exchanges are the ADC
+    // aggregate and the shortlist re-rank
+    assertShape("ivfPqTopK", p, maxEx = 3, wantBroadcast = true)
+  }
+
+  test("bm25FromLayout serve: term filter pushed below the aggregates, stats broadcast") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-postings").toString + "/idx"
+    Layout.postingsWrite(docs, dir, nBuckets = 16)
+    val served = Layout.bm25FromLayout(spark, dir, Seq("spark", "query"))
+    val p = planOf(served)
+    // mirror of CurationSpec's ad-hoc bm25 assertion, on the PERSISTED
+    // serve path (LayoutSpec holds the files-touched bound): the tok IN
+    // filter must prune postings at/near the scan, before any exchange
+    assert("tok#\\d+ IN".r.findFirstIn(p).isDefined,
+      s"postings not term-filtered before aggregation:\n$p")
+    assert(p.contains("PushedFilters: [In(tok") || p.contains("In(tok,"),
+      s"tok filter not pushed to the postings scan:\n$p")
+    assertShape("bm25FromLayout", p, maxEx = 3, wantBroadcast = true)
+  }
+
+  test("negative: a degraded plan IS caught by these detectors") {
+    // deliberately-broken shape — the all-pairs jaccard everyone writes
+    // first: a self cross-join. The no-cartesian detector must fire.
+    val broken = docs.as("a").crossJoin(docs.select(col("doc_id").as("b_id"),
+      col("text").as("b_text")))
+    val p = planOf(broken)
+    assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected the broken plan to contain a product join:\n$p")
+    // and a lost broadcast is visible as a missing BroadcastHashJoin:
+    // the same dim join with broadcast disabled stops matching the
+    // wantBroadcast assertion
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      val dims = (0L until 5L).map(b => (b, b * 10)).toDF("k", "v")
+      val joined = docs.withColumn("k", col("doc_id") % 5).join(dims, "k")
+      assert(!planOf(joined).contains("BroadcastHashJoin"),
+        "broadcast-disabled join unexpectedly broadcast — negative probe invalid")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
