@@ -69,12 +69,14 @@ object Bpe {
    * few million distinct words; the states are short strings), the
    * nMerges iterations run DRIVER-LOCAL over the collected table:
    * identical counts, tie-breaks, and replace semantics
-   * (`BpeSpec` pins local ≡ distributed), but one merge costs a map
-   * scan instead of a Spark job + one-row collect. Measured at sf0.1
-   * (vocab saturates at 89 merges): hybrid 4.0 s end-to-end vs 12.7 s
-   * distributed, identical outputs — and the gap is linear in nMerges,
-   * so a realistic 30k-merge run would otherwise be 30k sequential
-   * driver round-trips (SCALING.md). Corpora whose vocab genuinely
+   * (`BpeSpec` pins local ≡ distributed), but one merge costs an
+   * incremental pair-count update over the affected words instead of a
+   * Spark job + one-row collect. Measured at sf0.1 (vocab saturates at
+   * 89 merges): hybrid 4.0 s end-to-end vs 12.7 s distributed,
+   * identical outputs; at production merge counts on a 100k-word vocab
+   * the incremental loop runs 1000 merges in ~6 s and 10000 in ~2 min
+   * (SCALING.md) where the distributed loop would be that many
+   * sequential driver round-trips. Corpora whose vocab genuinely
    * exceeds the threshold keep the distributed loop, where a
    * vocab-sized shuffle per merge is the correct cost.
    */
@@ -137,39 +139,87 @@ object Bpe {
     merges.result()
   }
 
-  /** The driver-local merge loop over a collected (freq, state) vocab.
-    * Every step mirrors the distributed loop operation-for-operation so
-    * the two are result-identical (spec-pinned):
-    *  - `state.trim.split("  ")` = Spark `split(trim(state), "  ")`
-    *    (both regex splits; states contain only spaces and [a-z]);
-    *  - pair counts sum freq over adjacent token pairs;
+  /** The driver-local merge loop over a collected (freq, state) vocab,
+    * with INCREMENTAL pair-count maintenance (Sennrich's indexed
+    * trainer): pair counts live in a hash map and each merge updates
+    * only the words that actually contain the merged pair, so one merge
+    * costs O(affected words), not a full vocab rescan. The naive rescan
+    * measured 193 s for 1000 merges on a 100k-word vocab (~0.19 s/merge,
+    * linear in nMerges × vocab — a production 30k-merge run would be
+    * ~1.6 h); the numbers in SCALING.md justify the bookkeeping.
+    *
+    * Result-identical to the distributed loop (spec-pinned on three
+    * corpora + a synthetic random vocab):
+    *  - token split mirrors Spark `split(trim(state), "  ")`;
+    *  - counts are exact integer deltas of the full recount (add word's
+    *    pairs on entry, subtract before rewrite, re-add after), so the
+    *    map always equals the naive recount;
     *  - argmax by (cnt desc, l asc, r asc) — Java String compareTo and
     *    Spark's UTF8String binary ordering agree on [a-z] symbols;
-    *  - `String.replace` = Spark `replace` = leftmost-first
-    *    non-overlapping replace-all. */
-  private[ops] def trainLocal(vocab0: Seq[(Long, String)], nMerges: Int): Seq[Merge] = {
-    var vocab = vocab0
+    *  - token-level merge application (scan left-to-right, fuse
+    *    l,r → lr, skip 2) = `String.replace` on the state encoding =
+    *    Spark `replace` = leftmost-first non-overlapping. */
+  private[graft] def trainLocal(vocab0: Seq[(Long, String)], nMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val freqs = vocab0.map(_._1).toArray
+    val words: Array[Array[String]] =
+      vocab0.map(_._2.trim.split("  ")).toArray
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // pair → indices of words that contained it when last touched; may
+    // hold STALE indices (cheap skip on re-check) but never misses a
+    // word containing the pair — entries are only added, never removed
+    val index = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+
+    def addWord(i: Int, sign: Long): Unit = {
+      val w = words(i); val f = freqs(i) * sign
+      var j = 0
+      while (j < w.length - 1) {
+        val key = (w(j), w(j + 1))
+        val c = counts.getOrElse(key, 0L) + f
+        if (c == 0L) counts.remove(key) else counts.update(key, c)
+        if (sign > 0) index.getOrElseUpdate(key, mutable.HashSet.empty) += i
+        j += 1
+      }
+    }
+    def fuse(toks: Array[String], l: String, r: String): Array[String] = {
+      val out = mutable.ArrayBuilder.make[String]
+      var j = 0
+      while (j < toks.length) {
+        if (j < toks.length - 1 && toks(j) == l && toks(j + 1) == r) {
+          out += l + r; j += 2
+        } else { out += toks(j); j += 1 }
+      }
+      out.result()
+    }
+    def containsPair(toks: Array[String], l: String, r: String): Boolean = {
+      var j = 0
+      while (j < toks.length - 1) {
+        if (toks(j) == l && toks(j + 1) == r) return true
+        j += 1
+      }
+      false
+    }
+
+    var i = 0
+    while (i < words.length) { addWord(i, 1L); i += 1 }
+
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
     while (rank <= nMerges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      vocab.foreach { case (freq, state) =>
-        val toks = state.trim.split("  ")
-        if (toks.length >= 2) {
-          var i = 0
-          while (i < toks.length - 1) {
-            val key = (toks(i), toks(i + 1))
-            counts.update(key, counts.getOrElse(key, 0L) + freq)
-            i += 1
-          }
-        }
-      }
       if (counts.isEmpty) exhausted = true
       else {
         val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
         merges += Merge(rank, l, r, cnt)
-        vocab = vocab.map { case (f, s) => (f, s.replace(s" $l  $r ", s" $l$r ")) }
+        val affected = index.getOrElse((l, r), mutable.HashSet.empty).toArray
+        affected.foreach { i =>
+          if (containsPair(words(i), l, r)) { // skip stale index entries
+            addWord(i, -1L)
+            words(i) = fuse(words(i), l, r)
+            addWord(i, 1L)
+          }
+        }
+        index.remove((l, r))
         rank += 1
       }
     }

@@ -69,6 +69,23 @@ class BpeSpec extends SparkSpec {
     both(docs, 8)
   }
 
+  test("incremental local loop ≡ distributed on a synthetic vocab, deep merge run") {
+    // exercises the incremental pair-count bookkeeping (stale index
+    // skips, zero-count removal, within-word repeated pairs) through a
+    // merge run deep enough that most words are touched repeatedly —
+    // the regime the naive rescan never stressed
+    val rnd = new scala.util.Random(7)
+    val vocabRows = (1 to 400).map { _ =>
+      val w = (1 to rnd.nextInt(9) + 2).map(_ => "abcd" (rnd.nextInt(4))).mkString
+      (rnd.nextInt(50) + 1L, " " + w.toCharArray.mkString("  ") + " ")
+    }.distinct
+    val local = Bpe.trainLocal(vocabRows, nMerges = 40)
+    val dist = Bpe.trainDistributed(
+      vocabRows.toDF("freq", "state").localCheckpoint(), nMerges = 40)
+    assert(local == dist)
+    assert(local.size == 40)
+  }
+
   test("train matches its own generated oracle semantics on the driver tables") {
     // sf0.001 documents: counts must be exact, ranks strictly ordered,
     // chosen pair counts non-increasing (classic BPE monotonicity),
