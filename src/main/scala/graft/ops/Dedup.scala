@@ -260,7 +260,7 @@ object Dedup {
    * downstream (theorem above), so the plan choice can never change
    * results.
    */
-  private[ops] def collapseExact(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def collapseExact(docs: DataFrame, idCol: String, textCol: String,
                                  scoreOpt: Option[Column],
                                  broadcastGroups: Int = 100000,
                                  checkpoint: Boolean = true): DataFrame = {
