@@ -28,7 +28,7 @@ object BpeLocalBench {
     val json = rows.map { case (m, got, t) =>
       s""""$m":{"sec":${"%.3f".format(t)},"learned":$got}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"bpe_local","vocab":100000,"loop":"incremental","queries":$json}"""
+    val line = s"""{"metric":"bpe_local","vocab":100000,"loop":"incremental+lazy-heap","queries":$json}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BPE_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -74,9 +74,9 @@ object Bpe {
    * Spark job + one-row collect. Measured at sf0.1 (vocab saturates at
    * 89 merges): hybrid 4.0 s end-to-end vs 12.7 s distributed,
    * identical outputs; at production merge counts on a 100k-word vocab
-   * the incremental loop runs 1000 merges in ~6 s and 10000 in ~2 min
-   * (SCALING.md) where the distributed loop would be that many
-   * sequential driver round-trips. Corpora whose vocab genuinely
+   * the incremental loop with the lazy-heap argmax runs 10000 merges in
+   * ~11 s and 30000 in ~12 s (SCALING.md) where the distributed loop
+   * would be that many sequential driver round-trips. Corpora whose vocab genuinely
    * exceeds the threshold keep the distributed loop, where a
    * vocab-sized shuffle per merge is the correct cost.
    */
@@ -169,6 +169,25 @@ object Bpe {
     // hold STALE indices (cheap skip on re-check) but never misses a
     // word containing the pair — entries are only added, never removed
     val index = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // lazy max-heap over (cnt, l, r) for the per-merge argmax: every
+    // count CHANGE pushes the pair's new exact value, so the live
+    // maximum is always present; stale entries (stored cnt ≠ current
+    // map value) are discarded on pop. Replaces an O(#distinct pairs)
+    // map scan per merge — the dominant cost once updates are
+    // incremental (argmax was ~2/3 of the 10k-merge wall, SCALING.md).
+    // Heap rank: higher cnt first, then SMALLER l, then smaller r —
+    // exactly the (cnt desc, l asc, r asc) selection order.
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val lc = b._2.compareTo(a._2)
+          if (lc != 0) lc else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
 
     def addWord(i: Int, sign: Long): Unit = {
       val w = words(i); val f = freqs(i) * sign
@@ -176,10 +195,24 @@ object Bpe {
       while (j < w.length - 1) {
         val key = (w(j), w(j + 1))
         val c = counts.getOrElse(key, 0L) + f
-        if (c == 0L) counts.remove(key) else counts.update(key, c)
+        if (c == 0L) counts.remove(key)
+        else {
+          counts.update(key, c)
+          heap.enqueue((c, key._1, key._2))
+        }
         if (sign > 0) index.getOrElseUpdate(key, mutable.HashSet.empty) += i
         j += 1
       }
+    }
+    /** Pop stale entries until the top's stored count matches the live
+      * map — that entry is the exact (cnt desc, l asc, r asc) argmax. */
+    def popMax(): Option[((String, String), Long)] = {
+      while (heap.nonEmpty) {
+        val (c, l, r) = heap.head
+        if (counts.getOrElse((l, r), 0L) == c) return Some(((l, r), c))
+        heap.dequeue()
+      }
+      None
     }
     def fuse(toks: Array[String], l: String, r: String): Array[String] = {
       val out = mutable.ArrayBuilder.make[String]
@@ -207,10 +240,10 @@ object Bpe {
     var rank = 1
     var exhausted = false
     while (rank <= nMerges && !exhausted) {
-      if (counts.isEmpty) exhausted = true
-      else {
-        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
-        merges += Merge(rank, l, r, cnt)
+      popMax() match {
+        case None => exhausted = true
+        case Some(((l, r), cnt)) =>
+          merges += Merge(rank, l, r, cnt)
         val affected = index.getOrElse((l, r), mutable.HashSet.empty).toArray
         affected.foreach { i =>
           if (containsPair(words(i), l, r)) { // skip stale index entries
