@@ -56,8 +56,17 @@ object Bench {
         val refContended =
           "\"host_contended\":(true|false)".r.findFirstMatchIn(txt)
             .exists(_.group(1) == "true")
-        if (refContended) (Map.empty, Map.empty)
-        else (flatObj(txt, "sentinels").filter { case (k, _) => sentinels.contains(k) },
+        val sObj = flatObj(txt, "sentinels")
+        if (refContended)
+          // a contended artifact's own timings must not become the
+          // reference — but its `<q>_ref` fields CARRY the last good
+          // sentinel values forward, so the tripwire survives a run of
+          // consecutive contended windows instead of silently disarming
+          // after the first one. The confirm pass (per-query refs) does
+          // disarm until a clean reference exists again.
+          (sentinels.flatMap(s => sObj.get(s + "_ref").map(s -> _)).toMap,
+           Map.empty[String, Double])
+        else (sObj.filter { case (k, _) => sentinels.contains(k) },
               flatObj(txt, "queries"))
       } catch { case _: Throwable => (Map.empty, Map.empty) }
 

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
  * at 10×/100× key-shifted amplifications of sf0.1's documents table,
  * plus driver-local BPE merge-loop timings at production merge counts.
  *
- * Protocol mirrors DeepScaleBench: per (query, scale) one warmup at
- * sf0.1 has already JIT'd the pipeline, then min-of-2 timed runs at
- * sf0.1 / 10× and ONE timed run at 100× (the 100× points are minutes —
- * a second run buys noise margin we don't need for a log-log slope).
+ * Protocol mirrors DeepScaleBench: one warmup at sf0.1 JITs every
+ * pipeline; then min-of-2 timed runs at the cheap points and ONE timed
+ * run at the expensive ones (q_dup_spans/ppjoin_composed/bpe_hybrid at
+ * 100×, and ppjoin_raw / bpe_distributed at 10× — minutes each; a
+ * second run buys noise margin a log-log slope doesn't need). Single-
+ * run rows are single samples — read them as order-of-magnitude.
  *
  * PPJoin is measured two ways on purpose:
  *  - RAW on the amplified sample (10× only): amplification duplicates

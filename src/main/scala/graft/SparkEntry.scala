@@ -492,7 +492,7 @@ object SparkEntry {
         |  CAST(CASE WHEN (CASE WHEN d.cache_duration > 0
         |       THEN u.ts_us + d.cache_duration * 60000000 ELSE 0 END) <= asof_us
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_archived
-        |FROM u JOIN dims d USING (vault) CROSS JOIN ref_t
+        |FROM u LEFT JOIN dims d USING (vault) CROSS JOIN ref_t
         |ORDER BY u.ts DESC, u.event_id LIMIT 100""".stripMargin,
 
     "q_catalog_groups" ->

@@ -272,17 +272,29 @@ object Dedup {
     // Winner per byte-identical group: highest score (if any), ties →
     // LOWEST id. Expressed as min_by over an ASCENDING key so the id
     // needs only to be orderable (long, string, ...): only the score —
-    // inherently numeric — is negated, never the id.
+    // inherently numeric — is negated, never the id. BOTH arms order by
+    // THIS SAME expression (the window arm sorts it ascending, never a
+    // re-derived `score.desc`), so the arm choice can never change the
+    // winner. The leading null flag ranks null scores WORST (a scored
+    // row always beats an unscored one); NaN negates to NaN, which
+    // sorts after every real number ascending — also worst. Without
+    // the shared expression, min_by (nulls first) and `.desc` windows
+    // (nulls last) would disagree exactly on those rows.
     val ascOrd: Column => Column = id => scoreOpt match {
-      case Some(s) => struct((-s).as("__graft_ns"), id.as("__graft_ai"))
+      case Some(s) => struct(s.isNull.cast("int").as("__graft_nf"),
+        (-s).as("__graft_ns"), id.as("__graft_ai"))
       case None    => id
     }
     // census is keys-only (md5 → winner id) and shares one corpus scan
     // between the probe count and the broadcast arm: localCheckpoint
-    // materializes it once instead of re-aggregating the corpus per use
+    // materializes it once instead of re-aggregating the corpus per use.
+    // NULL text never collapses (SQL equality: null ≠ null, and the
+    // broadcast join's null key could not match anyway): the census
+    // drops the null-md5 group so both arms keep every null-text row.
     val census = docs
       .select(md5(col(textCol)).as("__graft_md5"), col(idCol).as("__graft_id"),
         ascOrd(col(idCol)).as("__graft_ord"))
+      .where(col("__graft_md5").isNotNull)
       .groupBy("__graft_md5")
       .agg(count(lit(1)).as("__graft_n"),
         min_by(col("__graft_id"), col("__graft_ord")).as("__graft_keep"))
@@ -302,9 +314,8 @@ object Dedup {
     else
       ckpt(docs.withColumn("__graft_md5", md5(col(textCol)))
         .withColumn("__graft_rn", row_number().over(
-          Window.partitionBy("__graft_md5").orderBy(
-            (scoreOpt.map(_.desc).toSeq :+ col(idCol).asc): _*)))
-        .where(col("__graft_rn") === 1)
+          Window.partitionBy("__graft_md5").orderBy(ascOrd(col(idCol)).asc)))
+        .where(col("__graft_rn") === 1 || col("__graft_md5").isNull)
         .drop("__graft_md5", "__graft_rn"))
   }
 
@@ -355,11 +366,13 @@ object Dedup {
     val scored = labels.join(
       reps.select(col(idCol).as("doc_id"), score.as("__score")), "doc_id")
     // winner per cluster: highest score, ties to the LOWEST id — min_by
-    // over (-score, id) so only the numeric score is negated, never the
-    // id (which may be any orderable type)
+    // over (null-flag, -score, id) so only the numeric score is negated,
+    // never the id, and null/NaN scores rank worst (same ordering as
+    // the exact-collapse stage)
     val winners = scored.groupBy("canonical_id")
       .agg(min_by(col("doc_id"),
-        struct((-col("__score")).as("__ns"), col("doc_id"))).as("keep_id"))
+        struct(col("__score").isNull.cast("int").as("__nf"),
+          (-col("__score")).as("__ns"), col("doc_id"))).as("keep_id"))
     val losers = scored.join(winners, "canonical_id")
       .where(col("doc_id") =!= col("keep_id")).select("doc_id")
     reps.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")

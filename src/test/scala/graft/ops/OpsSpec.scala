@@ -170,6 +170,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("collapseExact: null text never collapses, null score ranks worst — arms agree") {
+    // null-text rows are not duplicates of each other (SQL equality:
+    // null ≠ null) and must survive BOTH arms; a null-score twin must
+    // LOSE to any scored twin in both arms (the shared ascending
+    // ordering — min_by nulls-first vs window desc nulls-last used to
+    // make the arm choice change the winner)
+    val d = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, null, 1.0), (2L, null, 2.0), (3L, null, 3.0),   // null texts: all kept
+      (4L, "same twin text here", null),                   // null score: loses
+      (5L, "same twin text here", 0.5),                    // scored: wins
+      (6L, "other doc entirely", 9.9)
+    ).toDF("doc_id", "text", "score")
+    for (bound <- Seq(100000, 0)) {
+      val kept = Dedup.collapseExact(d, "doc_id", "text", Some(col("score")), bound)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(1L, 2L, 3L, 5L, 6L), s"bound=$bound got $kept")
+    }
+  }
+
   test("deduplicateKeepBest: a byte twin with the best score wins its cluster") {
     // the exact collapse picks its representative by (score desc, id
     // asc) — a duplicate that outscores the original must survive
