@@ -40,6 +40,37 @@ class AnnCacheSpec extends SparkSpec {
     }
   }
 
+  test("ivfpq layout fixture rebuilds when the source embeddings change") {
+    // the cross-JVM fixture's _BUILT marker stores (snapshot fingerprint
+    // + index params); a regenerated corpus must mismatch it and force a
+    // rebuild — stale layout vs stale stored answers can never pass
+    val src = "/root/testdata/sf0.001"
+    val work = Files.createTempDirectory("graft_layoutfp_").toString
+    val fixDir = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_ivfpq_v2_${work.replaceAll("[^A-Za-z0-9.]", "_")}")
+    try {
+      val emb = Tables(spark, src, "embeddings")
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 400)
+        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+      val q = SparkEntry.queries("q_ann_ivfpq_layout")
+      assert(q(spark, work).collect().nonEmpty)
+      val marker = fixDir.resolve("_BUILT")
+      val tag1 = new String(Files.readAllBytes(marker), "UTF-8")
+      // re-running on the unchanged corpus must NOT rebuild
+      assert(q(spark, work).collect().nonEmpty)
+      assert(new String(Files.readAllBytes(marker), "UTF-8") == tag1)
+      // regenerate the corpus → tag must change (fixture rebuilt)
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 200)
+        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+      assert(q(spark, work).collect().nonEmpty)
+      val tag2 = new String(Files.readAllBytes(marker), "UTF-8")
+      assert(tag2 != tag1, "rewritten embeddings must rebuild the layout fixture")
+    } finally {
+      graft.core.FsUtil.deleteRecursive(Paths.get(work))
+      graft.core.FsUtil.deleteRecursive(fixDir)
+    }
+  }
+
   test("snapshot fingerprint tracks file count, mtime, and bytes") {
     val d = Files.createTempDirectory("graft_fp_")
     try {
