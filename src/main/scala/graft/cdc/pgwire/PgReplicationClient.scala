@@ -31,7 +31,8 @@ final class PgReplicationClient(
     database: String,
     password: Option[String] = None,
     connectTimeoutMs: Int = 15000,
-    readTimeoutMs: Int = 120000) extends AutoCloseable {
+    readTimeoutMs: Int = 120000,
+    replicationMode: Boolean = true) extends AutoCloseable {
 
   private var socket: Socket = _
   private var in: DataInputStream = _
@@ -49,9 +50,12 @@ final class PgReplicationClient(
     socket.setSoTimeout(math.max(1, readTimeoutMs))
     in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
     out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
-    // replication=database: logical walsender mode (replicator.go:87)
-    out.write(startupMessage(Seq(
-      "user" -> user, "database" -> database, "replication" -> "database")))
+    // replication=database: logical walsender mode (replicator.go:87).
+    // With replicationMode=false this is a plain backend connection —
+    // used by tests/tools for DDL/DML alongside the replication session.
+    out.write(startupMessage(
+      Seq("user" -> user, "database" -> database) ++
+        (if (replicationMode) Seq("replication" -> "database") else Nil)))
     out.flush()
     authenticate()
     awaitReadyForQuery()

@@ -92,7 +92,11 @@ final class PgWalFeed(
     publication: String,
     spoolDir: String,
     slotPrefix: String = "graft",
-    segmentBytes: Long = PgWalFeed.DefaultSegmentBytes) extends WalFeed with AutoCloseable {
+    segmentBytes: Long = PgWalFeed.DefaultSegmentBytes,
+    plugin: String = "wal2json") extends WalFeed with AutoCloseable {
+
+  require(PgWalFeed.SupportedPlugins(plugin),
+    s"unsupported logical decoding plugin '$plugin' (supported: ${PgWalFeed.SupportedPlugins.mkString(", ")})")
 
   @transient private val inner = new FileWalFeed(spoolDir)
   @transient @volatile private var failure: Throwable = _
@@ -123,7 +127,7 @@ final class PgWalFeed(
     require(!running, "feed already started")
     client.connect()
     val tables = client.publicationTables(publication)
-    val startLsn = client.confirmedFlushLsn(slot).getOrElse(client.createReplicationSlot(slot))
+    val startLsn = client.confirmedFlushLsn(slot).getOrElse(client.createReplicationSlot(slot, plugin))
     lastAcked = inner.ackedLsn
     // open a fresh segment after any pre-existing ones (old segments are
     // sealed; their max LSNs are recovered lazily at GC time)
@@ -137,7 +141,8 @@ final class PgWalFeed(
     segSize = 0L
     segLastLsn = 0L
     activeSegment = segPath(segSeq).toString
-    client.startReplication(slot, startLsn, PgWalFeed.pluginOptions(tables))
+    client.startReplication(slot, startLsn,
+      PgWalFeed.optionsFor(plugin, publication, tables))
     running = true
     loop = new Thread(() => receiveLoop(), s"pg-wal-feed-$slot")
     loop.setDaemon(true)
@@ -146,7 +151,16 @@ final class PgWalFeed(
   }
 
   private def receiveLoop(): Unit = {
-    val builder = new Wal2JsonTxBuilder
+    // one framer per connection: wal2json frames are JSON text, pgoutput
+    // frames are the binary logical-replication messages — both assemble
+    // into the identical one-tx-per-line spool envelope
+    val framer: PgWire.XLogData => Option[(Long, String)] = plugin match {
+      case "pgoutput" =>
+        val b = new PgOutputTxBuilder; b.feed
+      case _ =>
+        val b = new Wal2JsonTxBuilder
+        x => b.feed(new String(x.payload, StandardCharsets.UTF_8))
+    }
     try {
       var open = true
       while (open && running) {
@@ -155,8 +169,7 @@ final class PgWalFeed(
           case Some(Left(ka)) =>
             if (ka.replyRequested) client.sendStandbyStatus(lastAcked)
           case Some(Right(x)) =>
-            val payload = new String(x.payload, StandardCharsets.UTF_8)
-            builder.feed(payload).foreach { case (lsn, line) =>
+            framer(x).foreach { case (lsn, line) =>
               // whole line in one write call (spool contract: readers may
               // observe torn appends but never mixed lines)
               val bytes = (line + "\n").getBytes(StandardCharsets.UTF_8)
@@ -256,6 +269,20 @@ object PgWalFeed {
   val DefaultSegmentBytes: Long = 64L * 1024 * 1024
 
   private[pgwire] val SegmentName = """spool-(\d+)\.jsonl""".r
+
+  /** Logical decoding plugins this feed can assemble transactions from. */
+  val SupportedPlugins: Set[String] = Set("wal2json", "pgoutput")
+
+  /** START_REPLICATION plugin options by plugin. pgoutput's are the two
+    * the built-in plugin requires (protocol docs, "Logical Streaming
+    * Replication Parameters"); wal2json's are the reference's set. */
+  def optionsFor(plugin: String, publication: String, tables: Seq[String]): Seq[(String, String)] =
+    plugin match {
+      case "pgoutput" => Seq(
+        "proto_version" -> "1",
+        "publication_names" -> publication)
+      case _ => pluginOptions(tables)
+    }
 
   /** The reference's wal2json plugin options (`replicator.go:140-150`). */
   def pluginOptions(tables: Seq[String]): Seq[(String, String)] = Seq(

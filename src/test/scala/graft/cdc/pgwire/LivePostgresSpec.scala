@@ -1,0 +1,220 @@
+package graft.cdc.pgwire
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.cdc.{CdcMerge, TableColumn, TableSchema}
+import graft.cdc.pgwire.PgWire.Lsn
+import org.apache.spark.sql.functions._
+
+/**
+ * LIVE end-to-end validation against a real PostgreSQL walsender — the
+ * in-sandbox answer to the reference's container test
+ * (`pkg/pgrepl/replicator_test.go:22-94`): a throwaway cluster with
+ * `wal_level=logical`, the built-in `pgoutput` plugin (wal2json is a
+ * third-party extension the sandbox lacks; the envelope the feed spools
+ * is identical either way), a real slot, real DML, real keepalive/ack
+ * traffic — then the unchanged Spark pipeline replays the spool and the
+ * merged state must equal the live table, row for row.
+ *
+ * Cancels (does not fail) when no Postgres server binaries are present,
+ * so the suite is green in minimal CI environments.
+ */
+class LivePostgresSpec extends SparkSpec {
+
+  private var cluster: PgLocalCluster = _
+  private var tmp: java.nio.file.Path = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    if (PgLocalCluster.available) {
+      tmp = Files.createTempDirectory("pg-live")
+      cluster = new PgLocalCluster(tmp)
+      cluster.start()
+    }
+  }
+
+  override def afterAll(): Unit = {
+    if (cluster != null) cluster.close()
+    super.afterAll()
+  }
+
+  private def gate(): Unit =
+    if (cluster == null) cancel("postgres server binaries not found — live validation skipped")
+
+  /** Poll until `cond` or `timeoutMs`; live replication is asynchronous. */
+  private def eventually(timeoutMs: Long = 30000)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var ok = cond
+    while (!ok && System.currentTimeMillis() < deadline) { Thread.sleep(100); ok = cond }
+    ok
+  }
+
+  private val schema = TableSchema("t", Seq(
+    TableColumn("id", "integer", nullable = false, isPrimary = true),
+    TableColumn("name", "text", nullable = true, isPrimary = false),
+    TableColumn("score", "double precision", nullable = true, isPrimary = false),
+    TableColumn("ok", "boolean", nullable = true, isPrimary = false)))
+
+  test("pgoutput feed against a live walsender: spool replay equals the live table") {
+    gate()
+    val sql = cluster.sqlClient()
+    try {
+      sql.simpleQuery("CREATE DATABASE cdc_live")
+    } finally sql.close()
+    val db = cluster.sqlClient(db = "cdc_live")
+    val spool = Files.createTempDirectory("pg-live-spool").toString
+    try {
+      db.simpleQuery(
+        "CREATE TABLE t(id int PRIMARY KEY, name text, score double precision, ok boolean)")
+      db.simpleQuery("CREATE PUBLICATION pub FOR TABLE t")
+
+      val feed = new PgWalFeed(cluster.replicationClient("cdc_live"), "pub", spool,
+        plugin = "pgoutput")
+      try {
+        val tables = feed.start()
+        assert(tables == Seq("public.t"))
+
+        // three transactions: a multi-row insert (one implicit tx — the
+        // simple protocol runs a multi-statement query as one tx), an
+        // update, a delete; plus one tx on an unpublished table that
+        // must NOT appear in the spool
+        db.simpleQuery(
+          "INSERT INTO t VALUES (1, 'one', 1.5, true); INSERT INTO t VALUES (2, 'two', 2.5, false)")
+        db.simpleQuery("CREATE TABLE untracked(x int); INSERT INTO untracked VALUES (42)")
+        db.simpleQuery("UPDATE t SET name = 'TWO', score = 22.5 WHERE id = 2")
+        db.simpleQuery("INSERT INTO t VALUES (3, 'three', 3.5, true); DELETE FROM t WHERE id = 1")
+
+        assert(eventually()(feed.txRefsAfter(0L, 100).size >= 3),
+          s"expected 3 spooled transactions, got ${feed.txRefsAfter(0L, 100).size}")
+        val refs = feed.txRefsAfter(0L, 100)
+        assert(refs.size == 3, "the unpublished-table tx must not be spooled")
+        assert(refs.map(_.lsn) == refs.map(_.lsn).sorted, "commit LSNs must be monotonic")
+
+        // the unchanged Spark pipeline over the spool == live table state
+        val merged = CdcMerge.latestState(
+          spark.read.text(spool).toDF("value"), schema)
+        val got = merged.orderBy(col("id")).collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getBoolean(3))).toSeq
+        val live = db.simpleQuery("SELECT id, name, score, ok FROM t ORDER BY id")
+          .map(r => (r("id").get.toInt, r("name").get, r("score").get.toDouble, r("ok").get == "t"))
+        assert(got == live)
+        assert(got == Seq((2, "TWO", 22.5, false), (3, "three", 3.5, true)))
+
+        // ack the newest commit: the server's confirmed_flush_lsn must
+        // advance to it (the reference's Commit → standby status path)
+        val newest = refs.map(_.lsn).max
+        feed.ack(newest)
+        assert(eventually() {
+          db.simpleQuery(
+            "SELECT confirmed_flush_lsn FROM pg_replication_slots WHERE slot_name = 'graft_pub'")
+            .headOption.flatMap(_("confirmed_flush_lsn")).exists(s => Lsn.parse(s) >= newest)
+        }, "confirmed_flush_lsn did not advance to the acked commit")
+      } finally feed.close()
+
+      // resume: a fresh feed (new spool) restarts from the slot's
+      // confirmed_flush_lsn — pre-ack transactions must NOT replay
+      db.simpleQuery("INSERT INTO t VALUES (9, 'nine', 9.5, true)")
+      val spool2 = Files.createTempDirectory("pg-live-spool2").toString
+      val feed2 = new PgWalFeed(cluster.replicationClient("cdc_live"), "pub", spool2,
+        plugin = "pgoutput")
+      try {
+        feed2.start()
+        assert(eventually()(feed2.txRefsAfter(0L, 100).nonEmpty))
+        val merged2 = CdcMerge.latestState(spark.read.text(spool2).toDF("value"), schema)
+        val ids = merged2.select("id").collect().map(_.getInt(0)).toSeq.sorted
+        assert(ids == Seq(9), s"resume must replay only post-ack txs, got ids $ids")
+      } finally feed2.close()
+    } finally db.close()
+  }
+
+  test("live introspection: introspectionSql over the real catalog folds to the exact TableSchema") {
+    gate()
+    val sql = cluster.sqlClient()
+    try sql.simpleQuery("CREATE DATABASE cdc_intro") finally sql.close()
+    val db = cluster.sqlClient(db = "cdc_intro")
+    try {
+      db.simpleQuery(
+        """CREATE TABLE w(id int PRIMARY KEY, name varchar(30), score numeric(10,2),
+          | tags text[], ts timestamptz)""".stripMargin)
+      db.simpleQuery("CREATE TABLE x(k bigint PRIMARY KEY, v double precision)")
+      val rows = db.simpleQuery(
+        graft.cdc.PgIntrospection.introspectionSql("public", Seq("w", "x")))
+        .map(r => (r("table_name").get, r("column_name").get, r("data_type").get,
+          r("is_nullable").get == "t", r("is_primary").get == "t"))
+      val schemas = graft.cdc.PgIntrospection.fromRows(rows)
+      import graft.cdc.{TableColumn, TableSchema}
+      assert(schemas == Seq(
+        TableSchema("w", Seq(
+          TableColumn("id", "integer", nullable = false, isPrimary = true),
+          TableColumn("name", "character varying", nullable = true, isPrimary = false),
+          TableColumn("score", "numeric", nullable = true, isPrimary = false),
+          TableColumn("tags", "text[]", nullable = true, isPrimary = false),
+          TableColumn("ts", "timestamp with time zone", nullable = true, isPrimary = false))),
+        TableSchema("x", Seq(
+          TableColumn("k", "bigint", nullable = false, isPrimary = true),
+          TableColumn("v", "double precision", nullable = true, isPrimary = false)))))
+      // and the generated publication DDL is accepted by the real server
+      db.simpleQuery(graft.cdc.PgIntrospection.createPublicationSql("intro", Seq("w", "x")))
+      val pubs = db.simpleQuery(
+        "SELECT tablename FROM pg_publication_tables WHERE pubname = 'pub_basin_intro' ORDER BY 1")
+        .map(_("tablename").get)
+      assert(pubs == Seq("w", "x"))
+    } finally db.close()
+  }
+
+  test("live type matrix: pgoutput text values decode to the same typed row Postgres holds") {
+    gate()
+    val sql = cluster.sqlClient()
+    try sql.simpleQuery("CREATE DATABASE cdc_types") finally sql.close()
+    val db = cluster.sqlClient(db = "cdc_types")
+    val spool = Files.createTempDirectory("pg-types-spool").toString
+    val typesSchema = TableSchema("m", Seq(
+      TableColumn("id", "integer", nullable = false, isPrimary = true),
+      TableColumn("sm", "smallint", nullable = true, isPrimary = false),
+      TableColumn("big", "bigint", nullable = true, isPrimary = false),
+      TableColumn("re", "real", nullable = true, isPrimary = false),
+      TableColumn("num", "numeric", nullable = true, isPrimary = false),
+      TableColumn("vc", "character varying", nullable = true, isPrimary = false),
+      TableColumn("by", "bytea", nullable = true, isPrimary = false),
+      TableColumn("d", "date", nullable = true, isPrimary = false),
+      TableColumn("tsz", "timestamp with time zone", nullable = true, isPrimary = false),
+      TableColumn("u", "uuid", nullable = true, isPrimary = false),
+      TableColumn("arr", "integer[]", nullable = true, isPrimary = false),
+      TableColumn("tarr", "text[]", nullable = true, isPrimary = false)))
+    try {
+      db.simpleQuery(
+        """CREATE TABLE m(id int PRIMARY KEY, sm smallint, big bigint, re real,
+          | num numeric(10,2), vc varchar(30), by bytea, d date, tsz timestamptz,
+          | u uuid, arr int[], tarr text[])""".stripMargin)
+      db.simpleQuery("CREATE PUBLICATION pubm FOR TABLE m")
+      val feed = new PgWalFeed(cluster.replicationClient("cdc_types"), "pubm", spool,
+        plugin = "pgoutput")
+      try {
+        feed.start()
+        db.simpleQuery(
+          """INSERT INTO m VALUES (1, 7, 9007199254740993, 1.25, 12345.67, 'héllo',
+            | '\x00ff10'::bytea, '2026-08-14', '2026-08-14 05:00:00.123456+00',
+            | 'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11', ARRAY[1,2,3],
+            | ARRAY['a','b,c','d "q"'])""".stripMargin)
+        db.simpleQuery("INSERT INTO m(id) VALUES (2)") // all-null row
+        assert(eventually()(feed.txRefsAfter(0L, 10).size >= 2))
+
+        val merged = CdcMerge.latestState(spark.read.text(spool).toDF("value"), typesSchema)
+        val rows = merged.orderBy(col("id")).collect()
+        assert(rows.length == 2)
+        val r = rows(0)
+        assert(r.getShort(1) == 7 && r.getLong(2) == 9007199254740993L)
+        assert(r.getFloat(3) == 1.25f && r.getDouble(4) == 12345.67)
+        assert(r.getString(5) == "héllo")
+        assert(r.getAs[Array[Byte]](6).toSeq == Seq(0x00, 0xff, 0x10).map(_.toByte))
+        assert(r.getDate(7).toString == "2026-08-14")
+        assert(r.getTimestamp(8).toInstant.toString == "2026-08-14T05:00:00.123456Z")
+        assert(r.getString(9) == "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11")
+        assert(r.getSeq[Int](10) == Seq(1, 2, 3))
+        assert(r.getSeq[String](11) == Seq("a", "b,c", "d \"q\""))
+        val nulls = rows(1)
+        assert((1 until 12).forall(nulls.isNullAt))
+      } finally feed.close()
+    } finally db.close()
+  }
+}
