@@ -337,7 +337,10 @@ class WalScan(options: Map[String, String]) extends Scan {
             throw new IllegalArgumentException("graft-wal with pgHost requires option 'publication'")),
           spoolDir = dir,
           segmentBytes = options.get("segmentbytes").map(_.toLong)
-            .getOrElse(graft.cdc.pgwire.PgWalFeed.DefaultSegmentBytes))
+            .getOrElse(graft.cdc.pgwire.PgWalFeed.DefaultSegmentBytes),
+          // decoding plugin: the reference's wal2json (default) or the
+          // built-in pgoutput (any stock Postgres, no extension install)
+          plugin = options.getOrElse("plugin", "wal2json"))
         f.start()
         f
       case None => new FileWalFeed(dir)

@@ -220,6 +220,99 @@ object IngestBench {
     } finally server.close()
   }
 
+  /** REAL-Postgres ingest (when server binaries exist): a throwaway
+    * logical-replication cluster, DML via generate_series (one statement
+    * = one 10-record tx), streamed through the built-in pgoutput plugin
+    * into the same pipeline. This measures the full production path —
+    * actual WAL → walsender → pg-wire client → binary pgoutput decode →
+    * spool → Spark → store — where pg_feed measures it against the
+    * in-process fake. */
+  private def runPgLive(spark: SparkSession, base: String, nTx: Long): Map[String, Any] = {
+    import graft.cdc.pgwire.{PgLocalCluster, PgWalFeed}
+    val spool = s"$base/spool"; val store = s"$base/store"
+    val cluster = new PgLocalCluster(Files.createDirectories(Paths.get(s"$base/pg")))
+    cluster.start()
+    try {
+      val su = cluster.sqlClient()
+      try su.simpleQuery("CREATE DATABASE ingest") finally su.close()
+      val db = cluster.sqlClient(db = "ingest")
+      try {
+        TableNames.foreach(t => db.simpleQuery(
+          s"CREATE TABLE $t(id int PRIMARY KEY, name text NOT NULL, v double precision NOT NULL)"))
+        db.simpleQuery(s"CREATE PUBLICATION pub FOR TABLE ${TableNames.mkString(", ")}")
+
+        val collector = new ProgressCollector
+        spark.streams.addListener(collector)
+        val t0 = System.nanoTime()
+        val q = StreamPipeline.start(spark, "bench", schemas, spool, s"$base/staging",
+          s"$base/ckpt", new LocalContentStore(store),
+          availableNow = false, windowSeconds = 1L,
+          maxTxPerTrigger = Some((nTx / 10).toInt max 1), singleFile = false,
+          sourceOptions = Map(
+            "pghost" -> cluster.host, "pgport" -> cluster.port.toString,
+            "pguser" -> "graft", "pgdatabase" -> "ingest", "publication" -> "pub",
+            "plugin" -> "pgoutput",
+            "segmentbytes" -> (4L * 1024 * 1024).toString))
+        try {
+          // the slot is created inside the source at stream start; DML
+          // issued before it exists would never replicate
+          val slotDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          def slotExists: Boolean = db.simpleQuery(
+            "SELECT 1 AS ok FROM pg_replication_slots WHERE slot_name = 'graft_pub'").nonEmpty
+          while (!slotExists && System.nanoTime() < slotDeadline) {
+            Thread.sleep(100)
+            if (q.exception.isDefined) throw q.exception.get
+          }
+          require(slotExists, "replication slot was not created by the source")
+
+          // one INSERT..generate_series statement per tx = one commit
+          // with RecordsPerTx row changes, round-robin over the tables
+          var tx = 0L
+          while (tx < nTx) {
+            val table = TableNames((tx % TableNames.length).toInt)
+            val a = tx * RecordsPerTx
+            db.simpleQuery(
+              s"INSERT INTO $table SELECT g, 'row-' || g || '-payload-abcdefghijklmnop', " +
+                s"(g % 1000) + 0.25 FROM generate_series($a, ${a + RecordsPerTx - 1}) g")
+            tx += 1
+          }
+
+          // drain: an idle trigger (constructs only after the previous —
+          // i.e. last data — batch fully committed) AND the store holds
+          // every record. Listener row counts are NOT usable as a target
+          // here: the sink re-scans each batch once per table, so
+          // numInputRows over-reports by the table fan-out.
+          val expected = nTx * RecordsPerTx
+          def drained: Boolean =
+            Option(q.lastProgress).exists(_.numInputRows == 0) &&
+              storedRows(spark, store) == expected
+          val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+          while (!drained && System.nanoTime() < deadline) {
+            Thread.sleep(500)
+            if (q.exception.isDefined) throw q.exception.get
+          }
+          val wallSec = (System.nanoTime() - t0) / 1e9
+          require(drained, s"pg live feed not drained (${storedRows(spark, store)}/$expected stored)")
+          q.stop(); q.awaitTermination(60000)
+          spark.streams.removeListener(collector)
+          val rows = storedRows(spark, store)
+          require(rows == expected, s"row gate: stored $rows != $expected")
+          val segs = graft.core.FsUtil.listDir(Paths.get(spool))
+            .filter(_.getFileName.toString.startsWith("spool-"))
+          val durs = collector.dursOf(q.runId)
+          val (mn, md, mx) = latencyStats(durs)
+          Map("n_tx" -> nTx, "n_records" -> expected,
+            "wall_sec" -> wallSec, "records_per_sec" -> (expected / wallSec),
+            "tx_per_sec" -> (nTx / wallSec), "n_batches" -> durs.length,
+            "batch_ms_min" -> mn, "batch_ms_median" -> md, "batch_ms_max" -> mx,
+            "rows_verified" -> rows,
+            "spool_segments_left" -> segs.length,
+            "spool_bytes_left" -> segs.map(Files.size).sum)
+        } catch { case t: Throwable => try q.stop() catch { case _: Throwable => () }; throw t }
+      } finally db.close()
+    } finally cluster.close()
+  }
+
   private def js(v: Any): String = v match {
     case m: Map[_, _] =>
       m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
@@ -248,6 +341,12 @@ object IngestBench {
     val file1x = runFileFeed(spark, s"$base/file1x", nTx / 10, nBatches = 10)
     val file10x = runFileFeed(spark, s"$base/file10x", nTx, nBatches = 10)
     val pg = runPgFeed(spark, s"$base/pg", nTx / 10)
+    // real-Postgres run only where server binaries exist (the artifact
+    // field is optional; the spec checks it when present)
+    val pgLive =
+      if (graft.cdc.pgwire.PgLocalCluster.available)
+        Some(runPgLive(spark, s"$base/pglive", nTx / 10))
+      else None
 
     val exp = math.log10((file10x("wall_sec").asInstanceOf[Double]) /
       (file1x("wall_sec").asInstanceOf[Double]))
@@ -256,7 +355,8 @@ object IngestBench {
       "cpus" -> cpus.toInt,
       "file_feed_1x" -> file1x, "file_feed_10x" -> file10x,
       "pg_feed" -> pg,
-      "scaling_exponent_file_feed" -> exp)
+      "scaling_exponent_file_feed" -> exp) ++
+      pgLive.map("pg_live_feed" -> _)
     val json = js(result)
     println(s"INGEST_BENCH: $json")
     Files.writeString(Paths.get(outPath), json + "\n")

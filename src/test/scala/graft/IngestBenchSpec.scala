@@ -21,7 +21,11 @@ class IngestBenchSpec extends AnyFunSuite {
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(java.nio.file.Files.readString(p))
 
-    for (run <- Seq("file_feed_1x", "file_feed_10x", "pg_feed")) {
+    // pg_live_feed (REAL Postgres through pgoutput) exists only when the
+    // generating host had server binaries — validated when present
+    val runs = Seq("file_feed_1x", "file_feed_10x", "pg_feed") ++
+      (if (root.has("pg_live_feed")) Seq("pg_live_feed") else Nil)
+    for (run <- runs) {
       val node = root.get(run)
       assert(node != null, s"missing run $run")
       for (f <- required)
@@ -43,5 +47,7 @@ class IngestBenchSpec extends AnyFunSuite {
     assert(root.get("scaling_exponent_file_feed").asDouble < 1.0)
     // pg feed: spool segment GC ran (bounded leftover, not the stream)
     assert(root.get("pg_feed").get("spool_segments_left").asLong <= 2)
+    if (root.has("pg_live_feed"))
+      assert(root.get("pg_live_feed").get("spool_segments_left").asLong <= 2)
   }
 }

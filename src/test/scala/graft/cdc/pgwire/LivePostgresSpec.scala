@@ -127,6 +127,48 @@ class LivePostgresSpec extends SparkSpec {
     } finally db.close()
   }
 
+  test("live schema drift: ALTER TABLE mid-stream re-sends Relation; old and new rows decode") {
+    gate()
+    val sql = cluster.sqlClient()
+    try sql.simpleQuery("CREATE DATABASE cdc_drift") finally sql.close()
+    val db = cluster.sqlClient(db = "cdc_drift")
+    val spool = Files.createTempDirectory("pg-drift-spool").toString
+    try {
+      db.simpleQuery("CREATE TABLE d(id int PRIMARY KEY, name text)")
+      db.simpleQuery("CREATE PUBLICATION pubd FOR TABLE d")
+      val feed = new PgWalFeed(cluster.replicationClient("cdc_drift"), "pubd", spool,
+        plugin = "pgoutput")
+      try {
+        feed.start()
+        db.simpleQuery("INSERT INTO d VALUES (1, 'before')")
+        db.simpleQuery("ALTER TABLE d ADD COLUMN extra double precision")
+        db.simpleQuery("INSERT INTO d VALUES (2, 'after', 2.5)")
+        assert(eventually()(feed.txRefsAfter(0L, 10).size >= 2))
+
+        // widened schema: the pre-drift row reads NULL in the new column
+        val wide = TableSchema("d", Seq(
+          TableColumn("id", "integer", nullable = false, isPrimary = true),
+          TableColumn("name", "text", nullable = true, isPrimary = false),
+          TableColumn("extra", "double precision", nullable = true, isPrimary = false)))
+        val rows = CdcMerge.latestState(spark.read.text(spool).toDF("value"), wide)
+          .orderBy(col("id")).collect()
+        assert(rows.length == 2)
+        assert(rows(0).getInt(0) == 1 && rows(0).getString(1) == "before" && rows(0).isNullAt(2))
+        assert(rows(1).getInt(0) == 2 && rows(1).getString(1) == "after" && rows(1).getDouble(2) == 2.5)
+
+        // narrow (pre-drift) schema still decodes both rows: the added
+        // column is simply not projected
+        val narrow = TableSchema("d", Seq(
+          TableColumn("id", "integer", nullable = false, isPrimary = true),
+          TableColumn("name", "text", nullable = true, isPrimary = false)))
+        val narrowRows = CdcMerge.latestState(spark.read.text(spool).toDF("value"), narrow)
+          .orderBy(col("id")).collect()
+        assert(narrowRows.map(r => (r.getInt(0), r.getString(1))).toSeq
+          == Seq((1, "before"), (2, "after")))
+      } finally feed.close()
+    } finally db.close()
+  }
+
   test("live introspection: introspectionSql over the real catalog folds to the exact TableSchema") {
     gate()
     val sql = cluster.sqlClient()

@@ -45,9 +45,13 @@ object PgLocalCluster {
       }
     else None
 
-  private def run(cmd: Seq[String], env: Map[String, String] = Map.empty): Unit = {
+  private def run(cmd: Seq[String], env: Map[String, String] = Map.empty,
+                  cwd: Option[Path] = None): Unit = {
     val full = dropToUser.fold(cmd)(u => Seq("runuser", "-u", u, "--") ++ cmd)
     val pb = new ProcessBuilder(full.asJava)
+    // the dropped user usually cannot enter the JVM's cwd — run server
+    // commands from the cluster dir instead
+    cwd.foreach(d => pb.directory(d.toFile))
     env.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectErrorStream(true)
     val p = pb.start()
@@ -56,10 +60,24 @@ object PgLocalCluster {
     require(code == 0, s"${full.head} exited $code:\n$out")
   }
 
-  /** Make `dir` usable by the server user when privileges are dropped. */
+  /** Make `dir` usable by the server user when privileges are dropped:
+    * chown the tree and ensure every ancestor is traversable (a cluster
+    * dir nested under 0700-root temp dirs would otherwise be
+    * unreachable for the dropped user). */
   private[pgwire] def ownDir(dir: Path): Unit = dropToUser.foreach { u =>
     val p = new ProcessBuilder("chown", "-R", s"$u:", dir.toString).start()
     require(p.waitFor() == 0, s"chown $dir to $u failed")
+    var a = dir.getParent
+    while (a != null && a.getParent != null) {
+      if (!Files.isExecutable(a) || !java.nio.file.Files.getPosixFilePermissions(a)
+            .contains(java.nio.file.attribute.PosixFilePermission.OTHERS_EXECUTE)) {
+        val perms = java.nio.file.Files.getPosixFilePermissions(a)
+        perms.add(java.nio.file.attribute.PosixFilePermission.OTHERS_EXECUTE)
+        try java.nio.file.Files.setPosixFilePermissions(a, perms)
+        catch { case _: Throwable => () } // not ours (e.g. /tmp itself): leave it
+      }
+      a = a.getParent
+    }
   }
 }
 
@@ -76,7 +94,7 @@ final class PgLocalCluster(baseDir: Path, superuser: String = "graft") extends A
     Files.createDirectories(baseDir)
     ownDir(baseDir)
     run(Seq(bin.resolve("initdb").toString, "-D", dataDir.toString,
-      "-U", superuser, "--auth=trust", "--no-sync"))
+      "-U", superuser, "--auth=trust", "--no-sync"), cwd = Some(baseDir))
     val conf =
       s"""listen_addresses = '$host'
          |port = $port
@@ -98,7 +116,7 @@ final class PgLocalCluster(baseDir: Path, superuser: String = "graft") extends A
          |""".stripMargin
     Files.write(dataDir.resolve("pg_hba.conf"), hba.getBytes(StandardCharsets.UTF_8))
     run(Seq(bin.resolve("pg_ctl").toString, "-D", dataDir.toString, "-w",
-      "-l", baseDir.resolve("pg.log").toString, "start"))
+      "-l", baseDir.resolve("pg.log").toString, "start"), cwd = Some(baseDir))
   }
 
   /** A plain (non-replication) pg-wire connection for DDL/DML. */
@@ -117,7 +135,7 @@ final class PgLocalCluster(baseDir: Path, superuser: String = "graft") extends A
 
   override def close(): Unit = {
     try run(Seq(bin.resolve("pg_ctl").toString, "-D", dataDir.toString, "-w",
-      "-m", "immediate", "stop"))
+      "-m", "immediate", "stop"), cwd = Some(baseDir))
     catch { case _: Throwable => () }
   }
 }
