@@ -182,7 +182,7 @@ object PgOutput {
   /** Postgres-epoch microseconds → the wal2json-style timestamp text
     * (`2021-03-18 13:00:00.123456+00`). */
   def formatTs(pgMicros: Long): String = {
-    val unixMicros = pgMicros + 946684800000000L
+    val unixMicros = pgMicros + PgWire.PgEpochUnixMillis * 1000L
     val secs = Math.floorDiv(unixMicros, 1000000L)
     val micros = Math.floorMod(unixMicros, 1000000L)
     val t = java.time.LocalDateTime.ofEpochSecond(secs, micros.toInt * 1000, java.time.ZoneOffset.UTC)
@@ -213,17 +213,23 @@ final class PgOutputTxBuilder {
   private var txTsText = ""
   private var txXid = 0L
 
+  /** One `{name,type[,value]}` column object; `value = None` omits the
+    * field (pk entries), `Some(null)` emits JSON null. */
+  private def colNode(c: RelCol, value: Option[String]): ObjectNode = {
+    val o: ObjectNode = mapper.createObjectNode()
+    o.put("name", c.name)
+    o.put("type", typeName(c.typeOid))
+    value.foreach(v => if (v == null) o.putNull("value") else o.put("value", v): Unit)
+    o
+  }
+
   private def columnsNode(rel: Relation, tuple: IndexedSeq[TupleVal]): ArrayNode = {
     val arr = mapper.createArrayNode()
     rel.cols.zipWithIndex.foreach { case (c, i) =>
-      val o: ObjectNode = mapper.createObjectNode()
-      o.put("name", c.name)
-      o.put("type", typeName(c.typeOid))
-      tuple(i) match {
-        case TextVal(s) => o.put("value", s)
-        case NullVal | ToastVal => o.putNull("value")
-      }
-      arr.add(o)
+      arr.add(colNode(c, Some(tuple(i) match {
+        case TextVal(s) => s
+        case NullVal | ToastVal => null
+      }))): Unit
     }
     arr
   }
@@ -238,10 +244,7 @@ final class PgOutputTxBuilder {
       case Some(t) =>
         rel.cols.zipWithIndex.foreach { case (c, i) =>
           t(i) match {
-            case TextVal(s) =>
-              val o = mapper.createObjectNode()
-              o.put("name", c.name); o.put("type", typeName(c.typeOid)); o.put("value", s)
-              arr.add(o): Unit
+            case TextVal(s) => arr.add(colNode(c, Some(s))): Unit
             case _ => () // 'K' old tuples carry nulls for non-key columns
           }
         }
@@ -249,10 +252,7 @@ final class PgOutputTxBuilder {
         newTuple.foreach { t =>
           rel.cols.zipWithIndex.foreach { case (c, i) =>
             if (c.isKey) t(i) match {
-              case TextVal(s) =>
-                val o = mapper.createObjectNode()
-                o.put("name", c.name); o.put("type", typeName(c.typeOid)); o.put("value", s)
-                arr.add(o): Unit
+              case TextVal(s) => arr.add(colNode(c, Some(s))): Unit
               case _ => ()
             }
           }
@@ -263,11 +263,7 @@ final class PgOutputTxBuilder {
 
   private def pkNode(rel: Relation): ArrayNode = {
     val arr = mapper.createArrayNode()
-    rel.cols.filter(_.isKey).foreach { c =>
-      val o = mapper.createObjectNode()
-      o.put("name", c.name); o.put("type", typeName(c.typeOid))
-      arr.add(o): Unit
-    }
+    rel.cols.filter(_.isKey).foreach(c => arr.add(colNode(c, None)): Unit)
     arr
   }
 
@@ -313,10 +309,10 @@ final class PgOutputTxBuilder {
       records.add(record("D", r, x.walStart, None, Some(identityNode(r, Some(oldTup), None))))
       None
     case Truncate(relIds) =>
+      // same fail-loud contract as I/U/D: a truncate for an unknown
+      // relation means the cache is out of sync with the stream
       relIds.foreach { id =>
-        relations.get(id).foreach { r =>
-          records.add(record("T", r, x.walStart, None, None)): Unit
-        }
+        records.add(record("T", rel(id), x.walStart, None, None)): Unit
       }
       None
     case Commit(commitLsn, endLsn, _) =>

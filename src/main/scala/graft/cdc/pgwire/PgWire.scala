@@ -195,7 +195,11 @@ object PgWire {
       f"${lsn >>> 32}%X/${lsn & 0xffffffffL}%08X"
   }
 
+  /** The Postgres epoch (2000-01-01 UTC) as unix millis — shared by the
+    * status-message clock and pgoutput timestamp decoding. */
+  val PgEpochUnixMillis: Long = 946684800000L
+
   /** Microseconds since the Postgres epoch (2000-01-01 UTC) for status
     * messages, from a unix-millis clock. */
-  def pgClockMicros(unixMillis: Long): Long = (unixMillis - 946684800000L) * 1000L
+  def pgClockMicros(unixMillis: Long): Long = (unixMillis - PgEpochUnixMillis) * 1000L
 }

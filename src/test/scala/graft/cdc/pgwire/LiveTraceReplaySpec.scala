@@ -86,8 +86,9 @@ class LiveTraceReplaySpec extends AnyFunSuite {
   test("client re-produces its recorded byte stream against the real-walsender trace") {
     val tracePath = resource("walsender-pg-pgoutput.trace")
       .getOrElse(cancel("trace fixture not recorded yet"))
-    val side = new ObjectMapper().readTree(
-      java.nio.file.Files.readAllBytes(resource("walsender-pg-pgoutput.json").get))
+    val sidePath = resource("walsender-pg-pgoutput.json")
+      .getOrElse(cancel("trace sidecar missing — re-record the fixture"))
+    val side = new ObjectMapper().readTree(java.nio.file.Files.readAllBytes(sidePath))
 
     val frames = WalsenderTrace.read(tracePath)
     assert(frames.exists(_.dir == 'S') && frames.exists(_.dir == 'C'))

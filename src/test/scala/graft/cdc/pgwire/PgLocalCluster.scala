@@ -19,9 +19,10 @@ object PgLocalCluster {
     val versioned =
       Seq("/usr/lib/postgresql", "/usr/pgsql").flatMap { root =>
         val r = Paths.get(root)
-        if (Files.isDirectory(r))
-          Files.list(r).iterator.asScala.map(_.resolve("bin")).toSeq
-        else Nil
+        if (Files.isDirectory(r)) {
+          val s = Files.list(r)
+          try s.iterator.asScala.map(_.resolve("bin")).toList finally s.close()
+        } else Nil
       }
     (fromPath ++ versioned).find { d =>
       Seq("initdb", "pg_ctl", "postgres").forall(b => Files.isExecutable(d.resolve(b)))
@@ -61,20 +62,23 @@ object PgLocalCluster {
   }
 
   /** Make `dir` usable by the server user when privileges are dropped:
-    * chown the tree and ensure every ancestor is traversable (a cluster
-    * dir nested under 0700-root temp dirs would otherwise be
-    * unreachable for the dropped user). */
+    * chown the tree, and make non-traversable ancestors traversable —
+    * but ONLY ancestors strictly inside the JVM temp dir (a cluster dir
+    * nested under 0700-root temp subdirs would otherwise be unreachable
+    * for the dropped user). Ancestors outside the temp tree are never
+    * touched: widening, say, /root would outlive the test; if such an
+    * ancestor blocks traversal, initdb fails with a clear perm error
+    * and the caller should pick a temp-dir-rooted location. */
   private[pgwire] def ownDir(dir: Path): Unit = dropToUser.foreach { u =>
     val p = new ProcessBuilder("chown", "-R", s"$u:", dir.toString).start()
     require(p.waitFor() == 0, s"chown $dir to $u failed")
-    var a = dir.getParent
-    while (a != null && a.getParent != null) {
-      if (!Files.isExecutable(a) || !java.nio.file.Files.getPosixFilePermissions(a)
-            .contains(java.nio.file.attribute.PosixFilePermission.OTHERS_EXECUTE)) {
-        val perms = java.nio.file.Files.getPosixFilePermissions(a)
+    val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir")).toAbsolutePath.normalize
+    var a = dir.toAbsolutePath.normalize.getParent
+    while (a != null && a.startsWith(tmpRoot) && a != tmpRoot) {
+      val perms = Files.getPosixFilePermissions(a)
+      if (!perms.contains(java.nio.file.attribute.PosixFilePermission.OTHERS_EXECUTE)) {
         perms.add(java.nio.file.attribute.PosixFilePermission.OTHERS_EXECUTE)
-        try java.nio.file.Files.setPosixFilePermissions(a, perms)
-        catch { case _: Throwable => () } // not ours (e.g. /tmp itself): leave it
+        Files.setPosixFilePermissions(a, perms)
       }
       a = a.getParent
     }

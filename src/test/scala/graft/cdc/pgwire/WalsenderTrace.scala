@@ -181,10 +181,13 @@ final class RecordingProxy(targetHost: String, targetPort: Int) extends AutoClos
   acceptor.setDaemon(true)
   acceptor.start()
 
-  /** Wait for both directions to drain, then return the coalesced log. */
+  /** Wait for both directions to drain, then return the coalesced log.
+    * A timeout is an error — returning a truncated log would record an
+    * incomplete trace fixture that only fails much later, at replay. */
   def frames(timeoutMs: Long = 30000): Seq[Frame] = {
-    done.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    val drained = done.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     if (failure != null) throw new IllegalStateException("proxy failed", failure)
+    require(drained, s"proxy streams not drained within ${timeoutMs}ms — trace would be truncated")
     log.synchronized(WalsenderTrace.coalesce(log.toList))
   }
 
