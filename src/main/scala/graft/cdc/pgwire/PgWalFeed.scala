@@ -118,6 +118,14 @@ final class PgWalFeed(
 
   val slot: String = s"${slotPrefix}_$publication"
 
+  // Crash-resume duplicate guard: the server restreams from
+  // confirmed_flush_lsn, which can be BEHIND what this spool already
+  // holds (spooled-but-unacked transactions at the crash). Re-sent
+  // transactions at or below the spool's high-water mark at start are
+  // already durably on disk and must not be appended again — a second
+  // copy would be served twice downstream.
+  @transient @volatile private var resumeSkipBelow = 0L
+
   private def segPath(seq: Long): java.nio.file.Path =
     Paths.get(spoolDir, f"spool-$seq%08d.jsonl")
 
@@ -129,6 +137,10 @@ final class PgWalFeed(
     val tables = client.publicationTables(publication)
     val startLsn = client.confirmedFlushLsn(slot).getOrElse(client.createReplicationSlot(slot, plugin))
     lastAcked = inner.ackedLsn
+    // scan pre-existing segments once: anything the previous process
+    // spooled durably is the resume floor for appends (torn tails are
+    // not parsed, so a partially-written tx is correctly re-spooled)
+    resumeSkipBelow = inner.latestLsn
     // open a fresh segment after any pre-existing ones (old segments are
     // sealed; their max LSNs are recovered lazily at GC time)
     Files.createDirectories(Paths.get(spoolDir))
@@ -169,7 +181,10 @@ final class PgWalFeed(
           case Some(Left(ka)) =>
             if (ka.replyRequested) client.sendStandbyStatus(lastAcked)
           case Some(Right(x)) =>
-            framer(x).foreach { case (lsn, line) =>
+            // lsn <= resumeSkipBelow is a crash-resume duplicate: already
+            // durably spooled by a previous process; the walsender
+            // restreams from the (older) confirmed_flush_lsn
+            framer(x).filter(_._1 > resumeSkipBelow).foreach { case (lsn, line) =>
               // whole line in one write call (spool contract: readers may
               // observe torn appends but never mixed lines)
               val bytes = (line + "\n").getBytes(StandardCharsets.UTF_8)

@@ -166,7 +166,11 @@ final class FileWalFeed(dir: String) extends WalFeed {
       stale.foreach(scannedBytes.remove)
     }
     if (dirty) {
-      val sorted = index.sortBy(_.lsn)
+      // distinctBy: commit LSNs are unique per server, so two refs with
+      // one LSN are two copies of the same transaction (e.g. a spool
+      // written before the crash-resume duplicate guard existed) — serve
+      // the first, never both
+      val sorted = index.sortBy(_.lsn).distinctBy(_.lsn)
       index.clear(); index ++= sorted
       if (index.nonEmpty) maxSeenLsn = math.max(maxSeenLsn, index.last.lsn)
     }

@@ -186,6 +186,69 @@ class PgWalFeedSpec extends SparkSpec {
     } finally { feed2.close(); server2.close() }
   }
 
+  test("crash-resume: re-streamed spooled-but-unacked txs are not spooled or served twice") {
+    val (frames, lsns) = scenario(6)
+    val perTx = 4 // B + 2×I + C
+    val base = Files.createTempDirectory("pgfeed5").toString
+    val spool = s"$base/spool"
+
+    // session 1: stream txs 1-3 but ack only tx1 — txs 2-3 are durably
+    // spooled yet the server's confirmed_flush_lsn stays at tx1
+    val server1 = new FakeWalsender(
+      publications = Map("pub" -> Seq("public" -> "t")),
+      stream = frames.take(3 * perTx).zipWithIndex.map { case (p, i) => (0xF00L + i * 8, p) })
+    val feed1 = new PgWalFeed(
+      new PgReplicationClient("127.0.0.1", server1.port, "u", "db"), "pub", spool)
+    try {
+      feed1.start()
+      server1.awaitStreamed()
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (feed1.latestLsn < lsns(2) && System.nanoTime() < deadline) Thread.sleep(20)
+      feed1.ack(lsns(0))
+    } finally { feed1.close(); server1.close() }
+
+    // session 2: the walsender restreams from confirmed_flush (tx1) —
+    // txs 2-3 arrive AGAIN, then the new txs 4-6
+    val server2 = new FakeWalsender(
+      publications = Map("pub" -> Seq("public" -> "t")),
+      slotLsn = Some(lsns(0)),
+      stream = frames.drop(1 * perTx).zipWithIndex.map { case (p, i) => (0xF80L + i * 8, p) })
+    val feed2 = new PgWalFeed(
+      new PgReplicationClient("127.0.0.1", server2.port, "u", "db"), "pub", spool)
+    try {
+      feed2.start()
+      server2.awaitStreamed()
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (feed2.latestLsn < lsns.last && System.nanoTime() < deadline) Thread.sleep(20)
+
+      // every tx above the ack exactly once at the serving interface
+      val served = feed2.txRefsAfter(lsns(0), Int.MaxValue)
+      assert(served.map(_.lsn) == lsns.drop(1),
+        s"each unacked tx exactly once, got ${served.map(_.lsn)}")
+      // and the re-sent copies were never appended: 6 lines on disk total
+      val spooledLines = graft.core.FsUtil.listDirSorted(Paths.get(spool))
+        .filter(p => !p.getFileName.toString.startsWith("_") && Files.isRegularFile(p))
+        .map(p => Files.readString(p).count(_ == '\n')).sum
+      assert(spooledLines == 6, s"re-sent txs must not re-spool, got $spooledLines lines")
+      server2.check()
+    } finally { feed2.close(); server2.close() }
+  }
+
+  test("a dirty spool with duplicate commit LSNs still serves each tx once") {
+    // spools written before the resume guard existed can hold two copies
+    // of one tx — the index must serve the first and drop the second
+    val base = Files.createTempDirectory("dupspool").toString
+    val line1 = """{"commit_lsn":4096,"records":[{"action":"I","table":"t"}]}"""
+    val line2 = """{"commit_lsn":8192,"records":[{"action":"I","table":"t"}]}"""
+    Files.write(Paths.get(base, "spool-00000000.jsonl"),
+      s"$line1\n$line2\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(Paths.get(base, "spool-00000001.jsonl"),
+      s"$line2\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)) // duplicate copy
+    val feed = new FileWalFeed(base)
+    val refs = feed.txRefsAfter(0L, Int.MaxValue)
+    assert(refs.map(_.lsn) == Seq(4096L, 8192L), s"duplicate LSN served twice: ${refs.map(_.lsn)}")
+  }
+
   test("end-to-end parity: graft-wal over pgHost decodes to the identical table as file input") {
     val (frames, lsns) = scenario(6)
     val expected = directLines(frames)
