@@ -1,0 +1,138 @@
+package graft
+
+import graft.ops.{Bpe, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Third-decade (1000×) scaling points for the headline corpus operators.
+ * The 10×/100× sweeps (SCALING.md) measured two decades; this main adds
+ * one more on a 5M-doc, ~6 GB amplification of sf0.1's documents table —
+ * the largest corpus the sandbox disk comfortably holds — so the 100-TB
+ * exponent claims rest on THREE measured decades, not an extrapolation
+ * from two.
+ *
+ * Amplification is the same key-shift construction as ScaleBench.amplify
+ * (every copy's doc_id shifted by i·10^8, texts byte-identical across
+ * copies — worst case for dedup operators by design), but built with a
+ * single explode(sequence(...)) instead of a factor-way union: at 1000
+ * copies a union plan has 1000 branches to analyze, while the explode is
+ * one narrow codegen'd operator.
+ *
+ * Protocol: one warmup per pipeline at sf0.1 (JIT + codegen), then ONE
+ * timed run per 1000× row (these are minutes each; a log-log slope over
+ * three decades doesn't need min-of-2 noise margin). Read single runs as
+ * single samples. Output: SCALING_1000.json + stdout lines.
+ *
+ * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ThirdDecade"
+ */
+object ThirdDecade {
+
+  /** Key-shifted explode amplification of one table (idempotent). */
+  def amplify1000(spark: SparkSession, srcDir: String, outDir: String,
+                  factor: Int, table: String = "documents"): Unit = {
+    val shift = 100000000L // same per-copy key shift as ScaleBench.amplify
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val out = java.nio.file.Paths.get(outDir, s"$table.parquet")
+    if (!java.nio.file.Files.exists(out)) {
+      val df = spark.read.parquet(s"$srcDir/$table.parquet")
+      val keyCols = df.columns.filter(c => c.endsWith("key") || c.endsWith("_id"))
+      val amplified = df
+        .withColumn("__copy", explode(sequence(lit(0L), lit(factor - 1L))))
+        .repartition(spark.sparkContext.defaultParallelism)
+      keyCols.foldLeft(amplified) { (d, c) =>
+          d.withColumn(c, (col(c) + col("__copy") * shift).cast(df.schema(c).dataType))
+        }
+        .drop("__copy")
+        .write.mode("overwrite").parquet(out.toString)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // At 1000× the bench default (shuffle partitions = cores) puts ~30M
+    // window-hash rows in one task — beyond a local executor's execution
+    // memory. Sizing partitions to the data is the same knob a real
+    // cluster turns (brief: "size shuffle.partitions so partitions fit");
+    // 256 keeps per-task state ~4M rows. Overridable for A/Bs.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256")
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args.toSet) else None
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf01 = "/root/testdata/sf0.1"
+    val amp = sys.env.getOrElse("SPARK_GRAFT_AMPLIFIED1000_DIR",
+      "/tmp/graft_sf100_documents")
+    val tAmp0 = System.nanoTime()
+    amplify1000(spark, sf01, amp, factor = 1000)
+    println(f"[1000x] amplify: ${(System.nanoTime() - tAmp0) / 1e9}%.1fs")
+
+    def docs(dir: String) = Tables(spark, dir, "documents")
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try body catch { case e: Throwable =>
+        System.err.println(s"[1000x] FAILED: ${e.getMessage}"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // the three registered headliners run verbatim through SparkEntry —
+    // the same code path the bench and the correctness gate measure
+    def reg(name: String)(dir: String): DataFrame =
+      SparkEntry.queries(name)(spark, dir)
+    def ppComposed(dir: String): DataFrame = {
+      val sample = docs(dir).where(col("doc_id") % R8Queries.PpJoinMod === 0)
+      Dedup.ppJoin(Dedup.collapseExact(sample, "doc_id", "text", None),
+        threshold = R8Queries.PpJoinThreshold)
+    }
+    def bpeHybrid(dir: String): Unit =
+      { Bpe.train(docs(dir), nMerges = R8Queries.BpeMerges); () }
+
+    val rows = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def run(name: String, warm: => Unit)(body: => Unit): Unit = {
+      if (!only.forall(_.contains(name))) return
+      time(warm) // sf0.1 warmup: JIT + codegen for this pipeline
+      val s = time(body)
+      println(f"[1000x] $name%s: $s%.2fs")
+      rows += ((name, s))
+    }
+
+    run("q_dedup_corpus", noop(reg("q_dedup_corpus")(sf01)))(
+      noop(reg("q_dedup_corpus")(amp)))
+    run("q_corpus_curate", noop(reg("q_corpus_curate")(sf01)))(
+      noop(reg("q_corpus_curate")(amp)))
+    run("ppjoin_composed", noop(ppComposed(sf01)))(noop(ppComposed(amp)))
+    run("bpe_train_hybrid", bpeHybrid(sf01))(bpeHybrid(amp))
+    run("q_dup_spans", noop(reg("q_dup_spans")(sf01)))(
+      noop(reg("q_dup_spans")(amp)))
+
+    def fmt(v: Double): String = "%.3f".format(v)
+    // merge-on-write: a filtered rerun (args) patches its rows into the
+    // existing artifact instead of discarding the unfiltered ones
+    val prior: Map[String, String] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("SCALING_1000.json")), "UTF-8")
+        "\"([A-Za-z0-9_@]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      } catch { case _: Throwable => Map.empty }
+    val merged = prior ++ rows.map { case (n, s) => (n + "@1000x") -> fmt(s) }
+    val json = merged.toSeq.sortBy(_._1)
+      .map { case (n, v) => "\"" + n + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"scaling_1000x","unit":"sec","queries":$json}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_1000.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
+    spark.stop()
+  }
+}
