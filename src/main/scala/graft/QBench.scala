@@ -14,13 +14,17 @@ object QBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // ad-hoc conf A/Bs: SPARK_GRAFT_CONF="k=v,k=v" (developer loop only)
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(",")).map(_.split("=", 2))
+      .foreach { case Array(k, v) => builder.config(k, v); case _ => () }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val wanted =

@@ -124,7 +124,10 @@ object ThirdDecade {
         "\"([A-Za-z0-9_@]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2)).toMap
       } catch { case _: Throwable => Map.empty }
-    val merged = prior ++ rows.map { case (n, s) => (n + "@1000x") -> fmt(s) }
+    // a FAILED row (-1) never overwrites a previously measured value
+    val merged = prior ++ rows.collect {
+      case (n, s) if s >= 0 => (n + "@1000x") -> fmt(s)
+    }
     val json = merged.toSeq.sortBy(_._1)
       .map { case (n, v) => "\"" + n + "\":" + v }
       .mkString("{", ",", "}")
