@@ -595,10 +595,12 @@ object Dedup {
    * Relational shape instead of the paper's suffix array: a duplicated
    * substring of length ≥ L exists iff some L-token window repeats, so
    *  1. each doc's window hashes materialize in ONE narrow projection —
-   *     `transform(sequence(0, n−L), i → md5(slice(toks, i+1, L)))` on
-   *     the already-split token array, no per-window explode, no shuffle;
+   *     `transform(sequence(0, n−L), i → unhex(md5(slice(toks, i+1, L))))`
+   *     on the already-split token array, no per-window explode, no shuffle;
    *  2. repeated hashes surface via one hash aggregate (the only
-   *     corpus-wide shuffle, keyed on a 32-hex string);
+   *     corpus-wide shuffle, keyed on the 16-BYTE binary md5 — half the
+   *     key bytes of the hex-string form through the one spill-bound
+   *     stage at 1000×, bijective with it so exactness is unchanged);
    *  3. surviving window starts merge into maximal spans with one
    *     windowed island pass per doc (starts p, p' of L-windows are
    *     contiguous-or-overlapping iff p' − p ≤ L).
@@ -618,8 +620,9 @@ object Dedup {
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("toks")) - L),
         // chr(31) separator: without one ("ab","c") and ("a","bc")
-        // would hash equal; the DuckDB oracle mirrors with chr(31)
-        i => md5(concat_ws("\u001f", slice(col("toks"), i + 1, lit(L)))))))
+        // would hash equal; the DuckDB oracle mirrors with chr(31).
+        // unhex: shuffle the 16-byte binary digest, not 32 hex chars
+        i => unhex(md5(concat_ws("\u001f", slice(col("toks"), i + 1, lit(L))))))))
       .toDF(idCol, "pos", "h")
       // feeds the dup aggregate AND the join-back: one scan, not two
       .localCheckpoint()
@@ -656,8 +659,9 @@ object Dedup {
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("toks")) - L),
         // chr(31) separator: without one ("ab","c") and ("a","bc")
-        // would hash equal; the DuckDB oracle mirrors with chr(31)
-        i => md5(concat_ws("\u001f", slice(col("toks"), i + 1, lit(L)))))))
+        // would hash equal; the DuckDB oracle mirrors with chr(31).
+        // unhex: shuffle the 16-byte binary digest, not 32 hex chars
+        i => unhex(md5(concat_ws("\u001f", slice(col("toks"), i + 1, lit(L))))))))
       .toDF(idCol, "pos", "h")
       .localCheckpoint()
     val byHash = wh.groupBy("h").agg(
@@ -751,9 +755,9 @@ object Dedup {
    * Returns (idCol, n_chunks, n_kept, text_dedup); documents whose
    * every chunk was seen earlier disappear (empty docs too).
    *
-   * Scale shape: one shuffle partitioned on md5(chunk) for the
-   * first-occurrence window — 32-byte hex keys instead of the raw
-   * ~150-200 B chunk text (~6× less shuffle-key volume at 100 TB; the
+   * Scale shape: one shuffle partitioned on unhex(md5(chunk)) for the
+   * first-occurrence window — 16-BYTE binary keys instead of the raw
+   * ~150-200 B chunk text (~12× less shuffle-key volume at 100 TB; the
    * text rides as payload, and an md5 collision would only merge two
    * distinct chunks' windows, odds ~2⁻¹²⁸·C(n,2)) — then one per-doc
    * reassembly aggregation; reassembly order is pinned via sort_array
@@ -764,7 +768,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val ch = TextAnalysis.chunks(docs, chunkSize = chunkTokens, overlap = 0, idCol, textCol)
       .where(col("chunk") =!= "")
-      .withColumn("__ck", md5(col("chunk")))
+      .withColumn("__ck", unhex(md5(col("chunk"))))
     val w = Window.partitionBy("__ck").orderBy(col(idCol), col("chunk_id"))
     val kept = ch.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
     val perDoc = ch.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
