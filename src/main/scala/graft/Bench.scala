@@ -103,7 +103,7 @@ object Bench {
     val results = raw.map { case (name, runs) =>
       name -> (if (runs.size < 2) -1.0 else runs.min)
     }
-    def fmt(v: Double): String = "%.3f".format(v)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // run-to-run spread per query (the timed runs' max/min): queries
     // whose spread exceeds 1.5x get their min+max recorded so unstable
     // measurements are visible in the artifact instead of silently

@@ -26,7 +26,7 @@ object BpeLocalBench {
       (m, merges.size, t)
     }
     val json = rows.map { case (m, got, t) =>
-      s""""$m":{"sec":${"%.3f".format(t)},"learned":$got}"""
+      s""""$m":{"sec":${"%.3f".formatLocal(java.util.Locale.ROOT, t)},"learned":$got}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"bpe_local","vocab":100000,"loop":"incremental+lazy-heap","queries":$json}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BPE_LOCAL.json"),

@@ -20,10 +20,17 @@ object QBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // ad-hoc conf A/Bs: SPARK_GRAFT_CONF="k=v,k=v" (developer loop only)
+    // ad-hoc conf A/Bs: SPARK_GRAFT_CONF="k=v,k=v" (developer loop only).
+    // A malformed segment FAILS FAST: a typo'd conf that silently never
+    // applied would masquerade as a neutral A/B result.
     sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(",")).map(_.split("=", 2))
-      .foreach { case Array(k, v) => builder.config(k, v); case _ => () }
+      .flatMap(_.split(",")).filter(_.nonEmpty).map(_.split("=", 2))
+      .foreach {
+        case Array(k, v) => builder.config(k, v)
+        case bad => sys.error(
+          s"SPARK_GRAFT_CONF segment '${bad.mkString("=")}' is not k=v " +
+            "(values may not contain commas); refusing to run an A/B with a dropped conf")
+      }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

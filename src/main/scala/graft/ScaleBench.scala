@@ -119,7 +119,7 @@ object ScaleBench {
       name -> per
     }
 
-    def fmt(v: Double): String = "%.3f".format(v)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val json = timings.map { case (name, per) =>
       val secs = per.map { case (sf, s) => "\"" + sf + "\":" + fmt(s) }.mkString("{", ",", "}")
       // per-decade exponents: sf0.01→0.1 (real data) and sf0.1→1.0(amp)
@@ -193,7 +193,7 @@ object DeepScaleBench {
       println(f"[deep-scale] $name%s: 100x=$s%.2fs")
       name -> s
     }
-    val json = rows.map { case (n, s) => s""""$n":${"%.3f".format(s)}""" }
+    val json = rows.map { case (n, s) => s""""$n":${"%.3f".formatLocal(java.util.Locale.ROOT, s)}""" }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"scaling_deep","unit":"sec","factor":100,"amplified_dir":"$ampDir","queries":$json}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_DEEP.json"),

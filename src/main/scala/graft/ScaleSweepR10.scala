@@ -136,7 +136,7 @@ object ScaleSweepR10 {
       rows += ((s"bpe_local_${m}_merges", "100k_vocab", t))
     }
 
-    def fmt(v: Double): String = "%.3f".format(v)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val json = rows.map { case (n, sc, s) => "\"" + n + "@" + sc + "\":" + fmt(s) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"scaling_r10","unit":"sec","queries":$json}"""

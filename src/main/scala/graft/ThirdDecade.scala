@@ -28,13 +28,26 @@ import org.apache.spark.sql.functions._
  */
 object ThirdDecade {
 
-  /** Key-shifted explode amplification of one table (idempotent). */
+  /** Key-shifted explode amplification of one table. Idempotent PER
+    * (factor, source snapshot): a `.marker` file next to the output
+    * records both, and reuse is gated on it matching — a rerun with a
+    * different factor, a changed source, or a stale /tmp fixture from an
+    * aborted run REBUILDS instead of silently reusing the wrong corpus
+    * (which would invalidate every recorded exponent). A pre-marker
+    * fixture (unverifiable provenance) also rebuilds. */
   def amplify1000(spark: SparkSession, srcDir: String, outDir: String,
                   factor: Int, table: String = "documents"): Unit = {
     val shift = 100000000L // same per-copy key shift as ScaleBench.amplify
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val out = java.nio.file.Paths.get(outDir, s"$table.parquet")
-    if (!java.nio.file.Files.exists(out)) {
+    val marker = java.nio.file.Paths.get(outDir, s"$table.parquet.marker")
+    val srcFp = graft.core.FsUtil.snapshotFingerprint(
+      java.nio.file.Paths.get(srcDir, s"$table.parquet"))
+    val want = s"factor=$factor;src=$srcFp"
+    val upToDate = java.nio.file.Files.exists(out) &&
+      java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == want
+    if (!upToDate) {
       val df = spark.read.parquet(s"$srcDir/$table.parquet")
       val keyCols = df.columns.filter(c => c.endsWith("key") || c.endsWith("_id"))
       val amplified = df
@@ -45,6 +58,10 @@ object ThirdDecade {
         }
         .drop("__copy")
         .write.mode("overwrite").parquet(out.toString)
+      // marker written AFTER the data: a crash mid-write leaves no
+      // marker, so the next run rebuilds rather than trusting a torn dir
+      java.nio.file.Files.write(marker, (want + "\n").getBytes("UTF-8"))
+      ()
     }
   }
 
@@ -114,14 +131,18 @@ object ThirdDecade {
     run("q_dup_spans", noop(reg("q_dup_spans")(sf01)))(
       noop(reg("q_dup_spans")(amp)))
 
-    def fmt(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
+    // 364,038 — invalid JSON
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // merge-on-write: a filtered rerun (args) patches its rows into the
-    // existing artifact instead of discarding the unfiltered ones
+    // existing artifact instead of discarding the unfiltered ones.
+    // The parse is anchored to keys ending in @1000x so a future numeric
+    // top-level field (e.g. a total) can't be folded into the queries map.
     val prior: Map[String, String] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("SCALING_1000.json")), "UTF-8")
-        "\"([A-Za-z0-9_@]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+        "\"([A-Za-z0-9_]+@1000x)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2)).toMap
       } catch { case _: Throwable => Map.empty }
     // a FAILED row (-1) never overwrites a previously measured value

@@ -57,14 +57,37 @@ class AmplifierSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
-  test("amplifiers are idempotent fixtures (existing output untouched)") {
+  test("amplifier reuse is gated on (factor, source snapshot), not existence") {
     val (src, out) = freshDirs()
     writeBase(src)
     ThirdDecade.amplify1000(spark, src, out, factor = 2)
     val p = java.nio.file.Paths.get(s"$out/documents.parquet")
+    val count2 = spark.read.parquet(p.toString).count()
+    assert(count2 === 6)
+
+    // same factor, same source → fixture untouched (idempotent reuse)
     val before = java.nio.file.Files.getLastModifiedTime(p)
-    ThirdDecade.amplify1000(spark, src, out, factor = 3) // ignored: exists
+    ThirdDecade.amplify1000(spark, src, out, factor = 2)
     assert(java.nio.file.Files.getLastModifiedTime(p) === before)
-    assert(spark.read.parquet(p.toString).count() === 6)
+
+    // DIFFERENT factor → rebuild (silent reuse of the wrong corpus would
+    // invalidate recorded exponents — the round-10 ADVICE finding)
+    ThirdDecade.amplify1000(spark, src, out, factor = 3)
+    assert(spark.read.parquet(p.toString).count() === 9)
+
+    // changed SOURCE data under the same factor → rebuild
+    Seq((1L, "alpha beta", "en", 10L), (2L, "gamma", "de", 5L),
+        (3L, "delta eps", "en", 9L), (4L, "zeta", "fr", 4L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$src/documents.parquet")
+    ThirdDecade.amplify1000(spark, src, out, factor = 3)
+    assert(spark.read.parquet(p.toString).count() === 12)
+
+    // a fixture with NO marker (pre-marker or torn write) → rebuild
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$out/documents.parquet.marker"))
+    val beforeTorn = java.nio.file.Files.getLastModifiedTime(p)
+    ThirdDecade.amplify1000(spark, src, out, factor = 3)
+    assert(java.nio.file.Files.getLastModifiedTime(p) !== beforeTorn)
+    assert(spark.read.parquet(p.toString).count() === 12)
   }
 }

@@ -317,7 +317,7 @@ object IngestBench {
     case m: Map[_, _] =>
       m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
         .map { case (k, x) => s""""$k":${js(x)}""" }.mkString("{", ",", "}")
-    case d: Double => f"$d%.2f"
+    case d: Double => "%.2f".formatLocal(java.util.Locale.ROOT, d) // JSON: locale-proof decimal point
     case other => other.toString
   }
 
