@@ -43,16 +43,30 @@ object CdcMerge {
     */
   private val mergeRecordFields = Seq("action", "table", "columns", "identity")
 
-  private def typedWithOrder(lines: DataFrame, schema: TableSchema): DataFrame =
+  private def typedWithOrder(lines: DataFrame, schema: TableSchema,
+                             strict: Boolean = false): DataFrame =
     typedRecordsWithOrder(
-      WalDecoder.decodeRecords(lines, recordFields = Some(mergeRecordFields)), schema)
+      WalDecoder.decodeRecords(lines, recordFields = Some(mergeRecordFields)),
+      schema, strict)
 
   /** As [[typedWithOrder]] but over already-exploded records (shared by
-    * the line-fed streaming path and the scan-parsed batch-dir path). */
-  private def typedRecordsWithOrder(records0: DataFrame, schema: TableSchema): DataFrame = {
-    val records = records0
+    * the line-fed streaming path and the scan-parsed batch-dir path).
+    * `strict` applies [[PgValueDecoder.schemaDriftGuard]] to I/U records
+    * BEFORE the D-identity substitution (a DELETE's identity-only column
+    * list is not drift). */
+  private def typedRecordsWithOrder(records0: DataFrame, schema: TableSchema,
+                                    strict: Boolean = false): DataFrame = {
+    val routed = records0
       .where(col("table") === schema.table &&
         col("action").isin("I", "U", "D"))
+    val gated =
+      if (!strict) routed
+      else routed.where(
+        // table scope INSIDE the guard: robust even if an optimizer rule
+        // reorders this conjunct relative to the routing filter above
+        when(col("table") === schema.table && col("action").isin("I", "U"),
+          PgValueDecoder.schemaDriftGuard(schema)).otherwise(lit(true)))
+    val records = gated
       .withColumn("columns",
         when(col("action") === "D" &&
              (col("columns").isNull || size(col("columns")) === 0), col("identity"))
@@ -86,18 +100,20 @@ object CdcMerge {
    * Ordering key is (commit_lsn, record_idx): commit order between
    * transactions, wire order within one.
    */
-  def latestState(lines: DataFrame, schema: TableSchema): DataFrame =
-    mergeLatest(typedWithOrder(lines, schema), schema)
+  def latestState(lines: DataFrame, schema: TableSchema,
+                  strict: Boolean = false): DataFrame =
+    mergeLatest(typedWithOrder(lines, schema, strict), schema)
       .select(schema.columns.map(c => col(c.name)): _*)
 
   /** [[latestState]] over an on-disk feed directory: the json data source
     * parses each line once at the scan (see
     * [[WalDecoder.decodeTablesFromDir]]); the merge plan is identical. */
   def latestStateFromDir(spark: org.apache.spark.sql.SparkSession,
-                         dir: String, schema: TableSchema): DataFrame =
+                         dir: String, schema: TableSchema,
+                         strict: Boolean = false): DataFrame =
     mergeLatest(typedRecordsWithOrder(
         WalDecoder.explodeTx(WalDecoder.parseTxDir(spark, dir,
-          recordFields = Some(mergeRecordFields))), schema), schema)
+          recordFields = Some(mergeRecordFields))), schema, strict), schema)
       .select(schema.columns.map(c => col(c.name)): _*)
 
   /** Canonical row bytes for digesting: JSON of the schema's columns in
@@ -166,7 +182,8 @@ object CdcMerge {
                            stateDir: String, checkpointDir: String,
                            availableNow: Boolean = true,
                            triggerSeconds: Long = 10L,
-                           withDigest: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+                           withDigest: Boolean = false,
+                           strictSchema: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     val stream = spark.readStream.format("graft-wal")
       .option("path", walDir).load()
@@ -177,7 +194,7 @@ object CdcMerge {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import java.nio.file.{Files, Paths, StandardCopyOption}
         val s = batch.sparkSession
-        val changes = typedWithOrder(batch, schema)
+        val changes = typedWithOrder(batch, schema, strictSchema)
         val stateRoot = Paths.get(stateDir)
         Files.createDirectories(stateRoot)
         val prior = readState(s, stateDir).getOrElse(

@@ -55,6 +55,63 @@ object PgValueDecoder {
   }
 
   /**
+   * Mid-stream schema-drift guard — the STREAMING source's DDL contract.
+   *
+   * The reference captures each table's schema once at stream start
+   * (`cmd/vaults/commands.go:214-217`) and never re-checks; a live
+   * `ALTER TABLE` mid-stream would silently change what the decode
+   * produces. This engine's documented v1 contract instead: a record
+   * whose column (name, type) list differs from the stream-start schema
+   * — added, dropped, renamed, reordered, or retyped columns — FAILS
+   * LOUDLY with an actionable error naming the table and both column
+   * lists. Silent misdecode (or silent data loss of a newly added
+   * column) is never an outcome. Recovery is cheap by construction:
+   * restart the stream with a refreshed schema — the spool keeps every
+   * unacked transaction, and batch replay under the widened schema is
+   * lossless (pinned live in `LivePostgresSpec`'s drift scenario).
+   *
+   * The check is PREFIX equality, not exact equality: a record whose
+   * (name, type) list is a proper prefix of the schema PASSES, decoding
+   * NULL for the missing tail columns. That asymmetry is what makes
+   * recovery possible — after a refresh-restart the spool replays
+   * pre-ALTER history with fewer columns than the widened schema, and
+   * Postgres's `ALTER TABLE ADD COLUMN` always appends, so pre-ADD
+   * records are exactly schema prefixes. Everything else — an extra
+   * column (data loss), a renamed/reordered/retyped column (misdecode) —
+   * raises.
+   *
+   * Returns a Column that raises on drift and is `true` otherwise, for
+   * use in a `.where(...)`: records with NO `columns` payload (wal2json
+   * DELETEs carry only `identity`) pass — apply to I/U records.
+   * Type comparison is modifier-insensitive (`numeric(10,2)` ≡
+   * `numeric`), mirroring [[graft.core.PgTypes.normalize]], so the guard
+   * never fires on a cosmetic typmod difference between plugins.
+   */
+  def schemaDriftGuard(schema: TableSchema): Column = {
+    val typmod = "\\(\\s*\\d+\\s*(,\\s*\\d+\\s*)?\\)"
+    val expect = array(schema.columns.map(tc =>
+      struct(lit(tc.name).as("name"),
+        lit(PgTypes.normalize(tc.pgType)).as("type"))): _*)
+    val got = transform(col("columns"), x =>
+      struct(x.getField("name").as("name"),
+        regexp_replace(x.getField("type"), typmod, "").as("type")))
+    val ok = col("columns").isNull ||
+      (size(got) <= schema.columns.size &&
+        got === slice(expect, lit(1), size(got)))
+    def render(a: Column): Column = concat(lit("["), array_join(
+      transform(a, x => concat_ws(" ", x.getField("name"), x.getField("type"))),
+      ", "), lit("]"))
+    val msg = concat(
+      lit(s"schema drift detected on table '${schema.table}': record columns "),
+      render(got), lit(" do not match the stream-start schema "), render(expect),
+      lit(". The source captures schema once at stream start (v1 contract: " +
+        "fail loud on DDL, never misdecode); restart the stream with a " +
+        "refreshed schema — already-spooled transactions replay losslessly " +
+        "under the new schema."))
+    coalesce(assert_true(ok, msg), lit(true))
+  }
+
+  /**
    * Pivot an exploded WAL record stream into a typed table DataFrame.
    *
    * Input: one row per Record with `columns ARRAY<STRUCT<name,type,value>>`

@@ -89,19 +89,35 @@ object WalDecoder {
     lines.where(anyMarker)
   }
 
-  /** Full batch decode: lines → Map(table → typed DataFrame). */
+  /** Drift gate for [[decodeTables]]/[[decodeTablesFromDir]]: I/U records
+    * must match the stream-start schema ([[PgValueDecoder.schemaDriftGuard]]);
+    * D records pass (a real wal2json DELETE carries only `identity`). */
+  private def driftGated(records: DataFrame, ts: TableSchema, strict: Boolean): DataFrame =
+    if (!strict) records
+    else records.where(
+      // table scope INSIDE the guard: robust even if an optimizer rule
+      // reorders this conjunct relative to the table-routing filter
+      when(col("table") === ts.table && col("action").isin("I", "U"),
+        PgValueDecoder.schemaDriftGuard(ts)).otherwise(lit(true)))
+
+  /** Full batch decode: lines → Map(table → typed DataFrame).
+    * `strict = true` applies the mid-stream DDL contract: any I/U record
+    * whose columns diverge from `schemas` raises instead of silently
+    * projecting ([[PgValueDecoder.schemaDriftGuard]]). */
   def decodeTables(
       spark: SparkSession,
       lines: DataFrame,
       schemas: Seq[TableSchema],
-      replayActions: Set[String] = Set("I")): Map[String, DataFrame] = {
+      replayActions: Set[String] = Set("I"),
+      strict: Boolean = false): Map[String, DataFrame] = {
     // replay needs only routing + payload fields; skip xid/lsn/pk/etc.
     val records = filterActions(
       decodeRecords(actionPrefilter(lines, replayActions),
         recordFields = Some(Seq("action", "table", "columns"))),
       replayActions)
     schemas.map { ts =>
-      ts.table -> PgValueDecoder.pivotToTable(records.where(col("table") === ts.table), ts)
+      ts.table -> PgValueDecoder.pivotToTable(
+        driftGated(records.where(col("table") === ts.table), ts, strict), ts)
     }.toMap
   }
 
@@ -111,13 +127,15 @@ object WalDecoder {
       spark: SparkSession,
       dir: String,
       schemas: Seq[TableSchema],
-      replayActions: Set[String] = Set("I")): Map[String, DataFrame] = {
+      replayActions: Set[String] = Set("I"),
+      strict: Boolean = false): Map[String, DataFrame] = {
     val records = filterActions(
       explodeTx(parseTxDir(spark, dir,
         recordFields = Some(Seq("action", "table", "columns")))),
       replayActions)
     schemas.map { ts =>
-      ts.table -> PgValueDecoder.pivotToTable(records.where(col("table") === ts.table), ts)
+      ts.table -> PgValueDecoder.pivotToTable(
+        driftGated(records.where(col("table") === ts.table), ts, strict), ts)
     }.toMap
   }
 }

@@ -38,7 +38,8 @@ object StreamPipeline {
       maxTxPerTrigger: Option[Int] = None,
       replayActions: Set[String] = Set("I"),
       singleFile: Boolean = true,
-      sourceOptions: Map[String, String] = Map.empty): StreamingQuery = {
+      sourceOptions: Map[String, String] = Map.empty,
+      strictSchema: Boolean = true): StreamingQuery = {
 
     schemas.foreach(_.validate())
     // custom CDC source (graft.cdc.source.WalSource): LSN offsets +
@@ -53,7 +54,7 @@ object StreamPipeline {
     // singleFile=false is the 100 TB shape: a directory artifact per
     // window, no coalesce(1) serialization point
     val sink = new VaultSink(namespace, schemas, stagingDir, store, signer,
-      catalog, replayActions, singleFile)
+      catalog, replayActions, singleFile, strictSchema = strictSchema)
     val trigger =
       if (availableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime(windowSeconds * 1000L)

@@ -88,7 +88,12 @@ final class VaultSink(
     catalog: Option[graft.catalog.VaultCatalog] = None,
     replayActions: Set[String] = Set("I"),
     singleFile: Boolean = true,
-    clock: () => Long = () => java.time.Instant.now().getEpochSecond) extends Serializable {
+    clock: () => Long = () => java.time.Instant.now().getEpochSecond,
+    // mid-stream DDL contract (default ON for the streaming pipeline):
+    // a record diverging from the stream-start schema fails the batch
+    // loudly (PgValueDecoder.schemaDriftGuard) instead of silently
+    // dropping a newly added column from the uploaded artifacts
+    strictSchema: Boolean = true) extends Serializable {
 
   def processBatch(batch: DataFrame, windowId: Long): Seq[(String, String)] = {
     // Event timestamp = real upload time in epoch seconds (like the
@@ -97,7 +102,8 @@ final class VaultSink(
     // One timestamp per window keeps all tables of a window coherent.
     val ts = clock()
     val spark = batch.sparkSession
-    val tables = WalDecoder.decodeTables(spark, batch, schemas, replayActions)
+    val tables = WalDecoder.decodeTables(spark, batch, schemas, replayActions,
+      strict = strictSchema)
     val pkOf = schemas.map(s => s.table -> s.columns.filter(_.isPrimary).map(_.name)).toMap
     tables.toSeq.sortBy(_._1).flatMap { case (table, df) =>
       // sort by PK within each output file: parquet row-group min/max

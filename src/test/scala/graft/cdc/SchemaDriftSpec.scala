@@ -1,91 +1,125 @@
 package graft.cdc
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoders
 
-/** Schema drift on the CDC feed: the source database adds or reorders
-  * columns mid-stream (ALTER TABLE during replication). The decode path
-  * must keep working on the declared schema — unknown feed columns are
-  * ignored until the schema is updated, records predating an added
-  * column decode it as NULL, and column ORDER in the wal2json payload
-  * never matters (values are matched by name, not position). */
+/**
+ * The mid-stream DDL contract (SURVEY §2 S7 seam): the source captures
+ * schema once at stream start — reference `cmd/vaults/commands.go:214-217`
+ * — and this engine's documented v1 behavior on live schema drift is FAIL
+ * LOUD, never silent misdecode and never silent loss of a newly added
+ * column. These specs pin the guard ([[PgValueDecoder.schemaDriftGuard]])
+ * at the batch-decode and merge layers; the streaming end of the contract
+ * is pinned in `StreamPipelineSpec` (drifted batch fails the query) and
+ * LIVE in `LivePostgresSpec` (a real ALTER TABLE mid-stream).
+ */
 class SchemaDriftSpec extends SparkSpec {
-  import spark.implicits._
 
-  private val schemaV1 = TableSchema("t", Seq(
+  private val schemaT = TableSchema("t", Seq(
     TableColumn("id", "integer", nullable = false, isPrimary = true),
-    TableColumn("name", "text", nullable = true, isPrimary = false)))
-  private val schemaV2 = TableSchema("t", Seq(
-    TableColumn("id", "integer", nullable = false, isPrimary = true),
-    TableColumn("name", "text", nullable = true, isPrimary = false),
-    TableColumn("score", "double precision", nullable = true, isPrimary = false)))
+    TableColumn("name", "character varying", nullable = true, isPrimary = false)))
 
-  private def rec(lsn: Long, cols: String): String =
-    s"""{"commit_lsn": $lsn, "records": [{"action": "I", "xid": 1,
-       |"lsn": "0/$lsn", "nextlsn": "", "timestamp": "t", "schema": "public",
-       |"table": "t", "columns": [$cols], "pk": []}]}"""
+  private def line(columnsJson: String, action: String = "I",
+                   identityJson: Option[String] = None): String = {
+    val idf = identityJson.fold("")(j => s""", "identity": $j""")
+    s"""{"commit_lsn": 1, "records": [{"action": "$action", "xid": 1,
+       |"lsn": "0/1", "nextlsn": "", "timestamp": "2023-08-22 14:44:02.043586-03",
+       |"schema": "public", "table": "t", "columns": $columnsJson$idf,
+       |"pk": [{"name": "id", "type": "integer"}]}]}""".stripMargin.replace("\n", " ")
+  }
+
+  private def df(lines: String*) =
+    spark.createDataset(lines)(Encoders.STRING).toDF("value")
+
+  private val conforming =
+    """[{"name": "id", "type": "integer", "value": 1},
+      |{"name": "name", "type": "character varying(30)", "value": "a"}]"""
+      .stripMargin.replace("\n", " ")
+  private val added =
+    """[{"name": "id", "type": "integer", "value": 2},
+      |{"name": "name", "type": "character varying(30)", "value": "b"},
+      |{"name": "extra", "type": "double precision", "value": 2.5}]"""
       .stripMargin.replace("\n", " ")
 
-  private def c(name: String, typ: String, v: String) =
-    s"""{"name": "$name", "type": "$typ", "value": $v}"""
-
-  test("feed gains a column the declared schema doesn't know: ignored") {
-    val lines = Seq(
-      rec(1, Seq(c("id", "integer", "1"), c("name", "text", "\"a\"")).mkString(",")),
-      // upstream ALTER TABLE added 'score'; we still decode on schema v1
-      rec(2, Seq(c("id", "integer", "2"), c("name", "text", "\"b\""),
-        c("score", "double precision", "9.5")).mkString(","))
-    ).toDF("value")
-    val out = WalDecoder.decodeTables(spark, lines, Seq(schemaV1))("t")
-      .orderBy("id").collect()
-    assert(out.map(_.getAs[Int]("id")).toSeq == Seq(1, 2))
-    assert(out.map(_.getAs[String]("name")).toSeq == Seq("a", "b"))
-    assert(!out.head.schema.fieldNames.contains("score"))
+  private def driftError(body: => Unit): Throwable = {
+    val e = intercept[Exception](body)
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("schema drift detected on table 't'"), msgs)
+    assert(msgs.contains("extra double precision"), msgs) // names the new column
+    assert(msgs.contains("restart the stream with a refreshed schema"), msgs)
+    e
   }
 
-  test("schema gains a column older records don't carry: NULL backfill") {
-    val lines = Seq(
-      rec(1, Seq(c("id", "integer", "1"), c("name", "text", "\"a\"")).mkString(",")),
-      rec(2, Seq(c("id", "integer", "2"), c("name", "text", "\"b\""),
-        c("score", "double precision", "9.5")).mkString(","))
-    ).toDF("value")
-    val out = WalDecoder.decodeTables(spark, lines, Seq(schemaV2))("t")
-      .orderBy("id").collect()
-    assert(out.length == 2)
-    assert(out(0).isNullAt(out(0).fieldIndex("score")), "pre-ALTER record → NULL")
-    assert(out(1).getAs[Double]("score") == 9.5)
+  test("strict decode fails loudly on an added column; lenient projects silently") {
+    val lines = df(line(conforming), line(added))
+    driftError {
+      WalDecoder.decodeTables(spark, lines, Seq(schemaT), strict = true)("t").collect()
+    }
+    // lenient (batch replay) behavior unchanged: both rows, no extra col
+    val lenient = WalDecoder.decodeTables(spark, lines, Seq(schemaT))("t")
+    assert(lenient.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
   }
 
-  test("wal2json column order is irrelevant: values matched by name") {
-    val lines = Seq(
-      rec(1, Seq(c("name", "text", "\"a\""), c("id", "integer", "1")).mkString(",")),
-      rec(2, Seq(c("id", "integer", "2"), c("name", "text", "\"b\"")).mkString(","))
-    ).toDF("value")
-    val out = WalDecoder.decodeTables(spark, lines, Seq(schemaV1))("t")
-      .orderBy("id").collect()
-      .map(r => (r.getAs[Int]("id"), r.getAs[String]("name")))
-    assert(out.toSeq == Seq(1 -> "a", 2 -> "b"))
-  }
-
-  test("CDC merge stays correct across a schema-widening boundary") {
-    // insert under v1, update under v2 (new column appears) — the merge
-    // on the v2 schema yields the latest image with the new value, and
-    // keys never touched after the ALTER carry NULL
-    def mrec(lsn: Long, action: String, cols: String): String =
-      s"""{"commit_lsn": $lsn, "records": [{"action": "$action", "xid": 1,
-         |"lsn": "0/$lsn", "nextlsn": "", "timestamp": "t", "schema": "public",
-         |"table": "t", "columns": [$cols], "pk": []}]}"""
+  test("strict decode fails on renamed, retyped and non-prefix-dropped columns") {
+    val renamed =
+      """[{"name": "id", "type": "integer", "value": 4},
+        |{"name": "label", "type": "character varying", "value": "x"}]"""
         .stripMargin.replace("\n", " ")
-    val lines = Seq(
-      mrec(1, "I", Seq(c("id", "integer", "1"), c("name", "text", "\"a\"")).mkString(",")),
-      mrec(2, "I", Seq(c("id", "integer", "2"), c("name", "text", "\"b\"")).mkString(",")),
-      mrec(3, "U", Seq(c("id", "integer", "1"), c("name", "text", "\"a2\""),
-        c("score", "double precision", "7.0")).mkString(","))
-    ).toDF("value")
-    val state = CdcMerge.latestState(lines, schemaV2).orderBy("id").collect()
-    assert(state.length == 2)
-    assert(state(0).getAs[String]("name") == "a2")
-    assert(state(0).getAs[Double]("score") == 7.0)
-    assert(state(1).isNullAt(state(1).fieldIndex("score")))
+    val retyped =
+      """[{"name": "id", "type": "integer", "value": 5},
+        |{"name": "name", "type": "jsonb", "value": "{}"}]"""
+        .stripMargin.replace("\n", " ")
+    // a MIDDLE column missing (names no longer align positionally)
+    val middleDropped = """[{"name": "name", "type": "character varying", "value": "x"}]"""
+    for (cols <- Seq(renamed, retyped, middleDropped)) {
+      val e = intercept[Exception](
+        WalDecoder.decodeTables(spark, df(line(cols)), Seq(schemaT), strict = true)("t").collect())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("schema drift detected on table 't'"), msgs)
+    }
+  }
+
+  test("a schema-PREFIX record passes strict and decodes NULL tails (refresh-restart replay)") {
+    // the shape pre-ALTER-ADD history has under the REFRESHED schema:
+    // fewer columns, matching the schema's leading columns — must replay
+    // losslessly or drift recovery would be impossible
+    val prefix = """[{"name": "id", "type": "integer", "value": 7}]"""
+    val out = WalDecoder.decodeTables(spark, df(line(prefix)),
+      Seq(schemaT), strict = true)("t").collect()
+    assert(out.length == 1 && out(0).getInt(0) == 7 && out(0).isNullAt(1))
+  }
+
+  test("typmod differences are not drift; conforming records pass strict") {
+    // record carries `character varying(30)`, schema `character varying`
+    val out = WalDecoder.decodeTables(spark, df(line(conforming)),
+      Seq(schemaT), strict = true)("t").collect()
+    assert(out.length == 1 && out(0).getInt(0) == 1 && out(0).getString(1) == "a")
+  }
+
+  test("strict merge: real-shape DELETE (identity only, no columns) is not drift") {
+    val ins = line(conforming)
+    val del = line("null", action = "D",
+      identityJson = Some("""[{"name": "id", "type": "integer", "value": 1}]"""))
+    val state = CdcMerge.latestState(df(ins, del), schemaT, strict = true)
+    assert(state.collect().isEmpty) // insert then delete -> no live rows
+    // and a drifted INSERT in the same feed still raises through the merge
+    driftError {
+      CdcMerge.latestState(df(ins, del, line(added)), schemaT, strict = true).collect()
+    }
+  }
+
+  test("strict decode is per-table: another table's drift does not fire t's guard") {
+    val other =
+      s"""{"commit_lsn": 2, "records": [{"action": "I", "xid": 1, "lsn": "0/2",
+         |"nextlsn": "", "timestamp": "2023-08-22 14:44:02.043586-03",
+         |"schema": "public", "table": "u", "columns":
+         |[{"name": "k", "type": "integer", "value": 9},
+         |{"name": "surprise", "type": "text", "value": "v"}],
+         |"pk": [{"name": "k", "type": "integer"}]}]}""".stripMargin.replace("\n", " ")
+    val out = WalDecoder.decodeTables(spark, df(line(conforming), other),
+      Seq(schemaT), strict = true)("t").collect()
+    assert(out.length == 1 && out(0).getInt(0) == 1)
   }
 }

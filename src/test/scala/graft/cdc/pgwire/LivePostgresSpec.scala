@@ -157,7 +157,7 @@ class LivePostgresSpec extends SparkSpec {
         assert(rows(1).getInt(0) == 2 && rows(1).getString(1) == "after" && rows(1).getDouble(2) == 2.5)
 
         // narrow (pre-drift) schema still decodes both rows: the added
-        // column is simply not projected
+        // column is simply not projected (lenient batch replay)
         val narrow = TableSchema("d", Seq(
           TableColumn("id", "integer", nullable = false, isPrimary = true),
           TableColumn("name", "text", nullable = true, isPrimary = false)))
@@ -165,6 +165,27 @@ class LivePostgresSpec extends SparkSpec {
           .orderBy(col("id")).collect()
         assert(narrowRows.map(r => (r.getInt(0), r.getString(1))).toSeq
           == Seq((1, "before"), (2, "after")))
+
+        // THE v1 DDL CONTRACT, against a REAL mid-stream ALTER TABLE:
+        // under the stream-start (narrow) schema the strict path — what
+        // the streaming pipeline runs — FAILS LOUDLY on the post-ALTER
+        // record, naming table and columns; it never silently drops the
+        // new column. Recovery is the widened replay asserted above.
+        val e = intercept[Exception] {
+          CdcMerge.latestState(spark.read.text(spool).toDF("value"), narrow,
+            strict = true).collect()
+        }
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+        assert(msgs.contains("schema drift detected on table 'd'"), msgs)
+        assert(msgs.contains("extra double precision"), msgs)
+        assert(msgs.contains("restart the stream with a refreshed schema"), msgs)
+        // and strict under the REFRESHED (wide) schema accepts the whole
+        // history — both the pre-ALTER and post-ALTER records
+        val strictWide = CdcMerge.latestState(
+          spark.read.text(spool).toDF("value"), wide, strict = true)
+          .orderBy(col("id")).collect()
+        assert(strictWide.length == 2)
       } finally feed.close()
     } finally db.close()
   }

@@ -192,6 +192,48 @@ class StreamPipelineSpec extends SparkSpec {
     assert(ids == ids.sorted, s"artifact not PK-sorted: $ids")
   }
 
+  test("mid-stream schema drift FAILS the streaming query loudly (v1 DDL contract)") {
+    val (wal, staging, ckpt, storeDir) = freshDirs()
+    Files.createDirectories(Paths.get(wal))
+    val store = new LocalContentStore(storeDir)
+    // window 1: conforming tx uploads normally
+    Files.writeString(Paths.get(wal, "tx1.json"), walTx(100, 1 -> "a"))
+    runAvailable(wal, staging, ckpt, store)
+    assert(storeFiles(storeDir).size == 1)
+    // window 2: a record with a column the stream-start schema lacks
+    // (the shape a live ALTER TABLE ADD COLUMN produces) — the query
+    // must FAIL with the documented drift error, not silently drop the
+    // new column from the uploaded artifact
+    val drifted =
+      s"""{"commit_lsn": 200, "records": [{"action": "I", "xid": 1,
+         |"lsn": "0/200", "nextlsn": "", "timestamp": "2023-08-22 14:44:02.043586-03",
+         |"schema": "public", "table": "t", "columns": [
+         |  {"name": "id", "type": "integer", "value": 2},
+         |  {"name": "name", "type": "text", "value": "b"},
+         |  {"name": "extra", "type": "double precision", "value": 2.5}],
+         |"pk": [{"name": "id", "type": "integer"}]}]}""".stripMargin.replace("\n", " ")
+    Files.writeString(Paths.get(wal, "tx2.json"), drifted)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = StreamPipeline.start(spark, "ns", Seq(schemaT), wal, staging,
+        ckpt, store, availableNow = true)
+      q.awaitTermination(120000)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("schema drift detected on table 't'"), msgs)
+    assert(msgs.contains("extra double precision"), msgs)
+    // no second artifact was uploaded for the failed window
+    assert(storeFiles(storeDir).size == 1)
+    // opting OUT of the contract (strictSchema = false) resumes from the
+    // same checkpoint and uploads the record under the stream-start
+    // schema (the reference's capture-once projection semantics)
+    val q2 = StreamPipeline.start(spark, "ns", Seq(schemaT), wal, staging,
+      ckpt, store, availableNow = true, strictSchema = false)
+    q2.awaitTermination(120000)
+    val all = storeFiles(storeDir).map(readRows).reduce(_ ++ _)
+    assert(all == Set(1 -> "a", 2 -> "b"))
+  }
+
   test("content store put/get round trip (Q3 cache path)") {
     val (_, _, _, storeDir) = freshDirs()
     val store = new LocalContentStore(storeDir)
