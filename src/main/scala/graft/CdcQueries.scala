@@ -100,6 +100,42 @@ object CdcQueries {
       out
     })
 
+  /** money(event_id bigint pk, amount numeric(38,2)) feed: amounts are
+    * synthesized TEXTUALLY with 17+ significant digits (event_id ++ 12
+    * fixed digits ++ 2 cent digits) so they exceed IEEE-double's 53-bit
+    * mantissa — the exact shape where the reference's numeric→double
+    * mapping is silently lossy and the pgNumericAsDecimal opt-in is not. */
+  val moneySchema: TableSchema = TableSchema("money", Seq(
+    TableColumn("event_id", "bigint", nullable = false, isPrimary = true),
+    TableColumn("amount", "numeric(38,2)", nullable = true, isPrimary = false)))
+
+  def moneyAsWalLines(events: DataFrame): DataFrame = {
+    val amountText = concat(col("event_id").cast("string"),
+      lit("123456789012."),
+      lpad((col("event_id") % 100).cast("string"), 2, "0"))
+    val record = struct(
+      lit("I").as("action"), col("event_id").as("xid"), lit("0/0").as("lsn"),
+      lit("").as("nextlsn"), lit("2026-01-01 00:00:00.000000").as("timestamp"),
+      lit("public").as("schema"), lit("money").as("table"),
+      array(
+        struct(lit("event_id").as("name"), lit("bigint").as("type"),
+          col("event_id").cast("string").as("value")),
+        struct(lit("amount").as("name"), lit("numeric(38,2)").as("type"),
+          amountText.as("value"))).as("columns"),
+      array(struct(lit("event_id").as("name"), lit("bigint").as("type"))).as("pk"))
+    events.select(to_json(struct(
+      col("event_id").as("commit_lsn"), array(record).as("records"))).as("value"))
+  }
+
+  def moneyLinesDir(s: SparkSession, dir: String): String =
+    walCache.getOrElseUpdate(s"$dir#MONEY", {
+      val out = java.nio.file.Files.createTempDirectory("walcache-money").toString
+      moneyAsWalLines(Tables(s, dir, "events")
+        .repartition(s.sparkContext.defaultParallelism))
+        .write.mode("overwrite").text(out)
+      out
+    })
+
   /** Cached I+U+D change-stream files for the merge query. */
   def upsertLinesDir(s: SparkSession, dir: String): String =
     walCache.getOrElseUpdate(s"$dir#UPSERT", {
@@ -141,6 +177,30 @@ object CdcQueries {
         .orderBy("event_id")
     }),
 
+    // pgNumericAsDecimal opt-in (SURVEY §1.3 divergence #3): numeric(38,2)
+    // decodes to exact DecimalType(38,2); values carry 17+ significant
+    // digits, so ANY double rounding would break the hash match. Output
+    // as canonical decimal strings (scale-preserving) for a stable
+    // cross-engine compare.
+    "q_cdc_numeric_decimal" -> ((s, dir) => {
+      val decoded = WalDecoder.decodeTablesFromDir(
+        s, moneyLinesDir(s, dir), Seq(moneySchema),
+        numericAsDecimal = true)("money")
+      decoded.select(col("event_id"),
+        col("amount").cast("string").as("amount_s"))
+        .orderBy("event_id")
+    }),
+
+    // the DEFAULT (reference-compatible) lossy mode over the same feed:
+    // numeric → double, oracle casts the same literal text to DOUBLE —
+    // both engines round to the same nearest IEEE-754 value
+    "q_cdc_numeric_double" -> ((s, dir) => {
+      val decoded = WalDecoder.decodeTablesFromDir(
+        s, moneyLinesDir(s, dir), Seq(moneySchema))("money")
+      decoded.select(col("event_id"), col("amount"))
+        .orderBy("event_id")
+    }),
+
     // table-integrity digest over the merged state (C2 as a gate query):
     // digest VALUES are engine-specific (ristretto255), but the accuracy
     // contract is oracle-checkable — the multiset digest must be
@@ -176,6 +236,19 @@ object CdcQueries {
         |  CASE WHEN event_id % 10 = 0 THEN 'updated' ELSE event_type END AS event_type,
         |  CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
         |FROM events WHERE event_id % 7 != 0 ORDER BY event_id""".stripMargin,
+
+    "q_cdc_numeric_decimal" ->
+      """SELECT event_id,
+        |  CAST(CAST(CAST(event_id AS VARCHAR) || '123456789012.' ||
+        |       lpad(CAST(event_id % 100 AS VARCHAR), 2, '0') AS DECIMAL(38,2))
+        |       AS VARCHAR) AS amount_s
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_cdc_numeric_double" ->
+      """SELECT event_id,
+        |  CAST(CAST(event_id AS VARCHAR) || '123456789012.' ||
+        |       lpad(CAST(event_id % 100 AS VARCHAR), 2, '0') AS DOUBLE) AS amount
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_cdc_digest" ->
       """SELECT count(*) AS n_rows, CAST(1 AS BIGINT) AS digest_stable

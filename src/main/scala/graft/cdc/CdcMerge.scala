@@ -44,10 +44,11 @@ object CdcMerge {
   private val mergeRecordFields = Seq("action", "table", "columns", "identity")
 
   private def typedWithOrder(lines: DataFrame, schema: TableSchema,
-                             strict: Boolean = false): DataFrame =
+                             strict: Boolean = false,
+                             numericAsDecimal: Boolean = false): DataFrame =
     typedRecordsWithOrder(
       WalDecoder.decodeRecords(lines, recordFields = Some(mergeRecordFields)),
-      schema, strict)
+      schema, strict, numericAsDecimal)
 
   /** As [[typedWithOrder]] but over already-exploded records (shared by
     * the line-fed streaming path and the scan-parsed batch-dir path).
@@ -55,7 +56,8 @@ object CdcMerge {
     * BEFORE the D-identity substitution (a DELETE's identity-only column
     * list is not drift). */
   private def typedRecordsWithOrder(records0: DataFrame, schema: TableSchema,
-                                    strict: Boolean = false): DataFrame = {
+                                    strict: Boolean = false,
+                                    numericAsDecimal: Boolean = false): DataFrame = {
     val routed = records0
       .where(col("table") === schema.table &&
         col("action").isin("I", "U", "D"))
@@ -72,11 +74,12 @@ object CdcMerge {
              (col("columns").isNull || size(col("columns")) === 0), col("identity"))
           .otherwise(col("columns")))
     val pivoted = PgValueDecoder.pivotToTable(records, schema,
-      keepCols = Seq("action", "commit_lsn", "record_idx", "identity"))
+      keepCols = Seq("action", "commit_lsn", "record_idx", "identity"),
+      numericAsDecimal = numericAsDecimal)
     val withPk = schema.columns.filter(_.isPrimary).foldLeft(pivoted) { (df, tc) =>
       val fromIdentity = PgValueDecoder.decode(
         get(filter(col("identity"), x => x.getField("name") === tc.name), lit(0))
-          .getField("value"), tc.pgType)
+          .getField("value"), tc.pgType, numericAsDecimal)
       df.withColumn(tc.name, coalesce(col(tc.name), fromIdentity))
     }
     withPk.drop("identity")
@@ -101,8 +104,9 @@ object CdcMerge {
    * transactions, wire order within one.
    */
   def latestState(lines: DataFrame, schema: TableSchema,
-                  strict: Boolean = false): DataFrame =
-    mergeLatest(typedWithOrder(lines, schema, strict), schema)
+                  strict: Boolean = false,
+                  numericAsDecimal: Boolean = false): DataFrame =
+    mergeLatest(typedWithOrder(lines, schema, strict, numericAsDecimal), schema)
       .select(schema.columns.map(c => col(c.name)): _*)
 
   /** [[latestState]] over an on-disk feed directory: the json data source
@@ -110,10 +114,12 @@ object CdcMerge {
     * [[WalDecoder.decodeTablesFromDir]]); the merge plan is identical. */
   def latestStateFromDir(spark: org.apache.spark.sql.SparkSession,
                          dir: String, schema: TableSchema,
-                         strict: Boolean = false): DataFrame =
+                         strict: Boolean = false,
+                         numericAsDecimal: Boolean = false): DataFrame =
     mergeLatest(typedRecordsWithOrder(
         WalDecoder.explodeTx(WalDecoder.parseTxDir(spark, dir,
-          recordFields = Some(mergeRecordFields))), schema, strict), schema)
+          recordFields = Some(mergeRecordFields))), schema, strict,
+        numericAsDecimal), schema)
       .select(schema.columns.map(c => col(c.name)): _*)
 
   /** Canonical row bytes for digesting: JSON of the schema's columns in

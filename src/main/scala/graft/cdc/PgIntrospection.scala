@@ -26,7 +26,10 @@ object PgIntrospection {
    * S7: one query over information_schema + pg constraint catalogs;
    * semantically equivalent to the reference's introspection (columns ⋈
    * PK constraint columns ⋈ array element types, resolving `ARRAY` to
-   * `element_type[]`).
+   * `element_type[]`). Constrained `numeric` columns keep their
+   * `(precision,scale)` in the captured type text — `PgTypes.normalize`
+   * strips it for the default decode, and the `pgNumericAsDecimal`
+   * opt-in reads it to resolve the exact `DecimalType(p,s)`.
    */
   /** SQL string-literal escape (double embedded single quotes) — the
     * schema/table names are interpolated into the query text. */
@@ -38,6 +41,8 @@ object PgIntrospection {
        |       c.column_name,
        |       CASE WHEN c.data_type = 'ARRAY'
        |            THEN e.data_type || '[]'
+       |            WHEN c.data_type = 'numeric' AND c.numeric_precision IS NOT NULL
+       |            THEN 'numeric(' || c.numeric_precision || ',' || c.numeric_scale || ')'
        |            ELSE c.data_type END AS data_type,
        |       c.is_nullable = 'YES' AS is_nullable,
        |       pk.column_name IS NOT NULL AS is_primary,

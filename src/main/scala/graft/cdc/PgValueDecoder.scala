@@ -21,13 +21,18 @@ import org.apache.spark.sql.types._
  */
 object PgValueDecoder {
 
-  /** Decode raw string column `c` carrying a value of PG type `pgType`. */
-  def decode(c: Column, pgType: String): Column = PgTypes.of(pgType) match {
-    case PgScalar(name, dt) => decodeScalar(c, name, dt)
-    case PgArray(PgScalar(name, dt)) =>
-      val parsed = Bridge.column(PgArrayParse(Bridge.expression(c)))
-      transform(parsed, e => decodeArrayElement(e, name, dt))
-  }
+  /** Decode raw string column `c` carrying a value of PG type `pgType`.
+    * `numericAsDecimal` (the `pgNumericAsDecimal` option): decode
+    * `numeric(p,s)` to exact `DecimalType(p,s)` instead of the
+    * reference's lossy double ([[graft.core.PgTypes.of]]). */
+  def decode(c: Column, pgType: String,
+             numericAsDecimal: Boolean = false): Column =
+    PgTypes.of(pgType, numericAsDecimal) match {
+      case PgScalar(name, dt) => decodeScalar(c, name, dt)
+      case PgArray(PgScalar(name, dt)) =>
+        val parsed = Bridge.column(PgArrayParse(Bridge.expression(c)))
+        transform(parsed, e => decodeArrayElement(e, name, dt))
+    }
 
   private def decodeScalar(c: Column, pgName: String, dt: DataType): Column = pgName match {
     case "bytea" =>
@@ -121,7 +126,8 @@ object PgValueDecoder {
    * narrow (no shuffle).
    */
   def pivotToTable(df: org.apache.spark.sql.DataFrame, schema: TableSchema,
-                   keepCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+                   keepCols: Seq[String] = Nil,
+                   numericAsDecimal: Boolean = false): org.apache.spark.sql.DataFrame = {
     val cols = schema.columns.zipWithIndex.map { case (tc, idx) =>
       // Fast path: positional access (wal2json emits columns in table
       // order) — codegen'd GetArrayItem/GetStructField. Fallback: name
@@ -135,7 +141,7 @@ object PgValueDecoder {
       ).getField("value")
       val raw = when(positional.getField("name") === tc.name,
         positional.getField("value")).otherwise(byName)
-      decode(raw, tc.pgType).as(tc.name)
+      decode(raw, tc.pgType, numericAsDecimal).as(tc.name)
     }
     df.select(keepCols.map(col) ++ cols: _*)
   }

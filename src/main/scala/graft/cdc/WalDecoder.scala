@@ -109,7 +109,8 @@ object WalDecoder {
       lines: DataFrame,
       schemas: Seq[TableSchema],
       replayActions: Set[String] = Set("I"),
-      strict: Boolean = false): Map[String, DataFrame] = {
+      strict: Boolean = false,
+      numericAsDecimal: Boolean = false): Map[String, DataFrame] = {
     // replay needs only routing + payload fields; skip xid/lsn/pk/etc.
     val records = filterActions(
       decodeRecords(actionPrefilter(lines, replayActions),
@@ -117,7 +118,8 @@ object WalDecoder {
       replayActions)
     schemas.map { ts =>
       ts.table -> PgValueDecoder.pivotToTable(
-        driftGated(records.where(col("table") === ts.table), ts, strict), ts)
+        driftGated(records.where(col("table") === ts.table), ts, strict), ts,
+        numericAsDecimal = numericAsDecimal)
     }.toMap
   }
 
@@ -128,14 +130,16 @@ object WalDecoder {
       dir: String,
       schemas: Seq[TableSchema],
       replayActions: Set[String] = Set("I"),
-      strict: Boolean = false): Map[String, DataFrame] = {
+      strict: Boolean = false,
+      numericAsDecimal: Boolean = false): Map[String, DataFrame] = {
     val records = filterActions(
       explodeTx(parseTxDir(spark, dir,
         recordFields = Some(Seq("action", "table", "columns")))),
       replayActions)
     schemas.map { ts =>
       ts.table -> PgValueDecoder.pivotToTable(
-        driftGated(records.where(col("table") === ts.table), ts, strict), ts)
+        driftGated(records.where(col("table") === ts.table), ts, strict), ts,
+        numericAsDecimal = numericAsDecimal)
     }.toMap
   }
 }

@@ -113,12 +113,17 @@ object TableSchema {
 final case class TableSchema(table: String, columns: Seq[TableColumn]) {
   import graft.core.PgTypes
 
-  def toStructType: StructType = StructType(columns.map { c =>
+  def toStructType: StructType = toStructType(numericAsDecimal = false)
+
+  /** `numericAsDecimal` (pgNumericAsDecimal): map `numeric(p,s)` columns
+    * to exact `DecimalType(p,s)` instead of the reference's lossy double
+    * (SURVEY §1.3 divergence #3 opt-in; [[graft.core.PgTypes.of]]). */
+  def toStructType(numericAsDecimal: Boolean): StructType = StructType(columns.map { c =>
     val md = new MetadataBuilder()
       .putString("pgType", PgTypes.normalize(c.pgType))
       .putBoolean("isPrimary", c.isPrimary)
       .build()
-    StructField(c.name, PgTypes.of(c.pgType).sparkType, c.nullable, md)
+    StructField(c.name, PgTypes.of(c.pgType, numericAsDecimal).sparkType, c.nullable, md)
   })
 
   /** Fails fast on unsupported types, like the reference's DDL generation. */

@@ -61,21 +61,59 @@ object PgTypes {
   def normalize(pgType: String): String =
     pgType.trim.replaceAll("\\(\\s*\\d+\\s*(,\\s*\\d+\\s*)?\\)", "").trim
 
+  private val numericParams = """(?i)numeric\s*\(\s*(\d+)\s*(?:,\s*(-?\d+)\s*)?\)""".r.unanchored
+
+  /**
+   * `numericAsDecimal` mode: the exact Spark type for a raw `numeric`
+   * declaration. `numeric(p,s)` → `DecimalType(p,s)` (`numeric(p)` has
+   * scale 0, per PG); an UNCONSTRAINED `numeric` → `DecimalType(38,18)`,
+   * the same convention Spark's own JDBC source applies to dimensionless
+   * decimals. Declarations Spark cannot hold exactly — precision > 38 or
+   * a negative scale (PG ≥ 12 allows both) — FAIL LOUDLY here rather
+   * than silently truncate; those columns need the default lossy-double
+   * mode or an upstream cast.
+   */
+  private def decimalOf(rawType: String): DecimalType = rawType match {
+    case numericParams(p, s) =>
+      val pi = p.toInt
+      val si = Option(s).map(_.toInt).getOrElse(0)
+      if (pi > DecimalType.MAX_PRECISION || si < 0 || si > pi)
+        throw new UnsupportedPgTypeException(
+          s"$rawType (pgNumericAsDecimal: Spark DecimalType holds at most " +
+            s"precision ${DecimalType.MAX_PRECISION} and no negative scale)")
+      DecimalType(pi, si)
+    case _ => DecimalType(38, 18)
+  }
+
   /**
    * Resolve a (normalized or raw) PG type name to a PgType.
    * Array types arrive either as `T[]` (wal2json) or `ARRAY`-element style.
+   *
+   * `numericAsDecimal = false` (default) maps `numeric` to DOUBLE — the
+   * reference's deliberate lossiness (`type_converter.go:232`, SURVEY
+   * §1.3 divergence #3). `true` is the exactness opt-in for money-class
+   * columns: `numeric(p,s)` resolves to `DecimalType(p,s)` (precision
+   * read from the RAW type text, so pass the unnormalized declaration —
+   * [[graft.cdc.PgIntrospection]] preserves it).
    */
-  def of(pgType: String): PgType = {
+  def of(pgType: String): PgType = of(pgType, numericAsDecimal = false)
+
+  def of(pgType: String, numericAsDecimal: Boolean): PgType = {
     val n = normalize(pgType)
+    def scalar(normName: String, rawName: String): Option[PgScalar] =
+      if (numericAsDecimal && normName == "numeric")
+        Some(PgScalar(normName, decimalOf(rawName)))
+      else scalars.get(normName).map(PgScalar(normName, _))
     if (n.endsWith("[]")) {
       val elemName = n.dropRight(2).trim
-      scalars.get(elemName) match {
-        case Some(dt) => PgArray(PgScalar(elemName, dt))
+      val rawElem = pgType.trim.stripSuffix("[]").trim
+      scalar(elemName, rawElem) match {
+        case Some(ps) => PgArray(ps)
         case None     => throw new UnsupportedPgTypeException(pgType)
       }
     } else {
-      scalars.get(n) match {
-        case Some(dt) => PgScalar(n, dt)
+      scalar(n, pgType) match {
+        case Some(ps) => ps
         case None     => throw new UnsupportedPgTypeException(pgType)
       }
     }

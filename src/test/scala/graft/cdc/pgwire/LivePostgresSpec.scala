@@ -210,7 +210,9 @@ class LivePostgresSpec extends SparkSpec {
         TableSchema("w", Seq(
           TableColumn("id", "integer", nullable = false, isPrimary = true),
           TableColumn("name", "character varying", nullable = true, isPrimary = false),
-          TableColumn("score", "numeric", nullable = true, isPrimary = false),
+          // precision preserved in the capture (pgNumericAsDecimal reads
+          // it; normalize strips it for the default double decode)
+          TableColumn("score", "numeric(10,2)", nullable = true, isPrimary = false),
           TableColumn("tags", "text[]", nullable = true, isPrimary = false),
           TableColumn("ts", "timestamp with time zone", nullable = true, isPrimary = false))),
         TableSchema("x", Seq(
@@ -277,6 +279,20 @@ class LivePostgresSpec extends SparkSpec {
         assert(r.getSeq[String](11) == Seq("a", "b,c", "d \"q\""))
         val nulls = rows(1)
         assert((1 until 12).forall(nulls.isNullAt))
+
+        // pgNumericAsDecimal row of the matrix: the same live feed
+        // decoded with numeric(10,2) as DecimalType(10,2) holds the
+        // EXACT value Postgres holds (the default double mode is the
+        // reference's documented lossy mapping)
+        val decSchema = TableSchema("m",
+          typesSchema.columns.map(c =>
+            if (c.name == "num") c.copy(pgType = "numeric(10,2)") else c))
+        val dec = CdcMerge.latestState(spark.read.text(spool).toDF("value"),
+          decSchema, numericAsDecimal = true).orderBy(col("id")).collect()
+        assert(dec(0).schema("num").dataType ==
+          org.apache.spark.sql.types.DecimalType(10, 2))
+        assert(dec(0).getDecimal(4) == new java.math.BigDecimal("12345.67"))
+        assert(dec(1).isNullAt(4))
       } finally feed.close()
     } finally db.close()
   }
