@@ -150,6 +150,47 @@ object CdcMerge {
   }
 
   /**
+   * Streaming maintenance of the catalog's retention/archival view
+   * ([[graft.catalog.VaultCatalog.withArchivalStatus]], reference
+   * `internal/app/models.go:40-46`): when passed to
+   * [[streamingLatestState]], every committed state version also carries
+   * an `_archival` parquet (the merged rows + `vault`, `ts_us`,
+   * `cache_expiry_us`, `is_archived`) written BEFORE the pointer flip —
+   * the same atomic commit as the data, so catalog readers
+   * ([[readArchival]]) always see a retention view consistent with the
+   * live state, fresh under ingest instead of batch-recomputed.
+   *
+   * `vault` / `tsUs` are expressions over the state table's columns
+   * (vault routing key; upload time in epoch micros). `asOfUs = None`
+   * derives the as-of instant from the data (max ts_us of the live
+   * state — deterministic, like `q_events_expiry`); pass a fixed value
+   * to pin it. `vaultDims` is the tiny (vault, cache_duration-minutes)
+   * dimension — broadcast, never a shuffle of the state.
+   */
+  final case class ArchivalSpec(
+      vaultDims: DataFrame,
+      vault: org.apache.spark.sql.Column,
+      tsUs: org.apache.spark.sql.Column,
+      asOfUs: Option[Long] = None)
+
+  /** Compute the archival view of a state table per `spec` — the SAME
+    * function the streaming path materializes per version, exposed so
+    * batch recomputation and specs can assert batch ≡ streaming. */
+  def archivalView(state: DataFrame, spec: ArchivalSpec): DataFrame = {
+    val uploads = state
+      .withColumn("vault", spec.vault)
+      .withColumn("ts_us", spec.tsUs)
+    val asOfd = spec.asOfUs match {
+      case Some(fixed) => uploads.withColumn("__graft_asof", lit(fixed))
+      case None => uploads.crossJoin(
+        broadcast(uploads.agg(max(col("ts_us")).as("__graft_asof"))))
+    }
+    graft.catalog.VaultCatalog
+      .withArchivalStatus(asOfd, spec.vaultDims, col("__graft_asof"))
+      .drop("__graft_asof")
+  }
+
+  /**
    * Streaming form: maintain a materialized latest-state parquet table
    * from a WAL line stream, one merge per micro-batch in `foreachBatch`.
    *
@@ -189,7 +230,8 @@ object CdcMerge {
                            availableNow: Boolean = true,
                            triggerSeconds: Long = 10L,
                            withDigest: Boolean = false,
-                           strictSchema: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+                           strictSchema: Boolean = true,
+                           archival: Option[ArchivalSpec] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     val stream = spark.readStream.format("graft-wal")
       .option("path", walDir).load()
@@ -208,8 +250,16 @@ object CdcMerge {
             changes.schema))
         val merged = mergeLatest(prior.unionByName(changes), schema)
         val version = f"state-v$batchId%012d"
-        if (withDigest) merged.cache() // read twice: write + delta hash
+        // cache when read more than once: write + delta hash + archival
+        if (withDigest || archival.isDefined) merged.cache()
         merged.write.mode("overwrite").parquet(stateRoot.resolve(version).toString)
+        // archival/retention view of THIS version, committed by the same
+        // pointer flip (underscore dir: invisible to parquet scans of
+        // the version, like _digest)
+        archival.foreach { a =>
+          archivalView(merged, a).write.mode("overwrite")
+            .parquet(stateRoot.resolve(version).resolve("_archival").toString)
+        }
         if (withDigest) {
           import graft.crypto.{Ecmh, Ristretto255}
           val pk = pkOf(schema)
@@ -234,8 +284,8 @@ object CdcMerge {
             Ecmh.decodeHex(rowsPointSum(removed, schema))
           Files.writeString(stateRoot.resolve(version).resolve("_digest"),
             Ecmh.encodeHex(next))
-          merged.unpersist()
         }
+        if (withDigest || archival.isDefined) merged.unpersist()
         // commit point: pointer flip via atomic rename (same filesystem)
         val tmp = stateRoot.resolve("CURRENT.tmp")
         Files.writeString(tmp, version)
@@ -277,6 +327,22 @@ object CdcMerge {
     * `stateDigest(readState(...))` without rescanning the table. None
     * before the first committed batch or when the stream runs without
     * `withDigest`. */
+  /** The archival/retention view committed with the live state version
+    * (`archival = Some(...)` on [[streamingLatestState]]); equal to
+    * [[archivalView]] of [[readState]] at every version, without
+    * recomputation. None before the first committed batch or when the
+    * stream runs without archival maintenance. */
+  def readArchival(spark: org.apache.spark.sql.SparkSession,
+                   stateDir: String): Option[DataFrame] = {
+    import java.nio.file.{Files, Paths}
+    val cur = Paths.get(stateDir, "CURRENT")
+    if (!Files.exists(cur)) None
+    else {
+      val p = Paths.get(stateDir, Files.readString(cur).trim, "_archival")
+      if (Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
+  }
+
   def readStateDigest(stateDir: String): Option[String] = {
     import java.nio.file.{Files, Paths}
     val cur = Paths.get(stateDir, "CURRENT")

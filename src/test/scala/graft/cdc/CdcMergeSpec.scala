@@ -102,6 +102,60 @@ class CdcMergeSpec extends SparkSpec {
     assert(versions.last == current) // newest version is the live one
   }
 
+  test("streaming archival view: fresh at every version, batch == streaming") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cdcarch").toString
+    val wal = s"$base/wal"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wal))
+    // vault = id % 2; upload time = commit-lsn minutes past epoch (any
+    // deterministic micros expression over the state columns works —
+    // the merge keeps commit_lsn? no: state has only schema columns, so
+    // derive ts_us from id). vault 0 never caches (no dims row -> epoch
+    // expiry, archived from the start); vault 1 caches 100 minutes.
+    val dims = Seq((1, 100L)).toDF("vault", "cache_duration")
+    val archSpec = CdcMerge.ArchivalSpec(
+      vaultDims = dims,
+      vault = col("id") % 2,
+      tsUs = col("id").cast("long") * 60000000L) // minute id = upload time
+    def run(): Unit = {
+      val q = CdcMerge.streamingLatestState(spark, wal, schemaT, state, ckpt,
+        archival = Some(archSpec))
+      q.awaitTermination(120000); ()
+    }
+    def check(): Seq[(Int, Long, Long)] = {
+      // the committed view must equal the batch recomputation over the
+      // SAME version's state — the batch ≡ streaming contract
+      val streaming = CdcMerge.readArchival(spark, state).get
+      val batch = CdcMerge.archivalView(CdcMerge.readState(spark, state).get, archSpec)
+      assert(streaming.exceptAll(batch).isEmpty && batch.exceptAll(streaming).isEmpty,
+        "committed _archival view diverged from batch recomputation")
+      streaming.orderBy("id").collect()
+        .map(r => (r.getAs[Int]("id"), r.getAs[Long]("cache_expiry_us"),
+          r.getAs[Long]("is_archived"))).toSeq
+    }
+
+    // round 1: ids 1 (vault 1, cached) and 2 (vault 0, never cached).
+    // as-of = max ts_us = id 2's upload minute; id 1's expiry is minute
+    // 1 + 100 > as-of -> still cached; id 2 archived from the start.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(wal, "a.json"),
+      Seq(tx(1, "I", 1, "one"), tx(2, "I", 2, "two")).mkString("\n"))
+    run()
+    assert(check() == Seq(
+      (1, 101L * 60000000L, 0L),
+      (2, 0L, 1L)))
+
+    // round 2: id 1 deleted (leaves the view with the state), id 203
+    // inserted — as-of jumps to minute 203, PAST id 1's old expiry; the
+    // view stays fresh under ingest instead of batch-recomputed later
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(wal, "b.json"),
+      Seq(tx(3, "D", 1, "one"), tx(4, "I", 203, "late")).mkString("\n"))
+    run()
+    assert(check() == Seq(
+      (2, 0L, 1L),
+      (203, 303L * 60000000L, 0L))) // odd id -> vault 1, freshly cached
+  }
+
   test("incremental ECMH digest equals from-scratch digest at every version") {
     val base = java.nio.file.Files.createTempDirectory("cdcdigest").toString
     val wal = s"$base/wal"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
