@@ -499,14 +499,25 @@ object Similarity {
    * Bit-pack the default 16×4-bit PQ codes into ONE `long` — the 8-byte
    * compressed-index row format (256 B float32 → 8 B, 32×). A packed
    * word is groupable/joinable/sortable like any integer key, so the
-   * compressed index plays with every relational operator. Pure shift/or
-   * builtins — whole-stage codegen, no custom expression needed.
+   * compressed index plays with every relational operator.
    * Requires kSub ≤ 16 (codes fit 4 bits) and m ≤ 16.
+   *
+   * Implemented as ONE `aggregate` fold (`acc<<4 | code`, left to
+   * right — identical bits to the shift/or chain it replaces) so the
+   * `codes` child is referenced EXACTLY ONCE. The previous form —
+   * m `shiftleft(element_at(codes, i))` terms OR-reduced — referenced
+   * `codes` m times; when `codes` is the freshly built
+   * `array(argmax₀..argmax₁₅)` of [[pqEncode]] in the same projection
+   * (the [[graft.ops.Layout.pqWrite]] build path), CollapseProject
+   * inlines that array construction into every reference and no rule
+   * simplifies `element_at(CreateArray, i)`, so each row paid m×m
+   * argmax evaluations plus m×m slice allocations — measured 774 s vs
+   * 7 s for the same 2M-row stage computed once (DiagAnnBuild, r11).
+   * The 16-element interpreted fold is noise next to that.
    */
   def pqPack(codes: Column, m: Int = 16): Column =
-    (0 until m).map(i =>
-      shiftleft(element_at(codes, i + 1).cast("long"), (m - 1 - i) * 4))
-      .reduce(_ bitwiseOR _)
+    aggregate(codes, lit(0L),
+      (acc, c) => shiftleft(acc, 4).bitwiseOR(c.cast("long")))
 
   /** Inverse of [[pqPack]]: a packed word back to the m-code array. */
   def pqUnpack(packed: Column, m: Int = 16): Column =
