@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Round-11 decade series for the operators whose 1000× rows are new this
+ * round (`ThirdDecade`): the span-STRIP stage, BPE application
+ * (`q_bpe_tokens` — train + nested-replace apply, the registered
+ * pipeline verbatim), and the IVF+PQ layout SERVE path — measured at
+ * 1×/10×/100× on the same key-shifted amplifications every other decade
+ * series uses, so each operator has a full measured curve next to its
+ * SCALING_1000 point. `q_dup_spans` is re-measured at 10×/100× too: the
+ * round-11 16-byte-binary shuffle key changed its constant, and a decade
+ * table mixing hex-key and binary-key points would not be one series.
+ *
+ * Protocol: warmup per pipeline at sf0.1, min-of-2 at 1×/10×, ONE run at
+ * 100× (the log-log slope doesn't need noise margin there). ANN layout
+ * BUILDS are untimed marker-guarded fixtures (build/serve split, same as
+ * the bench row); only serve is timed.
+ *
+ * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleSweepR11"
+ * Output: one JSON line + SCALING_R11.json.
+ */
+object ScaleSweepR11 {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf01 = "/root/testdata/sf0.1"
+    val amp10 = sys.env.getOrElse("SPARK_GRAFT_AMPLIFIED_DIR", "/tmp/graft_sf1_amplified")
+    val amp100 = sys.env.getOrElse("SPARK_GRAFT_AMPLIFIED100_DIR", "/tmp/graft_sf10_documents")
+    ScaleBench.amplify(spark, sf01, amp10, factor = 10,
+      tables = Seq("documents", "embeddings"))
+    ScaleBench.amplify(spark, sf01, amp100, factor = 100,
+      tables = Seq("documents", "embeddings"))
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try body catch { case e: Throwable =>
+        System.err.println(s"[r11] FAILED: ${e.getMessage}"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def reg(name: String)(dir: String): Unit =
+      noop(SparkEntry.queries(name)(spark, dir))
+
+    val pipelines: Seq[(String, String => Unit)] = Seq(
+      "q_dup_spans" -> (d => reg("q_dup_spans")(d)),
+      "q_dup_span_strip" -> (d => reg("q_dup_span_strip")(d)),
+      "q_bpe_tokens" -> (d => reg("q_bpe_tokens")(d)),
+      "ann_serve_layout" -> (d => noop(ThirdDecade.annServe(spark, d))))
+    val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None
+
+    val rows = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    for ((name, body) <- pipelines if only.forall(_.contains(name))) {
+      if (name == "ann_serve_layout") // fixtures build UNTIMED, never in a timed serve
+        Seq(sf01, amp10, amp100).foreach(d => ThirdDecade.annLayoutFixture(spark, d))
+      time(body(sf01)) // warmup: JIT + codegen
+      for ((label, dir, runs) <- Seq(("1x", sf01, 2), ("10x", amp10, 2), ("100x", amp100, 1))) {
+        val s = (1 to runs).map(_ => time(body(dir))).min
+        println(f"[r11] $name@$label: $s%.2fs")
+        rows += ((s"$name@$label", s))
+      }
+    }
+
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // merge-on-write, anchored to this artifact's @<scale> key shape;
+    // a FAILED row (-1) never overwrites a previously measured value
+    val prior: Map[String, String] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("SCALING_R11.json")), "UTF-8")
+        "\"([A-Za-z0-9_]+@[0-9]+x)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      } catch { case _: Throwable => Map.empty }
+    val merged = prior ++ rows.collect { case (n, s) if s >= 0 => n -> fmt(s) }
+    val json = merged.toSeq.sortBy(_._1)
+      .map { case (n, v) => "\"" + n + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"scaling_r11","unit":"sec","queries":$json}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_R11.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
+    spark.stop()
+  }
+}
