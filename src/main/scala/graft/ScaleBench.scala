@@ -60,13 +60,25 @@ object ScaleBench {
     * per-copy offset (the same offset for every table, so foreign keys
     * keep joining within a copy), types preserved. Idempotent: skips
     * tables already written. */
+  /** Reuse is gated per table on a marker recording (factor, source
+    * snapshot fingerprint) — same contract as `ThirdDecade.amplify1000`
+    * (round-10 advice): a rerun with a different factor, a changed
+    * source, or a torn fixture rebuilds instead of silently reusing the
+    * wrong corpus. Pre-marker fixtures rebuild once. */
   def amplify(spark: SparkSession, srcDir: String, outDir: String, factor: Int,
               tables: Seq[String] = AmplifiedTables): Unit = {
     val shift = 100000000L // above any sf0.1 key, int-safe at factor 10
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     for (t <- tables) {
       val out = java.nio.file.Paths.get(outDir, s"$t.parquet")
-      if (!java.nio.file.Files.exists(out)) {
+      val marker = java.nio.file.Paths.get(outDir, s"$t.parquet.marker")
+      val srcFp = graft.core.FsUtil.snapshotFingerprint(
+        java.nio.file.Paths.get(srcDir, s"$t.parquet"))
+      val want = s"factor=$factor;src=$srcFp"
+      val upToDate = java.nio.file.Files.exists(out) &&
+        java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == want
+      if (!upToDate) {
         val df = spark.read.parquet(s"$srcDir/$t.parquet")
         val keyCols = df.columns.filter(c => c.endsWith("key") || c.endsWith("_id"))
         val copies = (0 until factor).map { i =>
@@ -75,6 +87,8 @@ object ScaleBench {
           }
         }
         copies.reduce(_.unionByName(_)).write.mode("overwrite").parquet(out.toString)
+        java.nio.file.Files.write(marker, (want + "\n").getBytes("UTF-8"))
+        ()
       }
     }
   }

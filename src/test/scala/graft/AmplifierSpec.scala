@@ -90,4 +90,17 @@ class AmplifierSpec extends SparkSpec {
     assert(java.nio.file.Files.getLastModifiedTime(p) !== beforeTorn)
     assert(spark.read.parquet(p.toString).count() === 12)
   }
+
+  test("union amplifier carries the same (factor, source) reuse gate") {
+    val (src, out) = freshDirs()
+    writeBase(src)
+    ScaleBench.amplify(spark, src, out, factor = 2, tables = Seq("documents"))
+    val p = java.nio.file.Paths.get(s"$out/documents.parquet")
+    assert(spark.read.parquet(p.toString).count() === 6)
+    val before = java.nio.file.Files.getLastModifiedTime(p)
+    ScaleBench.amplify(spark, src, out, factor = 2, tables = Seq("documents"))
+    assert(java.nio.file.Files.getLastModifiedTime(p) === before) // reuse
+    ScaleBench.amplify(spark, src, out, factor = 3, tables = Seq("documents"))
+    assert(spark.read.parquet(p.toString).count() === 9) // factor change rebuilds
+  }
 }

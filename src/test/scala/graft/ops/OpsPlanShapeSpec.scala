@@ -121,4 +121,34 @@ class OpsPlanShapeSpec extends SparkSpec {
         "broadcast-disabled join unexpectedly broadcast — negative probe invalid")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("pqWrite projection: codes array built once, not inlined per pack reference") {
+    // Round-11 regression gate for the 119x build pathology (SCALING.md):
+    // pqPack referencing `codes` m times let CollapseProject inline the
+    // m-ArgMaxDot array construction into EVERY reference — m*m argmax
+    // per row. With the aggregate-fold pqPack the optimized projection
+    // carries exactly m+1 argmax_dot expressions: m from pqEncode's
+    // array (built once) + 1 for the cell assignment.
+    import spark.implicits._
+    val m = 16
+    // parquet-backed (a LocalRelation would be constant-folded away,
+    // taking the expressions under test with it)
+    val tmp = java.nio.file.Files.createTempDirectory("pqplan").toString
+    (0L until 50L)
+      .map(i => (i, Array.tabulate(64)(d => (i + d).toFloat / 64f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/emb.parquet")
+    val emb = spark.read.parquet(s"$tmp/emb.parquet")
+    val cents = Array.tabulate(4)(c => (c, Array.tabulate(64)(d => (c * 64 + d) / 97.0)))
+    val books: Similarity.PqBooks = Array.tabulate(m)(s =>
+      Array.tabulate(16)(c => (c, Array.tabulate(4)(d => (s + c + d) / 7.0))))
+    val fused = Similarity.pqEncode(Similarity.assignCells(emb, cents), books)
+      .select(col("vec_id"), col("cell"), Similarity.pqPack(col("codes"), m).as("packed"))
+    val p = fused.queryExecution.optimizedPlan.toString
+    val n = "argmax_dot".r.findAllIn(p).length
+    info(s"argmax_dot occurrences in optimized plan: $n (budget ${m + 1})")
+    assert(n == m + 1,
+      s"pqWrite projection carries $n argmax_dot exprs (want ${m + 1} = m encode + 1 cell); " +
+        s"a multi-reference pack re-inlined the codes array:\n$p")
+  }
 }
