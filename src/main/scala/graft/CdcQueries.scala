@@ -85,20 +85,45 @@ object CdcQueries {
 
   /**
    * WAL-line synthesis is test harness, not engine: materialize the
-   * synthesized lines once per sf dir (sharded text files, like a real
-   * feed directory) so the timed queries measure the decode path.
+   * synthesized lines once per (sf dir, feed tag) as a DETERMINISTIC,
+   * marker-guarded /tmp fixture (sharded text files, like a real feed
+   * directory) so the timed queries measure the decode path. The marker
+   * carries the source events snapshot fingerprint — cross-JVM reuse is
+   * safe (regenerated testdata rebuilds the feed), and a fresh session
+   * does not re-synthesize gigabytes whose OS writeback would then
+   * contend with the first timed read (the 53 s-vs-7 s artifact
+   * dispositioned in SCALING.md r11).
    */
   private val walCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def cachedFeedDir(s: SparkSession, dir: String, tag: String)
+                           (build: String => Unit): String =
+    walCache.getOrElseUpdate(s"$dir#$tag", {
+      import java.nio.file.{Files, Paths}
+      val fp = graft.core.FsUtil.snapshotFingerprint(
+        Paths.get(s"$dir/events.parquet"))
+      val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = s"${sys.props("java.io.tmpdir")}/graft_wal_${tag}_$safe"
+      val marker = Paths.get(out + ".marker")
+      val want = s"src=$fp"
+      val fresh = Files.exists(Paths.get(out)) && Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8").trim == want
+      if (!fresh) {
+        graft.core.FsUtil.deleteRecursive(Paths.get(out))
+        build(out)
+        Files.write(marker, (want + "\n").getBytes("UTF-8"))
+        ()
+      }
+      out
+    })
+
   def walLinesDir(s: SparkSession, dir: String,
                   action: org.apache.spark.sql.Column = lit("I"),
                   tag: String = "I"): String =
-    walCache.getOrElseUpdate(s"$dir#$tag", {
-      val out = java.nio.file.Files.createTempDirectory(s"walcache-$tag").toString
+    cachedFeedDir(s, dir, tag) { out =>
       eventsAsWalLines(
         Tables(s, dir, "events").repartition(s.sparkContext.defaultParallelism), action)
         .write.mode("overwrite").text(out)
-      out
-    })
+    }
 
   /** money(event_id bigint pk, amount numeric(38,2)) feed: amounts are
     * synthesized TEXTUALLY with 17+ significant digits (event_id ++ 12
@@ -128,22 +153,18 @@ object CdcQueries {
   }
 
   def moneyLinesDir(s: SparkSession, dir: String): String =
-    walCache.getOrElseUpdate(s"$dir#MONEY", {
-      val out = java.nio.file.Files.createTempDirectory("walcache-money").toString
+    cachedFeedDir(s, dir, "MONEY") { out =>
       moneyAsWalLines(Tables(s, dir, "events")
         .repartition(s.sparkContext.defaultParallelism))
         .write.mode("overwrite").text(out)
-      out
-    })
+    }
 
   /** Cached I+U+D change-stream files for the merge query. */
   def upsertLinesDir(s: SparkSession, dir: String): String =
-    walCache.getOrElseUpdate(s"$dir#UPSERT", {
-      val out = java.nio.file.Files.createTempDirectory("walcache-upsert").toString
+    cachedFeedDir(s, dir, "UPSERT") { out =>
       upsertFeed(Tables(s, dir, "events").repartition(s.sparkContext.defaultParallelism))
         .write.mode("overwrite").text(out)
-      out
-    })
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     "q_cdc_roundtrip" -> ((s, dir) => {
