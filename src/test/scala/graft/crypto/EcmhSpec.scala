@@ -21,10 +21,15 @@ class EcmhSpec extends SparkSpec {
     // The reference test's own multiset (ecmh_test.go:17-23). Digests
     // computed with an independent implementation of RFC 9496 + SHA-512;
     // the group is additionally pinned by the RFC A.1 (small multiples)
-    // and A.3 (hash-to-group) vectors in Ristretto255Spec. PENDING
-    // cross-check (needs a Go toolchain, absent in this sandbox): run
-    // the reference's ecmh_test.go once and diff its printed digests
-    // against these three constants — they must match byte-for-byte.
+    // and A.3 (hash-to-group) vectors in Ristretto255Spec, and the FULL
+    // construction (derive + accumulate + encode, incl. insert/remove/
+    // union/difference algebra) is cross-diffed against a SECOND
+    // independent from-scratch implementation written only from the RFC
+    // pseudocode (`tools/ristretto_check.py`; `EcmhDump` emits 26 cases
+    // incl. byte-edge and 1 KiB items — all agree, round 11). PENDING
+    // only the literal go-ristretto binary diff (needs a Go toolchain,
+    // absent in this sandbox): run the reference's ecmh_test.go once and
+    // diff its printed digests against these constants byte-for-byte.
     assert(MultisetHash.of(b("apple"), b("banana"), b("cherry")).digest ==
       "bc78f637f1774acf148180af6a620fe4f5b381b56929e556d8d21f31e4125370")
     assert(MultisetHash.of(b("apple"), b("banana"), b("cherry"), b("apple")).digest ==
