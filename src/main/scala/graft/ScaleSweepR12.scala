@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Round-12 decade series for the CDC ingest path (reference core:
+ * `internal/app/streamer.go:39-64`): the latest-state merge —
+ * single-parse JSON scan of the spooled change history → strict-guard →
+ * typed pivot → max_by PK merge — measured at 1×, 10×, 100× and 1000×
+ * (~124M records, ~41 GB of WAL text before compression), so the
+ * S-operators get the same three-measured-decades evidence the dedup
+ * headliners have.
+ *
+ * The whole series reads GZIP-compressed feeds
+ * ([[CdcQueries.upsertLinesDirGz]]): the 1000× raw-text feed exceeds the
+ * sandbox disk, a production spool compresses segments anyway, and
+ * holding the codec constant across all four scales keeps the table one
+ * curve (the round-11 raw-text 1×/10×/100× rows in SCALING.md remain the
+ * uncompressed reference points). Both guard modes run at every scale,
+ * pinning the strict-DDL-contract cost through the third decade.
+ *
+ * Memory discipline (SCALING.md round-10 matrix): the 1000× PK shuffle
+ * carries ~110M one-row states; run with `SPARK_DRIVER_MEM=64g
+ * SPARK_GRAFT_SHUFFLE=256`. Feed fixtures are marker-guarded and built
+ * untimed; CDC rows take min-of-2 everywhere (first read after a
+ * same-session synthesis measures OS writeback, not the operator —
+ * dispositioned in SCALING.md r11).
+ *
+ * Run: SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE=256 SPARK_GRAFT_CPUS=32 \
+ *        sbt "runMain graft.ScaleSweepR12"
+ * Output: one JSON line + SCALING_R12.json (merge-on-write).
+ */
+object ScaleSweepR12 {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf01 = "/root/testdata/sf0.1"
+    val amp10 = sys.env.getOrElse("SPARK_GRAFT_AMPLIFIED_DIR", "/tmp/graft_sf1_amplified")
+    val amp100 = sys.env.getOrElse("SPARK_GRAFT_AMPLIFIED100_DIR", "/tmp/graft_sf10_documents")
+    val amp1000 = sys.env.getOrElse("SPARK_GRAFT_AMPLIFIED1000_DIR", "/tmp/graft_sf100_documents")
+    // events amplifications (marker-guarded, untimed): 10×/100× via the
+    // union amplifier (already built by earlier sweeps), 1000× via the
+    // explode amplifier
+    ScaleBench.amplify(spark, sf01, amp10, factor = 10, tables = Seq("events"))
+    ScaleBench.amplify(spark, sf01, amp100, factor = 100, tables = Seq("events"))
+    ThirdDecade.amplify1000(spark, sf01, amp1000, factor = 1000, table = "events")
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try body catch { case e: Throwable =>
+        System.err.println(s"[r12] FAILED: ${e.getMessage}"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // 1000× gets 256 feed files (gzip is one decompress task per file;
+    // 256 keeps all 32 cores fed through the whole scan); lower scales
+    // keep the default 32 — the same files-per-scale a segmented spool
+    // would produce
+    def feed(dir: String): String =
+      CdcQueries.upsertLinesDirGz(spark, dir,
+        parts = if (dir == amp1000) 256 else 32)
+    def merge(dir: String, strict: Boolean): Unit =
+      noop(graft.cdc.CdcMerge.latestStateFromDir(
+        spark, feed(dir), CdcQueries.eventsSchema, strict = strict))
+
+    val scales = Seq(("1x", sf01), ("10x", amp10), ("100x", amp100),
+      ("1000x", amp1000))
+    val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None
+
+    val rows = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    for ((name, strict) <- Seq(("cdc_merge_gz", false), ("cdc_merge_strict_gz", true))
+         if only.forall(_.contains(name))) {
+      // feed fixtures built untimed before any timed row of this series
+      scales.foreach { case (_, d) => feed(d) }
+      time(merge(sf01, strict)) // warmup: JIT + codegen
+      for ((label, dir) <- scales) {
+        val s = (1 to 2).map(_ => time(merge(dir, strict))).min
+        println(f"[r12] $name@$label: $s%.2fs")
+        rows += ((s"$name@$label", s))
+      }
+    }
+
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // merge-on-write anchored to @<scale> keys; a FAILED row (-1) never
+    // overwrites a previously measured value
+    val prior: Map[String, String] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("SCALING_R12.json")), "UTF-8")
+        "\"([A-Za-z0-9_]+@[0-9]+x)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      } catch { case _: Throwable => Map.empty }
+    val merged = prior ++ rows.collect { case (n, s) if s >= 0 => n -> fmt(s) }
+    val json = merged.toSeq.sortBy(_._1)
+      .map { case (n, v) => "\"" + n + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"scaling_r12","unit":"sec","queries":$json}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_R12.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
+    spark.stop()
+  }
+}

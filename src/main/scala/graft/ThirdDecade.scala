@@ -207,6 +207,17 @@ object ThirdDecade {
       annLayoutFixture(spark, amp, nCells = 256, lloydIters = 1)
       noop(annServe(spark, sf01))
     })(noop(annServe(spark, amp, nCells = 256, lloydIters = 1)))
+    // round 12: the sizing rule is now CODE (Similarity.autoCells, the
+    // ivfIndex default) — this row serves off the fixture autoCells
+    // picks for THIS corpus (2M vectors → 245 cells), so the encoded
+    // default is measured at the third decade, not just the hand-chosen
+    // 256-cell A/B above. lloyd=1 like the other scaled fixture.
+    lazy val autoN = graft.ops.Similarity.autoCells(
+      Tables(spark, amp, "embeddings").count())
+    run("ann_serve_cellsauto", {
+      annLayoutFixture(spark, amp, nCells = autoN, lloydIters = 1)
+      noop(annServe(spark, sf01))
+    })(noop(annServe(spark, amp, nCells = autoN, lloydIters = 1)))
 
     // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
     // 364,038 — invalid JSON

@@ -231,6 +231,7 @@ object CdcMerge {
                            triggerSeconds: Long = 10L,
                            withDigest: Boolean = false,
                            strictSchema: Boolean = true,
+                           numericAsDecimal: Boolean = false,
                            archival: Option[ArchivalSpec] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     val stream = spark.readStream.format("graft-wal")
@@ -242,7 +243,7 @@ object CdcMerge {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import java.nio.file.{Files, Paths, StandardCopyOption}
         val s = batch.sparkSession
-        val changes = typedWithOrder(batch, schema, strictSchema)
+        val changes = typedWithOrder(batch, schema, strictSchema, numericAsDecimal)
         val stateRoot = Paths.get(stateDir)
         Files.createDirectories(stateRoot)
         val prior = readState(s, stateDir).getOrElse(
@@ -322,11 +323,6 @@ object CdcMerge {
     }
   }
 
-  /** The incrementally-maintained ECMH digest of the live state, in the
-    * reference's `MultisetHash.String()` form — equal to
-    * `stateDigest(readState(...))` without rescanning the table. None
-    * before the first committed batch or when the stream runs without
-    * `withDigest`. */
   /** The archival/retention view committed with the live state version
     * (`archival = Some(...)` on [[streamingLatestState]]); equal to
     * [[archivalView]] of [[readState]] at every version, without
@@ -343,6 +339,11 @@ object CdcMerge {
     }
   }
 
+  /** The incrementally-maintained ECMH digest of the live state, in the
+    * reference's `MultisetHash.String()` form — equal to
+    * `stateDigest(readState(...))` without rescanning the table. None
+    * before the first committed batch or when the stream runs without
+    * `withDigest`. */
   def readStateDigest(stateDir: String): Option[String] = {
     import java.nio.file.{Files, Paths}
     val cur = Paths.get(stateDir, "CURRENT")

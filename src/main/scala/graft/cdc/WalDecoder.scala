@@ -123,6 +123,36 @@ object WalDecoder {
     }.toMap
   }
 
+  /** [[decodeTables]] additionally carrying each record's wal2json
+    * commit timestamp parsed to a `__graft_ts` TimestampType column —
+    * the EVENT-TIME axis for windowed export
+    * ([[graft.engine.VaultSink]]'s `eventTime` mode). Both wal2json
+    * spellings parse: the offset-bearing live form
+    * (`2023-08-22 14:44:02.043586-03`) and the offset-less spool form;
+    * an unparseable timestamp yields NULL (callers treat it as
+    * droppable-late rather than failing the stream). */
+  def decodeTablesWithTs(
+      spark: SparkSession,
+      lines: DataFrame,
+      schemas: Seq[TableSchema],
+      replayActions: Set[String] = Set("I"),
+      strict: Boolean = false,
+      numericAsDecimal: Boolean = false): Map[String, DataFrame] = {
+    val records = filterActions(
+      decodeRecords(actionPrefilter(lines, replayActions),
+        recordFields = Some(Seq("action", "table", "columns", "timestamp"))),
+      replayActions)
+      .withColumn("__graft_ts", coalesce(
+        to_timestamp(col("timestamp"), "yyyy-MM-dd HH:mm:ss[.SSSSSS][xxx][xx][x]"),
+        to_timestamp(col("timestamp"))))
+    schemas.map { ts =>
+      ts.table -> PgValueDecoder.pivotToTable(
+        driftGated(records.where(col("table") === ts.table), ts, strict), ts,
+        keepCols = Seq("__graft_ts"),
+        numericAsDecimal = numericAsDecimal)
+    }.toMap
+  }
+
   /** [[decodeTables]] over an on-disk feed directory, single-parse at the
     * scan via [[parseTxDir]]. Preferred for batch replay of spooled WAL. */
   def decodeTablesFromDir(

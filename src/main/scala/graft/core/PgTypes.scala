@@ -72,6 +72,17 @@ object PgTypes {
    * a negative scale (PG ≥ 12 allows both) — FAIL LOUDLY here rather
    * than silently truncate; those columns need the default lossy-double
    * mode or an upstream cast.
+   *
+   * DECODE-TIME limitation of the unconstrained-`numeric` convention:
+   * the (38,18) mapping is enforced only here, at type-resolution time.
+   * A column declared plain `numeric` may legally carry values the
+   * resolved type cannot hold — more than 20 integer digits casts to
+   * NULL silently in non-ANSI mode, and more than 18 fractional digits
+   * silently rounds (Spark CAST semantics). The fail-loud promise is
+   * therefore complete only for CONSTRAINED `numeric(p,s)` declarations,
+   * where PG itself guarantees every value fits the declared type;
+   * unconstrained money-class columns should be declared with explicit
+   * precision upstream (or use the default lossy-double mode knowingly).
    */
   private def decimalOf(rawType: String): DecimalType = rawType match {
     case numericParams(p, s) =>

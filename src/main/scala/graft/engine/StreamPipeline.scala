@@ -39,7 +39,12 @@ object StreamPipeline {
       replayActions: Set[String] = Set("I"),
       singleFile: Boolean = true,
       sourceOptions: Map[String, String] = Map.empty,
-      strictSchema: Boolean = true): StreamingQuery = {
+      strictSchema: Boolean = true,
+      numericAsDecimal: Boolean = false,
+      // event-time export windows (P5 semantic upgrade, see
+      // [[EventTimeWindows]]); None keeps the reference-parity default
+      // where micro-batch = upload window
+      eventTime: Option[EventTimeWindows] = None): StreamingQuery = {
 
     schemas.foreach(_.validate())
     // custom CDC source (graft.cdc.source.WalSource): LSN offsets +
@@ -54,7 +59,8 @@ object StreamPipeline {
     // singleFile=false is the 100 TB shape: a directory artifact per
     // window, no coalesce(1) serialization point
     val sink = new VaultSink(namespace, schemas, stagingDir, store, signer,
-      catalog, replayActions, singleFile, strictSchema = strictSchema)
+      catalog, replayActions, singleFile, strictSchema = strictSchema,
+      numericAsDecimal = numericAsDecimal, eventTime = eventTime)
     val trigger =
       if (availableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime(windowSeconds * 1000L)

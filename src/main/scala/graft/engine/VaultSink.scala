@@ -66,6 +66,32 @@ object LocalContentStore {
 }
 
 /**
+ * Event-time export windows — P5's semantic upgrade over the reference's
+ * processing-time rotation ticker (SURVEY §7.4): artifacts are batched
+ * by the WAL record's commit TIMESTAMP, not by micro-batch arrival.
+ * Tumbling `windowSeconds` windows; a window FINALIZES (sign + upload +
+ * event) once the watermark — max observed event time minus
+ * `latenessSeconds` — passes its end. A record arriving within the
+ * lateness bound lands in its (still-pending) event-time window no
+ * matter which micro-batch carried it; a record older than the
+ * watermark is DROPPED — exactly Structured Streaming's append-mode
+ * watermark contract, applied to file artifacts.
+ *
+ * State is the staging FILESYSTEM, not the state store: each pending
+ * window accumulates per-batch parquet sub-writes (overwrite-idempotent
+ * under batch replay), and the watermark file commits after
+ * finalization — a crash replays losslessly (re-appended batches
+ * overwrite their own sub-dirs; a re-finalized window re-uploads the
+ * same content-addressed artifact). At 100 TB a pending window is
+ * gigabytes; files-as-state (vs `flatMapGroupsWithState` rows-in-state)
+ * is what lets this shape scale.
+ */
+final case class EventTimeWindows(windowSeconds: Long, latenessSeconds: Long) {
+  require(windowSeconds > 0 && latenessSeconds >= 0,
+    "eventTime: windowSeconds > 0 and latenessSeconds >= 0 required")
+}
+
+/**
  * The windowed vault sink (P5-P10): for one micro-batch of WAL lines,
  * decode per-table typed DataFrames, write one parquet snapshot per
  * non-empty table (P6 empty-skip), sign it, hand it to the content store,
@@ -93,7 +119,15 @@ final class VaultSink(
     // a record diverging from the stream-start schema fails the batch
     // loudly (PgValueDecoder.schemaDriftGuard) instead of silently
     // dropping a newly added column from the uploaded artifacts
-    strictSchema: Boolean = true) extends Serializable {
+    strictSchema: Boolean = true,
+    // pgNumericAsDecimal: decode numeric(p,s) columns to exact decimals
+    // in the uploaded artifacts instead of the reference's lossy double
+    // (graft.core.PgTypes.of) — the same opt-in the batch entry points
+    // take, threaded here so streaming money columns can be exact too
+    numericAsDecimal: Boolean = false,
+    // event-time mode (see [[EventTimeWindows]]); None = the reference-
+    // parity default, micro-batch = upload window (processing time)
+    eventTime: Option[EventTimeWindows] = None) extends Serializable {
 
   def processBatch(batch: DataFrame, windowId: Long): Seq[(String, String)] = {
     // Event timestamp = real upload time in epoch seconds (like the
@@ -102,20 +136,112 @@ final class VaultSink(
     // One timestamp per window keeps all tables of a window coherent.
     val ts = clock()
     val spark = batch.sparkSession
-    val tables = WalDecoder.decodeTables(spark, batch, schemas, replayActions,
-      strict = strictSchema)
-    val pkOf = schemas.map(s => s.table -> s.columns.filter(_.isPrimary).map(_.name)).toMap
-    tables.toSeq.sortBy(_._1).flatMap { case (table, df) =>
+    eventTime match {
+      case Some(w) => eventTimeBatch(spark, batch, windowId, w, ts)
+      case None =>
+        val tables = WalDecoder.decodeTables(spark, batch, schemas, replayActions,
+          strict = strictSchema, numericAsDecimal = numericAsDecimal)
+        tables.toSeq.sortBy(_._1).flatMap { case (table, df) =>
+          publish(spark, table, df, windowId, ts)
+        }
+    }
+  }
+
+  /** Event-time micro-batch step: decode with the per-record wal
+    * timestamp, drop records whose window already closed (older than
+    * the stored watermark), append the rest into their pending window
+    * directories (one overwrite-idempotent sub-dir per batch), advance
+    * the watermark, and finalize every window it passed. */
+  private def eventTimeBatch(spark: SparkSession, batch: DataFrame,
+                             batchId: Long, w: EventTimeWindows,
+                             ts: Long): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    val pendingRoot = Paths.get(stagingDir, "pending")
+    val wmFile = Paths.get(stagingDir, "_watermark")
+    val priorWm =
+      if (Files.exists(wmFile)) Files.readString(wmFile).trim.toLong
+      else Long.MinValue
+    val tables = WalDecoder.decodeTablesWithTs(spark, batch, schemas,
+      replayActions, strict = strictSchema, numericAsDecimal = numericAsDecimal)
+    var maxSeen = Long.MinValue
+    tables.toSeq.sortBy(_._1).foreach { case (table, df0) =>
+      val assigned = df0.withColumn("__wsec", col("__graft_ts").cast("long"))
+      val m = assigned.agg(max(col("__wsec"))).collect()(0)
+      if (!m.isNullAt(0)) maxSeen = math.max(maxSeen, m.getLong(0))
+      // keep records whose window is still open; a NULL/unparseable
+      // timestamp is droppable-late by contract (never fails the stream)
+      val live = assigned
+        .withColumn("__wstart",
+          (floor(col("__wsec") / w.windowSeconds) * w.windowSeconds).cast("long"))
+        .where(col("__wstart").isNotNull &&
+          col("__wstart") + w.windowSeconds > priorWm)
+        .drop("__graft_ts", "__wsec")
+      // one job writes every window's slice of this batch; replay of the
+      // same batchId overwrites its own sub-dir — idempotent
+      live.write.mode("overwrite").partitionBy("__wstart")
+        .parquet(pendingRoot.resolve(table).resolve(f"batch-$batchId%012d").toString)
+    }
+    val newWm =
+      if (maxSeen == Long.MinValue) priorWm
+      else math.max(priorWm, maxSeen - w.latenessSeconds)
+    val out = schemas.map(_.table).sorted.flatMap { table =>
+      val tdir = pendingRoot.resolve(table)
+      if (!Files.exists(tdir)) Nil
+      else {
+        val batchDirs = FsUtil.listDir(tdir)
+          .filter(_.getFileName.toString.startsWith("batch-"))
+        val wstarts = batchDirs
+          .flatMap(b => FsUtil.listDir(b)
+            .map(_.getFileName.toString)
+            .filter(_.startsWith("__wstart="))
+            .map(_.stripPrefix("__wstart=").toLong))
+          .distinct.sorted
+        val published = wstarts.filter(_ + w.windowSeconds <= newWm).flatMap { ws =>
+          val slices = batchDirs.map(_.resolve(s"__wstart=$ws"))
+            .filter(Files.exists(_))
+          val df = spark.read.parquet(slices.map(_.toString): _*)
+          val res = publish(spark, table, df, ws, ts)
+          slices.foreach(FsUtil.deleteRecursive(_))
+          res
+        }
+        // P10 analog: a batch sub-dir whose windows all finalized holds
+        // only markers — drop it so pending state stays O(open windows)
+        batchDirs.filter(b =>
+          !FsUtil.listDir(b).exists(_.getFileName.toString.startsWith("__wstart=")))
+          .foreach(FsUtil.deleteRecursive(_))
+        published
+      }
+    }
+    // commit the watermark AFTER finalization: a crash in between
+    // replays the finalize — the content-addressed put re-produces the
+    // same cid (same bytes), like the reference's UploadAll sweep
+    val tmp = Paths.get(stagingDir, "_watermark.tmp")
+    Files.createDirectories(tmp.getParent)
+    Files.writeString(tmp, newWm.toString)
+    Files.move(tmp, wmFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    out
+  }
+
+  /** Stage → (optionally) single-file → sign → content-store put →
+    * event-log append for one table's window slice. `windowToken` is the
+    * artifact-naming token: the micro-batch id in processing-time mode,
+    * the window start (epoch seconds) in event-time mode. */
+  private def publish(spark: SparkSession, table: String, df: DataFrame,
+                      windowToken: Long, ts: Long): Option[(String, String)] = {
+    val pk = schemas.find(_.table == table).toSeq
+      .flatMap(_.columns.filter(_.isPrimary).map(_.name))
+    locally {
       // sort by PK within each output file: parquet row-group min/max
       // stats become selective, so PK-ranged reads of the artifact
       // prune row groups instead of scanning the window (sort applied
       // AFTER the single-file coalesce so that file is globally sorted)
-      def pkSorted(d: DataFrame): DataFrame = pkOf.getOrElse(table, Nil) match {
+      def pkSorted(d: DataFrame): DataFrame = pk match {
         case Nil => d
-        case pk => d.sortWithinPartitions(pk.map(org.apache.spark.sql.functions.col): _*)
+        case cols => d.sortWithinPartitions(cols.map(org.apache.spark.sql.functions.col): _*)
       }
       val out = if (singleFile) pkSorted(df.coalesce(1)) else pkSorted(df)
-      val stagePath = Paths.get(stagingDir, s"$table-$windowId")
+      val stagePath = Paths.get(stagingDir, s"$table-$windowToken")
       out.write.mode("overwrite").parquet(stagePath.toString)
       // P6: skip empty windows — cheap check on the written files
       val parts = FsUtil.listDir(stagePath).filter(_.toString.endsWith(".parquet"))
@@ -125,9 +251,9 @@ final class VaultSink(
         // singleFile: one `<table>-<window>.parquet` like the reference;
         // scale mode: upload the whole window DIRECTORY (all part files)
         val artifact =
-          if (singleFile) singleParquetFile(stagePath, table, windowId)
+          if (singleFile) singleParquetFile(stagePath, table, windowToken)
           else {
-            val dir = stagePath.resolveSibling(s"$table-$windowId")
+            val dir = stagePath.resolveSibling(s"$table-$windowToken")
             // strip _SUCCESS/. markers; keep only data files
             FsUtil.listDir(stagePath)
               .filter(p => !p.getFileName.toString.endsWith(".parquet"))

@@ -68,12 +68,15 @@ object Multimodal {
    * REAL pure-JVM decoder for self-describing formats — no native libs
    * needed: BMP headers (width/height from the BITMAPINFOHEADER),
    * RIFF/WAVE headers (channels, sample rate, duration from the fmt and
-   * data chunks), and PNG (IHDR dimensions; for 8-bit gray/RGB
+   * data chunks), PNG (IHDR dimensions; for 8-bit gray/RGB
    * non-interlaced images the FULL pixel pipeline — IDAT inflate via
    * JDK zlib, scanline unfilter incl. Paeth, and a re-encoded crop with
    * correct CRCs — all per the public specs, cross-validated against
-   * the JDK's own ImageIO reader in the spec). Payloads that are none
-   * of these fall back to `StubDecoder`, keeping the pipeline total.
+   * the JDK's own ImageIO reader in the spec), and JPEG dimensions
+   * (SOFn frame-header scan per ITU T.81 — the format a crawl corpus
+   * actually contains; entropy decode stays behind the codec seam).
+   * Payloads that are none of these fall back to `StubDecoder`,
+   * keeping the pipeline total.
    * `transform(arg)` is a REAL media operation where the format allows:
    * WAV → truncate to `arg` ms (RIFF/data sizes rewritten); PNG →
    * top-left `arg`×`arg` crop, decoded, re-filtered, re-deflated
@@ -95,6 +98,48 @@ object Multimodal {
       java.nio.ByteBuffer.wrap(p, off, 4).getInt // network order
     private def isPng(p: Array[Byte]): Boolean =
       p.length >= 33 && (p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+
+    private def isJpeg(p: Array[Byte]): Boolean =
+      p.length >= 4 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
+    private def beShort(p: Array[Byte], off: Int): Int =
+      ((p(off) & 0xFF) << 8) | (p(off + 1) & 0xFF)
+
+    /** JPEG frame-header dimension scan per ITU T.81 §B (public spec):
+      * walk the marker segments from SOI, skipping each by its
+      * big-endian length, until the first frame header — any SOFn
+      * (0xC0–0xCF except DHT 0xC4 / JPG 0xC8 / DAC 0xCC), which covers
+      * baseline SOF0 and progressive SOF2, the two shapes a crawl
+      * corpus actually contains. The frame header precedes SOS by
+      * construction, so the scan never enters entropy-coded data; bails
+      * (None) on truncation, misalignment, SOS or EOI first. */
+    private def parseJpegDims(p: Array[Byte]): Option[(Int, Int)] = {
+      var off = 2
+      while (off + 1 < p.length) {
+        if ((p(off) & 0xFF) != 0xFF) return None // marker misalignment
+        var m = off + 1
+        while (m < p.length && (p(m) & 0xFF) == 0xFF) m += 1 // fill bytes
+        if (m >= p.length) return None
+        val marker = p(m) & 0xFF
+        if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) || marker == 0x01)
+          off = m + 1 // standalone markers carry no segment
+        else if (marker == 0xD9 || marker == 0xDA)
+          return None // EOI / start-of-scan reached without a frame header
+        else {
+          if (m + 3 > p.length) return None
+          val len = beShort(p, m + 1) // includes the 2 length bytes
+          if (len < 2 || m + 1 + len > p.length) return None
+          val isSof = marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof) {
+            if (len < 7) return None
+            // segment: len(2) precision(1) height(2) width(2) ...
+            return Some((beShort(p, m + 6), beShort(p, m + 4)))
+          }
+          off = m + 1 + len
+        }
+      }
+      None
+    }
 
     private final case class Wav(channels: Int, sampleRate: Int, byteRate: Int,
                                  blockAlign: Int, dataOff: Int, dataLen: Int)
@@ -251,6 +296,12 @@ object Multimodal {
           MediaMeta(id, "audio", payload.length.toLong, width = 0, height = 0,
             durationMs = w.dataLen.toLong * 1000L / w.byteRate,
             sampleRate = w.sampleRate)
+        case None => StubDecoder.decode(id, kind, payload)
+      }
+      else if (isJpeg(payload)) parseJpegDims(payload) match {
+        case Some((w, h)) =>
+          MediaMeta(id, "image", payload.length.toLong,
+            width = w, height = h, durationMs = 0L, sampleRate = 0)
         case None => StubDecoder.decode(id, kind, payload)
       }
       else StubDecoder.decode(id, kind, payload)

@@ -210,15 +210,43 @@ object Similarity {
     df.withColumn("cell", graft.functions.ArgMaxDot(col(vecCol),
       centroids.map(_._2.toSeq).toSeq, centroids.map(_._1).toSeq))
 
-  def ivfIndex(corpus: DataFrame, nCells: Int = 64, lloydIters: Int = 4, dims: Int = 64,
+  /**
+   * Production coarse-quantizer sizing: nCells ≈ corpusRows /
+   * `targetCellRows`, clamped to [minCells, maxCells]. The measured rule
+   * behind it (SCALING.md r11, DEPLOY.md): serve cost is
+   * nProbe·(corpus/nCells), so a FIXED cell count makes every probe scan
+   * linearly more rows as the corpus grows — at 2M vectors, 64 cells
+   * probed half the corpus (17.6 s serve) while 256 cells at the same
+   * nProbe/recall contract served in 9.6 s. targetCellRows = 8192
+   * reproduces that measured sizing (2M/8192 ≈ 244); minCells = 64 keeps
+   * bench-scale corpora (≤ ~500k rows) at the established 64-cell
+   * config. maxCells caps the single-level quantizer where its centroid
+   * set stops being a cheap plan literal (assignment is O(rows·nCells)
+   * per pass and the broadcast is nCells·dims doubles) — beyond ~4096
+   * cells use a two-level quantizer, not more cells.
+   */
+  def autoCells(corpusRows: Long, targetCellRows: Long = 8192L,
+                minCells: Int = 64, maxCells: Int = 4096): Int = {
+    require(targetCellRows > 0 && minCells > 0 && maxCells >= minCells,
+      "autoCells: need positive target and minCells <= maxCells")
+    val want = (corpusRows + targetCellRows - 1) / targetCellRows
+    math.min(maxCells.toLong, math.max(minCells.toLong, want)).toInt
+  }
+
+  /** `nCells = 0` (the default) auto-sizes the quantizer from the corpus
+    * row count via [[autoCells]] — one cheap count() job, parquet
+    * metadata-only on a file-backed corpus. Pass an explicit nCells to
+    * pin a config (benchmarks, fixtures, A/Bs). */
+  def ivfIndex(corpus: DataFrame, nCells: Int = 0, lloydIters: Int = 4, dims: Int = 64,
                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Array[(Int, Array[Double])]) = {
     val spark = corpus.sparkSession
+    val nCells0 = if (nCells > 0) nCells else autoCells(corpus.count())
     // deterministic seeds: nCells pseudo-randomly chosen corpus rows
     // (hash-ranked — no RNG state, stable across runs/partitionings)
     var centroids: Array[(Int, Array[Double])] = corpus
       .select(col(idCol), col(vecCol))
       .withColumn("__rk", md5(col(idCol).cast("string")))
-      .orderBy("__rk").limit(nCells)
+      .orderBy("__rk").limit(nCells0)
       .collect().zipWithIndex
       .map { case (r, i) =>
         (i, r.getSeq[Float](1).map(_.toDouble).toArray)
@@ -268,7 +296,7 @@ object Similarity {
    * the standard SemDeDup trade, quantified per-dataset by
    * `q_semantic_dedup`'s contract flags.
    */
-  def semanticDedup(corpus: DataFrame, threshold: Double, nCells: Int = 64,
+  def semanticDedup(corpus: DataFrame, threshold: Double, nCells: Int = 0,
                     lloydIters: Int = 4, dims: Int = 64,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (indexed, _) = ivfIndex(corpus, nCells, lloydIters, dims, idCol, vecCol)
@@ -514,9 +542,14 @@ object Similarity {
    * argmax evaluations plus m×m slice allocations — measured 774 s vs
    * 7 s for the same 2M-row stage computed once (DiagAnnBuild, r11).
    * The 16-element interpreted fold is noise next to that.
+   *
+   * The fold runs over `slice(codes, 1, m)` — still exactly one
+   * reference to `codes` — so pack stays symmetric with `pqUnpack(m)`
+   * by construction: an over-long codes array packs exactly its first
+   * m codes instead of silently producing a word m codes can't decode.
    */
   def pqPack(codes: Column, m: Int = 16): Column =
-    aggregate(codes, lit(0L),
+    aggregate(slice(codes, 1, m), lit(0L),
       (acc, c) => shiftleft(acc, 4).bitwiseOR(c.cast("long")))
 
   /** Inverse of [[pqPack]]: a packed word back to the m-code array. */

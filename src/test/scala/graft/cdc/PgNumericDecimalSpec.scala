@@ -74,4 +74,34 @@ class PgNumericDecimalSpec extends SparkSpec {
     assert(got.compareTo(new java.math.BigDecimal(v)) != 0,
       "double mode was expected to be lossy for a 17-sig-digit value")
   }
+
+  test("streaming merge: numericAsDecimal reaches the materialized state exactly") {
+    // the opt-in threaded through streamingLatestState (round 12): a
+    // money column survives an I -> U change history with full precision
+    val base = java.nio.file.Files.createTempDirectory("dec-stream").toString
+    val wal = s"$base/wal"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wal))
+    val schema = TableSchema("m", Seq(
+      TableColumn("id", "integer", nullable = false, isPrimary = true),
+      TableColumn("amount", "numeric(38,2)", nullable = true, isPrimary = false)))
+    def tx(lsn: Long, action: String, id: Int, amount: String): String =
+      s"""{"commit_lsn": $lsn, "records": [{"action": "$action", "xid": $lsn,
+         |"lsn": "0/$lsn", "nextlsn": "", "timestamp": "2026-01-01 00:00:00.000000",
+         |"schema": "public", "table": "m",
+         |"columns": [{"name": "id", "type": "integer", "value": $id},
+         |{"name": "amount", "type": "numeric(38,2)", "value": "$amount"}],
+         |"pk": [{"name": "id", "type": "integer"}]}]}"""
+        .stripMargin.replace("\n", " ")
+    val v1 = "9007199254740993.12" // > 2^53: no double holds it
+    val v2 = "9007199254740993.57"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(wal, "a.json"),
+      Seq(tx(1, "I", 1, v1), tx(2, "U", 1, v2)).mkString("\n"))
+    CdcMerge.streamingLatestState(spark, wal, schema, state, ckpt,
+      numericAsDecimal = true).awaitTermination(120000)
+    val st = CdcMerge.readState(spark, state).get
+    assert(st.schema("amount").dataType == DecimalType(38, 2))
+    val rows = st.collect()
+    assert(rows.length == 1 && rows(0).getAs[java.math.BigDecimal]("amount") ==
+      new java.math.BigDecimal(v2))
+  }
 }

@@ -192,6 +192,72 @@ class StreamPipelineSpec extends SparkSpec {
     assert(ids == ids.sorted, s"artifact not PK-sorted: $ids")
   }
 
+  test("event-time windows: late-within-lateness lands in its window; later-than-watermark drops") {
+    // P5 semantic upgrade (SURVEY §7.4): windowMode = event. 60 s
+    // tumbling windows, 30 s lateness. The scenario interleaves arrival
+    // order against event order:
+    //   run 1: ids 1,2 at 00:00:10/:20            -> window 0 pending
+    //   run 2: id 4 at 00:02:15                   -> watermark 00:01:45,
+    //          window 0 finalizes with {1,2}
+    //   run 3: tx carrying id 3 at 00:01:30 (LATE but its window-1 end
+    //          00:02:00 > watermark -> lands in window 1) and id 9 at
+    //          00:00:50 (window 0 closed -> DROPPED); then id 5 at
+    //          00:03:30 -> watermark 00:03:00, windows 1 and 2 finalize
+    // Final artifacts == the BATCH grouping of all on-time records by
+    // their event window: {1,2}, {3}, {4}; id 9 nowhere, id 5 pending.
+    def walTxAt(lsn: Long, ts: String, rows: (Int, String)*): String = {
+      val records = rows.map { case (id, name) =>
+        s"""{"action": "I", "xid": 1058, "lsn": "0/$lsn", "nextlsn": "",
+           |"timestamp": "$ts", "schema": "public",
+           |"table": "t", "columns": [
+           |  {"name": "id", "type": "integer", "value": $id},
+           |  {"name": "name", "type": "text", "value": "$name"}],
+           |"pk": [{"name": "id", "type": "integer"}]}""".stripMargin.replace("\n", " ")
+      }.mkString(",")
+      s"""{"commit_lsn": $lsn, "records": [$records]}"""
+    }
+    val (wal, staging, ckpt, storeDir) = freshDirs()
+    Files.createDirectories(Paths.get(wal))
+    val store = new LocalContentStore(storeDir)
+    def run(): Unit = {
+      val q = StreamPipeline.start(spark, "ns", Seq(schemaT), wal, staging,
+        ckpt, store, availableNow = true, maxTxPerTrigger = Some(1),
+        eventTime = Some(EventTimeWindows(60L, 30L)))
+      q.awaitTermination(120000)
+      ()
+    }
+    Files.writeString(Paths.get(wal, "tx1.json"),
+      walTxAt(100, "2024-01-01 00:00:10.000000", 1 -> "a") + "\n" +
+        walTxAt(101, "2024-01-01 00:00:20.000000", 2 -> "b"))
+    run()
+    assert(storeFiles(storeDir).isEmpty, "no window may close before the watermark passes it")
+
+    Files.writeString(Paths.get(wal, "tx2.json"),
+      walTxAt(200, "2024-01-01 00:02:15.000000", 4 -> "d"))
+    run()
+    val after2 = storeFiles(storeDir)
+    assert(after2.size == 1, s"window 0 should have finalized, got $after2")
+    assert(readRows(after2.head) == Set(1 -> "a", 2 -> "b"))
+
+    Files.writeString(Paths.get(wal, "tx3.json"),
+      walTxAt(300, "2024-01-01 00:01:30.000000", 3 -> "c") + "\n" +
+        walTxAt(301, "2024-01-01 00:00:50.000000", 9 -> "late-dropped") + "\n" +
+        walTxAt(302, "2024-01-01 00:03:30.000000", 5 -> "e"))
+    run()
+    val files = storeFiles(storeDir)
+    assert(files.size == 3, s"windows 0,1,2 finalized, got $files")
+    val contents = files.map(readRows)
+    assert(contents.contains(Set(1 -> "a", 2 -> "b"))) // window 0
+    assert(contents.contains(Set(3 -> "c")))           // window 1: late record landed
+    assert(contents.contains(Set(4 -> "d")))           // window 2
+    val all = contents.reduce(_ ++ _)
+    assert(!all.exists(_._1 == 9), "past-watermark record must be dropped")
+    assert(!all.exists(_._1 == 5), "id 5's window is still pending")
+    // artifact names carry the window START, not a batch id
+    assert(files.exists(_.getFileName.toString.contains("t-1704067200")),
+      s"expected event-window naming, got $files")
+  }
+
   test("mid-stream schema drift FAILS the streaming query loudly (v1 DDL contract)") {
     val (wal, staging, ckpt, storeDir) = freshDirs()
     Files.createDirectories(Paths.get(wal))

@@ -74,6 +74,28 @@ class LayoutSpec extends SparkSpec {
     assert(read == 0 && df.count() == 0)
   }
 
+  test("autoCells encodes the measured sizing rule (cells grow with the corpus)") {
+    // bench-scale corpora stay at the established 64-cell config …
+    assert(Similarity.autoCells(500) == 64)
+    assert(Similarity.autoCells(200000) == 64)
+    // … the measured 2M-vector point sizes to ~the 256-cell config that
+    // served 9.6 s vs fixed-64's 17.6 s (SCALING.md r11) …
+    val at2M = Similarity.autoCells(2000000L)
+    assert(at2M == 245, s"2M/8192 rounded up, got $at2M")
+    // … growth is linear in the corpus until the single-level cap
+    assert(Similarity.autoCells(20000000L) == 2442)
+    assert(Similarity.autoCells(1000000000L) == 4096) // capped
+    // and the probed FRACTION shrinks as the corpus grows (the property
+    // the rule exists for): nProbe/nCells at 32 probes
+    assert(32.0 / Similarity.autoCells(2000000L) < 32.0 / 64)
+    // auto is the ivfIndex default: a 500-row corpus trains 64 seeds max
+    // (seed set is limit(nCells) of the corpus — 500 here), and explicit
+    // nCells still pins
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val (_, cents) = Similarity.ivfIndex(emb, lloydIters = 1)
+    assert(cents.length == math.min(64, emb.count()).toInt)
+  }
+
   test("IVF cell layout: probes become partition pruning (nProbe/nCells files touched)") {
     val dir = Files.createTempDirectory("layout-ivf").toString + "/ivf"
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")

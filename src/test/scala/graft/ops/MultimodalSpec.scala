@@ -141,4 +141,50 @@ class MultimodalSpec extends SparkSpec {
     val fb = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(full))
     assert(fb.getWidth == 21 && fb.getHeight == 13)
   }
+
+  /** Real JPEG via the JDK's own encoder (baseline SOF0; progressive
+    * SOF2 when requested) — the independent oracle for the T.81 marker
+    * scan. */
+  private def jpeg(w: Int, h: Int, progressive: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 5 + y) % 256 << 16) | ((y * 11) % 256 << 8) | ((x * 2) % 256))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    if (progressive)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val buf = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(out)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    out.close(); writer.dispose()
+    buf.toByteArray
+  }
+
+  test("HeaderDecoder parses real JPEG dims: baseline SOF0 and progressive SOF2") {
+    val base = jpeg(37, 23)
+    // the fixture really is a JPEG with a frame header present
+    assert((base(0) & 0xFF) == 0xFF && (base(1) & 0xFF) == 0xD8)
+    val m0 = Multimodal.HeaderDecoder.decode(1L, "image", base)
+    assert(m0.kind == "image" && m0.width == 37 && m0.height == 23, m0.toString)
+
+    val prog = jpeg(64, 48, progressive = true)
+    val m2 = Multimodal.HeaderDecoder.decode(2L, "image", prog)
+    assert(m2.width == 64 && m2.height == 48, m2.toString)
+
+    // a truncated payload (cut before any SOFn) falls back to the stub
+    // instead of failing the pipeline
+    val cut = java.util.Arrays.copyOf(base, 8)
+    val ms = Multimodal.HeaderDecoder.decode(3L, "image", cut)
+    assert(ms == Multimodal.StubDecoder.decode(3L, "image", cut))
+
+    // and the distributed decode path carries JPEG rows like any other
+    import spark.implicits._
+    val media = Seq((1L, "image", base), (2L, "image", prog))
+      .toDF("media_id", "kind", "payload").repartition(2)
+    val out = Multimodal.decodeMeta(media, Multimodal.HeaderDecoder)
+      .collect().sortBy(_.id)
+    assert(out.map(m => (m.width, m.height)).toSeq == Seq((37, 23), (64, 48)))
+  }
 }
