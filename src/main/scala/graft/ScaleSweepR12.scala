@@ -73,19 +73,34 @@ object ScaleSweepR12 {
     def merge(dir: String, strict: Boolean): Unit =
       noop(graft.cdc.CdcMerge.latestStateFromDir(
         spark, feed(dir), CdcQueries.eventsSchema, strict = strict))
+    // the REGISTERED q_cdc_upsert shape verbatim (merge + date_format
+    // presentation + global orderBy): separates the range-partitioned
+    // sort tail from the merge when reading the third-decade exponent
+    def upsertOrdered(dir: String): Unit = {
+      import org.apache.spark.sql.functions._
+      noop(graft.cdc.CdcMerge.latestStateFromDir(
+          spark, feed(dir), CdcQueries.eventsSchema)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id"))
+    }
 
     val scales = Seq(("1x", sf01), ("10x", amp10), ("100x", amp100),
       ("1000x", amp1000))
     val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None
 
+    val pipelines: Seq[(String, String => Unit)] = Seq(
+      "cdc_merge_gz" -> (d => merge(d, strict = false)),
+      "cdc_merge_strict_gz" -> (d => merge(d, strict = true)),
+      "cdc_upsert_gz" -> (d => upsertOrdered(d)))
     val rows = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-    for ((name, strict) <- Seq(("cdc_merge_gz", false), ("cdc_merge_strict_gz", true))
-         if only.forall(_.contains(name))) {
+    for ((name, body) <- pipelines if only.forall(_.contains(name))) {
       // feed fixtures built untimed before any timed row of this series
       scales.foreach { case (_, d) => feed(d) }
-      time(merge(sf01, strict)) // warmup: JIT + codegen
+      time(body(sf01)) // warmup: JIT + codegen
       for ((label, dir) <- scales) {
-        val s = (1 to 2).map(_ => time(merge(dir, strict))).min
+        val s = (1 to 2).map(_ => time(body(dir))).min
         println(f"[r12] $name@$label: $s%.2fs")
         rows += ((s"$name@$label", s))
       }

@@ -143,7 +143,7 @@ object IngestBench {
       s"$base/ckpt", new LocalContentStore(store),
       availableNow = true, maxTxPerTrigger = Some((nTx / nBatches).toInt max 1),
       singleFile = false)
-    q.awaitTermination(600000)
+    q.awaitTermination(math.max(600000L, nTx * 3)) // scale the cap with the feed
     val wallSec = (System.nanoTime() - t0) / 1e9
     spark.streams.removeListener(collector)
     val rows = storedRows(spark, store)
@@ -190,7 +190,8 @@ object IngestBench {
           OffsetLsn.findFirstMatchIn(Option(p.sources(0).endOffset).getOrElse(""))
             .exists(_.group(1).toLong >= finalLsn)
       }
-      val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() +
+        math.max(600L, nTx / 500) * 1000 * 1000 * 1000 // scale with the feed
       while (!drained && System.nanoTime() < deadline) {
         Thread.sleep(200)
         if (q.exception.isDefined) throw q.exception.get
@@ -201,14 +202,22 @@ object IngestBench {
       spark.streams.removeListener(collector)
       val rows = storedRows(spark, store)
       require(rows == nTx * RecordsPerTx, s"row gate: stored $rows != ${nTx * RecordsPerTx}")
-      // segment GC gate: the spool must not retain the whole stream
+      // segment GC gate: the spool must not retain the whole stream.
+      // What legitimately remains is the UNACKED TAIL: the source acks
+      // (and GC's) offsets when the engine commits them at the NEXT data
+      // batch, so after the final batch the spool retains at most one
+      // trigger's worth of transactions — exactly the segments a restart
+      // would replay (ack-after-replay at-least-once, by design). Bound:
+      // one trigger of ~4 KB txs (generous over the ~3.3 KB actual; the
+      // 1x run's bound degenerates to the old active+raced-seal pair).
       val segs = graft.core.FsUtil.listDir(Paths.get(spool))
         .filter(_.getFileName.toString.startsWith("spool-"))
       val spoolBytes = segs.map(Files.size).sum
-      // GC gate: after the final ack every SEALED segment is reclaimable;
-      // only the active segment (+ at most one raced seal) may remain
-      require(segs.length <= 2,
-        s"segment GC left ${segs.length} spool segments: $segs")
+      val segmentBytes = 8L * 1024 * 1024
+      val triggerTx = (nTx / 10) max 1
+      val segBound = triggerTx * 4096L / segmentBytes + 2
+      require(segs.length <= segBound,
+        s"segment GC left ${segs.length} spool segments (bound $segBound): $segs")
       val durs = collector.dursOf(q.runId)
       val (mn, md, mx) = latencyStats(durs)
       Map("n_tx" -> nTx, "n_records" -> nTx * RecordsPerTx,
@@ -216,7 +225,8 @@ object IngestBench {
         "tx_per_sec" -> (nTx / wallSec), "n_batches" -> durs.length,
         "batch_ms_min" -> mn, "batch_ms_median" -> md, "batch_ms_max" -> mx,
         "rows_verified" -> rows,
-        "spool_segments_left" -> segs.length, "spool_bytes_left" -> spoolBytes)
+        "spool_segments_left" -> segs.length, "spool_bytes_left" -> spoolBytes,
+        "spool_segments_bound" -> segBound)
     } finally server.close()
   }
 
@@ -340,7 +350,12 @@ object IngestBench {
 
     val file1x = runFileFeed(spark, s"$base/file1x", nTx / 10, nBatches = 10)
     val file10x = runFileFeed(spark, s"$base/file10x", nTx, nBatches = 10)
+    // 100× row (round 12): 10M records through the flagship path, and —
+    // the live-feed half — the same scale through the walsender socket,
+    // spool-segment writes and ack-time GC under ~400 segment rolls
+    val file100x = runFileFeed(spark, s"$base/file100x", nTx * 10, nBatches = 10)
     val pg = runPgFeed(spark, s"$base/pg", nTx / 10)
+    val pg100x = runPgFeed(spark, s"$base/pg100x", nTx * 10)
     // real-Postgres run only where server binaries exist (the artifact
     // field is optional; the spec checks it when present)
     val pgLive =
@@ -350,12 +365,16 @@ object IngestBench {
 
     val exp = math.log10((file10x("wall_sec").asInstanceOf[Double]) /
       (file1x("wall_sec").asInstanceOf[Double]))
+    val exp2 = math.log10((file100x("wall_sec").asInstanceOf[Double]) /
+      (file10x("wall_sec").asInstanceOf[Double]))
     val result = Map(
       "recordsPerTx" -> RecordsPerTx, "tables" -> TableNames.length,
       "cpus" -> cpus.toInt,
       "file_feed_1x" -> file1x, "file_feed_10x" -> file10x,
-      "pg_feed" -> pg,
-      "scaling_exponent_file_feed" -> exp) ++
+      "file_feed_100x" -> file100x,
+      "pg_feed" -> pg, "pg_feed_100x" -> pg100x,
+      "scaling_exponent_file_feed" -> exp,
+      "scaling_exponent_file_feed_2" -> exp2) ++
       pgLive.map("pg_live_feed" -> _)
     val json = js(result)
     println(s"INGEST_BENCH: $json")

@@ -22,9 +22,10 @@ class IngestBenchSpec extends AnyFunSuite {
       .readTree(java.nio.file.Files.readString(p))
 
     // pg_live_feed (REAL Postgres through pgoutput) exists only when the
-    // generating host had server binaries — validated when present
+    // generating host had server binaries — validated when present; the
+    // 100x rows (round 12) likewise gate only when the artifact has them
     val runs = Seq("file_feed_1x", "file_feed_10x", "pg_feed") ++
-      (if (root.has("pg_live_feed")) Seq("pg_live_feed") else Nil)
+      Seq("file_feed_100x", "pg_feed_100x", "pg_live_feed").filter(root.has)
     for (run <- runs) {
       val node = root.get(run)
       assert(node != null, s"missing run $run")
@@ -45,9 +46,27 @@ class IngestBenchSpec extends AnyFunSuite {
     // ≥1M records through the flagship path, sub-linear through the decade
     assert(root.get("file_feed_10x").get("n_records").asLong >= 1000000L)
     assert(root.get("scaling_exponent_file_feed").asDouble < 1.0)
-    // pg feed: spool segment GC ran (bounded leftover, not the stream)
-    assert(root.get("pg_feed").get("spool_segments_left").asLong <= 2)
-    if (root.has("pg_live_feed"))
-      assert(root.get("pg_live_feed").get("spool_segments_left").asLong <= 2)
+    // the 100x rows: two real decades on the file feed (no super-linear
+    // blowup into the work-dominated regime) and a full-scale GC'd spool
+    if (root.has("file_feed_100x")) {
+      assert(root.get("file_feed_100x").get("n_records").asLong ==
+        100 * root.get("file_feed_1x").get("n_records").asLong)
+      assert(root.get("scaling_exponent_file_feed_2").asDouble < 1.15)
+    }
+    if (root.has("pg_feed_100x"))
+      assert(root.get("pg_feed_100x").get("n_records").asLong ==
+        100 * root.get("pg_feed").get("n_records").asLong)
+    // pg feed: spool segment GC ran. Bounded leftover = the UNACKED TAIL
+    // (at most one trigger's worth of txs — the restart-replay window of
+    // ack-after-replay), never the stream; artifacts carrying the
+    // computed bound are checked against it, older ones against the
+    // legacy active+raced-seal pair.
+    for (run <- Seq("pg_feed", "pg_feed_100x", "pg_live_feed") if root.has(run)) {
+      val node = root.get(run)
+      val bound = if (node.has("spool_segments_bound"))
+        node.get("spool_segments_bound").asLong else 2L
+      assert(node.get("spool_segments_left").asLong <= bound,
+        s"$run spool not GC'd within its unacked-tail bound")
+    }
   }
 }
