@@ -143,8 +143,11 @@ object WalDecoder {
         recordFields = Some(Seq("action", "table", "columns", "timestamp"))),
       replayActions)
       .withColumn("__graft_ts", coalesce(
-        to_timestamp(col("timestamp"), "yyyy-MM-dd HH:mm:ss[.SSSSSS][xxx][xx][x]"),
-        to_timestamp(col("timestamp"))))
+        // try_: ANSI to_timestamp throws on unparseable input; the
+        // event-time contract is NULL (droppable-late), never a throw
+        try_to_timestamp(col("timestamp"),
+          lit("yyyy-MM-dd HH:mm:ss[.SSSSSS][xxx][xx][x]")),
+        try_to_timestamp(col("timestamp"))))
     schemas.map { ts =>
       ts.table -> PgValueDecoder.pivotToTable(
         driftGated(records.where(col("table") === ts.table), ts, strict), ts,

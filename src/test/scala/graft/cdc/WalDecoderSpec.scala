@@ -314,4 +314,30 @@ class WalDecoderSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSet
     assert(t == Set((1, "ok")))
   }
+
+  test("decodeTablesWithTs parses both wal2json timestamp spellings to the same instant") {
+    // live walsender form carries a numeric UTC offset ("-03"); the spool
+    // form is offset-less (session tz = UTC). 14:44:02-03:00 ≡ 17:44:02Z.
+    def line(lsn: Long, id: Int, ts: String): String =
+      s"""{"commit_lsn": $lsn, "records": [{"action": "I", "xid": 1,
+         |"lsn": "0/$lsn", "nextlsn": "", "timestamp": "$ts",
+         |"schema": "public", "table": "t",
+         |"columns": [{"name": "id", "type": "integer", "value": $id}],
+         |"pk": [{"name": "id", "type": "integer"}]}]}"""
+        .stripMargin.replace("\n", " ")
+    val lines = spark.createDataset(Seq(
+      line(1, 1, "2023-08-22 14:44:02.043586-03"), // live (offset)
+      line(2, 2, "2023-08-22 17:44:02.043586"),    // spool (UTC naive)
+      line(3, 3, "2023-08-22 17:44:02"),           // no fraction
+      line(4, 4, "not-a-timestamp")                // unparseable -> NULL
+    ))(org.apache.spark.sql.Encoders.STRING).toDF("value")
+    val schema = TableSchema("t",
+      Seq(TableColumn("id", "integer", nullable = false, isPrimary = true)))
+    val out = WalDecoder.decodeTablesWithTs(spark, lines, Seq(schema))("t")
+      .collect().map(r => r.getAs[Int]("id") ->
+        Option(r.getAs[java.sql.Timestamp]("__graft_ts")).map(_.getTime)).toMap
+    assert(out(1) == out(2), s"offset and naive forms must agree: $out")
+    assert(out(1).get - out(3).get == 43L, "fractional millis preserved")
+    assert(out(4).isEmpty, "unparseable timestamp decodes NULL, never throws")
+  }
 }
