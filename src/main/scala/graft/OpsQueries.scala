@@ -65,6 +65,20 @@ object OpsQueries {
     val queries = emb.where(col("vec_id") < 10)
     val ann = variant match {
       case "lsh" => Similarity.annTopK(emb, queries, k = 5)
+      case "imi" =>
+        // two-level coarse quantizer: k=4 per half -> 16 pair-cells at
+        // bench scale (k grows as sqrt(corpus) in production via
+        // autoCellsImi); lloyd=2 keeps the two trainings bench-priced
+        val (indexed, cents) = Similarity.imiIndex(emb, k = 4, lloydIters = 2)
+        // nProbe = 12 of 16 pair-cells. Measured (RecallCheck r12 grid):
+        // at the 50% probed fraction single-level IVF runs, IMI recalls
+        // 0.66-0.86 across sf0.001-0.1 — the two INDEPENDENT half-
+        // quantizers rank pair-cells noisier than one full-vector
+        // quantizer (the standard IMI trade; its win is k² cells from
+        // k-sized codebooks at extreme scale, not probed fraction).
+        // 75% probed measures 0.92-0.96 everywhere, comfortably over
+        // the 0.8 contract while still exercising real pruning.
+        Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = 12)
       case "pq" =>
         Similarity.pqTopK(emb, pqBooksFor(s, dir), queries, k = 5)
       case "ivfpq" =>
@@ -547,6 +561,12 @@ object OpsQueries {
 
     "q_ann_ivf" -> ((s, dir) => annRecallContract(s, dir, "ivf", bound = 0.8)),
 
+    // Inverted multi-index (two-level coarse quantizer, r12): k² pair-
+    // cells from two k-sized codebooks — the scale path past the
+    // single-level plan-literal cap (Similarity.autoCells maxCells);
+    // same recall-contract surface as the other ANN variants
+    "q_ann_imi" -> ((s, dir) => annRecallContract(s, dir, "imi", bound = 0.8)),
+
     // PQ-ADC with exact re-rank (16 subspaces × 16 codes, shortlist
     // 100): measured recall@5 0.96-1.0 across sf0.001-0.1; the
     // compressed index reads 16 B/vector instead of 256 B
@@ -806,6 +826,11 @@ object OpsQueries {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "q_ann_ivf" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_results,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q_ann_imi" ->
       """SELECT count(*) AS n_queries, count(*) * 5 AS n_results,
         |  CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

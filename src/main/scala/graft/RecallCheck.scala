@@ -44,6 +44,16 @@ object RecallCheck {
         println(s"RECALL $sf ivf cells=$cells iters=$iters probe=$probe r=$r")
         indexed.unpersist()
       }
+      // IMI grid (r12): pair-cell recall at varying codebook size /
+      // probed fraction — picks the registered q_ann_imi config
+      for ((k2, iters, probe) <- Seq((4, 2, 8), (4, 2, 12), (4, 4, 8),
+          (8, 2, 16), (8, 2, 32), (8, 4, 32))) {
+        val (indexed, cents) = Similarity.imiIndex(emb, k = k2, lloydIters = iters)
+        indexed.cache()
+        val r = recall(Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = probe))
+        println(s"RECALL $sf imi k=$k2 iters=$iters probe=$probe (${probe * 100 / (k2 * k2)}%) r=$r")
+        indexed.unpersist()
+      }
       exact.unpersist()
     }
     spark.stop()

@@ -223,7 +223,7 @@ object Similarity {
    * config. maxCells caps the single-level quantizer where its centroid
    * set stops being a cheap plan literal (assignment is O(rows·nCells)
    * per pass and the broadcast is nCells·dims doubles) — beyond ~4096
-   * cells use a two-level quantizer, not more cells.
+   * cells use a two-level quantizer ([[imiIndex]]), not more cells.
    */
   def autoCells(corpusRows: Long, targetCellRows: Long = 8192L,
                 minCells: Int = 64, maxCells: Int = 4096): Int = {
@@ -328,24 +328,29 @@ object Similarity {
     ivfScore(c, q, k)
   }
 
-  /** Top-`nProbe` nearest cells for a query vector, as an
+  /** Top-`nProbe` nearest cells for a query vector expression, as an
     * array<struct(sim, cell)> sorted descending: the multi-dot against
     * all centroids in one expression, then sort + slice. */
   private def probeCellsCol(centroids: Array[(Int, Array[Double])], nProbe: Int,
-                            vecCol: String): Column = {
-    val sims = graft.functions.VecDotMulti(col(vecCol),
+                            vec: Column): Column = {
+    val sims = graft.functions.VecDotMulti(vec,
       centroids.map(_._2.toSeq).toSeq)
     val scored = centroids.zipWithIndex.map { case ((cid, _), i) =>
       struct(element_at(sims, i + 1).as("sim"), lit(cid).as("cell"))
     }
     slice(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1, nProbe)
   }
+  private def probeCellsCol(centroids: Array[(Int, Array[Double])], nProbe: Int,
+                            vecCol: String): Column =
+    probeCellsCol(centroids, nProbe, col(vecCol))
 
   /** Shared IVF scoring tail: cell-keyed candidate join (queries
-    * broadcast), exact cosine, per-query top-k. */
-  private def ivfScore(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    * broadcast), exact cosine, per-query top-k. `keys` is the cell key —
+    * one column for single-level IVF, (cell1, cell2) for the IMI pair. */
+  private def ivfScore(c: DataFrame, q: DataFrame, k: Int,
+                       keys: Seq[String] = Seq("cell")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = c.join(broadcast(q), "cell")
+    val scored = c.join(broadcast(q), keys)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 6))
       .groupBy("query_id", "neighbor_id").agg(first("sim").as("sim"))
@@ -378,6 +383,96 @@ object Similarity {
       else all.where(col("cell").isin(cells.toIndexedSeq: _*))
     val c = pruned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"))
     ivfScore(c, q, k)
+  }
+
+  /** IMI half-codebook sizing: k per half ≈ √(rows / targetCellRows), so
+    * the k² effective pair-cells match [[autoCells]]' rows-per-cell rule
+    * while each CODEBOOK stays √(that) — at 100B rows, ~3.5k centroids
+    * per half where a single-level quantizer would need 12M. */
+  def autoCellsImi(corpusRows: Long, targetCellRows: Long = 8192L,
+                   minK: Int = 4, maxK: Int = 4096): Int = {
+    require(targetCellRows > 0 && minK > 0 && maxK >= minK,
+      "autoCellsImi: need positive target and minK <= maxK")
+    val want = math.ceil(math.sqrt(corpusRows.toDouble / targetCellRows)).toLong
+    math.min(maxK.toLong, math.max(minK.toLong, want)).toInt
+  }
+
+  /**
+   * Inverted multi-index (IMI) coarse quantizer — the TWO-LEVEL scale
+   * path past [[autoCells]]' single-level cap (public literature:
+   * Babenko & Lempitsky, "The Inverted Multi-Index", CVPR 2012). The
+   * vector splits into two halves, each quantized INDEPENDENTLY by a
+   * k-centroid codebook trained on that half; a row's effective cell is
+   * the PAIR `(cell1, cell2)` — k² cells from two k-sized codebooks. At
+   * k = 4096 that is ~16.8M effective cells while each broadcast plan
+   * literal stays the size a single-level 4096-cell quantizer already
+   * ships: the cell count the 100-TB sizing rule needs (rows/8k cells at
+   * 100B+ rows) without ever growing one codebook past the literal cap.
+   *
+   * Scale shape: training = two half-dim [[ivfIndex]] Lloyd runs (same
+   * O(rows·k) assignment passes, half the dot width each); assignment =
+   * two codegen'd ArgMaxDot passes per row, no shuffle; search joins on
+   * the pair key. `k = 0` auto-sizes via [[autoCellsImi]].
+   *
+   * Measured trade vs single-level IVF (RecallCheck r12 grid,
+   * sf0.001–0.1): at the SAME probed fraction IMI recalls lower
+   * (0.66–0.86 at 50% vs IVF's ~0.90) — two independent half-space
+   * quantizers rank pair-cells noisier than one full-vector quantizer —
+   * so IMI serves with a larger probed fraction (75% → 0.92–0.96 here)
+   * or a downstream re-rank. Use it when the CELL COUNT is the binding
+   * constraint (≳4096 single-level cells, i.e. ≳33M rows at the default
+   * sizing), not as a drop-in recall upgrade.
+   */
+  def imiIndex(corpus: DataFrame, k: Int = 0, lloydIters: Int = 4, dims: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, (Array[(Int, Array[Double])], Array[(Int, Array[Double])])) = {
+    val half = dims / 2
+    val k0 = if (k > 0) k else autoCellsImi(corpus.count())
+    val h1 = slice(col(vecCol), 1, half)
+    val h2 = slice(col(vecCol), half + 1, half)
+    val (_, c1) = ivfIndex(corpus.select(col(idCol), h1.as("__h")),
+      k0, lloydIters, half, idCol, "__h")
+    val (_, c2) = ivfIndex(corpus.select(col(idCol), h2.as("__h")),
+      k0, lloydIters, half, idCol, "__h")
+    val indexed = corpus
+      .withColumn("cell1", graft.functions.ArgMaxDot(h1,
+        c1.map(_._2.toSeq).toSeq, c1.map(_._1).toSeq))
+      .withColumn("cell2", graft.functions.ArgMaxDot(h2,
+        c2.map(_._2.toSeq).toSeq, c2.map(_._1).toSeq))
+    (indexed, (c1, c2))
+  }
+
+  /** Per-query top-`nProbe` IMI pair-cells, sorted by combined half
+    * similarity: the true top-nProbe pairs lie within the top-nProbe of
+    * each half (a pair outside either half's top-nProbe is dominated by
+    * nProbe better pairs differing only in that half), so enumerating
+    * the nProbe×nProbe cross and slicing is EXACT, not a heuristic —
+    * all in one declarative expression per query row. */
+  private def imiProbesCol(cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
+                           nProbe: Int, vec: Column, half: Int): Column = {
+    val s1 = probeCellsCol(cents._1, nProbe, slice(vec, 1, half))
+    val s2 = probeCellsCol(cents._2, nProbe, slice(vec, half + 1, half))
+    val pairs = flatten(transform(s1, x => transform(s2, y =>
+      struct((x.getField("sim") + y.getField("sim")).as("sim"),
+        x.getField("cell").as("cell1"), y.getField("cell").as("cell2")))))
+    slice(reverse(array_sort(pairs)), 1, nProbe)
+  }
+
+  /** ANN search over an [[imiIndex]]: probe the top-`nProbe` pair-cells
+    * per query, exact cosine on the candidates, per-query top-k — the
+    * same contract surface as [[ivfTopK]] with the pair key. */
+  def imiTopK(indexed: DataFrame,
+              cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
+              queries: DataFrame, k: Int, nProbe: Int = 32, dims: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val half = dims / 2
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      explode(imiProbesCol(cents, nProbe, col(vecCol), half)).as("__p"))
+      .select(col("query_id"), col("qvec"),
+        col("__p.cell1").as("cell1"), col("__p.cell2").as("cell2"))
+    val c = indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      col("cell1"), col("cell2"))
+    ivfScore(c, q, k, keys = Seq("cell1", "cell2"))
   }
 
   /**

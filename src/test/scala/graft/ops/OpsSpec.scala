@@ -603,6 +603,52 @@ class OpsSpec extends SparkSpec {
     assert(e3 <= e0 + 1e-9, s"Lloyd must not worsen reconstruction: $e0 -> $e3")
   }
 
+  test("IMI two-level quantizer: k² pair-cells, exact probe enumeration, recall, determinism") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.where($"vec_id" < 5)
+    val (indexed, cents) = Similarity.imiIndex(emb, k = 4, lloydIters = 2)
+    // two k-sized codebooks span k² effective cells; every row is
+    // assigned a pair within range
+    assert(cents._1.length == 4 && cents._2.length == 4)
+    val pairs = indexed.select("cell1", "cell2").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(pairs.forall { case (a, b) => a >= 0 && a < 4 && b >= 0 && b < 4 })
+    assert(pairs.length > 4, "pair space must exceed one codebook's size")
+
+    // probing ALL k² cells is exhaustive: recall exactly 1.0 — the
+    // enumeration of pair candidates provably covers the space
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val all = Similarity.imiTopK(indexed, cents, q, k = 5, nProbe = 16).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(all == exact, "exhaustive IMI probe must equal brute force")
+
+    // pruned probe (half the pair space) keeps useful recall and is
+    // deterministic across a rebuild
+    val imi = Similarity.imiTopK(indexed, cents, q, k = 5, nProbe = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & imi).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IMI recall too low: $recall")
+    val (indexed2, cents2) = Similarity.imiIndex(emb, k = 4, lloydIters = 2)
+    val imi2 = Similarity.imiTopK(indexed2, cents2, q, k = 5, nProbe = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(imi == imi2)
+
+    // returned sims are EXACT cosines (re-rank is never approximate)
+    val sims = Similarity.imiTopK(indexed, cents, q, k = 5, nProbe = 8)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 500)
+      .select(col("query_id").as("bq"), col("neighbor_id").as("bn"), col("sim").as("bsim"))
+    val joined = sims.join(bf, col("query_id") === col("bq") && col("neighbor_id") === col("bn"))
+    assert(joined.where(col("sim") =!= col("bsim")).isEmpty,
+      "IMI sims must equal exact cosine")
+
+    // the sqrt sizing rule: k² matches autoCells' rows-per-cell target
+    assert(Similarity.autoCellsImi(500) == 4)      // floor at bench scale
+    assert(Similarity.autoCellsImi(2000000L) == 16)  // 16² = 256 ≈ autoCells(2M)
+    assert(Similarity.autoCellsImi(100000000000L) == 3494) // 100B rows, under the cap
+    assert(Similarity.autoCellsImi(Long.MaxValue / 2) == 4096) // capped
+  }
+
   test("IVF+PQ composition: probed-cell candidates only, recall above floor, sims exact") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.where($"vec_id" < 5)
