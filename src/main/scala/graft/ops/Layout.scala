@@ -82,6 +82,72 @@ object Layout {
         yield s"$s\t$cid\t${c.mkString(",")}")
   }
 
+  /**
+   * Persist an [[Similarity.imiIndex]]'d corpus as a TWO-LEVEL pruned
+   * layout: `partitionBy(cell1)` — bounded at k directories — with rows
+   * SORTED by `cell2` inside each partition's files, so a pair probe
+   * prunes twice: cell1 at the partition listing, cell2 at the parquet
+   * row-group min/max stats. Materializing the k² pair as directories
+   * would be a filesystem problem at production k (16.8M dirs at
+   * k = 4096); k dirs × row-group pruning gives the same read bound
+   * without the listing blowup. Sidecars carry both half codebooks.
+   */
+  def imiWrite(indexed: DataFrame,
+               cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
+               dir: String): Unit = {
+    indexed
+      .repartition(cents._1.length, col("cell1"))
+      .sortWithinPartitions("cell1", "cell2")
+      .write.mode("overwrite").partitionBy("cell1").parquet(s"$dir/data")
+    val spark = indexed.sparkSession
+    writeTsv(spark, s"$dir/_centroids1.tsv",
+      cents._1.iterator.map { case (cid, v) => s"$cid\t${v.mkString(",")}" })
+    writeTsv(spark, s"$dir/_centroids2.tsv",
+      cents._2.iterator.map { case (cid, v) => s"$cid\t${v.mkString(",")}" })
+  }
+
+  /** Both codebook sidecars of an [[imiWrite]] layout. */
+  def readImiCentroids(spark: SparkSession, dir: String)
+      : (Array[(Int, Array[Double])], Array[(Int, Array[Double])]) = {
+    def read(path: String) = readTsvLines(spark, path).map { line =>
+      val Array(cid, vec) = line.split("\t", 2)
+      (cid.toInt, vec.split(",").map(_.toDouble))
+    }
+    (read(s"$dir/_centroids1.tsv"), read(s"$dir/_centroids2.tsv"))
+  }
+
+  /**
+   * IMI search straight off an [[imiWrite]] layout — identical results
+   * to the in-memory [[Similarity.imiTopK]] (spec-pinned): the probed
+   * pair set is bounded (nQueries × nProbe, collected to literals), its
+   * distinct cell1 values become the scan's PARTITION filter and its
+   * distinct cell2 values a PUSHED data filter that skips row groups
+   * inside the listed partitions (the files are cell2-sorted, so the
+   * min/max stats are tight) — two pruning levels, no query-time index
+   * structure.
+   */
+  def imiTopKFromLayout(spark: SparkSession, dir: String, queries: DataFrame,
+                        k: Int, nProbe: Int = 32, dims: Int = 64,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = readImiCentroids(spark, dir)
+    val half = dims / 2
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      explode(Similarity.imiProbesCol(cents, nProbe, col(vecCol), half)).as("__p"))
+      .select(col("query_id"), col("qvec"),
+        col("__p.cell1").as("cell1"), col("__p.cell2").as("cell2"))
+    val pairs = q.select("cell1", "cell2").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val all = spark.read.parquet(s"$dir/data")
+    val pruned =
+      if (pairs.isEmpty) all.where(lit(false))
+      else all.where(
+        col("cell1").isin(pairs.map(_._1).distinct.toIndexedSeq: _*) &&
+          col("cell2").isin(pairs.map(_._2).distinct.toIndexedSeq: _*))
+    val c = pruned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      col("cell1"), col("cell2"))
+    Similarity.ivfScore(c, q, k, keys = Seq("cell1", "cell2"))
+  }
+
   /** Codebook sidecar of a [[pqWrite]] layout. */
   def readPqBooks(spark: SparkSession, dir: String): Similarity.PqBooks = {
     val rows = readTsvLines(spark, s"$dir/_codebooks.tsv").map { line =>

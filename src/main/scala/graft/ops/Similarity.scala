@@ -347,7 +347,7 @@ object Similarity {
   /** Shared IVF scoring tail: cell-keyed candidate join (queries
     * broadcast), exact cosine, per-query top-k. `keys` is the cell key —
     * one column for single-level IVF, (cell1, cell2) for the IMI pair. */
-  private def ivfScore(c: DataFrame, q: DataFrame, k: Int,
+  private[ops] def ivfScore(c: DataFrame, q: DataFrame, k: Int,
                        keys: Seq[String] = Seq("cell")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = c.join(broadcast(q), keys)
@@ -448,7 +448,7 @@ object Similarity {
     * nProbe better pairs differing only in that half), so enumerating
     * the nProbe×nProbe cross and slicing is EXACT, not a heuristic —
     * all in one declarative expression per query row. */
-  private def imiProbesCol(cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
+  private[ops] def imiProbesCol(cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
                            nProbe: Int, vec: Column, half: Int): Column = {
     val s1 = probeCellsCol(cents._1, nProbe, slice(vec, 1, half))
     val s2 = probeCellsCol(cents._2, nProbe, slice(vec, half + 1, half))

@@ -138,6 +138,50 @@ class LayoutSpec extends SparkSpec {
     assert(fromLayout == direct)
   }
 
+  test("IMI layout: two-level pruning (cell1 partitions, cell2 row groups), parity with in-memory") {
+    val dir = Files.createTempDirectory("layout-imi").toString + "/imi"
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val (indexed, cents) = Similarity.imiIndex(emb, k = 4, lloydIters = 2)
+    Layout.imiWrite(indexed, cents, dir)
+
+    // sidecars round-trip both codebooks exactly
+    val (b1, b2) = Layout.readImiCentroids(spark, dir)
+    assert(b1.map(_._1).toSeq == cents._1.map(_._1).toSeq &&
+      b1.map(_._2.toSeq).toSeq == cents._1.map(_._2.toSeq).toSeq)
+    assert(b2.map(_._1).toSeq == cents._2.map(_._1).toSeq &&
+      b2.map(_._2.toSeq).toSeq == cents._2.map(_._2.toSeq).toSeq)
+
+    // one file per cell1 partition (writer repartitions on cell1)
+    val filesTotal = spark.read.parquet(s"$dir/data").inputFiles.length
+    assert(filesTotal <= cents._1.length,
+      s"expected <= k files (one per cell1), got $filesTotal")
+
+    // ONE query, nProbe = 3: the top-3 pairs can span at most 3 distinct
+    // cell1 values of the 4 partitions, so pruning is guaranteed visible
+    val queries = emb.where(col("vec_id") === 0)
+    val result = Layout.imiTopKFromLayout(spark, dir, queries, k = 5, nProbe = 3)
+    val rows = result.collect()
+    assert(rows.nonEmpty)
+
+    // plan: cell1 is a PARTITION filter, cell2 a PUSHED data filter
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell1"),
+      s"no cell1 partition filter in plan:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("cell2"),
+      s"no cell2 pushed filter in plan:\n$plan")
+    // files actually read are bounded by the probed cell1 set
+    val scanned = org.apache.spark.sql.graftbridge.Bridge.scannedFileCounts(result)
+    assert(scanned.nonEmpty && scanned.max < filesTotal,
+      s"scan touched ${scanned.max} of $filesTotal files; probes must prune partitions")
+
+    // parity with the in-memory pair index at the same probes
+    val direct = Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val fromLayout = rows
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(fromLayout == direct)
+  }
+
   test("IVF+PQ layout: ADC served off packed codes, partition-pruned, parity with in-memory") {
     val dir = Files.createTempDirectory("layout-ivfpq").toString + "/ivfpq"
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
