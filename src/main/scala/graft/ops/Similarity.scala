@@ -430,10 +430,53 @@ object Similarity {
     val k0 = if (k > 0) k else autoCellsImi(corpus.count())
     val h1 = slice(col(vecCol), 1, half)
     val h2 = slice(col(vecCol), half + 1, half)
-    val (_, c1) = ivfIndex(corpus.select(col(idCol), h1.as("__h")),
-      k0, lloydIters, half, idCol, "__h")
-    val (_, c2) = ivfIndex(corpus.select(col(idCol), h2.as("__h")),
-      k0, lloydIters, half, idCol, "__h")
+    // FUSED training: both half-quantizers train from ONE corpus pass
+    // per step instead of two independent [[ivfIndex]] runs — at 100 TB
+    // the training passes ARE the build cost. Bit-identical to the
+    // sequential two-run form (spec-pinned): the same md5(id)-ranked
+    // rows seed both halves (ivfIndex's seed rule applied to each half
+    // of the same row), and each Lloyd update is the same per-(cell,
+    // dim) mean — the quantizers never interact.
+    val seedRows = corpus
+      .select(col(idCol), h1.as("__h1"), h2.as("__h2"))
+      .withColumn("__rk", md5(col(idCol).cast("string")))
+      .orderBy("__rk").limit(k0).collect()
+    var c1: Array[(Int, Array[Double])] = seedRows.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble).toArray) }
+    var c2: Array[(Int, Array[Double])] = seedRows.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](2).map(_.toDouble).toArray) }
+    val halves = corpus.select(h1.as("__h1"), h2.as("__h2")).cache()
+    for (_ <- 0 until lloydIters) {
+      // one job: assign both halves, explode (quantizer, cell, dim,
+      // value) and take per-key means — map-side partial aggregation,
+      // state ≤ 2·k·half rows
+      val agg = halves
+        .withColumn("__c1", graft.functions.ArgMaxDot(col("__h1"),
+          c1.map(_._2.toSeq).toSeq, c1.map(_._1).toSeq))
+        .withColumn("__c2", graft.functions.ArgMaxDot(col("__h2"),
+          c2.map(_._2.toSeq).toSeq, c2.map(_._1).toSeq))
+        .select(explode(array(
+          struct(lit(1).as("q"), col("__c1").as("cell"), col("__h1").as("v")),
+          struct(lit(2).as("q"), col("__c2").as("cell"), col("__h2").as("v")))).as("e"))
+        .select(col("e.q"), col("e.cell"), posexplode(col("e.v")).as(Seq("d", "v")))
+        .groupBy("q", "cell", "d").agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      def updated(cents: Array[(Int, Array[Double])], q: Int): Array[(Int, Array[Double])] = {
+        val byCell = agg.filter(_.getInt(0) == q).groupBy(_.getInt(1))
+        cents.map { case (cid, old) =>
+          byCell.get(cid) match {
+            case Some(rows) =>
+              val m = old.clone()
+              rows.foreach(r => m(r.getInt(2)) = r.getDouble(3))
+              (cid, m)
+            case None => (cid, old) // empty cell keeps its centroid
+          }
+        }
+      }
+      c1 = updated(c1, 1)
+      c2 = updated(c2, 2)
+    }
+    halves.unpersist()
     val indexed = corpus
       .withColumn("cell1", graft.functions.ArgMaxDot(h1,
         c1.map(_._2.toSeq).toSeq, c1.map(_._1).toSeq))

@@ -642,6 +642,21 @@ class OpsSpec extends SparkSpec {
     assert(joined.where(col("sim") =!= col("bsim")).isEmpty,
       "IMI sims must equal exact cosine")
 
+    // fused single-pass training is BIT-IDENTICAL to two sequential
+    // half-dim ivfIndex runs (same seeds rule, same per-(cell,d) means;
+    // the quantizers never interact) — the fusion is a pure pass-count
+    // optimization, never a result change
+    val halfDf1 = emb.select(col("vec_id"), slice(col("embedding"), 1, 32).as("__h"))
+    val halfDf2 = emb.select(col("vec_id"), slice(col("embedding"), 33, 32).as("__h"))
+    val (_, s1) = Similarity.ivfIndex(halfDf1, nCells = 4, lloydIters = 2,
+      dims = 32, vecCol = "__h")
+    val (_, s2) = Similarity.ivfIndex(halfDf2, nCells = 4, lloydIters = 2,
+      dims = 32, vecCol = "__h")
+    assert(cents._1.map(_._2.toSeq).toSeq == s1.map(_._2.toSeq).toSeq,
+      "fused half-1 centroids diverged from the sequential run")
+    assert(cents._2.map(_._2.toSeq).toSeq == s2.map(_._2.toSeq).toSeq,
+      "fused half-2 centroids diverged from the sequential run")
+
     // the sqrt sizing rule: k² matches autoCells' rows-per-cell target
     assert(Similarity.autoCellsImi(500) == 4)      // floor at bench scale
     assert(Similarity.autoCellsImi(2000000L) == 16)  // 16² = 256 ≈ autoCells(2M)
