@@ -258,6 +258,41 @@ class StreamPipelineSpec extends SparkSpec {
       s"expected event-window naming, got $files")
   }
 
+  test("event-time: batch replay is idempotent (crash between commit and checkpoint)") {
+    // the crash window Structured Streaming replays: a batch ran, its
+    // pending-window appends landed, but the checkpoint didn't commit —
+    // the SAME batchId is re-delivered. The per-batch sub-dir overwrite
+    // must make the replay invisible: no duplicated rows in any
+    // finalized artifact.
+    val (wal, staging, _, storeDir) = freshDirs()
+    Files.createDirectories(Paths.get(wal))
+    val store = new LocalContentStore(storeDir)
+    val sink = new VaultSink("ns", Seq(schemaT), staging, store,
+      eventTime = Some(EventTimeWindows(60L, 30L)))
+    def batchOf(lines: String*) =
+      spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING).toDF("value")
+    def tx(lsn: Long, ts: String, id: Int, name: String): String =
+      s"""{"commit_lsn": $lsn, "records": [{"action": "I", "xid": 1, "lsn": "0/$lsn",
+         |"nextlsn": "", "timestamp": "$ts", "schema": "public", "table": "t",
+         |"columns": [{"name": "id", "type": "integer", "value": $id},
+         |{"name": "name", "type": "text", "value": "$name"}],
+         |"pk": [{"name": "id", "type": "integer"}]}]}""".stripMargin.replace("\n", " ")
+
+    val b0 = batchOf(tx(1, "2024-01-01 00:00:10.000000", 1, "a"),
+                     tx(2, "2024-01-01 00:00:20.000000", 2, "b"))
+    assert(sink.processBatch(b0, 0L).isEmpty) // window 0 still pending
+    // REPLAY of batch 0 (same id, same lines) — overwrites its own sub-dir
+    assert(sink.processBatch(b0, 0L).isEmpty)
+    // batch 1 advances the watermark past window 0 and finalizes it
+    val uploaded = sink.processBatch(
+      batchOf(tx(3, "2024-01-01 00:02:15.000000", 3, "c")), 1L)
+    assert(uploaded.map(_._1) == Seq("t"))
+    val rows = spark.read.parquet(store.get(uploaded.head._2).get.toString)
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("name"))).toSeq
+    assert(rows.sorted == Seq(1 -> "a", 2 -> "b"),
+      s"replayed batch must not duplicate rows: $rows")
+  }
+
   test("mid-stream schema drift FAILS the streaming query loudly (v1 DDL contract)") {
     val (wal, staging, ckpt, storeDir) = freshDirs()
     Files.createDirectories(Paths.get(wal))
