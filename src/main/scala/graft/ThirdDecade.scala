@@ -218,6 +218,23 @@ object ThirdDecade {
       annLayoutFixture(spark, amp, nCells = autoN, lloydIters = 1)
       noop(annServe(spark, sf01))
     })(noop(annServe(spark, amp, nCells = autoN, lloydIters = 1)))
+    // r12: the IMI fused-training claim measured at 2M vectors — one
+    // corpus pass per Lloyd step vs the sequential two-half form it
+    // replaced (spec pins them bit-identical; this row pins the COST).
+    // k = autoCellsImi(2M) = 16 per half, lloyd = 4. Training cost only:
+    // both forms end before the lazy full-corpus assignment.
+    import graft.ops.Similarity
+    def imiFused(dir: String): Unit =
+      { Similarity.imiIndex(Tables(spark, dir, "embeddings"), k = 16, lloydIters = 4); () }
+    def imiSeq(dir: String): Unit = {
+      val emb = Tables(spark, dir, "embeddings")
+      for (lo <- Seq(1, 33))
+        Similarity.ivfIndex(
+          emb.select(col("vec_id"), slice(col("embedding"), lo, 32).as("__h")),
+          nCells = 16, lloydIters = 4, dims = 32, vecCol = "__h")
+    }
+    run("imi_train_fused", imiFused(sf01))(imiFused(amp))
+    run("imi_train_seq", imiSeq(sf01))(imiSeq(amp))
 
     // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
     // 364,038 — invalid JSON
