@@ -490,7 +490,14 @@ object Similarity {
     * each half (a pair outside either half's top-nProbe is dominated by
     * nProbe better pairs differing only in that half), so enumerating
     * the nProbe×nProbe cross and slicing is EXACT, not a heuristic —
-    * all in one declarative expression per query row. */
+    * all in one declarative expression per query row.
+    *
+    * Evaluation-cost note (the CollapseProject hazard class,
+    * PLANS.md): the inner `transform` re-evaluates the half-2 score
+    * array once per outer element — nProbe·(k·dims + k log k) work per
+    * QUERY row. That is fine here by the ANN contract (queries are a
+    * bounded probe set, never the corpus); do NOT reuse this nested
+    * shape for a per-corpus-row projection. */
   private[ops] def imiProbesCol(cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
                            nProbe: Int, vec: Column, half: Int): Column = {
     val s1 = probeCellsCol(cents._1, nProbe, slice(vec, 1, half))
