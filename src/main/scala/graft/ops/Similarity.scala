@@ -330,15 +330,23 @@ object Similarity {
 
   /** Top-`nProbe` nearest cells for a query vector expression, as an
     * array<struct(sim, cell)> sorted descending: the multi-dot against
-    * all centroids in one expression, then sort + slice. */
+    * all centroids in one expression, then sort + slice.
+    *
+    * The (sim, cell) structs are built with `zip_with(sims, ids, …)` so
+    * the freshly-built `sims` array is referenced EXACTLY ONCE (the
+    * CollapseProject hazard class, PLANS.md / OpsPlanShapeSpec): the
+    * previous `array(k × element_at(sims, i))` form embedded the whole
+    * VecDotMulti subtree k times, costing k·(k·dims) multiply-adds per
+    * query row — invisible at the bench's k = 64, ruinous at the IMI
+    * cap's k = 4096 (537M mults per query). */
   private def probeCellsCol(centroids: Array[(Int, Array[Double])], nProbe: Int,
                             vec: Column): Column = {
     val sims = graft.functions.VecDotMulti(vec,
       centroids.map(_._2.toSeq).toSeq)
-    val scored = centroids.zipWithIndex.map { case ((cid, _), i) =>
-      struct(element_at(sims, i + 1).as("sim"), lit(cid).as("cell"))
-    }
-    slice(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1, nProbe)
+    val ids = array(centroids.map(c => lit(c._1)).toIndexedSeq: _*)
+    val scored = zip_with(sims, ids,
+      (s, c) => struct(s.as("sim"), c.as("cell")))
+    slice(reverse(array_sort(scored)), 1, nProbe)
   }
   private def probeCellsCol(centroids: Array[(Int, Array[Double])], nProbe: Int,
                             vecCol: String): Column =

@@ -151,4 +151,41 @@ class OpsPlanShapeSpec extends SparkSpec {
       s"pqWrite projection carries $n argmax_dot exprs (want ${m + 1} = m encode + 1 cell); " +
         s"a multi-reference pack re-inlined the codes array:\n$p")
   }
+
+  test("probe projections: the multi-dot sims array is built once per probe, never per cell") {
+    // Round-12 gate, same hazard class as the pqPack 119x: the probe
+    // selector used to build its (sim, cell) structs as
+    // array(k × element_at(sims, i)) — k textual copies of the whole
+    // VecDotMulti subtree, k·(k·dims) multiply-adds per query row
+    // (ruinous at the IMI cap's k = 4096). The zip_with form carries
+    // exactly ONE vec_dot_multi per probe selector: 1 in ivfTopK's
+    // query projection, 2 in imiTopK's (one per half).
+    val tmp = java.nio.file.Files.createTempDirectory("probeplan").toString
+    import spark.implicits._
+    (0L until 50L)
+      .map(i => (i, Array.tabulate(64)(d => (i + d).toFloat / 64f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/emb.parquet")
+    val emb = spark.read.parquet(s"$tmp/emb.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+
+    val cents = Array.tabulate(8)(c => (c, Array.tabulate(64)(d => (c * 64 + d) / 97.0)))
+    val ivf = Similarity.ivfTopK(Similarity.assignCells(emb, cents), cents,
+      queries, k = 5, nProbe = 3)
+    val pIvf = ivf.queryExecution.optimizedPlan.toString
+    val nIvf = "vec_dot_multi".r.findAllIn(pIvf).length
+    info(s"ivfTopK vec_dot_multi occurrences: $nIvf (budget 1)")
+    assert(nIvf == 1,
+      s"ivfTopK probe projection carries $nIvf vec_dot_multi exprs (want 1); " +
+        s"the sims array was re-inlined per cell:\n$pIvf")
+
+    val (indexed, imiCents) = Similarity.imiIndex(emb, k = 4, lloydIters = 1)
+    val imi = Similarity.imiTopK(indexed, imiCents, queries, k = 5, nProbe = 3)
+    val pImi = imi.queryExecution.optimizedPlan.toString
+    val nImi = "vec_dot_multi".r.findAllIn(pImi).length
+    info(s"imiTopK vec_dot_multi occurrences: $nImi (budget 2)")
+    assert(nImi == 2,
+      s"imiTopK probe projection carries $nImi vec_dot_multi exprs (want 2 = one per half); " +
+        s"a sims array was re-inlined per cell:\n$pImi")
+  }
 }
