@@ -156,6 +156,24 @@ object WalDecoder {
     }.toMap
   }
 
+  /** Max parsed record timestamp (epoch seconds) across a batch of WAL
+    * lines, restricted to the replayed actions — ONE narrow pass at the
+    * records level (action + timestamp only, no per-table pivot) for
+    * event-time watermark advancement. None when the batch carries no
+    * parseable replayed timestamp. */
+  def maxEventTime(spark: SparkSession, lines: DataFrame,
+                   replayActions: Set[String] = Set("I")): Option[Long] = {
+    val records = filterActions(
+      decodeRecords(actionPrefilter(lines, replayActions),
+        recordFields = Some(Seq("action", "timestamp"))),
+      replayActions)
+    val row = records.agg(max(coalesce(
+      try_to_timestamp(col("timestamp"),
+        lit("yyyy-MM-dd HH:mm:ss[.SSSSSS][xxx][xx][x]")),
+      try_to_timestamp(col("timestamp"))).cast("long"))).collect()(0)
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
   /** [[decodeTables]] over an on-disk feed directory, single-parse at the
     * scan via [[parseTxDir]]. Preferred for batch replay of spooled WAL. */
   def decodeTablesFromDir(

@@ -161,21 +161,25 @@ final class VaultSink(
     val priorWm =
       if (Files.exists(wmFile)) Files.readString(wmFile).trim.toLong
       else Long.MinValue
+    // ONE narrow records-level pass for the watermark input (action +
+    // timestamp only — no per-table pivot, no per-table agg jobs), then
+    // one full decode per table for the pending writes. The previous
+    // shape ran a per-table max() agg over the fully-decoded batch —
+    // 2T full parses of the batch where T+1 (one narrow) suffice.
+    val maxSeen = WalDecoder.maxEventTime(spark, batch, replayActions)
+      .getOrElse(Long.MinValue)
     val tables = WalDecoder.decodeTablesWithTs(spark, batch, schemas,
       replayActions, strict = strictSchema, numericAsDecimal = numericAsDecimal)
-    var maxSeen = Long.MinValue
     tables.toSeq.sortBy(_._1).foreach { case (table, df0) =>
-      val assigned = df0.withColumn("__wsec", col("__graft_ts").cast("long"))
-      val m = assigned.agg(max(col("__wsec"))).collect()(0)
-      if (!m.isNullAt(0)) maxSeen = math.max(maxSeen, m.getLong(0))
       // keep records whose window is still open; a NULL/unparseable
       // timestamp is droppable-late by contract (never fails the stream)
-      val live = assigned
+      val live = df0
         .withColumn("__wstart",
-          (floor(col("__wsec") / w.windowSeconds) * w.windowSeconds).cast("long"))
+          (floor(col("__graft_ts").cast("long") / w.windowSeconds) *
+            w.windowSeconds).cast("long"))
         .where(col("__wstart").isNotNull &&
           col("__wstart") + w.windowSeconds > priorWm)
-        .drop("__graft_ts", "__wsec")
+        .drop("__graft_ts")
       // one job writes every window's slice of this batch; replay of the
       // same batchId overwrites its own sub-dir — idempotent
       live.write.mode("overwrite").partitionBy("__wstart")
@@ -184,6 +188,12 @@ final class VaultSink(
     val newWm =
       if (maxSeen == Long.MinValue) priorWm
       else math.max(priorWm, maxSeen - w.latenessSeconds)
+    // finalize closed windows — but DELETE NOTHING yet: pending slices
+    // must outlive both the publish and the watermark commit below, or
+    // a failure between them (transient store error on a later window,
+    // crash before the move) would leave the replayed finalize only a
+    // PARTIAL slice set and silently publish a window missing rows
+    val published = scala.collection.mutable.ArrayBuffer[Path]()
     val out = schemas.map(_.table).sorted.flatMap { table =>
       val tdir = pendingRoot.resolve(table)
       if (!Files.exists(tdir)) Nil
@@ -196,30 +206,41 @@ final class VaultSink(
             .filter(_.startsWith("__wstart="))
             .map(_.stripPrefix("__wstart=").toLong))
           .distinct.sorted
-        val published = wstarts.filter(_ + w.windowSeconds <= newWm).flatMap { ws =>
+        wstarts.filter(_ + w.windowSeconds <= newWm).flatMap { ws =>
           val slices = batchDirs.map(_.resolve(s"__wstart=$ws"))
             .filter(Files.exists(_))
           val df = spark.read.parquet(slices.map(_.toString): _*)
           val res = publish(spark, table, df, ws, ts)
-          slices.foreach(FsUtil.deleteRecursive(_))
+          published ++= slices
           res
         }
-        // P10 analog: a batch sub-dir whose windows all finalized holds
-        // only markers — drop it so pending state stays O(open windows)
-        batchDirs.filter(b =>
-          !FsUtil.listDir(b).exists(_.getFileName.toString.startsWith("__wstart=")))
-          .foreach(FsUtil.deleteRecursive(_))
-        published
       }
     }
-    // commit the watermark AFTER finalization: a crash in between
-    // replays the finalize — the content-addressed put re-produces the
-    // same cid (same bytes), like the reference's UploadAll sweep
+    // COMMIT POINT: the watermark move. A crash anywhere above replays
+    // the whole batch against intact slices — every re-publish sees the
+    // FULL slice set, so the content-addressed put re-produces the same
+    // cid (the reference's UploadAll at-least-once shape).
     val tmp = Paths.get(stagingDir, "_watermark.tmp")
     Files.createDirectories(tmp.getParent)
     Files.writeString(tmp, newWm.toString)
     Files.move(tmp, wmFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // cleanup strictly after the commit point. A crash in THIS window
+    // leaves already-finalized slices behind; the next batch re-finalizes
+    // those windows from their full slices (same bytes → same cid,
+    // duplicate catalog event — the documented at-least-once edge) and
+    // then reclaims them here.
+    published.foreach(FsUtil.deleteRecursive(_))
+    // P10 analog: a batch sub-dir with no window slices left (all
+    // finalized, or its every record was dropped as late) holds only
+    // markers — drop it so pending state stays O(open windows)
+    schemas.map(t => pendingRoot.resolve(t.table)).filter(Files.exists(_))
+      .foreach { tdir =>
+        FsUtil.listDir(tdir)
+          .filter(b => b.getFileName.toString.startsWith("batch-") &&
+            !FsUtil.listDir(b).exists(_.getFileName.toString.startsWith("__wstart=")))
+          .foreach(FsUtil.deleteRecursive(_))
+      }
     out
   }
 
@@ -231,53 +252,51 @@ final class VaultSink(
                       windowToken: Long, ts: Long): Option[(String, String)] = {
     val pk = schemas.find(_.table == table).toSeq
       .flatMap(_.columns.filter(_.isPrimary).map(_.name))
-    locally {
-      // sort by PK within each output file: parquet row-group min/max
-      // stats become selective, so PK-ranged reads of the artifact
-      // prune row groups instead of scanning the window (sort applied
-      // AFTER the single-file coalesce so that file is globally sorted)
-      def pkSorted(d: DataFrame): DataFrame = pk match {
-        case Nil => d
-        case cols => d.sortWithinPartitions(cols.map(org.apache.spark.sql.functions.col): _*)
-      }
-      val out = if (singleFile) pkSorted(df.coalesce(1)) else pkSorted(df)
-      val stagePath = Paths.get(stagingDir, s"$table-$windowToken")
-      out.write.mode("overwrite").parquet(stagePath.toString)
-      // P6: skip empty windows — cheap check on the written files
-      val parts = FsUtil.listDir(stagePath).filter(_.toString.endsWith(".parquet"))
-      val hasRows = parts.nonEmpty && spark.read.parquet(stagePath.toString).head(1).nonEmpty
-      if (!hasRows) { FsUtil.deleteRecursive(stagePath); None }
-      else {
-        // singleFile: one `<table>-<window>.parquet` like the reference;
-        // scale mode: upload the whole window DIRECTORY (all part files)
-        val artifact =
-          if (singleFile) singleParquetFile(stagePath, table, windowToken)
-          else {
-            val dir = stagePath.resolveSibling(s"$table-$windowToken")
-            // strip _SUCCESS/. markers; keep only data files
-            FsUtil.listDir(stagePath)
-              .filter(p => !p.getFileName.toString.endsWith(".parquet"))
-              .foreach(p => Files.deleteIfExists(p))
-            Files.move(stagePath, dir, StandardCopyOption.REPLACE_EXISTING)
-            dir
-          }
-        val sig = signer.map(_.sign(artifact)).getOrElse(Array.emptyByteArray)
-        val vault = VaultName(namespace, table)
-        // row-content ECMH digest recorded with the event: a retriever
-        // can re-derive it from the downloaded parquet and compare —
-        // content verification independent of the transport (the
-        // reference's stated purpose for pkg/ecmh). Order-independent,
-        // so it survives any row layout the reader produces.
-        val digest = schemas.find(_.table == table).map { sch =>
-          graft.crypto.EcmhAggregator.rowDigest(
-            spark.read.parquet(artifact.toString), sch.columns.map(_.name))
-        }.getOrElse("")
-        val cid = store.put(vault, artifact, ts, sig)
-        catalog.foreach(c => c.appendEvent(vault, cid, ts,
-          isArchived = false, c.cacheExpiryFor(vault, ts), digest))
-        FsUtil.deleteRecursive(stagePath)
-        Some(table -> cid)
-      }
+    // sort by PK within each output file: parquet row-group min/max
+    // stats become selective, so PK-ranged reads of the artifact
+    // prune row groups instead of scanning the window (sort applied
+    // AFTER the single-file coalesce so that file is globally sorted)
+    def pkSorted(d: DataFrame): DataFrame = pk match {
+      case Nil => d
+      case cols => d.sortWithinPartitions(cols.map(org.apache.spark.sql.functions.col): _*)
+    }
+    val out = if (singleFile) pkSorted(df.coalesce(1)) else pkSorted(df)
+    val stagePath = Paths.get(stagingDir, s"$table-$windowToken")
+    out.write.mode("overwrite").parquet(stagePath.toString)
+    // P6: skip empty windows — cheap check on the written files
+    val parts = FsUtil.listDir(stagePath).filter(_.toString.endsWith(".parquet"))
+    val hasRows = parts.nonEmpty && spark.read.parquet(stagePath.toString).head(1).nonEmpty
+    if (!hasRows) { FsUtil.deleteRecursive(stagePath); None }
+    else {
+      // singleFile: one `<table>-<window>.parquet` like the reference;
+      // scale mode: upload the whole window DIRECTORY (all part files)
+      val artifact =
+        if (singleFile) singleParquetFile(stagePath, table, windowToken)
+        else {
+          val dir = stagePath.resolveSibling(s"$table-$windowToken")
+          // strip _SUCCESS/. markers; keep only data files
+          FsUtil.listDir(stagePath)
+            .filter(p => !p.getFileName.toString.endsWith(".parquet"))
+            .foreach(p => Files.deleteIfExists(p))
+          Files.move(stagePath, dir, StandardCopyOption.REPLACE_EXISTING)
+          dir
+        }
+      val sig = signer.map(_.sign(artifact)).getOrElse(Array.emptyByteArray)
+      val vault = VaultName(namespace, table)
+      // row-content ECMH digest recorded with the event: a retriever
+      // can re-derive it from the downloaded parquet and compare —
+      // content verification independent of the transport (the
+      // reference's stated purpose for pkg/ecmh). Order-independent,
+      // so it survives any row layout the reader produces.
+      val digest = schemas.find(_.table == table).map { sch =>
+        graft.crypto.EcmhAggregator.rowDigest(
+          spark.read.parquet(artifact.toString), sch.columns.map(_.name))
+      }.getOrElse("")
+      val cid = store.put(vault, artifact, ts, sig)
+      catalog.foreach(c => c.appendEvent(vault, cid, ts,
+        isArchived = false, c.cacheExpiryFor(vault, ts), digest))
+      FsUtil.deleteRecursive(stagePath)
+      Some(table -> cid)
     }
   }
 

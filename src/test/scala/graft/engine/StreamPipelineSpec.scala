@@ -293,6 +293,63 @@ class StreamPipelineSpec extends SparkSpec {
       s"replayed batch must not duplicate rows: $rows")
   }
 
+  test("event-time: a failure AFTER one window finalized never loses that window's rows on replay") {
+    // The round-12 review scenario: window W spans two batches; the
+    // batch that finalizes W fails LATER in the same batch (transient
+    // store error on another table's put), so the watermark never
+    // commits and Structured Streaming replays the batch. The replayed
+    // finalize must see W's FULL slice set — slices may only be
+    // reclaimed after the watermark commit point.
+    val schemaU = TableSchema("u", Seq(
+      TableColumn("id", "integer", nullable = false, isPrimary = true),
+      TableColumn("name", "text", nullable = false, isPrimary = false)))
+    val (_, staging, _, storeDir) = freshDirs()
+    val inner = new LocalContentStore(storeDir)
+    object flaky extends ContentStore {
+      @volatile var failOn: String = null
+      override def put(vault: graft.core.VaultName, file: java.nio.file.Path,
+                       timestampSec: Long, sig: Array[Byte]): String = {
+        if (vault.relation == failOn) sys.error("transient store outage")
+        inner.put(vault, file, timestampSec, sig)
+      }
+      override def get(cid: String): Option[java.nio.file.Path] = inner.get(cid)
+    }
+    val sink = new VaultSink("ns", Seq(schemaT, schemaU), staging, flaky,
+      eventTime = Some(EventTimeWindows(60L, 30L)))
+    def batchOf(lines: String*) =
+      spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING).toDF("value")
+    def tx(lsn: Long, table: String, ts: String, id: Int, name: String): String =
+      s"""{"commit_lsn": $lsn, "records": [{"action": "I", "xid": 1, "lsn": "0/$lsn",
+         |"nextlsn": "", "timestamp": "$ts", "schema": "public", "table": "$table",
+         |"columns": [{"name": "id", "type": "integer", "value": $id},
+         |{"name": "name", "type": "text", "value": "$name"}],
+         |"pk": [{"name": "id", "type": "integer"}]}]}""".stripMargin.replace("\n", " ")
+
+    // batch 0: slice A of t's window 0
+    sink.processBatch(batchOf(tx(1, "t", "2024-01-01 00:00:10.000000", 1, "a")), 0L)
+    // batch 1: slice B of t's window 0, a u-row closing its own window,
+    // and a watermark-advancing record. Table order is alphabetical, so
+    // t publishes FIRST (succeeds), then u's put fails the batch.
+    val b1 = batchOf(
+      tx(2, "t", "2024-01-01 00:00:20.000000", 2, "b"),
+      tx(3, "u", "2024-01-01 00:00:30.000000", 7, "x"),
+      tx(4, "t", "2024-01-01 00:02:15.000000", 3, "c"))
+    flaky.failOn = "u"
+    intercept[Exception](sink.processBatch(b1, 1L))
+    // REPLAY of batch 1 with the store healed
+    flaky.failOn = null
+    sink.processBatch(b1, 1L)
+    // EVERY t-window-0 artifact in the store must carry BOTH slices —
+    // a partial {2} artifact would be the silent-loss bug
+    val w0Artifacts = storeFiles(storeDir)
+      .filter(_.getFileName.toString.contains("t-1704067200"))
+    assert(w0Artifacts.nonEmpty, "window 0 artifact missing entirely")
+    w0Artifacts.foreach { f =>
+      assert(readRows(f) == Set(1 -> "a", 2 -> "b"),
+        s"window-0 artifact $f lost rows: ${readRows(f)}")
+    }
+  }
+
   test("mid-stream schema drift FAILS the streaming query loudly (v1 DDL contract)") {
     val (wal, staging, ckpt, storeDir) = freshDirs()
     Files.createDirectories(Paths.get(wal))
