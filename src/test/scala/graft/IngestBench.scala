@@ -45,21 +45,39 @@ object IngestBench {
       TableColumn("v", "double precision", nullable = false, isPrimary = false))))
 
   /** wal2json v2 record for one insert (deterministic content). */
-  private def record(tx: Long, i: Int): String = {
+  private def record(tx: Long, i: Int,
+                     ts: String = "2024-01-01 00:00:00.000000+00"): String = {
     val table = TableNames((tx % TableNames.length).toInt) // one table per tx
     val id = tx * RecordsPerTx + i
-    s"""{"action":"I","xid":$tx,"lsn":"0/${(tx * 16 + i).toHexString}","nextlsn":"","timestamp":"2024-01-01 00:00:00.000000+00","schema":"public","table":"$table","columns":[{"name":"id","type":"integer","value":$id},{"name":"name","type":"text","value":"row-$tx-$i-payload-abcdefghijklmnop"},{"name":"v","type":"double precision","value":${(id % 1000)}.25}],"pk":[{"name":"id","type":"integer"}]}"""
+    s"""{"action":"I","xid":$tx,"lsn":"0/${(tx * 16 + i).toHexString}","nextlsn":"","timestamp":"$ts","schema":"public","table":"$table","columns":[{"name":"id","type":"integer","value":$id},{"name":"name","type":"text","value":"row-$tx-$i-payload-abcdefghijklmnop"},{"name":"v","type":"double precision","value":${(id % 1000)}.25}],"pk":[{"name":"id","type":"integer"}]}"""
+  }
+
+  /** Event-time arm: the commit timestamp advances one second per tx
+    * (monotonic — no late records, lateness bound 0 suffices), so with
+    * `maxTxPerTrigger = nTx/nBatches` and `windowSeconds = nTx/nBatches`
+    * each micro-batch carries ~one event-time window: the publish count
+    * matches the processing-time arm and the delta measures only the
+    * event-time machinery (narrow watermark pass + pending-slice
+    * write + finalize re-read). */
+  private val EtBaseSec = 1704067200L // 2024-01-01 00:00:00 UTC
+  private def etTs(tx: Long): String = {
+    val t = java.time.LocalDateTime.ofEpochSecond(EtBaseSec + tx, 0,
+      java.time.ZoneOffset.UTC)
+    f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d ${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d.000000+00"
   }
 
   private def commitLsn(tx: Long): Long = 0x1000L * (tx + 1)
 
   /** One spool envelope line (the FileWalFeed wire format). */
-  private def txLine(tx: Long): String =
-    s"""{"commit_lsn":${commitLsn(tx)},"records":[${(0 until RecordsPerTx).map(record(tx, _)).mkString(",")}]}"""
+  private def txLine(tx: Long, eventTimed: Boolean = false): String = {
+    val ts = if (eventTimed) etTs(tx) else "2024-01-01 00:00:00.000000+00"
+    s"""{"commit_lsn":${commitLsn(tx)},"records":[${(0 until RecordsPerTx).map(record(tx, _, ts)).mkString(",")}]}"""
+  }
 
   /** Write `nTx` envelope lines into `files` spool files, LSN-ordered
     * within each file (the feed's index merges across files). */
-  private def genSpool(dir: String, nTx: Long, files: Int): Unit = {
+  private def genSpool(dir: String, nTx: Long, files: Int,
+                       eventTimed: Boolean = false): Unit = {
     Files.createDirectories(Paths.get(dir))
     val perFile = (nTx + files - 1) / files
     for (f <- 0 until files) {
@@ -69,7 +87,7 @@ object IngestBench {
       try {
         var tx = f * perFile
         while (tx < math.min((f + 1) * perFile, nTx)) {
-          out.write(txLine(tx)); out.write("\n")
+          out.write(txLine(tx, eventTimed)); out.write("\n")
           tx += 1
         }
       } finally out.close()
@@ -132,29 +150,56 @@ object IngestBench {
     graft.core.FsUtil.listDir(Paths.get(storeDir))
       .map(p => spark.read.parquet(p.toString).count()).sum
 
+  /** Rows still in open event-time windows (pending slices under
+    * staging/pending/&lt;table&gt;/batch-NNN/__wstart=WS) — the
+    * event-time arm's conservation gate is stored + pending == fed. */
+  private def pendingRows(spark: SparkSession, staging: String): Long = {
+    val root = Paths.get(staging, "pending")
+    if (!Files.exists(root)) 0L
+    else graft.core.FsUtil.listDir(root).filter(Files.isDirectory(_))
+      .flatMap(t => graft.core.FsUtil.listDir(t)).filter(Files.isDirectory(_))
+      .flatMap(b => graft.core.FsUtil.listDir(b))
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("__wstart="))
+      .map(ws => spark.read.parquet(ws.toString).count()).sum
+  }
+
   private def runFileFeed(spark: SparkSession, base: String, nTx: Long,
-                          nBatches: Int): Map[String, Any] = {
+                          nBatches: Int,
+                          eventTime: Option[graft.engine.EventTimeWindows] = None)
+      : Map[String, Any] = {
     val wal = s"$base/wal"; val store = s"$base/store"
-    genSpool(wal, nTx, files = 8)
+    genSpool(wal, nTx, files = 8, eventTimed = eventTime.isDefined)
     val collector = new ProgressCollector
     spark.streams.addListener(collector)
     val t0 = System.nanoTime()
     val q = StreamPipeline.start(spark, "bench", schemas, wal, s"$base/staging",
       s"$base/ckpt", new LocalContentStore(store),
       availableNow = true, maxTxPerTrigger = Some((nTx / nBatches).toInt max 1),
-      singleFile = false)
+      singleFile = false, eventTime = eventTime)
     q.awaitTermination(math.max(600000L, nTx * 3)) // scale the cap with the feed
     val wallSec = (System.nanoTime() - t0) / 1e9
     spark.streams.removeListener(collector)
-    val rows = storedRows(spark, store)
-    require(rows == nTx * RecordsPerTx, s"row gate: stored $rows != ${nTx * RecordsPerTx}")
+    val expected = nTx * RecordsPerTx
+    val stored = storedRows(spark, store)
+    val pending = if (eventTime.isDefined) pendingRows(spark, s"$base/staging") else 0L
+    if (eventTime.isDefined) {
+      // conservation: every fed record is in exactly one of (published
+      // artifact, pending open window); monotonic timestamps mean no
+      // late drops, and the trailing window can never have closed
+      require(stored + pending == expected && stored > 0 && pending > 0,
+        s"event-time row gate: stored $stored + pending $pending != $expected")
+    } else require(stored == expected, s"row gate: stored $stored != $expected")
     val durs = collector.dursOf(q.runId)
     val (mn, md, mx) = latencyStats(durs)
-    Map("n_tx" -> nTx, "n_records" -> nTx * RecordsPerTx,
-      "wall_sec" -> wallSec, "records_per_sec" -> (nTx * RecordsPerTx / wallSec),
+    Map("n_tx" -> nTx, "n_records" -> expected,
+      "wall_sec" -> wallSec, "records_per_sec" -> (expected / wallSec),
       "tx_per_sec" -> (nTx / wallSec), "n_batches" -> durs.length,
       "batch_ms_min" -> mn, "batch_ms_median" -> md, "batch_ms_max" -> mx,
-      "rows_verified" -> rows)
+      "rows_verified" -> (stored + pending)) ++
+      (if (eventTime.isDefined)
+        Map("rows_stored" -> stored, "rows_pending" -> pending)
+      else Map.empty[String, Any])
   }
 
   private def runPgFeed(spark: SparkSession, base: String, nTx: Long): Map[String, Any] = {
@@ -354,6 +399,13 @@ object IngestBench {
     // the live-feed half — the same scale through the walsender socket,
     // spool-segment writes and ack-time GC under ~400 segment rolls
     val file100x = runFileFeed(spark, s"$base/file100x", nTx * 10, nBatches = 10)
+    // event-time arm at the 10x scale: same feed volume and batch count,
+    // windowSeconds = one batch's timestamp span (ts advances 1 s/tx) so
+    // the publish count matches the processing-time 10x row — the wall
+    // delta is the event-time machinery itself
+    val fileEt = runFileFeed(spark, s"$base/fileEt", nTx, nBatches = 10,
+      eventTime = Some(graft.engine.EventTimeWindows(
+        windowSeconds = (nTx / 10) max 1, latenessSeconds = 0L)))
     val pg = runPgFeed(spark, s"$base/pg", nTx / 10)
     val pg100x = runPgFeed(spark, s"$base/pg100x", nTx * 10)
     // real-Postgres run only where server binaries exist (the artifact
@@ -372,6 +424,7 @@ object IngestBench {
       "cpus" -> cpus.toInt,
       "file_feed_1x" -> file1x, "file_feed_10x" -> file10x,
       "file_feed_100x" -> file100x,
+      "file_feed_eventtime_10x" -> fileEt,
       "pg_feed" -> pg, "pg_feed_100x" -> pg100x,
       "scaling_exponent_file_feed" -> exp,
       "scaling_exponent_file_feed_2" -> exp2) ++
