@@ -188,12 +188,23 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dots = graft.functions.VecDotMulti(col(vecCol), centroids.map(_._2.toSeq).toSeq)
     val xx = dot(col(vecCol), col(vecCol))
-    val entries = centroids.zipWithIndex.map { case ((cid, c), i) =>
+    // (cc, cell) as a LITERAL struct array zipped against the freshly-
+    // built dots so the VecDotMulti subtree is referenced exactly once
+    // (the CollapseProject hazard class, PLANS.md): the previous
+    // `array(k × element_at(dots, i))` form spliced the whole multi-dot
+    // (and xx) into every entry — k·(k+1)·dims multiply-adds per CORPUS
+    // row. xx inside the lambda still evaluates per element (k·dims,
+    // same order as the dots pass — a constant factor, not a k² term)
+    // and keeps the `xx − 2·x·c + c·c` left-to-right association
+    // bit-identical to the SQL oracle's expansion.
+    val cellInfo = array(centroids.map { case (cid, c) =>
       val cc = c.foldLeft(0.0)((a, v) => a + v * v) // sequential, = list_sum order
-      struct((xx - lit(2.0) * element_at(dots, i + 1) + lit(cc)).as("dist2"),
-             lit(cid).as("cell"))
-    }
-    corpus.select(col(idCol), array_min(array(entries: _*)).as("__m"))
+      struct(lit(cc).as("cc"), lit(cid).as("cell"))
+    }.toIndexedSeq: _*)
+    val entries = zip_with(dots, cellInfo, (d, info) =>
+      struct((xx - lit(2.0) * d + info.getField("cc")).as("dist2"),
+             info.getField("cell").as("cell")))
+    corpus.select(col(idCol), array_min(entries).as("__m"))
       .select(col(idCol), col("__m.cell").as("cell"),
               round(col("__m.dist2"), 6).as("dist2"))
   }

@@ -188,4 +188,26 @@ class OpsPlanShapeSpec extends SparkSpec {
       s"imiTopK probe projection carries $nImi vec_dot_multi exprs (want 2 = one per half); " +
         s"a sims array was re-inlined per cell:\n$pImi")
   }
+
+  test("assignCentroids: the multi-dot distance array is built once per CORPUS row, never per cell") {
+    // Same hazard, full-corpus path: the k-entry (dist2, cell) array used
+    // to splice the VecDotMulti subtree (and the x·x dot) into every
+    // entry — k·(k+1)·dims multiply-adds per corpus row. The zip_with
+    // form carries exactly one vec_dot_multi.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("assignplan").toString
+    (0L until 20L)
+      .map(i => (i, Array.tabulate(64)(d => (i + d).toFloat / 64f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/emb.parquet")
+    val emb = spark.read.parquet(s"$tmp/emb.parquet")
+    val cents = Array.tabulate(8)(c => (c, Array.tabulate(64)(d => (c * 64 + d) / 97.0)))
+    val p = Similarity.assignCentroids(emb, cents)
+      .queryExecution.optimizedPlan.toString
+    val n = "vec_dot_multi".r.findAllIn(p).length
+    info(s"assignCentroids vec_dot_multi occurrences: $n (budget 1)")
+    assert(n == 1,
+      s"assignCentroids projection carries $n vec_dot_multi exprs (want 1); " +
+        s"the dots array was re-inlined per cell:\n$p")
+  }
 }
