@@ -683,6 +683,53 @@ object OpsQueries {
           (col("__diff") === 0L).cast("long").as("layout_parity"))
     }),
 
+    // IMI + PQ composed layout (r12): the production two-level config —
+    // k² pair-cells (cell counts past the single-level cap) over packed
+    // 8-byte ADC code words (16x narrower scans than imiWrite's raw
+    // vectors). Same build/serve fixture split; recall contract + row
+    // parity with the in-memory Similarity.imiPqTopK composition.
+    "q_ann_imipq_layout" -> ((s, dir) => {
+      import graft.ops.{Layout, Similarity}
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val fixDir = s"${sys.props("java.io.tmpdir")}/graft_imipq_v1_$sf"
+      val layoutDir = s"$fixDir/layout"
+      val directPath = s"$fixDir/expected_direct.parquet"
+      val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
+      val buildTag = embSnapshotKey(dir) +
+        "|k=5|imi(k=4,lloyd=2,probe=12)|pq(m=16,kSub=16)"
+      val markerFresh = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
+      if (!markerFresh) {
+        graft.core.FsUtil.deleteRecursive(java.nio.file.Paths.get(fixDir))
+        val (indexed, cents) = Similarity.imiIndex(emb, k = 4, lloydIters = 2)
+        val books = pqBooksFor(s, dir)
+        Layout.imiPqWrite(indexed, cents, books, layoutDir)
+        Similarity.imiPqTopK(indexed, cents, books, queries, k = 5, nProbe = 12)
+          .write.mode("overwrite").parquet(directPath)
+        java.nio.file.Files.write(marker, buildTag.getBytes("UTF-8"))
+      }
+      val served = Layout.imiPqTopKFromLayout(s, layoutDir, emb, queries,
+        k = 5, nProbe = 12)
+      val direct = s.read.parquet(directPath).select(served.columns.map(col): _*)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+      val hits = served.select("query_id", "neighbor_id")
+        .join(exact, col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+          "left_semi")
+      served.agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_results"))
+        .crossJoin(hits.agg(count(lit(1)).as("__hits")))
+        .crossJoin(
+          served.exceptAll(direct).unionAll(direct.exceptAll(served))
+            .agg(count(lit(1)).as("__diff")))
+        .select(col("n_queries"), col("n_results"),
+          (col("__hits").cast("double") >= col("n_results") * 0.8)
+            .cast("long").as("recall_ok"),
+          (col("__diff") === 0L).cast("long").as("layout_parity"))
+    }),
+
     // END-TO-END corpus dedup: LSH candidates → Jaccard ≥ 0.8 →
     // connected components → keep canonical docs only (hash-checked
     // against the full SQL replica incl. recursive closure)
@@ -894,6 +941,11 @@ object OpsQueries {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "q_ann_imi_layout" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_results,
+        |  CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS layout_parity
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q_ann_imipq_layout" ->
       """SELECT count(*) AS n_queries, count(*) * 5 AS n_results,
         |  CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS layout_parity
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

@@ -115,6 +115,81 @@ object ThirdDecade {
       emb.where(col("vec_id") < 10), k = 5)
   }
 
+  /** Marker-guarded IMI layout fixture (two-level pruned layout,
+    * [[graft.ops.Layout.imiWrite]]): k per half = autoCellsImi(2M) = 16
+    * → 256 pair cells at the third decade, the same cell count as the
+    * scaled IVF fixture, so imi_serve vs ann_serve_cells256 is a direct
+    * quantizer A/B at equal probed fraction. */
+  def imiLayoutFixture(spark: SparkSession, dir: String, k: Int = 16,
+                       lloydIters: Int = 4): String = {
+    import graft.ops.{Layout, Similarity}
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fixDir = s"${sys.props("java.io.tmpdir")}/graft_1000x_imi_${tag}_k$k"
+    val layoutDir = s"$fixDir/layout"
+    val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
+    val buildTag = OpsQueries.embSnapshotKey(dir) +
+      s"|imi(k=$k,lloyd=$lloydIters,dims=64)"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
+    if (!fresh) {
+      graft.core.FsUtil.deleteRecursive(java.nio.file.Paths.get(fixDir))
+      val emb = Tables(spark, dir, "embeddings")
+      val t0 = System.nanoTime()
+      val (indexed, cents) = Similarity.imiIndex(emb, k = k, lloydIters = lloydIters)
+      Layout.imiWrite(indexed, cents, layoutDir)
+      println(f"[scale] imi layout build ($dir, k=$k, lloyd=$lloydIters): ${(System.nanoTime() - t0) / 1e9}%.1fs (untimed fixture)")
+      java.nio.file.Files.write(marker, buildTag.getBytes("UTF-8"))
+    }
+    layoutDir
+  }
+
+  /** The timed IMI serve off the persisted two-level layout: nProbe=32
+    * pair cells of the 256 → same 12.5%% probed fraction as the scaled
+    * IVF row. */
+  def imiServe(spark: SparkSession, dir: String, k: Int = 16,
+               lloydIters: Int = 4): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    graft.ops.Layout.imiTopKFromLayout(spark,
+      imiLayoutFixture(spark, dir, k, lloydIters),
+      emb.where(col("vec_id") < 10), k = 5, nProbe = 32)
+  }
+
+  /** Marker-guarded IMI+PQ layout fixture: the composed production
+    * config — same 2×16 half codebooks as [[imiLayoutFixture]], codes
+    * packed with the bench PQ books (m=16, kSub=16). */
+  def imiPqLayoutFixture(spark: SparkSession, dir: String, k: Int = 16,
+                         lloydIters: Int = 4): String = {
+    import graft.ops.{Layout, Similarity}
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fixDir = s"${sys.props("java.io.tmpdir")}/graft_1000x_imipq_${tag}_k$k"
+    val layoutDir = s"$fixDir/layout"
+    val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
+    val buildTag = OpsQueries.embSnapshotKey(dir) +
+      s"|imi(k=$k,lloyd=$lloydIters,dims=64)|pq(m=16,kSub=16)"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
+    if (!fresh) {
+      graft.core.FsUtil.deleteRecursive(java.nio.file.Paths.get(fixDir))
+      val emb = Tables(spark, dir, "embeddings")
+      val t0 = System.nanoTime()
+      val (indexed, cents) = Similarity.imiIndex(emb, k = k, lloydIters = lloydIters)
+      Layout.imiPqWrite(indexed, cents, OpsQueries.pqBooksFor(spark, dir), layoutDir)
+      println(f"[scale] imipq layout build ($dir, k=$k, lloyd=$lloydIters): ${(System.nanoTime() - t0) / 1e9}%.1fs (untimed fixture)")
+      java.nio.file.Files.write(marker, buildTag.getBytes("UTF-8"))
+    }
+    layoutDir
+  }
+
+  /** The timed IMI+PQ serve: ADC off the two-level pruned packed
+    * codes, same probed fraction as [[imiServe]]. */
+  def imiPqServe(spark: SparkSession, dir: String, k: Int = 16,
+                 lloydIters: Int = 4): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    graft.ops.Layout.imiPqTopKFromLayout(spark,
+      imiPqLayoutFixture(spark, dir, k, lloydIters), emb,
+      emb.where(col("vec_id") < 10), k = 5, nProbe = 32)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // At 1000× the bench default (shuffle partitions = cores) puts ~30M
@@ -235,6 +310,22 @@ object ThirdDecade {
     }
     run("imi_train_fused", imiFused(sf01))(imiFused(amp))
     run("imi_train_seq", imiSeq(sf01))(imiSeq(amp))
+    // r12: IMI SERVE at the third decade — 2x16 half codebooks = 256
+    // pair cells, nProbe=32 → the same 12.5% probed fraction as
+    // ann_serve_cells256, directly A/B-ing the two-level pruned layout
+    // against the flat scaled-cells IVF+PQ layout
+    run("imi_serve_layout", {
+      imiLayoutFixture(spark, sf01); imiLayoutFixture(spark, amp)
+      noop(imiServe(spark, sf01))
+    })(noop(imiServe(spark, amp)))
+    // r12: the composed IMI+PQ serve at the same probed fraction — the
+    // production config (two-level cells over 8-byte ADC code words);
+    // vs imi_serve_layout it isolates what PQ compression buys the
+    // two-level layout's scan
+    run("imipq_serve_layout", {
+      imiPqLayoutFixture(spark, sf01); imiPqLayoutFixture(spark, amp)
+      noop(imiPqServe(spark, sf01))
+    })(noop(imiPqServe(spark, amp)))
 
     // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
     // 364,038 — invalid JSON

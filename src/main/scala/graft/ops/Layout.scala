@@ -106,6 +106,84 @@ object Layout {
       cents._2.iterator.map { case (cid, v) => s"$cid\t${v.mkString(",")}" })
   }
 
+  /**
+   * Persist the full two-level compressed index (IMI + PQ): 8-byte
+   * packed code words partitioned by `cell1` (bounded at k directories)
+   * and SORTED by `cell2` within each partition's files, plus both half
+   * codebooks and the PQ codebooks as sidecars. The production serving
+   * layout past the single-level cell cap: pair probes prune twice
+   * (cell1 at the listing, cell2 at the row-group stats) AND every
+   * scanned row is a packed code word instead of a raw vector — the
+   * [[pqWrite]] compression and the [[imiWrite]] cell-count path
+   * composed. Raw vectors stay in the corpus table for the shortlist
+   * re-rank only.
+   *
+   * Expects `indexed` from [[Similarity.imiIndex]] (has `cell1`/`cell2`)
+   * and `books` from [[Similarity.pqTrain]] on the same corpus.
+   */
+  def imiPqWrite(indexed: DataFrame,
+                 cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
+                 books: Similarity.PqBooks, dir: String, dims: Int = 64,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val m = books.length
+    Similarity.pqEncode(indexed, books, dims, idCol, vecCol)
+      .select(col(idCol), col("cell1"), col("cell2"),
+        Similarity.pqPack(col("codes"), m).as("packed"))
+      .repartition(cents._1.length, col("cell1"))
+      .sortWithinPartitions("cell1", "cell2")
+      .write.mode("overwrite").partitionBy("cell1").parquet(s"$dir/codes")
+    val spark = indexed.sparkSession
+    writeTsv(spark, s"$dir/_centroids1.tsv",
+      cents._1.iterator.map { case (cid, v) => s"$cid\t${v.mkString(",")}" })
+    writeTsv(spark, s"$dir/_centroids2.tsv",
+      cents._2.iterator.map { case (cid, v) => s"$cid\t${v.mkString(",")}" })
+    writeTsv(spark, s"$dir/_codebooks.tsv",
+      for { s <- books.indices.iterator; (cid, c) <- books(s).iterator }
+        yield s"$s\t$cid\t${c.mkString(",")}")
+  }
+
+  /**
+   * ADC top-k served straight off an [[imiPqWrite]] layout — identical
+   * results to the in-memory [[Similarity.imiPqTopK]] (same pair
+   * probes, same lookup table, same shortlist re-rank; `LayoutSpec`
+   * pins parity), but the scan is a two-level pruned read of packed
+   * codes: probed cell1 values list only their partition directories,
+   * probed cell2 values push into the cell2-sorted files' row-group
+   * stats, and each scanned row is 8 bytes. `corpus` supplies the raw
+   * vectors for the shortlist re-rank only.
+   */
+  def imiPqTopKFromLayout(spark: SparkSession, dir: String, corpus: DataFrame,
+                          queries: DataFrame, k: Int, nProbe: Int = 32,
+                          shortlist: Int = 100, dims: Int = 64,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = readImiCentroids(spark, dir)
+    val books = readPqBooks(spark, dir)
+    val m = books.length
+    val half = dims / 2
+    val qRows = Similarity.collectQueries(queries, idCol, vecCol)
+    val lut = Similarity.pqLut(spark, qRows, books, dims / m)
+    val probes = queries.select(col(idCol).as("query_id"),
+        explode(Similarity.imiProbesCol(cents, nProbe, col(vecCol), half)).as("__p"))
+      .select(col("query_id"),
+        col("__p.cell1").as("cell1"), col("__p.cell2").as("cell2"))
+    val pairs = probes.select("cell1", "cell2").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val all = spark.read.parquet(s"$dir/codes")
+    val pruned =
+      if (pairs.isEmpty) all.where(lit(false))
+      else all.where(
+        col("cell1").isin(pairs.map(_._1).distinct.toIndexedSeq: _*) &&
+          col("cell2").isin(pairs.map(_._2).distinct.toIndexedSeq: _*))
+    val coded = pruned
+      .join(broadcast(probes), Seq("cell1", "cell2"))
+      .where(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        posexplode(Similarity.pqUnpack(col("packed"), m)).as(Seq("sub", "code")))
+    val approx = coded.join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "neighbor_id").agg(sum("pd").as("adist"))
+    Similarity.adcShortlistRerank(approx, corpus, queries, k, shortlist, idCol, vecCol)
+  }
+
   /** Both codebook sidecars of an [[imiWrite]] layout. */
   def readImiCentroids(spark: SparkSession, dir: String)
       : (Array[(Int, Array[Double])], Array[(Int, Array[Double])]) = {

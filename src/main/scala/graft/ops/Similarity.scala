@@ -835,4 +835,44 @@ object Similarity {
       .groupBy("query_id", "neighbor_id").agg(sum("pd").as("adist"))
     adcShortlistRerank(approx, indexed, queries, k, shortlist, idCol, vecCol)
   }
+
+  /**
+   * IMI + PQ: the two-level coarse quantizer ([[imiIndex]]) composed
+   * with product-quantized ADC — the classic IMI+ADC configuration
+   * (Babenko & Lempitsky, "The Inverted Multi-Index", CVPR 2012):
+   * k² pair-cells from two k-sized half codebooks (cell counts past the
+   * single-level plan-literal cap) AND code words ~32× smaller than the
+   * raw vectors, so candidate scans stay narrow at any corpus size.
+   * Probe pairs come from [[imiProbesCol]] (exact top-nProbe by the
+   * per-half domination argument); candidates join on the (cell1,
+   * cell2) pair key; distances are the same LUT-sum ADC as
+   * [[ivfPqTopK]] with the same exact shortlist re-rank.
+   *
+   * Expects `indexed` from [[imiIndex]] (has `cell1`/`cell2`); train
+   * `books` on the same corpus.
+   */
+  def imiPqTopK(indexed: DataFrame,
+                cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
+                books: PqBooks, queries: DataFrame, k: Int, nProbe: Int = 32,
+                shortlist: Int = 100, dims: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = indexed.sparkSession
+    val ds = dims / books.length
+    val half = dims / 2
+    val qRows = collectQueries(queries, idCol, vecCol)
+    val lut = pqLut(spark, qRows, books, ds)
+    val probes = queries.select(col(idCol).as("query_id"),
+        explode(imiProbesCol(cents, nProbe, col(vecCol), half)).as("__p"))
+      .select(col("query_id"),
+        col("__p.cell1").as("cell1"), col("__p.cell2").as("cell2"))
+    val coded = pqEncode(indexed, books, dims, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("cell1"), col("cell2"), col("codes"))
+      .join(broadcast(probes), Seq("cell1", "cell2"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val approx = coded.join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "neighbor_id").agg(sum("pd").as("adist"))
+    adcShortlistRerank(approx, indexed, queries, k, shortlist, idCol, vecCol)
+  }
 }

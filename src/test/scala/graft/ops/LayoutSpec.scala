@@ -232,6 +232,60 @@ class LayoutSpec extends SparkSpec {
     assert(fromLayout == direct)
   }
 
+  test("IMI+PQ layout: ADC served off the two-level pruned codes, parity with in-memory") {
+    val dir = Files.createTempDirectory("layout-imipq").toString + "/imipq"
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val (indexed, cents) = Similarity.imiIndex(emb, k = 4, lloydIters = 2)
+    val books = Similarity.pqTrain(emb)
+    Layout.imiPqWrite(indexed, cents, books, dir)
+
+    // all three sidecars round-trip exactly
+    val (b1, b2) = Layout.readImiCentroids(spark, dir)
+    assert(b1.map(_._1).toSeq == cents._1.map(_._1).toSeq &&
+      b1.map(_._2.toSeq).toSeq == cents._1.map(_._2.toSeq).toSeq)
+    assert(b2.map(_._1).toSeq == cents._2.map(_._1).toSeq &&
+      b2.map(_._2.toSeq).toSeq == cents._2.map(_._2.toSeq).toSeq)
+    val bb = Layout.readPqBooks(spark, dir)
+    assert(bb.length == books.length)
+    for (s <- books.indices) {
+      assert(bb(s).map(_._1).toSeq == books(s).map(_._1).toSeq)
+      assert(bb(s).map(_._2.toSeq).toSeq == books(s).map(_._2.toSeq).toSeq)
+    }
+
+    // the persisted index rows are 8-byte packed words, ≤ k cell1 files
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.schema("packed").dataType.typeName == "long")
+    assert(codes.inputFiles.length <= cents._1.length)
+
+    // ONE query, nProbe = 3: the probed pairs span ≤ 3 distinct cell1
+    // of the 4 partitions, so partition pruning is guaranteed visible
+    val queries = emb.where(col("vec_id") === 0)
+    val result = Layout.imiPqTopKFromLayout(spark, dir, emb, queries,
+      k = 5, nProbe = 3)
+    val rows = result.collect()
+    assert(rows.nonEmpty)
+
+    // two-level pruning: cell1 a PARTITION filter, cell2 a PUSHED filter
+    val scanned = org.apache.spark.sql.graftbridge.Bridge.scannedFileCounts(result)
+    val filesTotal = codes.inputFiles.length
+    assert(scanned.nonEmpty && scanned.max < filesTotal,
+      s"scan touched ${scanned.max} of $filesTotal files; pair probes must prune partitions")
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell1"),
+      s"no cell1 partition filter in plan:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("cell2"),
+      s"no cell2 pushed filter in plan:\n$plan")
+
+    // parity: identical (query, rank, neighbor, sim) to the in-memory
+    // composed index on the same quantizer + codebooks
+    val direct = Similarity.imiPqTopK(indexed, cents, books, queries,
+        k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val fromLayout = rows
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(fromLayout == direct)
+  }
+
   test("postings layout: bm25 served bucket-pruned, identical to the ad-hoc scorer") {
     val dir = Files.createTempDirectory("layout-postings").toString + "/idx"
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
