@@ -688,6 +688,10 @@ object OpsQueries {
     // 8-byte ADC code words (16x narrower scans than imiWrite's raw
     // vectors). Same build/serve fixture split; recall contract + row
     // parity with the in-memory Similarity.imiPqTopK composition.
+    // Measured (RecallCheck r12 grid): 0.90-0.94 across sf0.001-0.1 at
+    // this probe=12-of-16 config — ADC quantization costs ~2 points vs
+    // the raw-vector imiTopK's 0.92-0.96, recovered to within noise by
+    // the exact shortlist re-rank; 0.8 contract has wide margin.
     "q_ann_imipq_layout" -> ((s, dir) => {
       import graft.ops.{Layout, Similarity}
       val emb = Tables(s, dir, "embeddings")

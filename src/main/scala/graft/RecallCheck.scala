@@ -54,6 +54,18 @@ object RecallCheck {
         println(s"RECALL $sf imi k=$k2 iters=$iters probe=$probe (${probe * 100 / (k2 * k2)}%) r=$r")
         indexed.unpersist()
       }
+      // IMI+PQ composition (r12): the registered q_ann_imipq_layout
+      // config — ADC quantization error on top of the pair-cell probe
+      // loss, recovered by the exact shortlist re-rank
+      for ((k2, iters, probe) <- Seq((4, 2, 12), (4, 2, 16))) {
+        val (indexed, cents) = Similarity.imiIndex(emb, k = k2, lloydIters = iters)
+        indexed.cache()
+        val books = OpsQueries.pqBooksFor(spark, s"/root/testdata/$sf")
+        val r = recall(Similarity.imiPqTopK(indexed, cents, books, queries,
+          k = 5, nProbe = probe))
+        println(s"RECALL $sf imipq k=$k2 iters=$iters probe=$probe (${probe * 100 / (k2 * k2)}%) r=$r")
+        indexed.unpersist()
+      }
       exact.unpersist()
     }
     spark.stop()
