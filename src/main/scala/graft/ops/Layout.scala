@@ -184,6 +184,79 @@ object Layout {
     Similarity.adcShortlistRerank(approx, corpus, queries, k, shortlist, idCol, vecCol)
   }
 
+  /** Incremental maintenance for an [[ivfWrite]] layout: assign ONLY
+    * `newVectors` under the frozen sidecar centroids and append into
+    * the cell partition directories. O(new data); see [[pqAppend]] for
+    * the maintenance contract. */
+  def ivfAppend(newVectors: DataFrame, dir: String,
+                vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = readIvfCentroids(spark, dir)
+    Similarity.assignCells(newVectors, centroids, vecCol)
+      .repartition(centroids.length, col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
+  /** Incremental maintenance for an [[imiWrite]] layout: pair-cell
+    * assignment under the frozen sidecar codebooks, cell2-sorted within
+    * the appended files, appended into the cell1 partitions. */
+  def imiAppend(newVectors: DataFrame, dir: String, dims: Int = 64,
+                vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = readImiCentroids(spark, dir)
+    Similarity.assignImiCells(newVectors, cents, dims, vecCol)
+      .repartition(cents._1.length, col("cell1"))
+      .sortWithinPartitions("cell1", "cell2")
+      .write.mode("append").partitionBy("cell1").parquet(s"$dir/data")
+  }
+
+  /**
+   * Incremental index maintenance for a [[pqWrite]] layout: encode ONLY
+   * `newVectors` under the layout's FROZEN quantizer + codebooks (read
+   * from the sidecars, never retrained — so the appended codes are
+   * byte-identical to what a full rebuild with the same quantizer would
+   * produce; `LayoutSpec` pins append ≡ rebuild) and append them into
+   * the cell partition directories. O(new data): the indexed corpus is
+   * never rescanned, the shuffle is one repartition of the increment.
+   * Each append lands ≤ one file per touched cell; consolidate small
+   * files off the hot path like any partitioned layout. Quantizer
+   * drift (a corpus that moved off the trained centroids) is a REBUILD
+   * decision, not an append concern — appends always use the sidecar
+   * codebooks, so a mismatched caller parameter cannot split the index.
+   */
+  def pqAppend(newVectors: DataFrame, dir: String, dims: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = readIvfCentroids(spark, dir)
+    val books = readPqBooks(spark, dir)
+    val m = books.length
+    Similarity.pqEncode(
+        Similarity.assignCells(newVectors, centroids, vecCol), books, dims, idCol, vecCol)
+      .select(col(idCol), col("cell"), Similarity.pqPack(col("codes"), m).as("packed"))
+      .repartition(centroids.length, col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** [[pqAppend]] for an [[imiPqWrite]] layout: new vectors are
+    * pair-cell-assigned and PQ-encoded under the frozen sidecar
+    * codebooks, sorted by `cell2` within each appended file so its
+    * row-group stats stay tight, and appended into the `cell1`
+    * partition directories. */
+  def imiPqAppend(newVectors: DataFrame, dir: String, dims: Int = 64,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = readImiCentroids(spark, dir)
+    val books = readPqBooks(spark, dir)
+    val m = books.length
+    Similarity.pqEncode(
+        Similarity.assignImiCells(newVectors, cents, dims, vecCol), books, dims, idCol, vecCol)
+      .select(col(idCol), col("cell1"), col("cell2"),
+        Similarity.pqPack(col("codes"), m).as("packed"))
+      .repartition(cents._1.length, col("cell1"))
+      .sortWithinPartitions("cell1", "cell2")
+      .write.mode("append").partitionBy("cell1").parquet(s"$dir/codes")
+  }
+
   /** Both codebook sidecars of an [[imiWrite]] layout. */
   def readImiCentroids(spark: SparkSession, dir: String)
       : (Array[(Int, Array[Double])], Array[(Int, Array[Double])]) = {

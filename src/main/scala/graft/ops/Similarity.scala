@@ -496,12 +496,22 @@ object Similarity {
       c2 = updated(c2, 2)
     }
     halves.unpersist()
-    val indexed = corpus
-      .withColumn("cell1", graft.functions.ArgMaxDot(h1,
-        c1.map(_._2.toSeq).toSeq, c1.map(_._1).toSeq))
-      .withColumn("cell2", graft.functions.ArgMaxDot(h2,
-        c2.map(_._2.toSeq).toSeq, c2.map(_._1).toSeq))
-    (indexed, (c1, c2))
+    (assignImiCells(corpus, (c1, c2), dims, vecCol), (c1, c2))
+  }
+
+  /** Pair-cell assignment under an ALREADY-TRAINED IMI quantizer (the
+    * serve/append half of build-once: [[imiIndex]]'s final assignment
+    * factored out so incremental index maintenance encodes new vectors
+    * under the FROZEN codebooks). Two codegen'd ArgMaxDot projections,
+    * per-row, no shuffle. */
+  def assignImiCells(df: DataFrame,
+                     cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
+                     dims: Int = 64, vecCol: String = "embedding"): DataFrame = {
+    val half = dims / 2
+    df.withColumn("cell1", graft.functions.ArgMaxDot(slice(col(vecCol), 1, half),
+        cents._1.map(_._2.toSeq).toSeq, cents._1.map(_._1).toSeq))
+      .withColumn("cell2", graft.functions.ArgMaxDot(slice(col(vecCol), half + 1, half),
+        cents._2.map(_._2.toSeq).toSeq, cents._2.map(_._1).toSeq))
   }
 
   /** Per-query top-`nProbe` IMI pair-cells, sorted by combined half

@@ -286,6 +286,61 @@ class LayoutSpec extends SparkSpec {
     assert(fromLayout == direct)
   }
 
+  test("ANN layout appends: incremental maintenance equals a full rebuild (all four layouts)") {
+    // The production shape: an index is built once and fed increments —
+    // rebuilding a 100 TB index per ingest batch is not an option. Each
+    // append encodes ONLY the new vectors under the FROZEN sidecar
+    // quantizer/codebooks, so a layout built on half the corpus then
+    // appended the other half must serve IDENTICAL results to one built
+    // on the full corpus with the same quantizer.
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val half1 = emb.where(col("vec_id") % 2 === 0)
+    val half2 = emb.where(col("vec_id") % 2 =!= 0)
+    val queries = emb.where(col("vec_id") < 3)
+    val base = Files.createTempDirectory("layout-append").toString
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+
+    // one quantizer + one codebook set, trained once on the FULL corpus
+    // (drift policy: appends never retrain)
+    val (indexedFull, cents) = Similarity.ivfIndex(emb, nCells = 8, lloydIters = 2)
+    val books = Similarity.pqTrain(emb)
+    val (indexedImiFull, imiCents) = Similarity.imiIndex(emb, k = 4, lloydIters = 2)
+
+    // IVF raw
+    Layout.ivfWrite(indexedFull, cents, s"$base/ivf_full")
+    Layout.ivfWrite(Similarity.assignCells(half1, cents), cents, s"$base/ivf_inc")
+    Layout.ivfAppend(half2, s"$base/ivf_inc")
+    assert(sortedRows(Similarity.ivfTopKFromLayout(spark, s"$base/ivf_inc", queries, k = 5, nProbe = 3)) ==
+      sortedRows(Similarity.ivfTopKFromLayout(spark, s"$base/ivf_full", queries, k = 5, nProbe = 3)))
+
+    // IVF+PQ codes
+    Layout.pqWrite(indexedFull, cents, books, s"$base/pq_full")
+    Layout.pqWrite(Similarity.assignCells(half1, cents), cents, books, s"$base/pq_inc")
+    Layout.pqAppend(half2, s"$base/pq_inc")
+    assert(sortedRows(Layout.ivfPqTopKFromLayout(spark, s"$base/pq_inc", emb, queries, k = 5, nProbe = 3)) ==
+      sortedRows(Layout.ivfPqTopKFromLayout(spark, s"$base/pq_full", emb, queries, k = 5, nProbe = 3)))
+
+    // IMI raw
+    Layout.imiWrite(indexedImiFull, imiCents, s"$base/imi_full")
+    Layout.imiWrite(Similarity.assignImiCells(half1, imiCents), imiCents, s"$base/imi_inc")
+    Layout.imiAppend(half2, s"$base/imi_inc")
+    assert(sortedRows(Layout.imiTopKFromLayout(spark, s"$base/imi_inc", queries, k = 5, nProbe = 3)) ==
+      sortedRows(Layout.imiTopKFromLayout(spark, s"$base/imi_full", queries, k = 5, nProbe = 3)))
+
+    // IMI+PQ codes
+    Layout.imiPqWrite(indexedImiFull, imiCents, books, s"$base/imipq_full")
+    Layout.imiPqWrite(Similarity.assignImiCells(half1, imiCents), imiCents, books, s"$base/imipq_inc")
+    Layout.imiPqAppend(half2, s"$base/imipq_inc")
+    assert(sortedRows(Layout.imiPqTopKFromLayout(spark, s"$base/imipq_inc", emb, queries, k = 5, nProbe = 3)) ==
+      sortedRows(Layout.imiPqTopKFromLayout(spark, s"$base/imipq_full", emb, queries, k = 5, nProbe = 3)))
+
+    // appends landed as ADDITIONAL files inside the same partition
+    // dirs — serve stays partition-pruned, no rewrite of existing data
+    assert(spark.read.parquet(s"$base/pq_inc/codes").inputFiles.length >
+      spark.read.parquet(s"$base/pq_full/codes").inputFiles.length)
+  }
+
   test("postings layout: bm25 served bucket-pruned, identical to the ad-hoc scorer") {
     val dir = Files.createTempDirectory("layout-postings").toString + "/idx"
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
