@@ -507,9 +507,57 @@ object Layout {
     val bak = new org.apache.hadoop.fs.Path(s"$path.old")
     fs.delete(bak, true)
     if (!fs.rename(live, bak) || !fs.rename(next, live))
-      sys.error(s"postingsCompact: directory swap failed for $path")
+      sys.error(s"compact: directory swap failed for $path")
     fs.delete(bak, true)
   }
+
+  /** Rewrite a cell-partitioned data dir back to one file per cell
+    * (re-sorting `sortCols` within partitions so merged files keep
+    * tight row-group stats), then [[swapDir]] it into place — the
+    * ANN-layout half of the [[postingsCompact]] maintenance story. */
+  private def compactPartitioned(spark: SparkSession, path: String,
+                                 partCol: String, sortCols: Seq[String]): Unit = {
+    val df = spark.read.parquet(path)
+    val nParts = math.max(1L, df.select(partCol).distinct().count()).toInt
+    val out = df.repartition(nParts, col(partCol))
+    val sorted =
+      if (sortCols.nonEmpty) out.sortWithinPartitions(sortCols.map(col): _*) else out
+    sorted.write.mode("overwrite").partitionBy(partCol).parquet(s"$path.compact")
+    swapDir(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf()), path)
+  }
+
+  /** Small-file compaction for an [[ivfWrite]] layout (the data dir IS
+    * the layout root, so the centroid sidecar is carried into the
+    * compacted dir before the swap). Serving parity and
+    * append-after-compact are spec-pinned for all four ANN compacts. */
+  def ivfCompact(spark: SparkSession, dir: String): Unit = {
+    val df = spark.read.parquet(dir)
+    val nParts = math.max(1L, df.select("cell").distinct().count()).toInt
+    df.repartition(nParts, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir.compact")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/_centroids.tsv"), fs,
+      new org.apache.hadoop.fs.Path(s"$dir.compact/_centroids.tsv"),
+      false, spark.sessionState.newHadoopConf())
+    swapDir(fs, dir)
+  }
+
+  /** Small-file compaction for a [[pqWrite]] layout's codes dir. */
+  def pqCompact(spark: SparkSession, dir: String): Unit =
+    compactPartitioned(spark, s"$dir/codes", "cell", Nil)
+
+  /** Small-file compaction for an [[imiWrite]] layout's data dir
+    * (cell2 re-sorted so the merged files' row-group stats stay
+    * tight). */
+  def imiCompact(spark: SparkSession, dir: String): Unit =
+    compactPartitioned(spark, s"$dir/data", "cell1", Seq("cell1", "cell2"))
+
+  /** Small-file compaction for an [[imiPqWrite]] layout's codes dir. */
+  def imiPqCompact(spark: SparkSession, dir: String): Unit =
+    compactPartitioned(spark, s"$dir/codes", "cell1", Seq("cell1", "cell2"))
 
   /** Parquet data files under a layout subdirectory (recursive; excludes
     * _SUCCESS etc.) — the compaction gate's measurement. */

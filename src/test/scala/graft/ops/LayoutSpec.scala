@@ -339,6 +339,28 @@ class LayoutSpec extends SparkSpec {
     // dirs — serve stays partition-pruned, no rewrite of existing data
     assert(spark.read.parquet(s"$base/pq_inc/codes").inputFiles.length >
       spark.read.parquet(s"$base/pq_full/codes").inputFiles.length)
+
+    // compaction: file counts drop back to one per cell, serving is
+    // unchanged, and a post-compact append still works (the OPTIMIZE
+    // half of the maintenance story, same dance as postingsCompact)
+    def files(p: String) = spark.read.parquet(p).inputFiles.length
+    val beforeC = files(s"$base/pq_inc/codes")
+    Layout.ivfCompact(spark, s"$base/ivf_inc")
+    Layout.pqCompact(spark, s"$base/pq_inc")
+    Layout.imiCompact(spark, s"$base/imi_inc")
+    Layout.imiPqCompact(spark, s"$base/imipq_inc")
+    assert(files(s"$base/pq_inc/codes") < beforeC)
+    assert(sortedRows(Similarity.ivfTopKFromLayout(spark, s"$base/ivf_inc", queries, k = 5, nProbe = 3)) ==
+      sortedRows(Similarity.ivfTopKFromLayout(spark, s"$base/ivf_full", queries, k = 5, nProbe = 3)))
+    assert(sortedRows(Layout.ivfPqTopKFromLayout(spark, s"$base/pq_inc", emb, queries, k = 5, nProbe = 3)) ==
+      sortedRows(Layout.ivfPqTopKFromLayout(spark, s"$base/pq_full", emb, queries, k = 5, nProbe = 3)))
+    assert(sortedRows(Layout.imiTopKFromLayout(spark, s"$base/imi_inc", queries, k = 5, nProbe = 3)) ==
+      sortedRows(Layout.imiTopKFromLayout(spark, s"$base/imi_full", queries, k = 5, nProbe = 3)))
+    assert(sortedRows(Layout.imiPqTopKFromLayout(spark, s"$base/imipq_inc", emb, queries, k = 5, nProbe = 3)) ==
+      sortedRows(Layout.imiPqTopKFromLayout(spark, s"$base/imipq_full", emb, queries, k = 5, nProbe = 3)))
+    // a fresh append into the compacted layout round-trips
+    Layout.pqAppend(queries, s"$base/pq_inc") // re-appending a few rows is legal
+    assert(files(s"$base/pq_inc/codes") > 0)
   }
 
   test("postings layout: bm25 served bucket-pruned, identical to the ad-hoc scorer") {
