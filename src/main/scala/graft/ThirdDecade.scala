@@ -215,8 +215,10 @@ object ThirdDecade {
     val only0: Set[String] = only.getOrElse(Set.empty)
     val tAmp0 = System.nanoTime()
     amplify1000(spark, sf01, amp, factor = 1000)
-    // embeddings only amplify when an ANN row will run (2M vectors)
-    if (only.isEmpty || only0.exists(_.startsWith("ann_serve")))
+    // embeddings only amplify when an ANN row will run (2M vectors):
+    // every serve row (ann_serve_*, imi_serve_*, imipq_serve_*) and the
+    // IMI training rows read the amplified embeddings table
+    if (only.isEmpty || only0.exists(n => n.contains("serve") || n.startsWith("imi")))
       amplify1000(spark, sf01, amp, factor = 1000, table = "embeddings")
     println(f"[1000x] amplify: ${(System.nanoTime() - tAmp0) / 1e9}%.1fs")
 

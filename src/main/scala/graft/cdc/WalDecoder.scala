@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -142,12 +142,7 @@ object WalDecoder {
       decodeRecords(actionPrefilter(lines, replayActions),
         recordFields = Some(Seq("action", "table", "columns", "timestamp"))),
       replayActions)
-      .withColumn("__graft_ts", coalesce(
-        // try_: ANSI to_timestamp throws on unparseable input; the
-        // event-time contract is NULL (droppable-late), never a throw
-        try_to_timestamp(col("timestamp"),
-          lit("yyyy-MM-dd HH:mm:ss[.SSSSSS][xxx][xx][x]")),
-        try_to_timestamp(col("timestamp"))))
+      .withColumn("__graft_ts", parsedEventTs(col("timestamp")))
     schemas.map { ts =>
       ts.table -> PgValueDecoder.pivotToTable(
         driftGated(records.where(col("table") === ts.table), ts, strict), ts,
@@ -156,21 +151,36 @@ object WalDecoder {
     }.toMap
   }
 
+  /** THE event-time parse — the watermark ([[maxEventTime]]) and the
+    * per-row window assignment ([[decodeTablesWithTs]]'s `__graft_ts`)
+    * MUST parse identically or watermark advancement desynchronizes
+    * from row windowing; both wal2json spellings parse (offset-bearing
+    * live form, offset-less spool form). `try_`: ANSI to_timestamp
+    * throws on unparseable input; the event-time contract is NULL
+    * (droppable-late), never a throw. */
+  private def parsedEventTs(ts: Column): Column = coalesce(
+    try_to_timestamp(ts, lit("yyyy-MM-dd HH:mm:ss[.SSSSSS][xxx][xx][x]")),
+    try_to_timestamp(ts))
+
   /** Max parsed record timestamp (epoch seconds) across a batch of WAL
-    * lines, restricted to the replayed actions — ONE narrow pass at the
-    * records level (action + timestamp only, no per-table pivot) for
-    * event-time watermark advancement. None when the batch carries no
-    * parseable replayed timestamp. */
+    * lines, restricted to the replayed actions AND to `tables` — the
+    * sink's tracked set: an untracked table's commits must never
+    * advance the export watermark (they could close a tracked table's
+    * window early and silently drop its in-lateness rows as late).
+    * ONE narrow pass at the records level (action + table + timestamp,
+    * no per-table pivot) for event-time watermark advancement. None
+    * when the batch carries no parseable replayed tracked-table
+    * timestamp. */
   def maxEventTime(spark: SparkSession, lines: DataFrame,
+                   tables: Seq[String],
                    replayActions: Set[String] = Set("I")): Option[Long] = {
     val records = filterActions(
       decodeRecords(actionPrefilter(lines, replayActions),
-        recordFields = Some(Seq("action", "timestamp"))),
+        recordFields = Some(Seq("action", "table", "timestamp"))),
       replayActions)
-    val row = records.agg(max(coalesce(
-      try_to_timestamp(col("timestamp"),
-        lit("yyyy-MM-dd HH:mm:ss[.SSSSSS][xxx][xx][x]")),
-      try_to_timestamp(col("timestamp"))).cast("long"))).collect()(0)
+      .where(col("table").isin(tables: _*))
+    val row = records.agg(max(parsedEventTs(col("timestamp")).cast("long")))
+      .collect()(0)
     if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
 

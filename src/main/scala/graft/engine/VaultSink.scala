@@ -166,7 +166,8 @@ final class VaultSink(
     // one full decode per table for the pending writes. The previous
     // shape ran a per-table max() agg over the fully-decoded batch —
     // 2T full parses of the batch where T+1 (one narrow) suffice.
-    val maxSeen = WalDecoder.maxEventTime(spark, batch, replayActions)
+    val maxSeen = WalDecoder.maxEventTime(spark, batch,
+        schemas.map(_.table), replayActions)
       .getOrElse(Long.MinValue)
     val tables = WalDecoder.decodeTablesWithTs(spark, batch, schemas,
       replayActions, strict = strictSchema, numericAsDecimal = numericAsDecimal)
@@ -188,12 +189,19 @@ final class VaultSink(
     val newWm =
       if (maxSeen == Long.MinValue) priorWm
       else math.max(priorWm, maxSeen - w.latenessSeconds)
-    // finalize closed windows — but DELETE NOTHING yet: pending slices
-    // must outlive both the publish and the watermark commit below, or
-    // a failure between them (transient store error on a later window,
-    // crash before the move) would leave the replayed finalize only a
-    // PARTIAL slice set and silently publish a window missing rows
-    val published = scala.collection.mutable.ArrayBuffer[Path]()
+    // finalize windows that closed THIS batch — (priorWm, newWm] only,
+    // and DELETE NOTHING yet: pending slices must outlive both the
+    // publish and the watermark commit below, or a failure between them
+    // (transient store error on a later window, crash before the move)
+    // would leave the replayed finalize only a PARTIAL slice set and
+    // silently publish a window missing rows. Windows already closed vs
+    // priorWm are NEVER (re)published: the watermark is the commit
+    // point, so a window closed under the DURABLE priorWm has certainly
+    // published — any slices it still owns are leftovers of a cleanup
+    // that crashed after a prior commit (their batch's own overwrite on
+    // replay may have erased one slice, so republishing from what
+    // remains would upload a PARTIAL artifact under a new cid). They
+    // are reclaimed below, after this batch's own commit point.
     val out = schemas.map(_.table).sorted.flatMap { table =>
       val tdir = pendingRoot.resolve(table)
       if (!Files.exists(tdir)) Nil
@@ -206,13 +214,12 @@ final class VaultSink(
             .filter(_.startsWith("__wstart="))
             .map(_.stripPrefix("__wstart=").toLong))
           .distinct.sorted
-        wstarts.filter(_ + w.windowSeconds <= newWm).flatMap { ws =>
+        wstarts.filter(ws => ws + w.windowSeconds <= newWm &&
+            ws + w.windowSeconds > priorWm).flatMap { ws =>
           val slices = batchDirs.map(_.resolve(s"__wstart=$ws"))
             .filter(Files.exists(_))
           val df = spark.read.parquet(slices.map(_.toString): _*)
-          val res = publish(spark, table, df, ws, ts)
-          published ++= slices
-          res
+          publish(spark, table, df, ws, ts)
         }
       }
     }
@@ -225,19 +232,30 @@ final class VaultSink(
     Files.writeString(tmp, newWm.toString)
     Files.move(tmp, wmFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // cleanup strictly after the commit point. A crash in THIS window
-    // leaves already-finalized slices behind; the next batch re-finalizes
-    // those windows from their full slices (same bytes → same cid,
-    // duplicate catalog event — the documented at-least-once edge) and
-    // then reclaims them here.
-    published.foreach(FsUtil.deleteRecursive(_))
-    // P10 analog: a batch sub-dir with no window slices left (all
-    // finalized, or its every record was dropped as late) holds only
-    // markers — drop it so pending state stays O(open windows)
+    // cleanup strictly after the commit point, by PREDICATE rather than
+    // a published-this-call list: reclaim every slice whose window is
+    // closed vs the committed watermark — the ones just published AND
+    // any orphans of a cleanup that crashed after an earlier commit.
+    // A crash inside THIS cleanup just leaves more such orphans for the
+    // next batch; nothing is ever republished from them.
     schemas.map(t => pendingRoot.resolve(t.table)).filter(Files.exists(_))
       .foreach { tdir =>
-        FsUtil.listDir(tdir)
-          .filter(b => b.getFileName.toString.startsWith("batch-") &&
+        val batchDirs = FsUtil.listDir(tdir)
+          .filter(_.getFileName.toString.startsWith("batch-"))
+        batchDirs.foreach { b =>
+          FsUtil.listDir(b)
+            .filter { p =>
+              val n = p.getFileName.toString
+              n.startsWith("__wstart=") &&
+                n.stripPrefix("__wstart=").toLong + w.windowSeconds <= newWm
+            }
+            .foreach(FsUtil.deleteRecursive(_))
+        }
+        // P10 analog: a batch sub-dir with no window slices left (all
+        // finalized, or its every record was dropped as late) holds only
+        // markers — drop it so pending state stays O(open windows)
+        batchDirs
+          .filter(b => Files.exists(b) &&
             !FsUtil.listDir(b).exists(_.getFileName.toString.startsWith("__wstart=")))
           .foreach(FsUtil.deleteRecursive(_))
       }

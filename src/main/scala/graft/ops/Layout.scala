@@ -514,36 +514,37 @@ object Layout {
   /** Rewrite a cell-partitioned data dir back to one file per cell
     * (re-sorting `sortCols` within partitions so merged files keep
     * tight row-group stats), then [[swapDir]] it into place — the
-    * ANN-layout half of the [[postingsCompact]] maintenance story. */
+    * ANN-layout half of the [[postingsCompact]] maintenance story.
+    * `nParts` comes from LISTING the `partCol=` directory names, not a
+    * distinct() scan of the data: compaction already pays one full
+    * read for the rewrite, it must not pay a second one to size it.
+    * `preSwap` runs after the `.compact` write, before the promotion
+    * (sidecar carry-over for layouts whose data dir is the root). */
   private def compactPartitioned(spark: SparkSession, path: String,
-                                 partCol: String, sortCols: Seq[String]): Unit = {
-    val df = spark.read.parquet(path)
-    val nParts = math.max(1L, df.select(partCol).distinct().count()).toInt
-    val out = df.repartition(nParts, col(partCol))
+                                 partCol: String, sortCols: Seq[String],
+                                 preSwap: org.apache.hadoop.fs.FileSystem => Unit = _ => ()): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val nParts = math.max(1, fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol=")))
+    val out = spark.read.parquet(path).repartition(nParts, col(partCol))
     val sorted =
       if (sortCols.nonEmpty) out.sortWithinPartitions(sortCols.map(col): _*) else out
     sorted.write.mode("overwrite").partitionBy(partCol).parquet(s"$path.compact")
-    swapDir(new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf()), path)
+    preSwap(fs)
+    swapDir(fs, path)
   }
 
   /** Small-file compaction for an [[ivfWrite]] layout (the data dir IS
     * the layout root, so the centroid sidecar is carried into the
     * compacted dir before the swap). Serving parity and
     * append-after-compact are spec-pinned for all four ANN compacts. */
-  def ivfCompact(spark: SparkSession, dir: String): Unit = {
-    val df = spark.read.parquet(dir)
-    val nParts = math.max(1L, df.select("cell").distinct().count()).toInt
-    df.repartition(nParts, col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir.compact")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    org.apache.hadoop.fs.FileUtil.copy(fs,
-      new org.apache.hadoop.fs.Path(s"$dir/_centroids.tsv"), fs,
-      new org.apache.hadoop.fs.Path(s"$dir.compact/_centroids.tsv"),
-      false, spark.sessionState.newHadoopConf())
-    swapDir(fs, dir)
-  }
+  def ivfCompact(spark: SparkSession, dir: String): Unit =
+    compactPartitioned(spark, dir, "cell", Nil, preSwap = fs =>
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/_centroids.tsv"), fs,
+        new org.apache.hadoop.fs.Path(s"$dir.compact/_centroids.tsv"),
+        false, spark.sessionState.newHadoopConf()): Unit)
 
   /** Small-file compaction for a [[pqWrite]] layout's codes dir. */
   def pqCompact(spark: SparkSession, dir: String): Unit =

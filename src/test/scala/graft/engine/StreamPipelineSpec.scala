@@ -350,6 +350,54 @@ class StreamPipelineSpec extends SparkSpec {
     }
   }
 
+  test("event-time: a window closed under the committed watermark is NEVER republished from leftover slices") {
+    // The round-12 crash window: watermark committed, then the process
+    // dies BEFORE slice cleanup finishes. On replay the batch's own
+    // overwrite may have erased one of the window's slices, so a
+    // republish from what remains would upload a PARTIAL artifact under
+    // a new cid. Contract: windows closed vs the DURABLE priorWm are
+    // cleanup-only — reclaim their orphan slices, publish nothing.
+    val schemaT2 = TableSchema("t", Seq(
+      TableColumn("id", "integer", nullable = false, isPrimary = true),
+      TableColumn("name", "text", nullable = false, isPrimary = false)))
+    val (_, staging, _, storeDir) = freshDirs()
+    val sink = new VaultSink("ns", Seq(schemaT2), staging, new LocalContentStore(storeDir),
+      eventTime = Some(EventTimeWindows(60L, 30L)))
+    def batchOf(lines: String*) =
+      spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING).toDF("value")
+    def tx(lsn: Long, ts: String, id: Int, name: String): String =
+      s"""{"commit_lsn": $lsn, "records": [{"action": "I", "xid": 1, "lsn": "0/$lsn",
+         |"nextlsn": "", "timestamp": "$ts", "schema": "public", "table": "t",
+         |"columns": [{"name": "id", "type": "integer", "value": $id},
+         |{"name": "name", "type": "text", "value": "$name"}],
+         |"pk": [{"name": "id", "type": "integer"}]}]}""".stripMargin.replace("\n", " ")
+
+    sink.processBatch(batchOf(tx(1, "2024-01-01 00:00:10.000000", 1, "a")), 0L)
+    // closes window 0 (publishes {1,2}), commits wm, cleans slices
+    sink.processBatch(batchOf(
+      tx(2, "2024-01-01 00:00:20.000000", 2, "b"),
+      tx(3, "2024-01-01 00:02:15.000000", 3, "c")), 1L)
+    val after = storeFiles(storeDir).map(_.toString).toSet
+    assert(after.exists(_.contains("t-1704067200")), "window 0 artifact missing")
+
+    // simulate a cleanup that crashed after the commit: a PARTIAL
+    // leftover slice for the closed window 0 reappears in pending
+    import spark.implicits._
+    val leftover = java.nio.file.Paths.get(staging,
+      "pending", "t", f"batch-${1L}%012d", "__wstart=1704067200")
+    Seq((2, "b")).toDF("id", "name")
+      .coalesce(1).write.mode("overwrite").parquet(leftover.toString)
+
+    // next batch (open-window row): the closed window must NOT be
+    // republished from the partial leftover; the orphan is reclaimed
+    sink.processBatch(batchOf(tx(4, "2024-01-01 00:03:00.000000", 4, "d")), 2L)
+    assert(storeFiles(storeDir).map(_.toString).toSet.filter(_.contains("t-1704067200")) ==
+      after.filter(_.contains("t-1704067200")),
+      "closed window was republished from leftover slices")
+    assert(!java.nio.file.Files.exists(leftover),
+      "orphan slice of a closed window was not reclaimed")
+  }
+
   test("mid-stream schema drift FAILS the streaming query loudly (v1 DDL contract)") {
     val (wal, staging, ckpt, storeDir) = freshDirs()
     Files.createDirectories(Paths.get(wal))
