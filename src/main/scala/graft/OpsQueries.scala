@@ -85,6 +85,12 @@ object OpsQueries {
         val cents = ivfCentsFor(s, dir)
         Similarity.ivfPqTopK(Similarity.assignCells(emb, cents), cents,
           pqBooksFor(s, dir), queries, k = 5)
+      case "imipq" =>
+        // the in-memory composed two-level index, same configs as the
+        // q_ann_imi / q_ann_imipq_layout rows (RecallCheck: 0.90-0.94)
+        val (indexed, cents) = Similarity.imiIndex(emb, k = 4, lloydIters = 2)
+        Similarity.imiPqTopK(indexed, cents, pqBooksFor(s, dir), queries,
+          k = 5, nProbe = 12)
       case _ =>
         val cents = ivfCentsFor(s, dir)
         Similarity.ivfTopK(Similarity.assignCells(emb, cents), cents, queries, k = 5)
@@ -683,6 +689,11 @@ object OpsQueries {
           (col("__diff") === 0L).cast("long").as("layout_parity"))
     }),
 
+    // the in-memory IMI+PQ composition (layout-free twin of
+    // q_ann_imipq_layout, completing the family symmetry: every index
+    // has an in-memory and, where persisted, a layout row)
+    "q_ann_imipq" -> ((s, dir) => annRecallContract(s, dir, "imipq", bound = 0.8)),
+
     // IMI + PQ composed layout (r12): the production two-level config —
     // k² pair-cells (cell counts past the single-level cap) over packed
     // 8-byte ADC code words (16x narrower scans than imiWrite's raw
@@ -947,6 +958,11 @@ object OpsQueries {
     "q_ann_imi_layout" ->
       """SELECT count(*) AS n_queries, count(*) * 5 AS n_results,
         |  CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS layout_parity
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q_ann_imipq" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_results,
+        |  CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "q_ann_imipq_layout" ->

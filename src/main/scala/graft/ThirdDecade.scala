@@ -328,6 +328,30 @@ object ThirdDecade {
       imiPqLayoutFixture(spark, sf01); imiPqLayoutFixture(spark, amp)
       noop(imiPqServe(spark, sf01))
     })(noop(imiPqServe(spark, amp)))
+    // r12: the maintenance claim measured — appending a 1% increment
+    // (20k vectors) into the 2M-vector IMI+PQ layout must cost O(new
+    // data), nowhere near the ~90 s full build. The append target is a
+    // throwaway COPY of the fixture (the marker-guarded fixture itself
+    // must never be mutated or every serve row after it drifts).
+    val appendTestDir = s"${sys.props("java.io.tmpdir")}/graft_1000x_imipq_appendtest"
+    run("imipq_append_1pct", {
+      val src = java.nio.file.Paths.get(imiPqLayoutFixture(spark, amp))
+      val dst = java.nio.file.Paths.get(appendTestDir)
+      graft.core.FsUtil.deleteRecursive(dst)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+      // the increment MATERIALIZES untimed (1% = the first 10 of the
+      // 1000 key-shifted copies): production increments arrive as their
+      // own small table — selecting 20k rows out of the 2M-row corpus
+      // is not append cost
+      Tables(spark, amp, "embeddings")
+        .where(col("vec_id") / lit(100000000L) < 10)
+        .write.mode("overwrite").parquet(s"$appendTestDir.increment")
+    })(graft.ops.Layout.imiPqAppend(
+      spark.read.parquet(s"$appendTestDir.increment"), appendTestDir))
 
     // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
     // 364,038 — invalid JSON

@@ -406,6 +406,11 @@ object IngestBench {
     val fileEt = runFileFeed(spark, s"$base/fileEt", nTx, nBatches = 10,
       eventTime = Some(graft.engine.EventTimeWindows(
         windowSeconds = (nTx / 10) max 1, latenessSeconds = 0L)))
+    // …and the second decade (10M records), so the event-time overhead
+    // claim carries a scaling exponent, not one point
+    val fileEt100 = runFileFeed(spark, s"$base/fileEt100", nTx * 10, nBatches = 10,
+      eventTime = Some(graft.engine.EventTimeWindows(
+        windowSeconds = nTx max 1, latenessSeconds = 0L)))
     val pg = runPgFeed(spark, s"$base/pg", nTx / 10)
     val pg100x = runPgFeed(spark, s"$base/pg100x", nTx * 10)
     // real-Postgres run only where server binaries exist (the artifact
@@ -425,6 +430,7 @@ object IngestBench {
       "file_feed_1x" -> file1x, "file_feed_10x" -> file10x,
       "file_feed_100x" -> file100x,
       "file_feed_eventtime_10x" -> fileEt,
+      "file_feed_eventtime_100x" -> fileEt100,
       "pg_feed" -> pg, "pg_feed_100x" -> pg100x,
       "scaling_exponent_file_feed" -> exp,
       "scaling_exponent_file_feed_2" -> exp2) ++

@@ -26,7 +26,7 @@ class IngestBenchSpec extends AnyFunSuite {
     // 100x rows (round 12) likewise gate only when the artifact has them
     val runs = Seq("file_feed_1x", "file_feed_10x", "pg_feed") ++
       Seq("file_feed_100x", "pg_feed_100x", "pg_live_feed",
-        "file_feed_eventtime_10x").filter(root.has)
+        "file_feed_eventtime_10x", "file_feed_eventtime_100x").filter(root.has)
     for (run <- runs) {
       val node = root.get(run)
       assert(node != null, s"missing run $run")
@@ -62,16 +62,18 @@ class IngestBenchSpec extends AnyFunSuite {
     // the processing-time 10x row, and not catastrophically slower than
     // it — the arm exists to pin "event-time ≈ processing-time + one
     // narrow pass", so a >2x wall blowup means the machinery regressed
-    if (root.has("file_feed_eventtime_10x")) {
-      val et = root.get("file_feed_eventtime_10x")
+    for ((etRun, ptRun) <- Seq(
+        "file_feed_eventtime_10x" -> "file_feed_10x",
+        "file_feed_eventtime_100x" -> "file_feed_100x") if root.has(etRun)) {
+      val et = root.get(etRun)
       assert(et.get("n_records").asLong ==
-        root.get("file_feed_10x").get("n_records").asLong)
+        root.get(ptRun).get("n_records").asLong)
       assert(et.has("rows_stored") && et.has("rows_pending") &&
         et.get("rows_stored").asLong > 0 && et.get("rows_pending").asLong > 0,
-        "event-time arm must finalize some windows and hold a pending tail")
+        s"$etRun must finalize some windows and hold a pending tail")
       assert(et.get("wall_sec").asDouble <
-        2.0 * root.get("file_feed_10x").get("wall_sec").asDouble,
-        "event-time ingest more than 2x the processing-time wall")
+        2.0 * root.get(ptRun).get("wall_sec").asDouble,
+        s"$etRun more than 2x the processing-time wall")
     }
     // pg feed: spool segment GC ran. Bounded leftover = the UNACKED TAIL
     // (at most one trigger's worth of txs — the restart-replay window of
