@@ -57,6 +57,15 @@ object OpsQueries {
     cached(ivfCentCache, dir)(graft.ops.Similarity.ivfIndex(Tables(s, dir, "embeddings"))._2)
   private[graft] def pqBooksFor(s: org.apache.spark.sql.SparkSession, dir: String): graft.ops.Similarity.PqBooks =
     cached(pqBookCache, dir)(graft.ops.Similarity.pqTrain(Tables(s, dir, "embeddings")))
+  private val imiCentCache = scala.collection.concurrent.TrieMap[String,
+    (String, (Array[(Int, Array[Double])], Array[(Int, Array[Double])]))]()
+  /** Memoized IMI half-codebooks (k=4, lloyd=2 — the registered bench
+    * config), like [[ivfCentsFor]]: q_ann_imi / q_ann_imipq share one
+    * training per embeddings snapshot instead of each paying it. */
+  private[graft] def imiCentsFor(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Array[(Int, Array[Double])], Array[(Int, Array[Double])]) =
+    cached(imiCentCache, dir)(
+      graft.ops.Similarity.imiIndex(Tables(s, dir, "embeddings"), k = 4, lloydIters = 2)._2)
 
   private def annRecallContract(s: org.apache.spark.sql.SparkSession, dir: String,
                                 variant: String, bound: Double): org.apache.spark.sql.DataFrame = {
@@ -69,7 +78,8 @@ object OpsQueries {
         // two-level coarse quantizer: k=4 per half -> 16 pair-cells at
         // bench scale (k grows as sqrt(corpus) in production via
         // autoCellsImi); lloyd=2 keeps the two trainings bench-priced
-        val (indexed, cents) = Similarity.imiIndex(emb, k = 4, lloydIters = 2)
+        val cents = imiCentsFor(s, dir)
+        val indexed = Similarity.assignImiCells(emb, cents)
         // nProbe = 12 of 16 pair-cells. Measured (RecallCheck r12 grid):
         // at the 50% probed fraction single-level IVF runs, IMI recalls
         // 0.66-0.86 across sf0.001-0.1 — the two INDEPENDENT half-
@@ -88,9 +98,9 @@ object OpsQueries {
       case "imipq" =>
         // the in-memory composed two-level index, same configs as the
         // q_ann_imi / q_ann_imipq_layout rows (RecallCheck: 0.90-0.94)
-        val (indexed, cents) = Similarity.imiIndex(emb, k = 4, lloydIters = 2)
-        Similarity.imiPqTopK(indexed, cents, pqBooksFor(s, dir), queries,
-          k = 5, nProbe = 12)
+        val cents = imiCentsFor(s, dir)
+        Similarity.imiPqTopK(Similarity.assignImiCells(emb, cents), cents,
+          pqBooksFor(s, dir), queries, k = 5, nProbe = 12)
       case _ =>
         val cents = ivfCentsFor(s, dir)
         Similarity.ivfTopK(Similarity.assignCells(emb, cents), cents, queries, k = 5)
