@@ -338,10 +338,12 @@ object ThirdDecade {
       val src = java.nio.file.Paths.get(imiPqLayoutFixture(spark, amp))
       val dst = java.nio.file.Paths.get(appendTestDir)
       graft.core.FsUtil.deleteRecursive(dst)
-      java.nio.file.Files.walk(src).forEach { p =>
-        val t = dst.resolve(src.relativize(p))
-        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-        else java.nio.file.Files.copy(p, t)
+      scala.util.Using.resource(java.nio.file.Files.walk(src)) { walk =>
+        walk.forEach { p =>
+          val t = dst.resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+          else java.nio.file.Files.copy(p, t): Unit
+        }
       }
       // the increment MATERIALIZES untimed (1% = the first 10 of the
       // 1000 key-shifted copies): production increments arrive as their

@@ -65,6 +65,8 @@ class IngestBenchSpec extends AnyFunSuite {
     for ((etRun, ptRun) <- Seq(
         "file_feed_eventtime_10x" -> "file_feed_10x",
         "file_feed_eventtime_100x" -> "file_feed_100x") if root.has(etRun)) {
+      assert(root.has(ptRun),
+        s"$etRun present but its processing-time twin $ptRun is missing")
       val et = root.get(etRun)
       assert(et.get("n_records").asLong ==
         root.get(ptRun).get("n_records").asLong)
