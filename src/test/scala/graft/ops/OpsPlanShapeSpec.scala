@@ -187,6 +187,15 @@ class OpsPlanShapeSpec extends SparkSpec {
     assert(nImi == 2,
       s"imiTopK probe projection carries $nImi vec_dot_multi exprs (want 2 = one per half); " +
         s"a sims array was re-inlined per cell:\n$pImi")
+
+    // the composed index shares the probe machinery — same budget
+    val imipq = Similarity.imiPqTopK(indexed, imiCents,
+      Similarity.pqTrain(emb), queries, k = 5, nProbe = 3)
+    val pPq = imipq.queryExecution.optimizedPlan.toString
+    val nPq = "vec_dot_multi".r.findAllIn(pPq).length
+    info(s"imiPqTopK vec_dot_multi occurrences: $nPq (budget 2)")
+    assert(nPq == 2,
+      s"imiPqTopK probe projection carries $nPq vec_dot_multi exprs (want 2 = one per half):\n$pPq")
   }
 
   test("assignCentroids: the multi-dot distance array is built once per CORPUS row, never per cell") {
