@@ -127,6 +127,61 @@ class LivePostgresSpec extends SparkSpec {
     } finally db.close()
   }
 
+  test("live event-time: real walsender commit timestamps parse through the event-time sink — no silent late-drop") {
+    // The event-time machinery's worst failure mode is SILENT: if the
+    // live timestamp spelling ever stops parsing, __graft_ts goes NULL
+    // and every row is dropped as late — the stream stays green while
+    // the vault exports nothing. Pin the real spelling end-to-end: real
+    // commits, real pgoutput decode, the unchanged spool envelope fed
+    // through WalDecoder.maxEventTime AND the event-time VaultSink.
+    gate()
+    val sql = cluster.sqlClient()
+    try sql.simpleQuery("CREATE DATABASE cdc_et") finally sql.close()
+    val db = cluster.sqlClient(db = "cdc_et")
+    val spool = Files.createTempDirectory("pg-et-spool").toString
+    try {
+      db.simpleQuery(
+        "CREATE TABLE t(id int PRIMARY KEY, name text, score double precision, ok boolean)")
+      db.simpleQuery("CREATE PUBLICATION pubet FOR TABLE t")
+      val feed = new PgWalFeed(cluster.replicationClient("cdc_et"), "pubet", spool,
+        plugin = "pgoutput")
+      try {
+        feed.start()
+        db.simpleQuery("INSERT INTO t VALUES (1, 'one', 1.5, true)")
+        db.simpleQuery("INSERT INTO t VALUES (2, 'two', 2.5, false)")
+        assert(eventually()(feed.txRefsAfter(0L, 10).size >= 2))
+
+        val batch = spark.read.text(spool).toDF("value")
+        // the watermark input parses and is sane (live commit time ≈ now)
+        val maxTs = graft.cdc.WalDecoder.maxEventTime(spark, batch, Seq("t"))
+        assert(maxTs.isDefined, "live commit timestamp did not parse — watermark would never advance")
+        val nowSec = System.currentTimeMillis() / 1000
+        assert(math.abs(maxTs.get - nowSec) < 600,
+          s"parsed live timestamp ${maxTs.get} implausibly far from now $nowSec")
+
+        // the event-time sink lands BOTH rows in their pending window
+        // (1h windows, commits are 'now' → the window is open): zero
+        // stored, zero dropped — a parse regression would show up as
+        // pending = 0 here
+        val staging = Files.createTempDirectory("pg-et-staging").toString
+        val store = new graft.engine.LocalContentStore(
+          Files.createTempDirectory("pg-et-store").toString)
+        val sink = new graft.engine.VaultSink("ns", Seq(schema), staging, store,
+          eventTime = Some(graft.engine.EventTimeWindows(3600L, 0L)))
+        sink.processBatch(batch, 0L)
+        val pendingRoot = java.nio.file.Paths.get(staging, "pending", "t")
+        assert(java.nio.file.Files.exists(pendingRoot), "no pending window dir — rows were dropped")
+        val slices = graft.core.FsUtil.listDir(pendingRoot)
+          .flatMap(b => graft.core.FsUtil.listDir(b))
+          .filter(_.getFileName.toString.startsWith("__wstart="))
+        assert(slices.nonEmpty, "no pending slices — live rows silently late-dropped")
+        val pendingCount = slices.map(p => spark.read.parquet(p.toString).count()).sum
+        assert(pendingCount == 2L,
+          s"expected both live rows pending in their event-time window, got $pendingCount")
+      } finally feed.close()
+    } finally db.close()
+  }
+
   test("live schema drift: ALTER TABLE mid-stream re-sends Relation; old and new rows decode") {
     gate()
     val sql = cluster.sqlClient()
