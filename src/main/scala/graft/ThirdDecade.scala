@@ -333,6 +333,17 @@ object ThirdDecade {
     // data), nowhere near the ~90 s full build. The append target is a
     // throwaway COPY of the fixture (the marker-guarded fixture itself
     // must never be mutated or every serve row after it drifts).
+    // r12: the DEEP-CELL regime the IMI exists for — k=64 per half →
+    // 4096 pair cells at 2M vectors (~500 rows/cell), 10 queries ×
+    // nProbe=32 probe ≤ 320 pairs = 7.8% of the pair space, so the
+    // two-level pruning actually ENGAGES (at k=16 the probe set nearly
+    // saturates the 256-pair space and every serve row degenerates to a
+    // near-full scan — measured above). lloyd=1: the row measures
+    // serve vs pair-space size, not quantizer convergence.
+    run("imipq_serve_deep", {
+      imiPqLayoutFixture(spark, amp, k = 64, lloydIters = 1)
+      noop(imiPqServe(spark, sf01))
+    })(noop(imiPqServe(spark, amp, k = 64, lloydIters = 1)))
     val appendTestDir = s"${sys.props("java.io.tmpdir")}/graft_1000x_imipq_appendtest"
     run("imipq_append_1pct", {
       val src = java.nio.file.Paths.get(imiPqLayoutFixture(spark, amp))
