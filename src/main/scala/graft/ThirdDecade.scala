@@ -344,6 +344,14 @@ object ThirdDecade {
       imiPqLayoutFixture(spark, amp, k = 64, lloydIters = 1)
       noop(imiPqServe(spark, sf01))
     })(noop(imiPqServe(spark, amp, k = 64, lloydIters = 1)))
+    // middle point of the pair-space curve (k=32 → 1024 pairs, ~2k
+    // rows/cell): locates the knee between the saturated 256-pair
+    // config and the 4096-pair deep row, and backs the autoCellsImi
+    // target-rows default with a measured curve instead of one point
+    run("imipq_serve_mid", {
+      imiPqLayoutFixture(spark, amp, k = 32, lloydIters = 1)
+      noop(imiPqServe(spark, sf01))
+    })(noop(imiPqServe(spark, amp, k = 32, lloydIters = 1)))
     val appendTestDir = s"${sys.props("java.io.tmpdir")}/graft_1000x_imipq_appendtest"
     run("imipq_append_1pct", {
       val src = java.nio.file.Paths.get(imiPqLayoutFixture(spark, amp))

@@ -404,11 +404,17 @@ object Similarity {
     ivfScore(c, q, k)
   }
 
-  /** IMI half-codebook sizing: k per half ≈ √(rows / targetCellRows), so
-    * the k² effective pair-cells match [[autoCells]]' rows-per-cell rule
-    * while each CODEBOOK stays √(that) — at 100B rows, ~3.5k centroids
-    * per half where a single-level quantizer would need 12M. */
-  def autoCellsImi(corpusRows: Long, targetCellRows: Long = 8192L,
+  /** IMI half-codebook sizing: k per half ≈ √(rows / targetCellRows),
+    * while each CODEBOOK stays √(pair count) — at 100B rows, ~7k
+    * centroids per half (capped 4096) where a single-level quantizer
+    * would need 49M. The 2048-row default target is MEASURED, not
+    * [[autoCells]]' 8192: the 2M-vector serve curve (SCALING.md r12)
+    * is 7.26 s at 8k rows/cell (probe set saturates the pair space),
+    * 3.49 s at 2k, 3.24 s at 500 — the knee sits near 2k rows/cell,
+    * where probe-set/pair-space drops below ~30% and two-level pruning
+    * engages; deeper buys little and pays k² pair-enumeration cost in
+    * the probe selector. */
+  def autoCellsImi(corpusRows: Long, targetCellRows: Long = 2048L,
                    minK: Int = 4, maxK: Int = 4096): Int = {
     require(targetCellRows > 0 && minK > 0 && maxK >= minK,
       "autoCellsImi: need positive target and minK <= maxK")

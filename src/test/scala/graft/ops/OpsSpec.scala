@@ -657,10 +657,11 @@ class OpsSpec extends SparkSpec {
     assert(cents._2.map(_._2.toSeq).toSeq == s2.map(_._2.toSeq).toSeq,
       "fused half-2 centroids diverged from the sequential run")
 
-    // the sqrt sizing rule: k² matches autoCells' rows-per-cell target
-    assert(Similarity.autoCellsImi(500) == 4)      // floor at bench scale
-    assert(Similarity.autoCellsImi(2000000L) == 16)  // 16² = 256 ≈ autoCells(2M)
-    assert(Similarity.autoCellsImi(100000000000L) == 3494) // 100B rows, under the cap
+    // the sqrt sizing rule at the MEASURED 2048-row target (SCALING.md
+    // r12 serve curve: the knee where two-level pruning engages)
+    assert(Similarity.autoCellsImi(500) == 4)        // floor at bench scale
+    assert(Similarity.autoCellsImi(2000000L) == 32)  // 32² = 1024 pairs ≈ 2k rows/cell
+    assert(Similarity.autoCellsImi(100000000000L) == 4096) // 100B rows hits the cap
     assert(Similarity.autoCellsImi(Long.MaxValue / 2) == 4096) // capped
   }
 
