@@ -116,7 +116,7 @@ object ThirdDecade {
   }
 
   /** Marker-guarded IMI layout fixture (two-level pruned layout,
-    * [[graft.ops.Layout.imiWrite]]): k per half = autoCellsImi(2M) = 16
+    * [[graft.ops.Layout.imiWrite]]): k per half pinned at 16
     * → 256 pair cells at the third decade, the same cell count as the
     * scaled IVF fixture, so imi_serve vs ann_serve_cells256 is a direct
     * quantizer A/B at equal probed fraction. */
@@ -298,7 +298,8 @@ object ThirdDecade {
     // r12: the IMI fused-training claim measured at 2M vectors — one
     // corpus pass per Lloyd step vs the sequential two-half form it
     // replaced (spec pins them bit-identical; this row pins the COST).
-    // k = autoCellsImi(2M) = 16 per half, lloyd = 4. Training cost only:
+    // k = 16 per half (pinned: rows compare against the r12-recorded
+    // sequential baseline), lloyd = 4. Training cost only:
     // both forms end before the lazy full-corpus assignment.
     import graft.ops.Similarity
     def imiFused(dir: String): Unit =
