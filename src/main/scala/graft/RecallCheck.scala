@@ -54,6 +54,17 @@ object RecallCheck {
         println(s"RECALL $sf imi k=$k2 iters=$iters probe=$probe (${probe * 100 / (k2 * k2)}%) r=$r")
         indexed.unpersist()
       }
+      // the AUTO config (r12: autoCellsImi's measured 2k-rows/cell
+      // knee): what imiIndex(corpus) picks with no explicit k — pins
+      // the recall consequence of the deeper default at each scale
+      locally {
+        val kAuto = Similarity.autoCellsImi(emb.count())
+        val (indexed, cents) = Similarity.imiIndex(emb, k = kAuto, lloydIters = 2)
+        indexed.cache()
+        val r = recall(Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = 32))
+        println(s"RECALL $sf imi-auto k=$kAuto iters=2 probe=32 (${32 * 100 / (kAuto * kAuto)}%) r=$r")
+        indexed.unpersist()
+      }
       // IMI+PQ composition (r12): the registered q_ann_imipq_layout
       // config — ADC quantization error on top of the pair-cell probe
       // loss, recovered by the exact shortlist re-rank
