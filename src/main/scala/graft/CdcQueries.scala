@@ -205,13 +205,18 @@ object CdcQueries {
     }),
 
     // merge/upsert materialization: latest live row per PK after an
-    // I → U → D change history (one max_by aggregation, no window sort)
+    // I → U → D change history (one max_by aggregation, no window sort).
+    // NO global orderBy: the comparison layer sorts rows before the
+    // value compare (driver-style, mirrored in tools/check.py), and the
+    // third-decade sweep showed the presentation sort DOMINATING the
+    // registered row at 1000× (115.9 s sorted vs 52.8 s merge-only, exp
+    // 1.20 vs 0.99 — SCALING.md r12). The registered shape now times
+    // the operator; production `VaultSink` uses sortWithinPartitions.
     "q_cdc_upsert" -> ((s, dir) => {
       CdcMerge.latestStateFromDir(s, upsertLinesDir(s, dir), eventsSchema)
         .select(col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
           col("user_id"), col("event_type"), col("value"))
-        .orderBy("event_id")
     }),
 
     // pgNumericAsDecimal opt-in (SURVEY §1.3 divergence #3): numeric(38,2)

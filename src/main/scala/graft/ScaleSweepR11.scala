@@ -90,7 +90,10 @@ object ScaleSweepR11 {
       // steady state, measured. min-of-2 reads the steady state.
       val runs100 = if (name.contains("cdc")) 2 else 1
       for ((label, dir, runs) <- Seq(("1x", sf01, 2), ("10x", amp10, 2), ("100x", amp100, runs100))) {
-        val s = (1 to runs).map(_ => time(body(dir))).min
+        // drop failed samples (-1 sentinel) BEFORE min — one failed rerun
+        // must not discard a good measurement (advisor r12)
+        val samples = (1 to runs).map(_ => time(body(dir))).filter(_ >= 0)
+        val s = if (samples.isEmpty) -1.0 else samples.min
         println(f"[r11] $name@$label: $s%.2fs")
         rows += ((s"$name@$label", s))
       }

@@ -100,7 +100,11 @@ object ScaleSweepR12 {
       scales.foreach { case (_, d) => feed(d) }
       time(body(sf01)) // warmup: JIT + codegen
       for ((label, dir) <- scales) {
-        val s = (1 to 2).map(_ => time(body(dir))).min
+        // drop failed samples (-1 sentinel) BEFORE min: one failed rerun
+        // must not discard a good measurement (advisor r12); -1 only when
+        // every sample failed, so the merge-on-write filter skips the row
+        val samples = (1 to 2).map(_ => time(body(dir))).filter(_ >= 0)
+        val s = if (samples.isEmpty) -1.0 else samples.min
         println(f"[r12] $name@$label: $s%.2fs")
         rows += ((s"$name@$label", s))
       }

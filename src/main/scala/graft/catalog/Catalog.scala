@@ -80,13 +80,34 @@ final case class VaultCatalog(spark: SparkSession, root: String) {
   /** `digest`: optional ECMH multiset digest of the artifact's ROWS
     * (hex, reference `MultisetHash.String()` form) — lets a reader
     * verify retrieved content against the catalog without trusting the
-    * transport; "" when the writer didn't compute one. */
+    * transport; "" when the writer didn't compute one.
+    *
+    * `ifAbsent = true` makes the append IDEMPOTENT on (vault, cid): a
+    * crash-replay that re-publishes the same content (the event-time
+    * sink's at-least-once window republish — `VaultSink` replays a
+    * window whose publish landed but whose watermark commit didn't)
+    * re-derives the same cid, and the second append becomes a no-op
+    * instead of a duplicate listing row. It stays OFF by default
+    * because a deliberate re-upload of identical content IS an event —
+    * the content-addressed cid legitimately repeats in the log
+    * (`CompactorSpec` pins that listing semantic). The existence check
+    * is a vault-partition-pruned read of one vault's events —
+    * catalog-sized, not corpus-sized. Single-writer per vault (one
+    * streaming query owns a vault's exports) is the concurrency
+    * contract that makes read-then-append sound. */
   def appendEvent(vault: VaultName, cid: String, timestampSec: Long,
                   isArchived: Boolean, cacheExpiry: java.sql.Timestamp,
-                  digest: String = ""): Unit =
-    Seq((vault.toString, cid, timestampSec, isArchived, cacheExpiry, digest))
-      .toDF("vault", "cid", "timestamp", "is_archived", "cache_expiry", "digest")
-      .write.mode("append").partitionBy("vault").parquet(eventsPath)
+                  digest: String = "", ifAbsent: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dup = ifAbsent &&
+      (try events.where(col("vault") === vault.toString && col("cid") === cid)
+        .head(1).nonEmpty
+      catch { case _: Exception => false }) // no events dir yet → first append
+    if (!dup)
+      Seq((vault.toString, cid, timestampSec, isArchived, cacheExpiry, digest))
+        .toDF("vault", "cid", "timestamp", "is_archived", "cache_expiry", "digest")
+        .write.mode("append").partitionBy("vault").parquet(eventsPath)
+  }
 
   def events: DataFrame =
     try {

@@ -45,10 +45,11 @@ object CdcMerge {
 
   private def typedWithOrder(lines: DataFrame, schema: TableSchema,
                              strict: Boolean = false,
-                             numericAsDecimal: Boolean = false): DataFrame =
+                             numericAsDecimal: Boolean = false,
+                             driftMode: DriftMode = DriftMode.Prefix): DataFrame =
     typedRecordsWithOrder(
       WalDecoder.decodeRecords(lines, recordFields = Some(mergeRecordFields)),
-      schema, strict, numericAsDecimal)
+      schema, strict, numericAsDecimal, driftMode)
 
   /** As [[typedWithOrder]] but over already-exploded records (shared by
     * the line-fed streaming path and the scan-parsed batch-dir path).
@@ -57,7 +58,8 @@ object CdcMerge {
     * list is not drift). */
   private def typedRecordsWithOrder(records0: DataFrame, schema: TableSchema,
                                     strict: Boolean = false,
-                                    numericAsDecimal: Boolean = false): DataFrame = {
+                                    numericAsDecimal: Boolean = false,
+                                    driftMode: DriftMode = DriftMode.Prefix): DataFrame = {
     val routed = records0
       .where(col("table") === schema.table &&
         col("action").isin("I", "U", "D"))
@@ -67,7 +69,7 @@ object CdcMerge {
         // table scope INSIDE the guard: robust even if an optimizer rule
         // reorders this conjunct relative to the routing filter above
         when(col("table") === schema.table && col("action").isin("I", "U"),
-          PgValueDecoder.schemaDriftGuard(schema)).otherwise(lit(true)))
+          PgValueDecoder.schemaDriftGuard(schema, driftMode)).otherwise(lit(true)))
     val records = gated
       .withColumn("columns",
         when(col("action") === "D" &&
@@ -105,8 +107,10 @@ object CdcMerge {
    */
   def latestState(lines: DataFrame, schema: TableSchema,
                   strict: Boolean = false,
-                  numericAsDecimal: Boolean = false): DataFrame =
-    mergeLatest(typedWithOrder(lines, schema, strict, numericAsDecimal), schema)
+                  numericAsDecimal: Boolean = false,
+                  driftMode: DriftMode = DriftMode.Prefix): DataFrame =
+    mergeLatest(typedWithOrder(lines, schema, strict, numericAsDecimal,
+      driftMode), schema)
       .select(schema.columns.map(c => col(c.name)): _*)
 
   /** [[latestState]] over an on-disk feed directory: the json data source
@@ -115,11 +119,12 @@ object CdcMerge {
   def latestStateFromDir(spark: org.apache.spark.sql.SparkSession,
                          dir: String, schema: TableSchema,
                          strict: Boolean = false,
-                         numericAsDecimal: Boolean = false): DataFrame =
+                         numericAsDecimal: Boolean = false,
+                         driftMode: DriftMode = DriftMode.Prefix): DataFrame =
     mergeLatest(typedRecordsWithOrder(
         WalDecoder.explodeTx(WalDecoder.parseTxDir(spark, dir,
           recordFields = Some(mergeRecordFields))), schema, strict,
-        numericAsDecimal), schema)
+        numericAsDecimal, driftMode), schema)
       .select(schema.columns.map(c => col(c.name)): _*)
 
   /** Canonical row bytes for digesting: JSON of the schema's columns in
@@ -231,6 +236,7 @@ object CdcMerge {
                            triggerSeconds: Long = 10L,
                            withDigest: Boolean = false,
                            strictSchema: Boolean = true,
+                           driftMode: DriftMode = DriftMode.Exact,
                            numericAsDecimal: Boolean = false,
                            archival: Option[ArchivalSpec] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
@@ -243,7 +249,8 @@ object CdcMerge {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import java.nio.file.{Files, Paths, StandardCopyOption}
         val s = batch.sparkSession
-        val changes = typedWithOrder(batch, schema, strictSchema, numericAsDecimal)
+        val changes = typedWithOrder(batch, schema, strictSchema,
+          numericAsDecimal, driftMode)
         val stateRoot = Paths.get(stateDir)
         Files.createDirectories(stateRoot)
         val prior = readState(s, stateDir).getOrElse(

@@ -75,26 +75,35 @@ object PgValueDecoder {
    * unacked transaction, and batch replay under the widened schema is
    * lossless (pinned live in `LivePostgresSpec`'s drift scenario).
    *
-   * The check is PREFIX equality, not exact equality: a record whose
-   * (name, type) list is a proper prefix of the schema PASSES, decoding
-   * NULL for the missing tail columns. That asymmetry is what makes
-   * recovery possible — after a refresh-restart the spool replays
-   * pre-ALTER history with fewer columns than the widened schema, and
-   * Postgres's `ALTER TABLE ADD COLUMN` always appends, so pre-ADD
-   * records are exactly schema prefixes. Everything else — an extra
-   * column (data loss), a renamed/reordered/retyped column (misdecode) —
-   * raises.
+   * Two modes ([[DriftMode]]):
    *
-   * KNOWN BLIND SPOT of the prefix carve-out: a mid-stream `ALTER TABLE
-   * DROP COLUMN` of the TRAILING column produces records that are valid
-   * schema prefixes, so they pass and decode NULL for the dropped column
-   * — no error is raised. Only a middle-column drop (names stop aligning
-   * positionally) is caught. This is inherent: the guard cannot
-   * distinguish "pre-ADD history replayed under a widened schema" from
-   * "post-trailing-DROP records", and rejecting prefixes would make
-   * refresh-restart replay impossible. Operators who need trailing-drop
-   * detection must compare schemas out-of-band at restart
-   * ([[PgIntrospection]] re-capture vs the stream-start snapshot).
+   * [[DriftMode.Exact]] — the STEADY-STATE STREAMING default
+   * (`VaultSink`/`StreamPipeline`): the record's (name, type) list must
+   * equal the stream-start schema exactly. Closes the trailing-drop
+   * blind spot of prefix mode — a mid-stream `ALTER TABLE DROP COLUMN`
+   * of the LAST column produces a shorter record and now raises instead
+   * of silently decoding NULL for the dropped column.
+   *
+   * [[DriftMode.Prefix]] — the RECOVERY-REPLAY carve-out (and the
+   * batch-decode default, since batch replay of a spool IS the recovery
+   * path): a record whose (name, type) list is a proper prefix of the
+   * schema PASSES, decoding NULL for the missing tail columns. That
+   * asymmetry is what makes recovery possible — after a refresh-restart
+   * the spool replays pre-ALTER history with fewer columns than the
+   * widened schema, and Postgres's `ALTER TABLE ADD COLUMN` always
+   * appends, so pre-ADD records are exactly schema prefixes. Everything
+   * else — an extra column (data loss), a renamed/reordered/retyped
+   * column (misdecode) — raises in both modes.
+   *
+   * KNOWN BLIND SPOT of prefix mode (the reason Exact is the streaming
+   * default): a trailing-column DROP produces records that are valid
+   * schema prefixes, so they pass silently. This is inherent to the
+   * carve-out: the guard cannot distinguish "pre-ADD history replayed
+   * under a widened schema" from "post-trailing-DROP records". Restart
+   * a post-recovery stream in Exact mode once the replay drains;
+   * operators who must run Prefix long-term can compare schemas
+   * out-of-band at restart ([[PgIntrospection]] re-capture vs the
+   * stream-start snapshot).
    *
    * Returns a Column that raises on drift and is `true` otherwise, for
    * use in a `.where(...)`: records with NO `columns` payload (wal2json
@@ -103,7 +112,8 @@ object PgValueDecoder {
    * `numeric`), mirroring [[graft.core.PgTypes.normalize]], so the guard
    * never fires on a cosmetic typmod difference between plugins.
    */
-  def schemaDriftGuard(schema: TableSchema): Column = {
+  def schemaDriftGuard(schema: TableSchema,
+                       mode: DriftMode = DriftMode.Prefix): Column = {
     val typmod = "\\(\\s*\\d+\\s*(,\\s*\\d+\\s*)?\\)"
     val k = size(col("columns"))
     // Fully codegen'd pass path: one positional AND-chain of direct
@@ -121,22 +131,30 @@ object PgValueDecoder {
     val perCol = schema.columns.zipWithIndex.map { case (tc, i) =>
       val entry = get(col("columns"), lit(i))
       val expType = PgTypes.normalize(tc.pgType)
-      (k <= i) || (entry.getField("name") === tc.name &&
+      val matches = entry.getField("name") === tc.name &&
         (entry.getField("type") === expType ||
-          regexp_replace(entry.getField("type"), typmod, "") === expType))
+          regexp_replace(entry.getField("type"), typmod, "") === expType)
+      // Prefix mode's carve-out: position i beyond the record's list
+      // passes (NULL-decoded tail). Exact mode: no escape — the length
+      // check below already forces k to the full schema width, so the
+      // positional access is always in range.
+      if (mode == DriftMode.Prefix) (k <= i) || matches else matches
     }
-    val ok = col("columns").isNull ||
-      (k <= schema.columns.size && perCol.reduce(_ && _))
+    val lengthOk =
+      if (mode == DriftMode.Prefix) k <= schema.columns.size
+      else k === schema.columns.size
+    val ok = col("columns").isNull || (lengthOk && perCol.reduce(_ && _))
     val msg = concat(
       lit(s"schema drift detected on table '${schema.table}': record columns ["),
       array_join(transform(col("columns"),
         x => concat_ws(" ", x.getField("name"), x.getField("type"))), ", "),
       lit(s"] do not match the stream-start schema [${
-        schema.columns.map(tc => s"${tc.name} ${tc.pgType}").mkString(", ")}]. " +
+        schema.columns.map(tc => s"${tc.name} ${tc.pgType}").mkString(", ")}]" +
+        s" (drift mode: $mode). " +
         "The source captures schema once at stream start (v1 contract: " +
         "fail loud on DDL, never misdecode); restart the stream with a " +
         "refreshed schema — already-spooled transactions replay losslessly " +
-        "under the new schema."))
+        "under the new schema (use DriftMode.Prefix for the replay)."))
     coalesce(assert_true(ok, msg), lit(true))
   }
 

@@ -92,13 +92,14 @@ object WalDecoder {
   /** Drift gate for [[decodeTables]]/[[decodeTablesFromDir]]: I/U records
     * must match the stream-start schema ([[PgValueDecoder.schemaDriftGuard]]);
     * D records pass (a real wal2json DELETE carries only `identity`). */
-  private def driftGated(records: DataFrame, ts: TableSchema, strict: Boolean): DataFrame =
+  private def driftGated(records: DataFrame, ts: TableSchema, strict: Boolean,
+                         mode: DriftMode = DriftMode.Prefix): DataFrame =
     if (!strict) records
     else records.where(
       // table scope INSIDE the guard: robust even if an optimizer rule
       // reorders this conjunct relative to the table-routing filter
       when(col("table") === ts.table && col("action").isin("I", "U"),
-        PgValueDecoder.schemaDriftGuard(ts)).otherwise(lit(true)))
+        PgValueDecoder.schemaDriftGuard(ts, mode)).otherwise(lit(true)))
 
   /** Full batch decode: lines → Map(table → typed DataFrame).
     * `strict = true` applies the mid-stream DDL contract: any I/U record
@@ -110,6 +111,7 @@ object WalDecoder {
       schemas: Seq[TableSchema],
       replayActions: Set[String] = Set("I"),
       strict: Boolean = false,
+      driftMode: DriftMode = DriftMode.Prefix,
       numericAsDecimal: Boolean = false): Map[String, DataFrame] = {
     // replay needs only routing + payload fields; skip xid/lsn/pk/etc.
     val records = filterActions(
@@ -118,7 +120,7 @@ object WalDecoder {
       replayActions)
     schemas.map { ts =>
       ts.table -> PgValueDecoder.pivotToTable(
-        driftGated(records.where(col("table") === ts.table), ts, strict), ts,
+        driftGated(records.where(col("table") === ts.table), ts, strict, driftMode), ts,
         numericAsDecimal = numericAsDecimal)
     }.toMap
   }
@@ -137,6 +139,7 @@ object WalDecoder {
       schemas: Seq[TableSchema],
       replayActions: Set[String] = Set("I"),
       strict: Boolean = false,
+      driftMode: DriftMode = DriftMode.Prefix,
       numericAsDecimal: Boolean = false): Map[String, DataFrame] = {
     val records = filterActions(
       decodeRecords(actionPrefilter(lines, replayActions),
@@ -145,7 +148,7 @@ object WalDecoder {
       .withColumn("__graft_ts", parsedEventTs(col("timestamp")))
     schemas.map { ts =>
       ts.table -> PgValueDecoder.pivotToTable(
-        driftGated(records.where(col("table") === ts.table), ts, strict), ts,
+        driftGated(records.where(col("table") === ts.table), ts, strict, driftMode), ts,
         keepCols = Seq("__graft_ts"),
         numericAsDecimal = numericAsDecimal)
     }.toMap
@@ -192,6 +195,7 @@ object WalDecoder {
       schemas: Seq[TableSchema],
       replayActions: Set[String] = Set("I"),
       strict: Boolean = false,
+      driftMode: DriftMode = DriftMode.Prefix,
       numericAsDecimal: Boolean = false): Map[String, DataFrame] = {
     val records = filterActions(
       explodeTx(parseTxDir(spark, dir,
@@ -199,7 +203,7 @@ object WalDecoder {
       replayActions)
     schemas.map { ts =>
       ts.table -> PgValueDecoder.pivotToTable(
-        driftGated(records.where(col("table") === ts.table), ts, strict), ts,
+        driftGated(records.where(col("table") === ts.table), ts, strict, driftMode), ts,
         numericAsDecimal = numericAsDecimal)
     }.toMap
   }

@@ -86,6 +86,19 @@ object WalModel {
  */
 final case class TableColumn(name: String, pgType: String, nullable: Boolean, isPrimary: Boolean)
 
+/** How strictly [[PgValueDecoder.schemaDriftGuard]] compares a record's
+  * column list to the stream-start schema. `Exact` (streaming default)
+  * requires full (name, type) equality — catches every DDL including a
+  * trailing-column DROP. `Prefix` (the explicit recovery flag, and the
+  * batch-replay default) additionally passes records that are proper
+  * schema prefixes, which is what pre-`ADD COLUMN` spool history looks
+  * like when replayed under a refreshed (widened) schema. */
+sealed trait DriftMode
+object DriftMode {
+  case object Exact extends DriftMode
+  case object Prefix extends DriftMode
+}
+
 object TableSchema {
   /**
    * Compact CLI schema spec: tables separated by `;`, each

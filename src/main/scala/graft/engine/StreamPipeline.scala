@@ -40,6 +40,11 @@ object StreamPipeline {
       singleFile: Boolean = true,
       sourceOptions: Map[String, String] = Map.empty,
       strictSchema: Boolean = true,
+      // the explicit recovery flag: pass DriftMode.Prefix only while
+      // replaying pre-ALTER spool history under a refreshed schema;
+      // steady-state streams keep Exact (trailing-drop DDL also fails
+      // loud — PgValueDecoder.schemaDriftGuard)
+      driftMode: graft.cdc.DriftMode = graft.cdc.DriftMode.Exact,
       numericAsDecimal: Boolean = false,
       // event-time export windows (P5 semantic upgrade, see
       // [[EventTimeWindows]]); None keeps the reference-parity default
@@ -60,6 +65,7 @@ object StreamPipeline {
     // window, no coalesce(1) serialization point
     val sink = new VaultSink(namespace, schemas, stagingDir, store, signer,
       catalog, replayActions, singleFile, strictSchema = strictSchema,
+      driftMode = driftMode,
       numericAsDecimal = numericAsDecimal, eventTime = eventTime)
     val trigger =
       if (availableNow) Trigger.AvailableNow()

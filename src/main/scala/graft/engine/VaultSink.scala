@@ -120,6 +120,12 @@ final class VaultSink(
     // loudly (PgValueDecoder.schemaDriftGuard) instead of silently
     // dropping a newly added column from the uploaded artifacts
     strictSchema: Boolean = true,
+    // drift comparison mode under strictSchema: Exact is the steady-state
+    // streaming default (catches trailing-column DROPs too); pass
+    // DriftMode.Prefix ONLY as the explicit recovery flag when replaying
+    // pre-ALTER spool history under a refreshed (widened) schema — see
+    // PgValueDecoder.schemaDriftGuard
+    driftMode: graft.cdc.DriftMode = graft.cdc.DriftMode.Exact,
     // pgNumericAsDecimal: decode numeric(p,s) columns to exact decimals
     // in the uploaded artifacts instead of the reference's lossy double
     // (graft.core.PgTypes.of) — the same opt-in the batch entry points
@@ -140,7 +146,8 @@ final class VaultSink(
       case Some(w) => eventTimeBatch(spark, batch, windowId, w, ts)
       case None =>
         val tables = WalDecoder.decodeTables(spark, batch, schemas, replayActions,
-          strict = strictSchema, numericAsDecimal = numericAsDecimal)
+          strict = strictSchema, driftMode = driftMode,
+          numericAsDecimal = numericAsDecimal)
         tables.toSeq.sortBy(_._1).flatMap { case (table, df) =>
           publish(spark, table, df, windowId, ts)
         }
@@ -170,7 +177,8 @@ final class VaultSink(
         schemas.map(_.table), replayActions)
       .getOrElse(Long.MinValue)
     val tables = WalDecoder.decodeTablesWithTs(spark, batch, schemas,
-      replayActions, strict = strictSchema, numericAsDecimal = numericAsDecimal)
+      replayActions, strict = strictSchema, driftMode = driftMode,
+      numericAsDecimal = numericAsDecimal)
     tables.toSeq.sortBy(_._1).foreach { case (table, df0) =>
       // keep records whose window is still open; a NULL/unparseable
       // timestamp is droppable-late by contract (never fails the stream)
@@ -311,8 +319,14 @@ final class VaultSink(
           spark.read.parquet(artifact.toString), sch.columns.map(_.name))
       }.getOrElse("")
       val cid = store.put(vault, artifact, ts, sig)
+      // ifAbsent: a crash-replayed window (at-least-once foreachBatch /
+      // event-time republish) re-derives the same content cid — the
+      // catalog append must not double the listing row (advisor r12).
+      // Deliberate re-uploads go through BatchWrite, which keeps the
+      // append-always listing semantic.
       catalog.foreach(c => c.appendEvent(vault, cid, ts,
-        isArchived = false, c.cacheExpiryFor(vault, ts), digest))
+        isArchived = false, c.cacheExpiryFor(vault, ts), digest,
+        ifAbsent = true))
       FsUtil.deleteRecursive(stagePath)
       Some(table -> cid)
     }

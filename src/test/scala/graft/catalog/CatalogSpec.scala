@@ -59,4 +59,26 @@ class CatalogSpec extends SparkSpec {
     val nobody = Account("0x0000000000000000000000000000000000000001")
     assert(c.listVaults(nobody).isEmpty)
   }
+
+  test("appendEvent ifAbsent: replay-safe dedupe on (vault, cid); default keeps re-upload events") {
+    val c = freshCatalog(); c.createVault(v, acct, 30)
+    // first append through the replay-safe path works on an empty catalog
+    c.appendEvent(v, "cidA", 100L, isArchived = false,
+      new java.sql.Timestamp(0), ifAbsent = true)
+    // a crash-replayed window re-derives the same content cid: no-op
+    c.appendEvent(v, "cidA", 150L, isArchived = false,
+      new java.sql.Timestamp(0), ifAbsent = true)
+    assert(cids(c.listEvents(v)) == Seq("cidA"))
+    // dedupe is per-vault: the same cid in another vault still appends
+    val other = VaultName("ns", "other2")
+    c.createVault(other, acct, 0)
+    c.appendEvent(other, "cidA", 200L, isArchived = false,
+      new java.sql.Timestamp(0), ifAbsent = true)
+    assert(cids(c.listEvents(other)) == Seq("cidA"))
+    // the DEFAULT (append-always) listing semantic is unchanged — a
+    // deliberate re-upload of identical content IS an event
+    // (CompactorSpec's 'cid repeats in the log' contract)
+    c.appendEvent(v, "cidA", 300L, isArchived = false, new java.sql.Timestamp(0))
+    assert(cids(c.listEvents(v)) == Seq("cidA", "cidA"))
+  }
 }

@@ -91,6 +91,36 @@ class SchemaDriftSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getInt(0) == 7 && out(0).isNullAt(1))
   }
 
+  test("EXACT mode closes the trailing-drop blind spot; Prefix documents it") {
+    // post-`ALTER TABLE t DROP COLUMN name` records: a valid schema
+    // PREFIX — the one DDL shape Prefix mode cannot distinguish from
+    // recovery replay. Exact (the steady-state streaming default,
+    // VaultSink/StreamPipeline) must abort on it.
+    val trailingDropped = """[{"name": "id", "type": "integer", "value": 8}]"""
+    val e = intercept[Exception](
+      WalDecoder.decodeTables(spark, df(line(trailingDropped)), Seq(schemaT),
+        strict = true, driftMode = DriftMode.Exact)("t").collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("schema drift detected on table 't'"), msgs)
+    assert(msgs.contains("drift mode: Exact"), msgs)
+    // the documented blind spot, pinned: the same record PASSES Prefix
+    // (recovery-replay carve-out) and decodes a NULL tail
+    val out = WalDecoder.decodeTables(spark, df(line(trailingDropped)),
+      Seq(schemaT), strict = true, driftMode = DriftMode.Prefix)("t").collect()
+    assert(out.length == 1 && out(0).getInt(0) == 8 && out(0).isNullAt(1))
+    // Exact still accepts conforming records (with cosmetic typmods) and
+    // real-shape DELETEs (identity only, no columns payload)
+    val ok = WalDecoder.decodeTables(spark, df(line(conforming)),
+      Seq(schemaT), strict = true, driftMode = DriftMode.Exact)("t").collect()
+    assert(ok.length == 1 && ok(0).getInt(0) == 1)
+    val del = line("null", action = "D",
+      identityJson = Some("""[{"name": "id", "type": "integer", "value": 1}]"""))
+    val state = CdcMerge.latestState(df(line(conforming), del), schemaT,
+      strict = true, driftMode = DriftMode.Exact)
+    assert(state.collect().isEmpty)
+  }
+
   test("typmod differences are not drift; conforming records pass strict") {
     // record carries `character varying(30)`, schema `character varying`
     val out = WalDecoder.decodeTables(spark, df(line(conforming)),

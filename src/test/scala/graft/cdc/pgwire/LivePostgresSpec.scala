@@ -245,6 +245,52 @@ class LivePostgresSpec extends SparkSpec {
     } finally db.close()
   }
 
+  test("live trailing-column DROP: Exact mode aborts, Prefix documents the blind spot") {
+    gate()
+    val sql = cluster.sqlClient()
+    try sql.simpleQuery("CREATE DATABASE cdc_drop") finally sql.close()
+    val db = cluster.sqlClient(db = "cdc_drop")
+    val spool = Files.createTempDirectory("pg-drop-spool").toString
+    try {
+      db.simpleQuery("CREATE TABLE e(id int PRIMARY KEY, name text, extra double precision)")
+      db.simpleQuery("CREATE PUBLICATION pube FOR TABLE e")
+      val feed = new PgWalFeed(cluster.replicationClient("cdc_drop"), "pube", spool,
+        plugin = "pgoutput")
+      try {
+        feed.start()
+        db.simpleQuery("INSERT INTO e VALUES (1, 'full', 1.5)")
+        // the ONE DDL shape the prefix carve-out cannot catch: records
+        // after a REAL trailing-column DROP are valid schema prefixes
+        db.simpleQuery("ALTER TABLE e DROP COLUMN extra")
+        db.simpleQuery("INSERT INTO e VALUES (2, 'dropped')")
+        assert(eventually()(feed.txRefsAfter(0L, 10).size >= 2))
+
+        val streamStart = TableSchema("e", Seq(
+          TableColumn("id", "integer", nullable = false, isPrimary = true),
+          TableColumn("name", "text", nullable = true, isPrimary = false),
+          TableColumn("extra", "double precision", nullable = true, isPrimary = false)))
+        // Exact (the steady-state streaming default) FAILS LOUDLY on the
+        // post-DROP record — the r12 blind spot, closed
+        val e = intercept[Exception] {
+          CdcMerge.latestState(spark.read.text(spool).toDF("value"), streamStart,
+            strict = true, driftMode = graft.cdc.DriftMode.Exact).collect()
+        }
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+        assert(msgs.contains("schema drift detected on table 'e'"), msgs)
+        assert(msgs.contains("drift mode: Exact"), msgs)
+        // Prefix (the recovery flag) passes the same spool silently with
+        // a NULL-decoded tail — the documented blind spot, pinned live
+        val rows = CdcMerge.latestState(spark.read.text(spool).toDF("value"),
+            streamStart, strict = true, driftMode = graft.cdc.DriftMode.Prefix)
+          .orderBy(col("id")).collect()
+        assert(rows.length == 2)
+        assert(rows(0).getInt(0) == 1 && rows(0).getDouble(2) == 1.5)
+        assert(rows(1).getInt(0) == 2 && rows(1).isNullAt(2))
+      } finally feed.close()
+    } finally db.close()
+  }
+
   test("live introspection: introspectionSql over the real catalog folds to the exact TableSchema") {
     gate()
     val sql = cluster.sqlClient()
