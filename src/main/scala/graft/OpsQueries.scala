@@ -688,7 +688,7 @@ object OpsQueries {
       val layoutDir = s"$fixDir/layout"
       val directPath = s"$fixDir/expected_direct.parquet"
       val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
-      val buildTag = embSnapshotKey(dir) + "|k=5|imi(k=4,lloyd=2,probe=12)"
+      val buildTag = embSnapshotKey(dir) + "|k=5|imi(k=4,lloyd=2,probe=12)|pairv2"
       val markerFresh = java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
       if (!markerFresh) {
@@ -742,7 +742,7 @@ object OpsQueries {
       val directPath = s"$fixDir/expected_direct.parquet"
       val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
       val buildTag = embSnapshotKey(dir) +
-        "|k=5|imi(k=4,lloyd=2,probe=12)|pq(m=16,kSub=16)"
+        "|k=5|imi(k=4,lloyd=2,probe=12)|pq(m=16,kSub=16)|pairv2"
       val markerFresh = java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
       if (!markerFresh) {

@@ -128,7 +128,7 @@ object ThirdDecade {
     val layoutDir = s"$fixDir/layout"
     val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
     val buildTag = OpsQueries.embSnapshotKey(dir) +
-      s"|imi(k=$k,lloyd=$lloydIters,dims=64)"
+      s"|imi(k=$k,lloyd=$lloydIters,dims=64)|pairv2"
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
     if (!fresh) {
@@ -165,7 +165,7 @@ object ThirdDecade {
     val layoutDir = s"$fixDir/layout"
     val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
     val buildTag = OpsQueries.embSnapshotKey(dir) +
-      s"|imi(k=$k,lloyd=$lloydIters,dims=64)|pq(m=16,kSub=16)"
+      s"|imi(k=$k,lloyd=$lloydIters,dims=64)|pq(m=16,kSub=16)|pairv2"
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
     if (!fresh) {
@@ -381,6 +381,30 @@ object ThirdDecade {
       bm25Fixture(sf01); bm25Fixture(amp)
       noop(graft.ops.Layout.bm25FromLayout(spark, bm25Fixture(sf01), bmQuery))
     })(noop(graft.ops.Layout.bm25FromLayout(spark, bm25Fixture(amp), bmQuery)))
+    // r13: the SELECTIVE-term serve — the r12 verdict's one unmeasured
+    // structural claim. 'dup' is the corpus's rare token (~0.03% of
+    // postings vs ~3% for each common term), so the tok-sorted bucket
+    // files' row-group stats can actually engage: the 3-common-term row
+    // above reads ~every row group of its 3 buckets by construction
+    // (SCALING.md r12 admitted this), while this row's read should be
+    // bounded by the term's postings, not its bucket's. The row-group
+    // skip itself is spec-gated (LayoutSpec sorted-vs-unsorted A/B);
+    // this row records the 1000x serve cost, and the scanned-rows
+    // evidence prints untimed after the timed run.
+    run("bm25_serve_rare", {
+      bm25Fixture(sf01); bm25Fixture(amp)
+      noop(graft.ops.Layout.bm25FromLayout(spark, bm25Fixture(sf01), Seq("dup")))
+    })(noop(graft.ops.Layout.bm25FromLayout(spark, bm25Fixture(amp), Seq("dup"))))
+    if (only.forall(_.contains("bm25_serve_rare"))) {
+      val served = graft.ops.Layout.bm25FromLayout(spark, bm25Fixture(amp), Seq("dup"))
+      noop(served)
+      val scanned = org.apache.spark.sql.graftbridge.Bridge
+        .scannedOutputRows(served).filter(_ > 0)
+      val totalPostings = spark.read
+        .parquet(s"${bm25Fixture(amp)}/postings").count()
+      println(f"[1000x] bm25_serve_rare scan evidence: max-scan=${
+        if (scanned.isEmpty) 0L else scanned.max} rows of $totalPostings postings")
+    }
     val appendTestDir = s"${sys.props("java.io.tmpdir")}/graft_1000x_imipq_appendtest"
     run("imipq_append_1pct", {
       val src = java.nio.file.Paths.get(imiPqLayoutFixture(spark, amp))

@@ -84,26 +84,92 @@ object Layout {
 
   /**
    * Persist an [[Similarity.imiIndex]]'d corpus as a TWO-LEVEL pruned
-   * layout: `partitionBy(cell1)` — bounded at k directories — with rows
-   * SORTED by `cell2` inside each partition's files, so a pair probe
-   * prunes twice: cell1 at the partition listing, cell2 at the parquet
-   * row-group min/max stats. Materializing the k² pair as directories
-   * would be a filesystem problem at production k (16.8M dirs at
-   * k = 4096); k dirs × row-group pruning gives the same read bound
-   * without the listing blowup. Sidecars carry both half codebooks.
+   * layout. Every row carries the FUSED pair key `pair = cell1·k₂ +
+   * cell2` (a physical int column), and the partitioning adapts to the
+   * pair-space size (r13, erasing the small-pair-space regime caveat):
+   *
+   *  - pair-space ≤ `fusedDirCap`: `partitionBy(pair)` — probed pairs
+   *    become EXACT partition pruning (one directory per probed pair,
+   *    never the Cartesian cell1×cell2 superset).
+   *  - larger: `partitionBy(cell1)` — bounded at k directories — with
+   *    rows sorted by (cell1, cell2) ≡ by `pair` inside each
+   *    partition's files, so a probe prunes twice: cell1 at the
+   *    listing, and the probed `pair` set at the parquet row-group
+   *    min/max stats (`pair IN (...)` is EXACT, unlike the old
+   *    cell2-IN superset). Materializing the k² pairs as directories
+   *    up there would be a filesystem problem (16.8M dirs at
+   *    k = 4096); k dirs × exact pair row-group pruning gives the same
+   *    read bound without the listing blowup.
+   *
+   * Serve/append/compact DETECT the regime from the directory names, so
+   * one code path covers both. Sidecars carry both half codebooks.
    */
   def imiWrite(indexed: DataFrame,
                cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
-               dir: String): Unit = {
-    indexed
-      .repartition(cents._1.length, col("cell1"))
-      .sortWithinPartitions("cell1", "cell2")
-      .write.mode("overwrite").partitionBy("cell1").parquet(s"$dir/data")
+               dir: String, fusedDirCap: Int = 4096): Unit = {
+    writeImiPartitioned(withPairKey(indexed, cents._2.length), cents,
+      s"$dir/data", fusedDirCap, mode = "overwrite")
     val spark = indexed.sparkSession
     writeTsv(spark, s"$dir/_centroids1.tsv",
       cents._1.iterator.map { case (cid, v) => s"$cid\t${v.mkString(",")}" })
     writeTsv(spark, s"$dir/_centroids2.tsv",
       cents._2.iterator.map { case (cid, v) => s"$cid\t${v.mkString(",")}" })
+  }
+
+  /** The fused pair key: `cell1·k₂ + cell2`, one int per row. Int range
+    * is safe by construction (k ≤ 4096 per half ⇒ pair < 2²⁴). */
+  private def withPairKey(df: DataFrame, k2: Int): DataFrame =
+    df.withColumn("pair", (col("cell1") * k2 + col("cell2")).cast("int"))
+
+  /** Shared writer for both IMI regimes (see [[imiWrite]]): fused-pair
+    * directories when the pair space is bounded, cell1 directories with
+    * pair-sorted files otherwise. */
+  private def writeImiPartitioned(withPair: DataFrame,
+                                  cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
+                                  path: String, fusedDirCap: Int,
+                                  mode: String): Unit = {
+    val pairSpace = cents._1.length.toLong * cents._2.length
+    if (pairSpace <= fusedDirCap)
+      withPair
+        .repartition(pairSpace.toInt, col("pair"))
+        .write.mode(mode).partitionBy("pair").parquet(path)
+    else
+      withPair
+        .repartition(cents._1.length, col("cell1"))
+        // (cell1, cell2) sort ≡ pair sort within a cell1 partition:
+        // tight pair min/max row-group stats
+        .sortWithinPartitions("cell1", "cell2")
+        .write.mode(mode).partitionBy("cell1").parquet(path)
+  }
+
+  /** Which partition column an IMI layout's data/codes dir was written
+    * with — `pair` (fused regime) or `cell1`. Detected from the
+    * directory names so serve/append/compact never need to be told. */
+  private def imiPartCol(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.listStatus(p).exists(s => s.isDirectory &&
+        s.getPath.getName.startsWith("pair="))) "pair" else "cell1"
+  }
+
+  /** Exact pair-probe predicate for an IMI layout scan: partition
+    * pruning on the layout's partition column plus the EXACT fused-pair
+    * set pushed to row-group stats. Falls back to the r12 Cartesian
+    * superset predicate only for legacy layouts that predate the `pair`
+    * column (results were always exact either way — the (cell1, cell2)
+    * probe join filters the superset; only the read bound differed). */
+  private def prunePairs(all: DataFrame, partCol: String, k2: Int,
+                         pairs: Array[(Int, Int)]): DataFrame = {
+    if (pairs.isEmpty) return all.where(lit(false))
+    val fusedPairs = pairs.map { case (a, b) => a * k2 + b }.toIndexedSeq
+    if (partCol == "pair")
+      all.where(col("pair").isin(fusedPairs: _*))
+    else if (all.columns.contains("pair"))
+      all.where(col("cell1").isin(pairs.map(_._1).distinct.toIndexedSeq: _*) &&
+        col("pair").isin(fusedPairs: _*))
+    else
+      all.where(col("cell1").isin(pairs.map(_._1).distinct.toIndexedSeq: _*) &&
+        col("cell2").isin(pairs.map(_._2).distinct.toIndexedSeq: _*))
   }
 
   /**
@@ -124,14 +190,14 @@ object Layout {
   def imiPqWrite(indexed: DataFrame,
                  cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
                  books: Similarity.PqBooks, dir: String, dims: Int = 64,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 fusedDirCap: Int = 4096): Unit = {
     val m = books.length
-    Similarity.pqEncode(indexed, books, dims, idCol, vecCol)
-      .select(col(idCol), col("cell1"), col("cell2"),
-        Similarity.pqPack(col("codes"), m).as("packed"))
-      .repartition(cents._1.length, col("cell1"))
-      .sortWithinPartitions("cell1", "cell2")
-      .write.mode("overwrite").partitionBy("cell1").parquet(s"$dir/codes")
+    writeImiPartitioned(
+      withPairKey(Similarity.pqEncode(indexed, books, dims, idCol, vecCol)
+        .select(col(idCol), col("cell1"), col("cell2"),
+          Similarity.pqPack(col("codes"), m).as("packed")), cents._2.length),
+      cents, s"$dir/codes", fusedDirCap, mode = "overwrite")
     val spark = indexed.sparkSession
     writeTsv(spark, s"$dir/_centroids1.tsv",
       cents._1.iterator.map { case (cid, v) => s"$cid\t${v.mkString(",")}" })
@@ -169,11 +235,8 @@ object Layout {
     val pairs = probes.select("cell1", "cell2").distinct().collect()
       .map(r => (r.getInt(0), r.getInt(1)))
     val all = spark.read.parquet(s"$dir/codes")
-    val pruned =
-      if (pairs.isEmpty) all.where(lit(false))
-      else all.where(
-        col("cell1").isin(pairs.map(_._1).distinct.toIndexedSeq: _*) &&
-          col("cell2").isin(pairs.map(_._2).distinct.toIndexedSeq: _*))
+    val pruned = prunePairs(all, imiPartCol(spark, s"$dir/codes"),
+      cents._2.length, pairs)
     val coded = pruned
       .join(broadcast(probes), Seq("cell1", "cell2"))
       .where(col("query_id") =!= col(idCol))
@@ -198,16 +261,38 @@ object Layout {
   }
 
   /** Incremental maintenance for an [[imiWrite]] layout: pair-cell
-    * assignment under the frozen sidecar codebooks, cell2-sorted within
-    * the appended files, appended into the cell1 partitions. */
+    * assignment under the frozen sidecar codebooks, appended in the
+    * layout's OWN regime (fused pair dirs or cell1 dirs + pair-sorted
+    * files — detected, never guessed, so an append can't split the
+    * layout across regimes). */
   def imiAppend(newVectors: DataFrame, dir: String, dims: Int = 64,
                 vecCol: String = "embedding"): Unit = {
     val spark = newVectors.sparkSession
     val cents = readImiCentroids(spark, dir)
-    Similarity.assignImiCells(newVectors, cents, dims, vecCol)
-      .repartition(cents._1.length, col("cell1"))
-      .sortWithinPartitions("cell1", "cell2")
-      .write.mode("append").partitionBy("cell1").parquet(s"$dir/data")
+    appendImiPartitioned(
+      Similarity.assignImiCells(newVectors, cents, dims, vecCol),
+      cents, s"$dir/data")
+  }
+
+  /** Append `assigned` (has cell1/cell2) into an existing IMI layout
+    * dir, mirroring its partition regime AND its schema (a legacy
+    * pre-`pair` layout keeps its schema — mixed per-file schemas would
+    * make the column vanish under the default non-merging read). */
+  private def appendImiPartitioned(assigned: DataFrame,
+                                   cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
+                                   path: String): Unit = {
+    val spark = assigned.sparkSession
+    val partCol = imiPartCol(spark, path)
+    val hasPair = partCol == "pair" ||
+      spark.read.parquet(path).columns.contains("pair")
+    val df = if (hasPair) withPairKey(assigned, cents._2.length) else assigned
+    if (partCol == "pair")
+      df.repartition(cents._1.length.toInt * cents._2.length, col("pair"))
+        .write.mode("append").partitionBy("pair").parquet(path)
+    else
+      df.repartition(cents._1.length, col("cell1"))
+        .sortWithinPartitions("cell1", "cell2")
+        .write.mode("append").partitionBy("cell1").parquet(path)
   }
 
   /**
@@ -239,22 +324,20 @@ object Layout {
 
   /** [[pqAppend]] for an [[imiPqWrite]] layout: new vectors are
     * pair-cell-assigned and PQ-encoded under the frozen sidecar
-    * codebooks, sorted by `cell2` within each appended file so its
-    * row-group stats stay tight, and appended into the `cell1`
-    * partition directories. */
+    * codebooks, then appended in the layout's own partition regime
+    * (see [[appendImiPartitioned]]). */
   def imiPqAppend(newVectors: DataFrame, dir: String, dims: Int = 64,
                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = newVectors.sparkSession
     val cents = readImiCentroids(spark, dir)
     val books = readPqBooks(spark, dir)
     val m = books.length
-    Similarity.pqEncode(
-        Similarity.assignImiCells(newVectors, cents, dims, vecCol), books, dims, idCol, vecCol)
-      .select(col(idCol), col("cell1"), col("cell2"),
-        Similarity.pqPack(col("codes"), m).as("packed"))
-      .repartition(cents._1.length, col("cell1"))
-      .sortWithinPartitions("cell1", "cell2")
-      .write.mode("append").partitionBy("cell1").parquet(s"$dir/codes")
+    appendImiPartitioned(
+      Similarity.pqEncode(
+          Similarity.assignImiCells(newVectors, cents, dims, vecCol), books, dims, idCol, vecCol)
+        .select(col(idCol), col("cell1"), col("cell2"),
+          Similarity.pqPack(col("codes"), m).as("packed")),
+      cents, s"$dir/codes")
   }
 
   /** Both codebook sidecars of an [[imiWrite]] layout. */
@@ -289,11 +372,8 @@ object Layout {
     val pairs = q.select("cell1", "cell2").distinct().collect()
       .map(r => (r.getInt(0), r.getInt(1)))
     val all = spark.read.parquet(s"$dir/data")
-    val pruned =
-      if (pairs.isEmpty) all.where(lit(false))
-      else all.where(
-        col("cell1").isin(pairs.map(_._1).distinct.toIndexedSeq: _*) &&
-          col("cell2").isin(pairs.map(_._2).distinct.toIndexedSeq: _*))
+    val pruned = prunePairs(all, imiPartCol(spark, s"$dir/data"),
+      cents._2.length, pairs)
     val c = pruned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       col("cell1"), col("cell2"))
     Similarity.ivfScore(c, q, k, keys = Seq("cell1", "cell2"))
@@ -563,15 +643,22 @@ object Layout {
   def pqCompact(spark: SparkSession, dir: String): Unit =
     compactPartitioned(spark, s"$dir/codes", "cell", Nil)
 
-  /** Small-file compaction for an [[imiWrite]] layout's data dir
-    * (cell2 re-sorted so the merged files' row-group stats stay
-    * tight). */
+  /** Small-file compaction for an [[imiWrite]] layout's data dir, in
+    * the layout's own partition regime: fused pair dirs need no re-sort
+    * (a dir holds one pair); cell1 dirs re-sort (cell1, cell2) ≡ pair
+    * so the merged files' row-group stats stay tight. */
   def imiCompact(spark: SparkSession, dir: String): Unit =
-    compactPartitioned(spark, s"$dir/data", "cell1", Seq("cell1", "cell2"))
+    compactImiPartitioned(spark, s"$dir/data")
 
   /** Small-file compaction for an [[imiPqWrite]] layout's codes dir. */
   def imiPqCompact(spark: SparkSession, dir: String): Unit =
-    compactPartitioned(spark, s"$dir/codes", "cell1", Seq("cell1", "cell2"))
+    compactImiPartitioned(spark, s"$dir/codes")
+
+  private def compactImiPartitioned(spark: SparkSession, path: String): Unit =
+    imiPartCol(spark, path) match {
+      case "pair" => compactPartitioned(spark, path, "pair", Nil)
+      case _ => compactPartitioned(spark, path, "cell1", Seq("cell1", "cell2"))
+    }
 
   /** Parquet data files under a layout subdirectory (recursive; excludes
     * _SUCCESS etc.) — the compaction gate's measurement. */

@@ -21,7 +21,19 @@ object Bridge {
   /** `numFiles` metric of every file scan in an EXECUTED plan (run an
     * action first; AQE subtrees are unwrapped). Lets specs assert
     * partition pruning by files actually touched, not plan text. */
-  def scannedFileCounts(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+  def scannedFileCounts(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    scanMetric(df, "numFiles")
+
+  /** `numOutputRows` of every file scan in an EXECUTED plan: rows that
+    * SURVIVED parquet pushdown (row-group min/max skipping + column-
+    * index page skipping — record-level filtering is off by default).
+    * Scan rows ≪ file rows is the direct evidence that a sorted
+    * layout's chunk stats pruned the read. */
+  def scannedOutputRows(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    scanMetric(df, "numOutputRows")
+
+  private def scanMetric(df: org.apache.spark.sql.DataFrame,
+                         metric: String): Seq[Long] = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
@@ -29,7 +41,7 @@ object Bridge {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case s: QueryStageExec => walk(s.plan)
       case r: ReusedExchangeExec => walk(r.child)
-      case f: FileSourceScanExec => Seq(f.metrics("numFiles").value)
+      case f: FileSourceScanExec => Seq(f.metrics(metric).value)
       case other =>
         (other.children ++ other.subqueries).flatMap(walk)
     }

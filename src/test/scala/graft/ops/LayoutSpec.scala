@@ -151,28 +151,28 @@ class LayoutSpec extends SparkSpec {
     assert(b2.map(_._1).toSeq == cents._2.map(_._1).toSeq &&
       b2.map(_._2.toSeq).toSeq == cents._2.map(_._2.toSeq).toSeq)
 
-    // one file per cell1 partition (writer repartitions on cell1)
+    // k = 4 per half ⇒ pair space 16 ≤ fusedDirCap: the FUSED regime —
+    // one directory per (cell1, cell2) pair, ≤ pair-space files
     val filesTotal = spark.read.parquet(s"$dir/data").inputFiles.length
-    assert(filesTotal <= cents._1.length,
-      s"expected <= k files (one per cell1), got $filesTotal")
+    assert(filesTotal <= cents._1.length * cents._2.length,
+      s"expected <= pair-space files, got $filesTotal")
 
-    // ONE query, nProbe = 3: the top-3 pairs can span at most 3 distinct
-    // cell1 values of the 4 partitions, so pruning is guaranteed visible
+    // ONE query, nProbe = 3: only 3 of the 16 pair dirs are probed, so
+    // pruning is guaranteed visible
     val queries = emb.where(col("vec_id") === 0)
     val result = Layout.imiTopKFromLayout(spark, dir, queries, k = 5, nProbe = 3)
     val rows = result.collect()
     assert(rows.nonEmpty)
 
-    // plan: cell1 is a PARTITION filter, cell2 a PUSHED data filter
+    // plan: the fused pair key is a PARTITION filter — EXACT pruning to
+    // the probed pairs, never the cell1×cell2 Cartesian superset (r13)
     val plan = result.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell1"),
-      s"no cell1 partition filter in plan:\n$plan")
-    assert(plan.contains("PushedFilters") && plan.contains("cell2"),
-      s"no cell2 pushed filter in plan:\n$plan")
-    // files actually read are bounded by the probed cell1 set
+    assert(plan.contains("PartitionFilters") && plan.contains("pair"),
+      s"no fused-pair partition filter in plan:\n$plan")
+    // files actually read = the probed pair set, < total
     val scanned = org.apache.spark.sql.graftbridge.Bridge.scannedFileCounts(result)
     assert(scanned.nonEmpty && scanned.max < filesTotal,
-      s"scan touched ${scanned.max} of $filesTotal files; probes must prune partitions")
+      s"scan touched ${scanned.max} of $filesTotal files; pair probes must prune partitions")
 
     // parity with the in-memory pair index at the same probes
     val direct = Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = 3)
@@ -252,29 +252,28 @@ class LayoutSpec extends SparkSpec {
       assert(bb(s).map(_._2.toSeq).toSeq == books(s).map(_._2.toSeq).toSeq)
     }
 
-    // the persisted index rows are 8-byte packed words, ≤ k cell1 files
+    // the persisted index rows are 8-byte packed words; k = 4 per half
+    // ⇒ FUSED regime, ≤ pair-space files (one per pair directory)
     val codes = spark.read.parquet(s"$dir/codes")
     assert(codes.schema("packed").dataType.typeName == "long")
-    assert(codes.inputFiles.length <= cents._1.length)
+    assert(codes.inputFiles.length <= cents._1.length * cents._2.length)
 
-    // ONE query, nProbe = 3: the probed pairs span ≤ 3 distinct cell1
-    // of the 4 partitions, so partition pruning is guaranteed visible
+    // ONE query, nProbe = 3: only 3 of the 16 pair dirs are probed, so
+    // partition pruning is guaranteed visible
     val queries = emb.where(col("vec_id") === 0)
     val result = Layout.imiPqTopKFromLayout(spark, dir, emb, queries,
       k = 5, nProbe = 3)
     val rows = result.collect()
     assert(rows.nonEmpty)
 
-    // two-level pruning: cell1 a PARTITION filter, cell2 a PUSHED filter
+    // fused-pair partition pruning: exact to the probed pair set (r13)
     val scanned = org.apache.spark.sql.graftbridge.Bridge.scannedFileCounts(result)
     val filesTotal = codes.inputFiles.length
     assert(scanned.nonEmpty && scanned.max < filesTotal,
       s"scan touched ${scanned.max} of $filesTotal files; pair probes must prune partitions")
     val plan = result.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell1"),
-      s"no cell1 partition filter in plan:\n$plan")
-    assert(plan.contains("PushedFilters") && plan.contains("cell2"),
-      s"no cell2 pushed filter in plan:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("pair"),
+      s"no fused-pair partition filter in plan:\n$plan")
 
     // parity: identical (query, rank, neighbor, sim) to the in-memory
     // composed index on the same quantizer + codebooks
@@ -284,6 +283,82 @@ class LayoutSpec extends SparkSpec {
     val fromLayout = rows
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
     assert(fromLayout == direct)
+  }
+
+  test("IMI deep-cell regime: cell1 partitions + EXACT fused-pair row-group pruning") {
+    // fusedDirCap = 1 forces the big-pair-space shape (what k = 4096
+    // per half produces): cell1 partition dirs, pair-sorted files, and
+    // the probed pair set pushed as an exact `pair IN (...)` data
+    // filter — not the r12 cell2-IN Cartesian superset
+    val base = Files.createTempDirectory("layout-imi-deep").toString
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val (indexed, cents) = Similarity.imiIndex(emb, k = 4, lloydIters = 2)
+    val books = Similarity.pqTrain(emb)
+    val queries = emb.where(col("vec_id") === 0)
+
+    Layout.imiWrite(indexed, cents, s"$base/imi", fusedDirCap = 1)
+    val filesTotal = spark.read.parquet(s"$base/imi/data").inputFiles.length
+    assert(filesTotal <= cents._1.length, // cell1 dirs, not pair dirs
+      s"deep regime must partition by cell1, got $filesTotal files")
+    val result = Layout.imiTopKFromLayout(spark, s"$base/imi", queries, k = 5, nProbe = 3)
+    val rows = result.collect()
+    assert(rows.nonEmpty)
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell1"),
+      s"no cell1 partition filter in plan:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("pair"),
+      s"no exact fused-pair pushed filter in plan:\n$plan")
+    val direct = Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+      == direct)
+
+    // same for the composed IMI+PQ layout, including append + compact
+    // staying in the layout's own regime
+    Layout.imiPqWrite(indexed, cents, books, s"$base/imipq", fusedDirCap = 1)
+    val served = Layout.imiPqTopKFromLayout(spark, s"$base/imipq", emb, queries,
+      k = 5, nProbe = 3)
+    val planPq = served.queryExecution.executedPlan.toString
+    assert(planPq.contains("PartitionFilters") && planPq.contains("cell1"))
+    assert(planPq.contains("PushedFilters") && planPq.contains("pair"))
+    val directPq = Similarity.imiPqTopK(indexed, cents, books, queries, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(served.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+      == directPq)
+  }
+
+  test("legacy IMI layouts (no pair column) still serve via the superset fallback") {
+    // a layout persisted by the r12 writer: cell1 dirs, cell2-sorted
+    // files, NO pair column — serve must fall back to the Cartesian
+    // cell1/cell2 predicate (results were always exact via the probe
+    // join) and appends must not introduce a mixed schema
+    val base = Files.createTempDirectory("layout-imi-legacy").toString
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val (indexed, cents) = Similarity.imiIndex(emb, k = 4, lloydIters = 2)
+    val queries = emb.where(col("vec_id") === 0)
+    // hand-write the r12 shape
+    indexed.repartition(cents._1.length, col("cell1"))
+      .sortWithinPartitions("cell1", "cell2")
+      .write.mode("overwrite").partitionBy("cell1").parquet(s"$base/imi/data")
+    Layout.imiWrite(indexed, cents, s"$base/sidecars") // for the tsv files
+    for (f <- Seq("_centroids1.tsv", "_centroids2.tsv")) {
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$base/sidecars/$f"), fs,
+        new org.apache.hadoop.fs.Path(s"$base/imi/$f"),
+        false, spark.sessionState.newHadoopConf())
+    }
+    assert(!spark.read.parquet(s"$base/imi/data").columns.contains("pair"))
+    val rows = Layout.imiTopKFromLayout(spark, s"$base/imi", queries, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val direct = Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(rows == direct)
+    // append keeps the legacy schema (no pair column creeps in)
+    Layout.imiAppend(emb.where(col("vec_id") >= 9990), s"$base/imi")
+    assert(!spark.read.parquet(s"$base/imi/data").columns.contains("pair"))
   }
 
   test("ANN layout appends: incremental maintenance equals a full rebuild (all four layouts)") {
@@ -391,6 +466,61 @@ class LayoutSpec extends SparkSpec {
     assert(scanned.min <= queryBuckets.length.toLong,
       s"postings scan touched ${scanned.min} files for ${queryBuckets.length} buckets " +
         s"(total $postingsFilesTotal)")
+  }
+
+  test("postings tok-sort: a selective term's read skips row groups (sorted vs unsorted A/B)") {
+    // The r12 tok-sorting of bucket files was a structural claim with no
+    // supporting number (r12 verdict item 2) — this is the gate. Small
+    // parquet row groups make chunk-level pruning observable at spec
+    // scale; nBuckets = 1 removes bucket pruning from the picture so the
+    // ONLY thing separating the two arms is the within-file sort.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    hc.setInt("parquet.page.size", 4 * 1024)
+    try {
+      val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      val base = Files.createTempDirectory("layout-toksort").toString
+      Layout.postingsWrite(docs, s"$base/sorted", nBuckets = 1)
+      // control: identical postings, same single bucket, NO tok sort
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .where(col("tok") =!= "")
+      val dl = docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("dl"))
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .join(dl, Seq("doc_id"))
+        .withColumn("bucket", lit(0))
+        .repartition(1)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$base/unsorted/postings")
+
+      def scanRows(dir: String, term: String): Long = {
+        val read = spark.read.parquet(dir)
+          .where(col("bucket") === 0 && col("tok") === term)
+        assert(read.count() > 0, s"term '$term' must exist in the fixture")
+        org.apache.spark.sql.graftbridge.Bridge.scannedOutputRows(read).sum
+      }
+      val total = spark.read.parquet(s"$base/sorted/postings").count()
+      // 'dup' is the corpus's one genuinely rare token (~29 of ~15k
+      // postings); row counts are identical across arms by construction
+      val sortedRows = scanRows(s"$base/sorted/postings", "dup")
+      val unsortedRows = scanRows(s"$base/unsorted/postings", "dup")
+      assert(sortedRows * 4 <= unsortedRows,
+        s"tok-sort must prune chunks: sorted scan $sortedRows rows vs unsorted " +
+          s"$unsortedRows (file total $total)")
+      assert(sortedRows < total / 4,
+        s"sorted rare-term scan read $sortedRows of $total rows — stats not tight")
+      // and the full serve path over the sorted layout reads ≪ the file
+      val served = Layout.bm25FromLayout(spark, s"$base/sorted", Seq("dup"))
+      served.collect()
+      val serveScan = org.apache.spark.sql.graftbridge.Bridge
+        .scannedOutputRows(served).filter(_ > 0)
+      assert(serveScan.nonEmpty && serveScan.max < total / 4,
+        s"bm25 serve scanned ${serveScan.max} of $total postings rows")
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", oldPage)
+    }
   }
 
   test("postings layout remembers nBuckets: append and serve read it from the sidecar") {

@@ -61,11 +61,12 @@ class StreamingAnnIngestSpec extends SparkSpec {
     assert(rows(s"$base/inc") == rows(s"$base/full"),
       "streamed appends + mid-stream compact diverged from the full build")
     // and the compact bounded the file count: the post-compact appends
-    // add at most one file set per touched cell per batch
+    // add at most one file set per touched partition per batch (k = 4
+    // per half ⇒ the FUSED pair regime, 16 pair directories)
     val nFiles = spark.read.parquet(s"$base/inc/codes").inputFiles.length
-    val nCells = cents._1.length
-    assert(nFiles <= 3 * nCells,
-      s"$nFiles files after compact + 2 appends (expected <= ${3 * nCells})")
+    val nPairs = cents._1.length * cents._2.length
+    assert(nFiles <= 3 * nPairs,
+      s"$nFiles files after compact + 2 appends (expected <= ${3 * nPairs})")
     emb.unpersist(); ()
   }
 }
