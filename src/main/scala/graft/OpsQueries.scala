@@ -99,15 +99,15 @@ object OpsQueries {
         // autoCellsImi); lloyd=2 keeps the two trainings bench-priced
         val cents = imiCentsFor(s, dir)
         val indexed = Similarity.assignImiCells(emb, cents)
-        // nProbe = 12 of 16 pair-cells. Measured (RecallCheck r12 grid):
-        // at the 50% probed fraction single-level IVF runs, IMI recalls
-        // 0.66-0.86 across sf0.001-0.1 — the two INDEPENDENT half-
-        // quantizers rank pair-cells noisier than one full-vector
-        // quantizer (the standard IMI trade; its win is k² cells from
-        // k-sized codebooks at extreme scale, not probed fraction).
-        // 75% probed measures 0.92-0.96 everywhere, comfortably over
-        // the 0.8 contract while still exercising real pruning.
-        Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = 12)
+        // nProbe DERIVED from the measured recall grid (r13): 12 of 16
+        // pair-cells = autoProbesImi(4, 0.9) — the 75% probed fraction
+        // where the grid's min recall first clears 0.9 (50% measures
+        // only 0.66-0.86: two INDEPENDENT half-quantizers rank
+        // pair-cells noisier than one full-vector quantizer — the
+        // standard IMI trade; its win is k² cells from k-sized
+        // codebooks at extreme scale, not probed fraction).
+        Similarity.imiTopK(indexed, cents, queries, k = 5,
+          nProbe = Similarity.autoProbesImi(4))
       case "pq" =>
         Similarity.pqTopK(emb, pqBooksFor(s, dir), queries, k = 5)
       case "ivfpq" =>
@@ -119,7 +119,8 @@ object OpsQueries {
         // q_ann_imi / q_ann_imipq_layout rows (RecallCheck: 0.90-0.94)
         val cents = imiCentsFor(s, dir)
         Similarity.imiPqTopK(Similarity.assignImiCells(emb, cents), cents,
-          pqBooksFor(s, dir), queries, k = 5, nProbe = 12)
+          pqBooksFor(s, dir), queries, k = 5,
+          nProbe = Similarity.autoProbesImi(4)) // = the grid-derived 12
       case _ =>
         val cents = ivfCentsFor(s, dir)
         Similarity.ivfTopK(Similarity.assignCells(emb, cents), cents, queries, k = 5)

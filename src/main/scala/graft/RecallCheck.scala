@@ -65,6 +65,23 @@ object RecallCheck {
         println(s"RECALL $sf imi-auto k=$kAuto iters=2 probe=32 (${32 * 100 / (kAuto * kAuto)}%) r=$r")
         indexed.unpersist()
       }
+      // r13: the GRID-DERIVED probe config — autoProbesImi(k, 0.9)
+      // must reproduce the registered 12-of-16 and meet its own target
+      // at every scale (the function encodes this grid; this block
+      // keeps it honest against future grid drift)
+      locally {
+        val kReg = 4
+        val nProbe = Similarity.autoProbesImi(kReg, targetRecall = 0.9)
+        require(nProbe == 12,
+          s"autoProbesImi($kReg, 0.9) drifted from the registered 12: $nProbe")
+        val (indexed, cents) = Similarity.imiIndex(emb, k = kReg, lloydIters = 2)
+        indexed.cache()
+        val r = recall(Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = nProbe))
+        println(s"RECALL $sf imi-autoprobe k=$kReg probe=$nProbe (${nProbe * 100 / (kReg * kReg)}%) r=$r")
+        require(r >= 0.9 - 1e-9,
+          s"auto-probed IMI config fell below its 0.9 target at $sf: $r")
+        indexed.unpersist()
+      }
       // IMI+PQ composition (r12): the registered q_ann_imipq_layout
       // config — ADC quantization error on top of the pair-cell probe
       // loss, recovered by the exact shortlist re-rank

@@ -422,6 +422,36 @@ object Similarity {
     math.min(maxK.toLong, math.max(minK.toLong, want)).toInt
   }
 
+  /** IMI probe-count sizing from the MEASURED recall-vs-probed-fraction
+    * grid (RecallCheck r13, sf0.001–0.1, k@5 vs brute force, raw IMI
+    * and IMI+PQ arms; each entry is the MINIMUM recall observed at that
+    * fraction across scales and arms): 25% → 0.48, 50% → 0.66,
+    * 75% → 0.90, 100% → 0.96 (PQ quantization keeps even a full probe
+    * below 1.0 before the shortlist re-rank widens). Returns the
+    * smallest probed pair count whose grid fraction met `targetRecall`
+    * — at the registered k = 4 and the 0.9 default this derives exactly
+    * the hand-picked 12-of-16 config the q_ann_imi* rows ship
+    * (RecallCheck pins the derived config's recall at each scale).
+    *
+    * Scope, honestly: the grid was measured on this corpus family's
+    * bench regime (k = 4–8, 64-dim synthetic embeddings). It encodes
+    * the measured shape — recall rises steeply between 50% and 75%
+    * probed fraction because two independent half-space quantizers rank
+    * pair-cells noisily (the [[imiIndex]] scaladoc's caveat) — not a
+    * universal law; production deep-cell regimes (k ≥ 64, tiny probed
+    * fractions) should re-run the RecallCheck grid on their corpus and
+    * rely on the shortlist re-rank, like any ANN deployment. */
+  def autoProbesImi(k: Int, targetRecall: Double = 0.9): Int = {
+    require(k > 0 && targetRecall > 0.0 && targetRecall <= 1.0,
+      "autoProbesImi: need k > 0 and targetRecall in (0, 1]")
+    val grid = Seq( // probed fraction -> min recall measured (RecallCheck r13)
+      0.25 -> 0.48, 0.50 -> 0.66, 0.75 -> 0.90, 1.00 -> 0.96)
+    val frac = grid.collectFirst { case (f, r) if r >= targetRecall => f }
+      .getOrElse(1.0) // above the measured ceiling: probe everything
+    val pairSpace = k.toLong * k
+    math.max(1L, math.min(pairSpace, math.ceil(pairSpace * frac).toLong)).toInt
+  }
+
   /**
    * Inverted multi-index (IMI) coarse quantizer — the TWO-LEVEL scale
    * path past [[autoCells]]' single-level cap (public literature:
