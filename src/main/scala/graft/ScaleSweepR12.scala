@@ -73,9 +73,14 @@ object ScaleSweepR12 {
     def merge(dir: String, strict: Boolean): Unit =
       noop(graft.cdc.CdcMerge.latestStateFromDir(
         spark, feed(dir), CdcQueries.eventsSchema, strict = strict))
-    // the REGISTERED q_cdc_upsert shape verbatim (merge + date_format
+    // the r12-registered q_cdc_upsert shape (merge + date_format
     // presentation + global orderBy): separates the range-partitioned
-    // sort tail from the merge when reading the third-decade exponent
+    // sort tail from the merge when reading the third-decade exponent.
+    // r13 note: the REGISTERED row dropped the orderBy (the comparison
+    // layer sorts; the registered shape now equals the merge rows
+    // above) — this row is KEPT as the labeled sorted variant so the
+    // artifact's historical "@1000x exp 1.20 = mostly the sort" story
+    // stays reproducible.
     def upsertOrdered(dir: String): Unit = {
       import org.apache.spark.sql.functions._
       noop(graft.cdc.CdcMerge.latestStateFromDir(

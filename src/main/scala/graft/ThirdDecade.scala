@@ -158,14 +158,17 @@ object ThirdDecade {
     * config — same 2×16 half codebooks as [[imiLayoutFixture]], codes
     * packed with the bench PQ books (m=16, kSub=16). */
   def imiPqLayoutFixture(spark: SparkSession, dir: String, k: Int = 16,
-                         lloydIters: Int = 4): String = {
+                         lloydIters: Int = 4,
+                         fusedDirCap: Int = 4096): String = {
     import graft.ops.{Layout, Similarity}
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val fixDir = s"${sys.props("java.io.tmpdir")}/graft_1000x_imipq_${tag}_k$k"
+    val capTag = if (fusedDirCap == 4096) "" else s"_cap$fusedDirCap"
+    val fixDir =
+      s"${sys.props("java.io.tmpdir")}/graft_1000x_imipq_${tag}_k$k$capTag"
     val layoutDir = s"$fixDir/layout"
     val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
     val buildTag = OpsQueries.embSnapshotKey(dir) +
-      s"|imi(k=$k,lloyd=$lloydIters,dims=64)|pq(m=16,kSub=16)|pairv2"
+      s"|imi(k=$k,lloyd=$lloydIters,dims=64)|pq(m=16,kSub=16)|pairv2$capTag"
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
     if (!fresh) {
@@ -173,8 +176,9 @@ object ThirdDecade {
       val emb = Tables(spark, dir, "embeddings")
       val t0 = System.nanoTime()
       val (indexed, cents) = Similarity.imiIndex(emb, k = k, lloydIters = lloydIters)
-      Layout.imiPqWrite(indexed, cents, OpsQueries.pqBooksFor(spark, dir), layoutDir)
-      println(f"[scale] imipq layout build ($dir, k=$k, lloyd=$lloydIters): ${(System.nanoTime() - t0) / 1e9}%.1fs (untimed fixture)")
+      Layout.imiPqWrite(indexed, cents, OpsQueries.pqBooksFor(spark, dir),
+        layoutDir, fusedDirCap = fusedDirCap)
+      println(f"[scale] imipq layout build ($dir, k=$k, lloyd=$lloydIters, cap=$fusedDirCap): ${(System.nanoTime() - t0) / 1e9}%.1fs (untimed fixture)")
       java.nio.file.Files.write(marker, buildTag.getBytes("UTF-8"))
     }
     layoutDir
@@ -183,10 +187,10 @@ object ThirdDecade {
   /** The timed IMI+PQ serve: ADC off the two-level pruned packed
     * codes, same probed fraction as [[imiServe]]. */
   def imiPqServe(spark: SparkSession, dir: String, k: Int = 16,
-                 lloydIters: Int = 4): DataFrame = {
+                 lloydIters: Int = 4, fusedDirCap: Int = 4096): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     graft.ops.Layout.imiPqTopKFromLayout(spark,
-      imiPqLayoutFixture(spark, dir, k, lloydIters), emb,
+      imiPqLayoutFixture(spark, dir, k, lloydIters, fusedDirCap), emb,
       emb.where(col("vec_id") < 10), k = 5, nProbe = 32)
   }
 
@@ -345,6 +349,18 @@ object ThirdDecade {
       imiPqLayoutFixture(spark, amp, k = 64, lloydIters = 1)
       noop(imiPqServe(spark, sf01))
     })(noop(imiPqServe(spark, amp, k = 64, lloydIters = 1)))
+    // r13: the ROW-GROUP-PRUNING regime at the same 4096-pair space —
+    // fusedDirCap forced below the pair count, so the layout partitions
+    // by cell1 (64 dirs) with pair-sorted files and the exact fused-pair
+    // IN set prunes at parquet row-group min/max stats instead of the
+    // directory listing. This is the read path every k ≥ 4096 production
+    // config uses (16.8M pair directories would be a filesystem problem);
+    // the A/B against imipq_serve_deep prices row-group pruning vs
+    // directory pruning at an identical probe set and pair space.
+    run("imipq_serve_deep_rg", {
+      imiPqLayoutFixture(spark, amp, k = 64, lloydIters = 1, fusedDirCap = 256)
+      noop(imiPqServe(spark, sf01))
+    })(noop(imiPqServe(spark, amp, k = 64, lloydIters = 1, fusedDirCap = 256)))
     // middle point of the pair-space curve (k=32 → 1024 pairs, ~2k
     // rows/cell): locates the knee between the saturated 256-pair
     // config and the 4096-pair deep row, and backs the autoCellsImi

@@ -97,7 +97,8 @@ object IngestBench {
   /** wal2json frame stream for the fake walsender, generated lazily so a
     * million-record script never materializes in memory: element i is
     * computed on access (B, R×10, C per tx). */
-  private def frameStream(nTx: Long): IndexedSeq[(Long, String)] =
+  private def frameStream(nTx: Long,
+                          eventTimed: Boolean = false): IndexedSeq[(Long, String)] =
     new scala.collection.immutable.IndexedSeq[(Long, String)] {
       private val perTx = RecordsPerTx + 2
       override def length: Int = (nTx * perTx).toInt
@@ -108,7 +109,7 @@ object IngestBench {
         val payload =
           if (j == 0) s"""{"action":"B","xid":$tx,"lsn":"0/F00","nextlsn":"$ct","timestamp":"ts"}"""
           else if (j == perTx - 1) s"""{"action":"C","xid":$tx,"lsn":"0/F09","nextlsn":"$ct","timestamp":"ts"}"""
-          else record(tx, j - 1)
+          else record(tx, j - 1, if (eventTimed) etTs(tx) else "2024-01-01 00:00:00.000000+00")
         (0xF000L + i.toLong * 8, payload)
       }
     }
@@ -164,6 +165,24 @@ object IngestBench {
       .map(ws => spark.read.parquet(ws.toString).count()).sum
   }
 
+  /** Max open (pending) event-time windows across tables — the
+    * pending-dir GROWTH gate: published windows' slices are GC'd at
+    * finalization, so with monotonic timestamps only the trailing
+    * window (plus at most one mid-finalize straggler) may remain open
+    * no matter how long the stream ran. */
+  private def pendingWindowsMax(staging: String): Int = {
+    val root = Paths.get(staging, "pending")
+    if (!Files.exists(root)) 0
+    else graft.core.FsUtil.listDir(root).filter(Files.isDirectory(_))
+      .map { t =>
+        graft.core.FsUtil.listDir(t).filter(Files.isDirectory(_))
+          .flatMap(b => graft.core.FsUtil.listDir(b))
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("__wstart="))
+          .map(_.getFileName.toString).distinct.size
+      }.maxOption.getOrElse(0)
+  }
+
   private def runFileFeed(spark: SparkSession, base: String, nTx: Long,
                           nBatches: Int,
                           eventTime: Option[graft.engine.EventTimeWindows] = None)
@@ -189,6 +208,11 @@ object IngestBench {
       // late drops, and the trailing window can never have closed
       require(stored + pending == expected && stored > 0 && pending > 0,
         s"event-time row gate: stored $stored + pending $pending != $expected")
+      // pending-dir growth gate: slices of published windows are GC'd,
+      // so open windows stay O(1) regardless of stream length
+      val openW = pendingWindowsMax(s"$base/staging")
+      require(openW <= 2,
+        s"pending-slice GC left $openW open windows (bound 2)")
     } else require(stored == expected, s"row gate: stored $stored != $expected")
     val durs = collector.dursOf(q.runId)
     val (mn, md, mx) = latencyStats(durs)
@@ -202,12 +226,14 @@ object IngestBench {
       else Map.empty[String, Any])
   }
 
-  private def runPgFeed(spark: SparkSession, base: String, nTx: Long): Map[String, Any] = {
+  private def runPgFeed(spark: SparkSession, base: String, nTx: Long,
+                        eventTime: Option[graft.engine.EventTimeWindows] = None)
+      : Map[String, Any] = {
     import scala.jdk.CollectionConverters._
     val spool = s"$base/spool"; val store = s"$base/store"
     val server = new FakeWalsender(
       publications = Map("pub" -> TableNames.map("public" -> _)),
-      stream = frameStream(nTx))
+      stream = frameStream(nTx, eventTimed = eventTime.isDefined))
     val collector = new ProgressCollector
     spark.streams.addListener(collector)
     val t0 = System.nanoTime()
@@ -219,7 +245,8 @@ object IngestBench {
       sourceOptions = Map(
         "pghost" -> "127.0.0.1", "pgport" -> server.port.toString,
         "pguser" -> "bench", "pgdatabase" -> "db", "publication" -> "pub",
-        "segmentbytes" -> (8L * 1024 * 1024).toString))
+        "segmentbytes" -> (8L * 1024 * 1024).toString),
+      eventTime = eventTime)
     try {
       // End-of-stream signal: an IDLE progress report whose end offset is
       // already the final commit LSN — an idle trigger constructs only
@@ -245,8 +272,22 @@ object IngestBench {
       require(drained, s"pg feed not drained to $finalLsn before deadline")
       q.stop(); q.awaitTermination(60000)
       spark.streams.removeListener(collector)
-      val rows = storedRows(spark, store)
-      require(rows == nTx * RecordsPerTx, s"row gate: stored $rows != ${nTx * RecordsPerTx}")
+      val stored = storedRows(spark, store)
+      val pending =
+        if (eventTime.isDefined) pendingRows(spark, s"$base/staging") else 0L
+      val rows = stored + pending
+      if (eventTime.isDefined) {
+        // live-feed event-time gates (r13): conservation across store +
+        // open windows, and the pending-dir growth bound — published
+        // windows' slices must be GC'd even while segment GC churns the
+        // spool underneath
+        require(stored + pending == nTx * RecordsPerTx && stored > 0 && pending > 0,
+          s"event-time row gate: stored $stored + pending $pending != ${nTx * RecordsPerTx}")
+        val openW = pendingWindowsMax(s"$base/staging")
+        require(openW <= 2,
+          s"pending-slice GC left $openW open windows (bound 2)")
+      } else
+        require(rows == nTx * RecordsPerTx, s"row gate: stored $rows != ${nTx * RecordsPerTx}")
       // segment GC gate: the spool must not retain the whole stream.
       // What legitimately remains is the UNACKED TAIL: the source acks
       // (and GC's) offsets when the engine commits them at the NEXT data
@@ -271,7 +312,10 @@ object IngestBench {
         "batch_ms_min" -> mn, "batch_ms_median" -> md, "batch_ms_max" -> mx,
         "rows_verified" -> rows,
         "spool_segments_left" -> segs.length, "spool_bytes_left" -> spoolBytes,
-        "spool_segments_bound" -> segBound)
+        "spool_segments_bound" -> segBound) ++
+        (if (eventTime.isDefined)
+          Map("rows_stored" -> stored, "rows_pending" -> pending)
+        else Map.empty[String, Any])
     } finally server.close()
   }
 
@@ -413,6 +457,31 @@ object IngestBench {
         windowSeconds = nTx max 1, latenessSeconds = 0L)))
     val pg = runPgFeed(spark, s"$base/pg", nTx / 10)
     val pg100x = runPgFeed(spark, s"$base/pg100x", nTx * 10)
+    // r13: event-time windows on the LIVE-FEED side — spool segment GC
+    // and pending-slice GC under the same socket feed (the r12 rows
+    // covered event-time for the file feed only). windowSeconds = one
+    // trigger's timestamp span, like the file-feed event-time arms.
+    val pgEt = runPgFeed(spark, s"$base/pgEt", nTx / 10,
+      eventTime = Some(graft.engine.EventTimeWindows(
+        windowSeconds = (nTx / 100) max 1, latenessSeconds = 0L)))
+    // r13: the THIRD decade (100M records) for both arms, env-gated —
+    // ~40 GB of spool text and tens of minutes; run with
+    // SPARK_GRAFT_INGEST_DECADE3=1 SPARK_DRIVER_MEM=64g. Dirs are
+    // deleted right after their gates so the two arms don't stack up.
+    val decade3 = sys.env.get("SPARK_GRAFT_INGEST_DECADE3").contains("1")
+    def bigRow(name: String, et: Option[graft.engine.EventTimeWindows])
+        : Option[(String, Map[String, Any])] =
+      if (!decade3) None
+      else {
+        val d = s"$base/$name"
+        val r = runFileFeed(spark, d, nTx * 100, nBatches = 10, eventTime = et)
+        graft.core.FsUtil.deleteRecursive(Paths.get(d))
+        Some(name -> r)
+      }
+    val file1000x = bigRow("file_feed_1000x", None)
+    val fileEt1000 = bigRow("file_feed_eventtime_1000x",
+      Some(graft.engine.EventTimeWindows(
+        windowSeconds = (nTx * 10) max 1, latenessSeconds = 0L)))
     // real-Postgres run only where server binaries exist (the artifact
     // field is optional; the spec checks it when present)
     val pgLive =
@@ -432,9 +501,16 @@ object IngestBench {
       "file_feed_eventtime_10x" -> fileEt,
       "file_feed_eventtime_100x" -> fileEt100,
       "pg_feed" -> pg, "pg_feed_100x" -> pg100x,
+      "pg_feed_eventtime" -> pgEt,
       "scaling_exponent_file_feed" -> exp,
       "scaling_exponent_file_feed_2" -> exp2) ++
-      pgLive.map("pg_live_feed" -> _)
+      pgLive.map("pg_live_feed" -> _) ++
+      file1000x.toMap ++ fileEt1000.toMap ++
+      (for {
+        (_, f3) <- file1000x
+        w3 = f3("wall_sec").asInstanceOf[Double]
+        w2 = file100x("wall_sec").asInstanceOf[Double]
+      } yield "scaling_exponent_file_feed_3" -> math.log10(w3 / w2)).toMap
     val json = js(result)
     println(s"INGEST_BENCH: $json")
     Files.writeString(Paths.get(outPath), json + "\n")

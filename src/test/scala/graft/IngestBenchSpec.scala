@@ -26,7 +26,9 @@ class IngestBenchSpec extends AnyFunSuite {
     // 100x rows (round 12) likewise gate only when the artifact has them
     val runs = Seq("file_feed_1x", "file_feed_10x", "pg_feed") ++
       Seq("file_feed_100x", "pg_feed_100x", "pg_live_feed",
-        "file_feed_eventtime_10x", "file_feed_eventtime_100x").filter(root.has)
+        "file_feed_eventtime_10x", "file_feed_eventtime_100x",
+        "file_feed_1000x", "file_feed_eventtime_1000x",
+        "pg_feed_eventtime").filter(root.has)
     for (run <- runs) {
       val node = root.get(run)
       assert(node != null, s"missing run $run")
@@ -64,7 +66,8 @@ class IngestBenchSpec extends AnyFunSuite {
     // narrow pass", so a >2x wall blowup means the machinery regressed
     for ((etRun, ptRun) <- Seq(
         "file_feed_eventtime_10x" -> "file_feed_10x",
-        "file_feed_eventtime_100x" -> "file_feed_100x") if root.has(etRun)) {
+        "file_feed_eventtime_100x" -> "file_feed_100x",
+        "file_feed_eventtime_1000x" -> "file_feed_1000x") if root.has(etRun)) {
       assert(root.has(ptRun),
         s"$etRun present but its processing-time twin $ptRun is missing")
       val et = root.get(etRun)
@@ -82,7 +85,23 @@ class IngestBenchSpec extends AnyFunSuite {
     // ack-after-replay), never the stream; artifacts carrying the
     // computed bound are checked against it, older ones against the
     // legacy active+raced-seal pair.
-    for (run <- Seq("pg_feed", "pg_feed_100x", "pg_live_feed") if root.has(run)) {
+    // r13: the live-feed event-time row carries BOTH gates — a GC'd
+    // spool underneath AND a conservation split with a pending tail
+    if (root.has("pg_feed_eventtime")) {
+      val node = root.get("pg_feed_eventtime")
+      assert(node.has("rows_stored") && node.has("rows_pending") &&
+        node.get("rows_stored").asLong > 0 && node.get("rows_pending").asLong > 0,
+        "pg_feed_eventtime must finalize some windows and hold a pending tail")
+    }
+    // r13: third decade on the file feed, when present — stays out of a
+    // super-linear blowup like the second decade
+    if (root.has("file_feed_1000x")) {
+      assert(root.get("file_feed_1000x").get("n_records").asLong ==
+        1000 * root.get("file_feed_1x").get("n_records").asLong)
+      assert(root.get("scaling_exponent_file_feed_3").asDouble < 1.15)
+    }
+    for (run <- Seq("pg_feed", "pg_feed_100x", "pg_live_feed",
+        "pg_feed_eventtime") if root.has(run)) {
       val node = root.get(run)
       val bound = if (node.has("spool_segments_bound"))
         node.get("spool_segments_bound").asLong else 2L
