@@ -369,6 +369,16 @@ object ThirdDecade {
       imiPqLayoutFixture(spark, amp, k = 32, lloydIters = 1)
       noop(imiPqServe(spark, sf01))
     })(noop(imiPqServe(spark, amp, k = 32, lloydIters = 1)))
+    // r13: the mid point in the ROW-GROUP regime — with deep_rg this
+    // brackets the fusedDirCap default: fused directories pay a
+    // listing + per-file footer cost that grows with the pair count
+    // while the rg regime's cost is flat in it, so the crossover
+    // (where fused dirs stop paying for themselves) sits between the
+    // last pair-space where fused wins and the first where rg does.
+    run("imipq_serve_mid_rg", {
+      imiPqLayoutFixture(spark, amp, k = 32, lloydIters = 1, fusedDirCap = 256)
+      noop(imiPqServe(spark, sf01))
+    })(noop(imiPqServe(spark, amp, k = 32, lloydIters = 1, fusedDirCap = 256)))
     // r12: the postings-layout BM25 serve at the third decade — the
     // "serving touches |query-term buckets|/nBuckets of the index"
     // claim with 1000x the postings behind it. Build untimed (marker-
@@ -413,13 +423,18 @@ object ThirdDecade {
     })(noop(graft.ops.Layout.bm25FromLayout(spark, bm25Fixture(amp), Seq("dup"))))
     if (only.forall(_.contains("bm25_serve_rare"))) {
       val served = graft.ops.Layout.bm25FromLayout(spark, bm25Fixture(amp), Seq("dup"))
-      noop(served)
+      // collect() (the LayoutSpec pattern), NOT noop: df.write runs a
+      // SEPARATE QueryExecution, so metrics read off served's own
+      // executedPlan would be untouched zeros — the r13 first cut of
+      // this print did exactly that and reported max-scan=0, which
+      // looked like perfect pruning and was actually an unexecuted plan
+      val servedRows = served.collect().length
       val scanned = org.apache.spark.sql.graftbridge.Bridge
         .scannedOutputRows(served).filter(_ > 0)
       val totalPostings = spark.read
         .parquet(s"${bm25Fixture(amp)}/postings").count()
       println(f"[1000x] bm25_serve_rare scan evidence: max-scan=${
-        if (scanned.isEmpty) 0L else scanned.max} rows of $totalPostings postings")
+        if (scanned.isEmpty) 0L else scanned.max} rows of $totalPostings postings, served=$servedRows docs")
     }
     val appendTestDir = s"${sys.props("java.io.tmpdir")}/graft_1000x_imipq_appendtest"
     run("imipq_append_1pct", {

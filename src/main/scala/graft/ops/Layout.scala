@@ -101,12 +101,25 @@ object Layout {
    *    k = 4096); k dirs × exact pair row-group pruning gives the same
    *    read bound without the listing blowup.
    *
+   * The default cap is 256 — MEASURED, not a style choice (r13 sweep,
+   * same window per pair): at a 1024-pair space the row-group regime
+   * served 1.3× faster than fused directories (4.41 vs 5.77 s @2M),
+   * at 4096 pairs 1.5–1.9× (3.53 vs 5.36 s). Fused directories pay a
+   * per-directory listing + per-file parquet-footer cost that grows
+   * with the pair count, and under the [[Similarity.autoCellsImi]]
+   * sizing rule (~2k rows/cell) each pair directory holds ~2k rows —
+   * tiny files at ANY corpus size — while the row-group regime keeps
+   * k₁ directories of large pair-sorted files whose row groups prune
+   * on the same exact fused-pair set. Below ~256 pairs a realistic
+   * probe set saturates the pair space anyway, so the regimes tie and
+   * fused keeps the simpler all-directory pruning story.
+   *
    * Serve/append/compact DETECT the regime from the directory names, so
    * one code path covers both. Sidecars carry both half codebooks.
    */
   def imiWrite(indexed: DataFrame,
                cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
-               dir: String, fusedDirCap: Int = 4096): Unit = {
+               dir: String, fusedDirCap: Int = 256): Unit = {
     writeImiPartitioned(withPairKey(indexed, cents._2.length), cents,
       s"$dir/data", fusedDirCap, mode = "overwrite")
     val spark = indexed.sparkSession
@@ -191,7 +204,7 @@ object Layout {
                  cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
                  books: Similarity.PqBooks, dir: String, dims: Int = 64,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 fusedDirCap: Int = 4096): Unit = {
+                 fusedDirCap: Int = 256): Unit = {
     val m = books.length
     writeImiPartitioned(
       withPairKey(Similarity.pqEncode(indexed, books, dims, idCol, vecCol)
@@ -353,12 +366,11 @@ object Layout {
   /**
    * IMI search straight off an [[imiWrite]] layout — identical results
    * to the in-memory [[Similarity.imiTopK]] (spec-pinned): the probed
-   * pair set is bounded (nQueries × nProbe, collected to literals), its
-   * distinct cell1 values become the scan's PARTITION filter and its
-   * distinct cell2 values a PUSHED data filter that skips row groups
-   * inside the listed partitions (the files are cell2-sorted, so the
-   * min/max stats are tight) — two pruning levels, no query-time index
-   * structure.
+   * pair set is bounded (nQueries × nProbe, collected to literals) and
+   * pruned EXACTLY via [[prunePairs]] — fused-pair partition pruning in
+   * the fused regime, or cell1 partition pruning plus the fused-pair IN
+   * set at the pair-sorted row-group stats in the big-pair-space
+   * regime — two pruning levels, no query-time index structure.
    */
   def imiTopKFromLayout(spark: SparkSession, dir: String, queries: DataFrame,
                         k: Int, nProbe: Int = 32, dims: Int = 64,
