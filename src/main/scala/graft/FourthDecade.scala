@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Fourth-decade (10000× = 20M vectors, ~8 GB) ANN serving measurements.
+ *
+ * The 100-TB ANN claims rest on three structural legs: cell counts grow
+ * with the corpus (`autoCellsImi`), serve reads are O(probed pairs)
+ * end-to-end (r13 closed the last O(corpus) input — the shortlist
+ * re-rank now fetches raw vectors from the same pruned layout read
+ * instead of joining the corpus table), and quantizer state stays
+ * aggregate-sized. Three decades (2k → 2M vectors) are measured in
+ * SCALING.md/SCALING_1000.json; this main adds a fourth at 20M — deep
+ * enough that `autoCellsImi` picks k≈99 per half (≈9.8k pair cells, the
+ * row-group pruning regime) and a hidden corpus-sized serve input would
+ * cost seconds, not milliseconds, i.e. the scale where the r13 re-rank
+ * fix is VISIBLE rather than asserted.
+ *
+ * Quantizers train on a SAMPLE, the production practice at this scale:
+ * the IMI halves and PQ books on the sf0.1 base table (the amplified
+ * corpus is key-shifted byte-identical copies, so Lloyd on the base
+ * yields the same centroids as Lloyd on the copies — equal-weight
+ * repetition), the flat IVF centroids on a ~1% deterministic sample of
+ * the amplified corpus (autoCells(20M)≈2442 exceeds the base table's
+ * 2000 distinct vectors, so the base can't seed that many cells). Only
+ * ASSIGNMENT and ENCODE run over the 20M rows, inside the untimed
+ * marker-guarded fixture.
+ *
+ * Recall is deliberately NOT measured here: on the amplified fixture it
+ * is trivially perfect by construction — every query's five nearest
+ * neighbors are its own byte-identical copies, which land in the
+ * query's own (first-probed) cell — so a 20M-row recall number would be
+ * reassuring noise. Quality contracts live at the unamplified scales
+ * (RecallCheck grid, q_ann_* oracle rows); what changes with scale is
+ * COST, and that is what these rows measure.
+ *
+ * Rows (SCALING_10000.json, merge-on-write like ThirdDecade):
+ *  - `imipq_serve`: the composed two-level production config at
+ *    autoCellsImi sizing, nProbe=32 (≈0.33% probed fraction).
+ *  - `ann_serve`: flat IVF+PQ at autoCells(20M)≈2442 cells, nProbe=32
+ *    — the single-level comparison at its own sizing rule (its plan
+ *    carries a ~1.2 MB centroid literal; IMI's carries 2×99 halves).
+ *
+ * Run AFTER the 1000× sweep (reuses nothing from it; needs ~9 GB disk):
+ *   SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE=256 \
+ *     sbt "runMain graft.FourthDecade [rowName ...]"
+ */
+object FourthDecade {
+  import graft.ops.{Layout, Similarity}
+
+  private def fixRoot = s"${sys.props("java.io.tmpdir")}/graft_10000x"
+
+  /** Marker-guarded 20M-vector IMI+PQ layout: base-trained quantizers,
+    * full-corpus assignment/encode (untimed). */
+  def imiPqFixture(spark: SparkSession, ampDir: String, srcDir: String): String = {
+    val emb = Tables(spark, ampDir, "embeddings")
+    val kAuto = Similarity.autoCellsImi(emb.count())
+    val fixDir = s"$fixRoot/imipq_k$kAuto"
+    val layoutDir = s"$fixDir/layout"
+    val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
+    val buildTag = OpsQueries.embSnapshotKey(ampDir) +
+      s"|imi(k=$kAuto,lloyd=1,dims=64,base-trained)|pq(m=16,kSub=16)|pairv2|rawv1"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
+    if (!fresh) {
+      graft.core.FsUtil.deleteRecursive(java.nio.file.Paths.get(fixDir))
+      val t0 = System.nanoTime()
+      val base = Tables(spark, srcDir, "embeddings")
+      val (_, cents) = Similarity.imiIndex(base, k = kAuto, lloydIters = 1)
+      val books = OpsQueries.pqBooksFor(spark, srcDir)
+      Layout.imiPqWrite(Similarity.assignImiCells(emb, cents), cents, books, layoutDir)
+      println(f"[10000x] imipq layout build (k=$kAuto): ${(System.nanoTime() - t0) / 1e9}%.1fs (untimed fixture)")
+      java.nio.file.Files.write(marker, buildTag.getBytes("UTF-8"))
+    }
+    layoutDir
+  }
+
+  /** The legacy (pre-rawv1) variant of [[imiPqFixture]]'s layout: same
+    * codes, same pair column and regime, vector column STRIPPED — the
+    * on-disk format whose serve must re-rank through a corpus join.
+    * Derived from the new layout (no re-encode), so the serve A/B
+    * isolates exactly ONE variable: where re-rank vectors come from. */
+  def legacyImiPqFixture(spark: SparkSession, ampDir: String, srcDir: String): String = {
+    val newDir = imiPqFixture(spark, ampDir, srcDir)
+    val fixDir = s"$fixRoot/imipq_legacy"
+    val layoutDir = s"$fixDir/layout"
+    val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
+    val buildTag = OpsQueries.embSnapshotKey(ampDir) + "|stripped-from-rawv1"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
+    if (!fresh) {
+      graft.core.FsUtil.deleteRecursive(java.nio.file.Paths.get(fixDir))
+      val t0 = System.nanoTime()
+      val (c1, _) = Layout.readImiCentroids(spark, newDir)
+      spark.read.parquet(s"$newDir/codes")
+        .select("vec_id", "cell1", "cell2", "pair", "packed")
+        .repartition(c1.length, col("cell1"))
+        .sortWithinPartitions("cell1", "cell2")
+        .write.partitionBy("cell1").parquet(s"$layoutDir/codes")
+      for (s <- Seq("_centroids1.tsv", "_centroids2.tsv", "_codebooks.tsv"))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(newDir, s),
+          java.nio.file.Paths.get(layoutDir, s))
+      println(f"[10000x] legacy (stripped) layout build: ${(System.nanoTime() - t0) / 1e9}%.1fs (untimed fixture)")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(fixDir))
+      java.nio.file.Files.write(marker, buildTag.getBytes("UTF-8"))
+    }
+    layoutDir
+  }
+
+  /** Marker-guarded 20M-vector flat IVF+PQ layout at autoCells sizing. */
+  def annFixture(spark: SparkSession, ampDir: String, srcDir: String): String = {
+    val emb = Tables(spark, ampDir, "embeddings")
+    val nCells = Similarity.autoCells(emb.count())
+    val fixDir = s"$fixRoot/ivfpq_c$nCells"
+    val layoutDir = s"$fixDir/layout"
+    val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
+    val buildTag = OpsQueries.embSnapshotKey(ampDir) +
+      s"|ivf(nCells=$nCells,lloyd=1,dims=64,base-trained)|pq(m=16,kSub=16)|rawv1"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
+    if (!fresh) {
+      graft.core.FsUtil.deleteRecursive(java.nio.file.Paths.get(fixDir))
+      val t0 = System.nanoTime()
+      // ~1% deterministic sample of the amplified corpus (see scaladoc:
+      // the base table has fewer distinct vectors than autoCells picks
+      // cells); (vec_id % 97 == 3) is copy- and id-spread
+      val trainSample = emb.where(col("vec_id") % 97 === 3)
+      val (_, cents) = Similarity.ivfIndex(trainSample, nCells = nCells, lloydIters = 1)
+      val books = OpsQueries.pqBooksFor(spark, srcDir)
+      Layout.pqWrite(Similarity.assignCells(emb, cents), cents, books, layoutDir)
+      println(f"[10000x] ivfpq layout build (nCells=$nCells): ${(System.nanoTime() - t0) / 1e9}%.1fs (untimed fixture)")
+      java.nio.file.Files.write(marker, buildTag.getBytes("UTF-8"))
+    }
+    layoutDir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256")
+    val only: Set[String] = args.toSet
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val src = "/root/testdata/sf0.1"
+    val amp = sys.env.getOrElse("SPARK_GRAFT_AMPLIFIED10000_DIR",
+      "/tmp/graft_sf1000_embeddings")
+    val tAmp0 = System.nanoTime()
+    ThirdDecade.amplify1000(spark, src, amp, factor = 10000, table = "embeddings")
+    println(f"[10000x] amplify: ${(System.nanoTime() - tAmp0) / 1e9}%.1fs")
+
+    val emb = Tables(spark, amp, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try body catch { case e: Throwable =>
+        System.err.println(s"[10000x] FAILED: ${e.getMessage}"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def run(name: String, warm: => Unit)(body: => Unit): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
+      time(warm)
+      val s = time(body)
+      println(f"[10000x] $name%s: $s%.2fs")
+      rows += ((name, s))
+    }
+
+    // sf0.1 warm serves reuse the bench-scale fixtures for JIT only
+    run("imipq_serve", {
+      val d = imiPqFixture(spark, amp, src)
+      noop(Layout.imiPqTopKFromLayout(spark, d, emb.limit(0), queries.limit(1), k = 5, nProbe = 4))
+    })(noop(Layout.imiPqTopKFromLayout(spark, imiPqFixture(spark, amp, src),
+      emb.limit(0), queries, k = 5, nProbe = 32)))
+    run("ann_serve", {
+      val d = annFixture(spark, amp, src)
+      noop(Layout.ivfPqTopKFromLayout(spark, d, emb.limit(0), queries.limit(1), k = 5, nProbe = 4))
+    })(noop(Layout.ivfPqTopKFromLayout(spark, annFixture(spark, amp, src),
+      emb.limit(0), queries, k = 5, nProbe = 32)))
+    // the r13 re-rank fix A/B: the SAME codes served from the legacy
+    // (vector-stripped) format, whose shortlist re-rank must join the
+    // 20M-row corpus table — the O(corpus) serve input the fix removed.
+    // Identical probes, codes, and pruning; the delta IS the corpus join.
+    run("imipq_serve_legacy", {
+      val d = legacyImiPqFixture(spark, amp, src)
+      noop(Layout.imiPqTopKFromLayout(spark, d, emb, queries.limit(1), k = 5, nProbe = 4))
+    })(noop(Layout.imiPqTopKFromLayout(spark, legacyImiPqFixture(spark, amp, src),
+      emb, queries, k = 5, nProbe = 32)))
+
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val prior: Map[String, String] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("SCALING_10000.json")), "UTF-8")
+        "\"([A-Za-z0-9_]+@10000x)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      } catch { case _: Throwable => Map.empty }
+    val merged = prior ++ rows.collect {
+      case (n, s) if s >= 0 => (n + "@10000x") -> fmt(s)
+    }
+    val json = merged.toSeq.sortBy(_._1)
+      .map { case (n, v) => "\"" + n + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"scaling_10000x","unit":"sec","queries":$json}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_10000.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
+    spark.stop()
+  }
+}

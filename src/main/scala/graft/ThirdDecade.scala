@@ -79,7 +79,7 @@ object ThirdDecade {
     val layoutDir = s"$fixDir/layout"
     val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
     val buildTag = OpsQueries.embSnapshotKey(dir) +
-      s"|ivf(nCells=$nCells,lloyd=$lloydIters,dims=64)|pq(m=16,kSub=16)"
+      s"|ivf(nCells=$nCells,lloyd=$lloydIters,dims=64)|pq(m=16,kSub=16)|rawv1"
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
     if (!fresh) {
@@ -168,7 +168,7 @@ object ThirdDecade {
     val layoutDir = s"$fixDir/layout"
     val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
     val buildTag = OpsQueries.embSnapshotKey(dir) +
-      s"|imi(k=$k,lloyd=$lloydIters,dims=64)|pq(m=16,kSub=16)|pairv2$capTag"
+      s"|imi(k=$k,lloyd=$lloydIters,dims=64)|pq(m=16,kSub=16)|pairv2$capTag|rawv1"
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
     if (!fresh) {
@@ -333,6 +333,19 @@ object ThirdDecade {
       imiPqLayoutFixture(spark, sf01); imiPqLayoutFixture(spark, amp)
       noop(imiPqServe(spark, sf01))
     })(noop(imiPqServe(spark, amp)))
+    // r13: the BELOW-the-cap half of the fusedDirCap bracket. The
+    // mid/deep _rg A/Bs measured the row-group regime winning ABOVE
+    // 256 pairs (1.3×@1024, 1.5–1.9×@4096); the 256 default rests on
+    // the further claim that AT ≤256 pairs the regimes tie (the 10-
+    // query × nProbe=32 probe set saturates the pair space, so both
+    // degenerate to a near-full scan and directory count stops
+    // mattering). Measure it: same k=16/256-pair fixture with
+    // fusedDirCap forced below the pair space. If rg won here too the
+    // cap should be 0; if fused won decisively it should rise.
+    run("imipq_serve_layout_rg", {
+      imiPqLayoutFixture(spark, amp, fusedDirCap = 128)
+      noop(imiPqServe(spark, sf01))
+    })(noop(imiPqServe(spark, amp, fusedDirCap = 128)))
     // r12: the maintenance claim measured — appending a 1% increment
     // (20k vectors) into the 2M-vector IMI+PQ layout must cost O(new
     // data), nowhere near the ~90 s full build. The append target is a

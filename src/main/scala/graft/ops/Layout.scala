@@ -56,12 +56,22 @@ object Layout {
   /**
    * Persist the full compressed index (IVF + PQ): 8-byte packed code
    * words partitioned by coarse cell, plus the centroid and codebook
-   * sidecars — everything ADC serving needs, no raw vectors. At 100 TB
-   * this is THE serving layout: a 256 B float32 row shrinks to one
-   * `(vec_id, packed long)` row in exactly the cell directory a probe
-   * prunes to, so a query reads nProbe/nCells of an index that is
-   * itself ~32× smaller than the corpus; full-precision vectors stay
-   * in the corpus table and are fetched for the shortlist only.
+   * sidecars. At 100 TB this is THE serving layout: a 256 B float32
+   * row shrinks to one `(vec_id, packed long)` scan row in exactly the
+   * cell directory a probe prunes to, so a query's ADC stage reads
+   * nProbe/nCells of 8-byte words.
+   *
+   * The full-precision vector is stored ALONGSIDE the code word in the
+   * same files (r13). Parquet is columnar, so the ADC scan still reads
+   * only (id, packed) — the serve plan's ReadSchema never includes the
+   * vector (spec-gated) — but the shortlist re-rank can now fetch raw
+   * vectors from the SAME cell-pruned read instead of joining against
+   * the corpus table, which was a hidden O(corpus) scan on the serve
+   * path: invisible at 2M rows, dominant at 20M+ (every other serve
+   * input is O(probed cells)). Storage-wise the vectors live in the
+   * index instead of beside it — total bytes unchanged when the index
+   * is the only consumer of raw vectors, and at 100 TB a serve path
+   * that rescans the corpus table per query cannot exist.
    *
    * Expects `indexed` from [[Similarity.ivfIndex]] (has `cell`) and
    * `books` from [[Similarity.pqTrain]] on the same corpus.
@@ -71,7 +81,8 @@ object Layout {
               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val m = books.length
     Similarity.pqEncode(indexed, books, dims, idCol, vecCol)
-      .select(col(idCol), col("cell"), Similarity.pqPack(col("codes"), m).as("packed"))
+      .select(col(idCol), col("cell"),
+        Similarity.pqPack(col("codes"), m).as("packed"), col(vecCol))
       .repartition(centroids.length, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
     val spark = indexed.sparkSession
@@ -209,7 +220,8 @@ object Layout {
     writeImiPartitioned(
       withPairKey(Similarity.pqEncode(indexed, books, dims, idCol, vecCol)
         .select(col(idCol), col("cell1"), col("cell2"),
-          Similarity.pqPack(col("codes"), m).as("packed")), cents._2.length),
+          Similarity.pqPack(col("codes"), m).as("packed"), col(vecCol)),
+        cents._2.length),
       cents, s"$dir/codes", fusedDirCap, mode = "overwrite")
     val spark = indexed.sparkSession
     writeTsv(spark, s"$dir/_centroids1.tsv",
@@ -257,7 +269,13 @@ object Layout {
         posexplode(Similarity.pqUnpack(col("packed"), m)).as(Seq("sub", "code")))
     val approx = coded.join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy("query_id", "neighbor_id").agg(sum("pd").as("adist"))
-    Similarity.adcShortlistRerank(approx, corpus, queries, k, shortlist, idCol, vecCol)
+    // Re-rank from the same pair-pruned read when the layout stores raw
+    // vectors (r13; see [[pqWrite]]) — the corpus arg is the legacy
+    // fallback whose full-corpus join this change removed.
+    val rerankSrc =
+      if (all.columns.contains(vecCol)) pruned.select(col(idCol), col(vecCol))
+      else corpus
+    Similarity.adcShortlistRerank(approx, rerankSrc, queries, k, shortlist, idCol, vecCol)
   }
 
   /** Incremental maintenance for an [[ivfWrite]] layout: assign ONLY
@@ -328,9 +346,18 @@ object Layout {
     val centroids = readIvfCentroids(spark, dir)
     val books = readPqBooks(spark, dir)
     val m = books.length
-    Similarity.pqEncode(
+    // mirror the layout's own schema: a legacy pre-vector layout must
+    // not gain a mixed per-file schema (the column would vanish under
+    // the default non-merging read)
+    val hasVec = spark.read.parquet(s"$dir/codes").columns.contains(vecCol)
+    val encoded = Similarity.pqEncode(
         Similarity.assignCells(newVectors, centroids, vecCol), books, dims, idCol, vecCol)
-      .select(col(idCol), col("cell"), Similarity.pqPack(col("codes"), m).as("packed"))
+    val rows =
+      if (hasVec) encoded.select(col(idCol), col("cell"),
+        Similarity.pqPack(col("codes"), m).as("packed"), col(vecCol))
+      else encoded.select(col(idCol), col("cell"),
+        Similarity.pqPack(col("codes"), m).as("packed"))
+    rows
       .repartition(centroids.length, col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
@@ -345,11 +372,14 @@ object Layout {
     val cents = readImiCentroids(spark, dir)
     val books = readPqBooks(spark, dir)
     val m = books.length
+    // mirror the layout's own schema (legacy pre-vector layouts stay so)
+    val hasVec = spark.read.parquet(s"$dir/codes").columns.contains(vecCol)
+    val encoded = Similarity.pqEncode(
+        Similarity.assignImiCells(newVectors, cents, dims, vecCol), books, dims, idCol, vecCol)
+    val base = Seq(col(idCol), col("cell1"), col("cell2"),
+      Similarity.pqPack(col("codes"), m).as("packed"))
     appendImiPartitioned(
-      Similarity.pqEncode(
-          Similarity.assignImiCells(newVectors, cents, dims, vecCol), books, dims, idCol, vecCol)
-        .select(col(idCol), col("cell1"), col("cell2"),
-          Similarity.pqPack(col("codes"), m).as("packed")),
+      encoded.select((if (hasVec) base :+ col(vecCol) else base): _*),
       cents, s"$dir/codes")
   }
 
@@ -421,15 +451,25 @@ object Layout {
     val lut = Similarity.pqLut(spark, qRows, books, dims / m)
     val probes = Similarity.probeCells(spark, centroids, qRows, nProbe)
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val coded = spark.read.parquet(s"$dir/codes")
+    val all = spark.read.parquet(s"$dir/codes")
+    val pruned = all
       .where(col("cell").isin(cells: _*)) // partition filter: probed dirs only
+    val coded = pruned
       .join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         posexplode(Similarity.pqUnpack(col("packed"), m)).as(Seq("sub", "code")))
     val approx = coded.join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy("query_id", "neighbor_id").agg(sum("pd").as("adist"))
-    Similarity.adcShortlistRerank(approx, corpus, queries, k, shortlist, idCol, vecCol)
+    // Shortlist re-rank vectors come from the SAME cell-pruned read when
+    // the layout stores them (r13) — O(probed cells), and columnar
+    // pruning keeps the ADC scan above 8 bytes wide. The corpus arg is
+    // the fallback for legacy pre-vector layouts only (a full-corpus
+    // re-rank join — the scan this change removed from the serve path).
+    val rerankSrc =
+      if (all.columns.contains(vecCol)) pruned.select(col(idCol), col(vecCol))
+      else corpus
+    Similarity.adcShortlistRerank(approx, rerankSrc, queries, k, shortlist, idCol, vecCol)
   }
 
   private def writeTsv(spark: SparkSession, path: String,

@@ -32,6 +32,28 @@ object Bridge {
   def scannedOutputRows(df: org.apache.spark.sql.DataFrame): Seq[Long] =
     scanMetric(df, "numOutputRows")
 
+  /** (root paths, read-schema field names) of every file scan in a
+    * plan — lets specs assert WHICH paths a serve reads and how WIDE
+    * each scan is (columnar pruning: a scan of a file that also holds
+    * a vector column must not list it in ReadSchema unless that stage
+    * needs it). Works on an unexecuted plan. */
+  def scanReads(df: org.apache.spark.sql.DataFrame): Seq[(Seq[String], Seq[String])] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def walk(p: SparkPlan): Seq[(Seq[String], Seq[String])] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => walk(s.plan)
+      case r: ReusedExchangeExec => walk(r.child)
+      case f: FileSourceScanExec =>
+        Seq((f.relation.location.rootPaths.map(_.toString).toSeq,
+          f.requiredSchema.fieldNames.toSeq))
+      case other =>
+        (other.children ++ other.subqueries).flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   private def scanMetric(df: org.apache.spark.sql.DataFrame,
                          metric: String): Seq[Long] = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}

@@ -230,6 +230,60 @@ class LayoutSpec extends SparkSpec {
     val fromLayout = rows
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
     assert(fromLayout == direct)
+
+    // r13: the shortlist re-rank reads raw vectors from the SAME
+    // cell-pruned layout files, never the corpus table (the hidden
+    // O(corpus) join this removed). Proof by starvation: an EMPTY
+    // corpus arg must yield identical results — if the re-rank joined
+    // the corpus, every shortlist row would lose its vector and the
+    // serve would return nothing.
+    val starved = Layout.ivfPqTopKFromLayout(spark, dir, emb.limit(0), queries,
+        k = 5, nProbe = nProbe)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(starved == direct,
+      "re-rank must source vectors from the layout, not the corpus arg")
+    // ...and columnar pruning keeps the ADC stage narrow: among the
+    // layout scans, at least one must NOT read the vector column (the
+    // 8-byte ADC scan) and one must (the pruned re-rank fetch)
+    val reads = org.apache.spark.sql.graftbridge.Bridge.scanReads(result)
+      .filter(_._1.exists(_.contains("/codes")))
+    assert(reads.exists(!_._2.contains("embedding")),
+      s"ADC scan reads the vector column (width regression): $reads")
+    assert(reads.exists(_._2.contains("embedding")),
+      s"no layout scan reads vectors — re-rank source missing: $reads")
+  }
+
+  test("legacy IVF+PQ layout (no vector column) serves via the corpus fallback; appends stay legacy") {
+    val dir = Files.createTempDirectory("layout-ivfpq-legacy").toString + "/ivfpq"
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val half = emb.where(col("vec_id") % 2 === 0)
+    val (indexed, centroids) = Similarity.ivfIndex(emb, nCells = 8, lloydIters = 2)
+    val books = Similarity.pqTrain(emb)
+    Layout.pqWrite(indexed.join(half.select("vec_id"), "vec_id"), centroids, books, dir)
+    // strip the r13 vector column in place — the pre-r13 on-disk format
+    // (materialized driver-side first: a lazy self-overwrite would race
+    // its own read)
+    locally {
+      val full = spark.read.parquet(s"$dir/codes").select("vec_id", "packed", "cell")
+      val rows = full.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), full.schema)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    }
+
+    val queries = emb.where(col("vec_id") < 3)
+    val served = Layout.ivfPqTopKFromLayout(spark, dir, emb, queries, k = 5, nProbe = 4)
+    assert(served.collect().nonEmpty) // corpus-arg fallback still works
+    // the fallback really is the corpus table: its scan appears in the plan
+    val reads = org.apache.spark.sql.graftbridge.Bridge.scanReads(served)
+    assert(reads.exists(r => r._1.exists(_.contains("embeddings.parquet")) &&
+      r._2.contains("embedding")),
+      s"legacy serve must fetch re-rank vectors from the corpus: $reads")
+
+    // append mirrors the legacy schema — no mixed per-file schemas
+    Layout.pqAppend(emb.where(col("vec_id") % 2 === 1), dir)
+    assert(!spark.read.parquet(s"$dir/codes").columns.contains("embedding"))
+    assert(Layout.ivfPqTopKFromLayout(spark, dir, emb, queries, k = 5, nProbe = 4)
+      .collect().nonEmpty)
   }
 
   test("IMI+PQ layout: ADC served off the two-level pruned codes, parity with in-memory") {
@@ -283,6 +337,20 @@ class LayoutSpec extends SparkSpec {
     val fromLayout = rows
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
     assert(fromLayout == direct)
+
+    // r13: re-rank vectors come from the pair-pruned layout read —
+    // starvation proof as in the IVF+PQ test
+    val starved = Layout.imiPqTopKFromLayout(spark, dir, emb.limit(0), queries,
+        k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(starved == direct,
+      "re-rank must source vectors from the layout, not the corpus arg")
+    val widths = org.apache.spark.sql.graftbridge.Bridge.scanReads(result)
+      .filter(_._1.exists(_.contains("/codes")))
+    assert(widths.exists(!_._2.contains("embedding")),
+      s"ADC scan reads the vector column (width regression): $widths")
+    assert(widths.exists(_._2.contains("embedding")),
+      s"no layout scan reads vectors — re-rank source missing: $widths")
   }
 
   test("IMI deep-cell regime: cell1 partitions + EXACT fused-pair row-group pruning") {
