@@ -463,8 +463,8 @@ object Layout {
       .groupBy("query_id", "neighbor_id").agg(sum("pd").as("adist"))
     // Shortlist re-rank vectors come from the SAME cell-pruned read when
     // the layout stores them (r13) — O(probed cells), and columnar
-    // pruning keeps the ADC scan above 8 bytes wide. The corpus arg is
-    // the fallback for legacy pre-vector layouts only (a full-corpus
+    // pruning keeps the ADC scan above 8-bytes-per-row narrow. The corpus arg
+    // is the fallback for legacy pre-vector layouts only (a full-corpus
     // re-rank join — the scan this change removed from the serve path).
     val rerankSrc =
       if (all.columns.contains(vecCol)) pruned.select(col(idCol), col(vecCol))
