@@ -127,15 +127,65 @@ object OpsQueries {
     }
     val exact = exactPairsFor(s, dir)
       .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
-    val hits = ann.select("query_id", "neighbor_id")
-      .join(exact, col("query_id") === col("eq") && col("neighbor_id") === col("en"),
-        "left_semi")
-    ann.agg(countDistinct(col("query_id")).as("n_queries"),
-        count(lit(1)).as("n_results"))
-      .crossJoin(hits.agg(count(lit(1)).as("__hits")))
+    // ONE evaluation of the ANN pipeline (r13): the old shape aggregated
+    // `ann` in one branch and semi-joined it against the exact pairs in
+    // another, cross-joined — the full serve (ADC + windows + re-rank)
+    // ran TWICE per bench pass, and this doubled cost was the invisible
+    // floor under every q_ann_* contract row. A left join against the
+    // broadcast 50-row exact set marks hits in place ((eq, en) is unique
+    // — top-5 per query — so row counts are preserved), and one agg
+    // derives all three outputs.
+    val marked = ann.select("query_id", "neighbor_id")
+      .join(broadcast(exact),
+        col("query_id") === col("eq") && col("neighbor_id") === col("en"),
+        "left")
+    marked.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_results"), count(col("eq")).as("__hits"))
       .select(col("n_queries"), col("n_results"),
         (col("__hits").cast("double") >= col("n_results") * bound)
           .cast("long").as("recall_ok"))
+  }
+
+  /** Contract tail for the served-layout ANN rows (r13, ONE evaluation
+    * of `served`): the old shape evaluated the full serve FOUR times
+    * per bench pass — counts agg, exact-hits semi-join, and exceptAll
+    * in both directions for the parity flag. Here one left join against
+    * the broadcast ≤50-row exact set marks hits in place, a +1/−1 union
+    * with the stored direct rows reduces multiset parity to "no row has
+    * a nonzero net count" (served rows are unique by construction —
+    * rank is dense per query — so the row-group-by is a pass-through
+    * for the served side), and a single two-level aggregation derives
+    * all outputs. Deliberately NOT cache(): a cached `served` would
+    * make the bench's min-of-2 second run measure the cache, not the
+    * serve. */
+  private def layoutContract(s: org.apache.spark.sql.SparkSession, dir: String,
+                             served: org.apache.spark.sql.DataFrame,
+                             direct: org.apache.spark.sql.DataFrame,
+                             bound: Double = 0.8): org.apache.spark.sql.DataFrame = {
+    val exact = exactPairsFor(s, dir)
+      .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+    val sCols = served.columns.toSeq
+    val tagged = served
+      .join(broadcast(exact),
+        col("query_id") === col("eq") && col("neighbor_id") === col("en"), "left")
+      .select(sCols.map(col) :+ lit(1L).as("__w") :+
+        col("eq").isNotNull.cast("long").as("__hit"): _*)
+      .unionAll(direct.select(sCols.map(col) :+ lit(-1L).as("__w") :+
+        lit(0L).as("__hit"): _*))
+    tagged
+      .groupBy(sCols.map(col): _*)
+      .agg(sum("__w").as("__net"),
+        sum(when(col("__w") === 1L, 1L).otherwise(0L)).as("__n"),
+        max("__hit").as("__hit"))
+      .agg(
+        countDistinct(when(col("__n") > 0L, col("query_id"))).as("n_queries"),
+        sum("__n").as("n_results"),
+        sum(col("__hit") * col("__n")).as("__hits"),
+        sum(when(col("__net") =!= 0L, 1L).otherwise(0L)).as("__diff"))
+      .select(col("n_queries"), col("n_results"),
+        (col("__hits").cast("double") >= col("n_results") * bound)
+          .cast("long").as("recall_ok"),
+        (col("__diff") === 0L).cast("long").as("layout_parity"))
   }
 
   // SQL fragments mirroring TextAnalysis/Dedup column expressions exactly.
@@ -659,21 +709,7 @@ object OpsQueries {
       }
       val served = Layout.ivfPqTopKFromLayout(s, layoutDir, emb, queries, k = 5)
       val direct = s.read.parquet(directPath).select(served.columns.map(col): _*)
-      val exact = exactPairsFor(s, dir)
-        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
-      val hits = served.select("query_id", "neighbor_id")
-        .join(exact, col("query_id") === col("eq") && col("neighbor_id") === col("en"),
-          "left_semi")
-      served.agg(countDistinct(col("query_id")).as("n_queries"),
-          count(lit(1)).as("n_results"))
-        .crossJoin(hits.agg(count(lit(1)).as("__hits")))
-        .crossJoin(
-          served.exceptAll(direct).unionAll(direct.exceptAll(served))
-            .agg(count(lit(1)).as("__diff")))
-        .select(col("n_queries"), col("n_results"),
-          (col("__hits").cast("double") >= col("n_results") * 0.8)
-            .cast("long").as("recall_ok"),
-          (col("__diff") === 0L).cast("long").as("layout_parity"))
+      layoutContract(s, dir, served, direct)
     }),
 
     // The persisted IMI index (r12): imiWrite's TWO-LEVEL pruned layout
@@ -702,21 +738,7 @@ object OpsQueries {
       }
       val served = Layout.imiTopKFromLayout(s, layoutDir, queries, k = 5, nProbe = 12)
       val direct = s.read.parquet(directPath).select(served.columns.map(col): _*)
-      val exact = exactPairsFor(s, dir)
-        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
-      val hits = served.select("query_id", "neighbor_id")
-        .join(exact, col("query_id") === col("eq") && col("neighbor_id") === col("en"),
-          "left_semi")
-      served.agg(countDistinct(col("query_id")).as("n_queries"),
-          count(lit(1)).as("n_results"))
-        .crossJoin(hits.agg(count(lit(1)).as("__hits")))
-        .crossJoin(
-          served.exceptAll(direct).unionAll(direct.exceptAll(served))
-            .agg(count(lit(1)).as("__diff")))
-        .select(col("n_queries"), col("n_results"),
-          (col("__hits").cast("double") >= col("n_results") * 0.8)
-            .cast("long").as("recall_ok"),
-          (col("__diff") === 0L).cast("long").as("layout_parity"))
+      layoutContract(s, dir, served, direct)
     }),
 
     // the in-memory IMI+PQ composition (layout-free twin of
@@ -758,21 +780,7 @@ object OpsQueries {
       val served = Layout.imiPqTopKFromLayout(s, layoutDir, emb, queries,
         k = 5, nProbe = 12)
       val direct = s.read.parquet(directPath).select(served.columns.map(col): _*)
-      val exact = exactPairsFor(s, dir)
-        .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
-      val hits = served.select("query_id", "neighbor_id")
-        .join(exact, col("query_id") === col("eq") && col("neighbor_id") === col("en"),
-          "left_semi")
-      served.agg(countDistinct(col("query_id")).as("n_queries"),
-          count(lit(1)).as("n_results"))
-        .crossJoin(hits.agg(count(lit(1)).as("__hits")))
-        .crossJoin(
-          served.exceptAll(direct).unionAll(direct.exceptAll(served))
-            .agg(count(lit(1)).as("__diff")))
-        .select(col("n_queries"), col("n_results"),
-          (col("__hits").cast("double") >= col("n_results") * 0.8)
-            .cast("long").as("recall_ok"),
-          (col("__diff") === 0L).cast("long").as("layout_parity"))
+      layoutContract(s, dir, served, direct)
     }),
 
     // END-TO-END corpus dedup: LSH candidates → Jaccard ≥ 0.8 →
