@@ -168,10 +168,26 @@ object VecDotMulti {
  * per-id use (CollapseProject has no cost model for custom
  * expressions), multiplying both the arithmetic and the generated-code
  * size; fusing score + argmax leaves nothing to inline.
+ *
+ * r13: the SLICE and the distance BIAS are fused in as well.
+ * `sliceFrom`/`sliceLen` dot against `vec[sliceFrom, sliceFrom+len)`
+ * by INDEX — the callers that quantize subvectors (PQ subspaces, IMI
+ * halves) previously built a `slice(...)` (and PQ a
+ * `concat(slice, array(1.0))` bias-augmentation) per row per
+ * subspace: 16+ short-lived array copies per encoded row on the index
+ * build/append path, pure allocator traffic at 20M-vector builds.
+ * `biases(m)` is added AFTER the dot accumulation (bias-last, exactly
+ * where the old augmented-element landed) so results are bit-identical
+ * to the concat form for full-length vectors.
  */
-case class ArgMaxDot(child: Expression, refVectors: Seq[Seq[Double]], ids: Seq[Int])
+case class ArgMaxDot(child: Expression, refVectors: Seq[Seq[Double]], ids: Seq[Int],
+                     sliceFrom: Int = 0, sliceLen: Int = -1,
+                     biases: Seq[Double] = Nil)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(refVectors.length == ids.length, "one id per reference vector")
+  require(sliceFrom >= 0, "sliceFrom is 0-based and non-negative")
+  require(biases.isEmpty || biases.length == refVectors.length,
+    "one bias per reference vector (or none)")
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
@@ -188,22 +204,28 @@ case class ArgMaxDot(child: Expression, refVectors: Seq[Seq[Double]], ids: Seq[I
 
   @transient private lazy val refs: Array[Array[Double]] = refVectors.map(_.toArray).toArray
   @transient private lazy val idArr: Array[Int] = ids.toArray
+  @transient private lazy val biasArr: Array[Double] =
+    if (biases.isEmpty) Array.empty else biases.toArray
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val fl = isFloat
+    val avail = math.max(0, v.numElements() - sliceFrom)
+    val lim = if (sliceLen < 0) avail else math.min(sliceLen, avail)
     var best = Double.NegativeInfinity
     var bestId = Int.MinValue
     var m = 0
     while (m < refs.length) {
       val r = refs(m)
-      val n = math.min(r.length, v.numElements())
+      val n = math.min(r.length, lim)
       var acc = 0.0
       var i = 0
       while (i < n) {
-        acc += r(i) * (if (fl) v.getFloat(i).toDouble else v.getDouble(i))
+        val j = sliceFrom + i
+        acc += r(i) * (if (fl) v.getFloat(j).toDouble else v.getDouble(j))
         i += 1
       }
+      if (biasArr.length > 0) acc += biasArr(m)
       if (acc > best || (acc == best && idArr(m) > bestId)) { best = acc; bestId = idArr(m) }
       m += 1
     }
@@ -214,19 +236,28 @@ case class ArgMaxDot(child: Expression, refVectors: Seq[Seq[Double]], ids: Seq[I
     nullSafeCodeGen(ctx, ev, v => {
       val refsRef = ctx.addReferenceObj("refs", refs, "double[][]")
       val idsRef = ctx.addReferenceObj("ids", idArr, "int[]")
+      val biasRef =
+        if (biases.isEmpty) "" else ctx.addReferenceObj("biases", biasArr, "double[]")
       val m = ctx.freshName("m"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc"); val n = ctx.freshName("n")
       val r = ctx.freshName("r"); val best = ctx.freshName("best")
-      val bestId = ctx.freshName("bestId")
-      val getElem = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      val bestId = ctx.freshName("bestId"); val lim = ctx.freshName("lim")
+      val j = ctx.freshName("j")
+      val getElem = if (isFloat) s"(double) $v.getFloat($j)" else s"$v.getDouble($j)"
+      val limExpr =
+        if (sliceLen < 0) s"java.lang.Math.max(0, $v.numElements() - $sliceFrom)"
+        else s"java.lang.Math.min($sliceLen, java.lang.Math.max(0, $v.numElements() - $sliceFrom))"
+      val addBias = if (biases.isEmpty) "" else s"$acc += $biasRef[$m];"
       s"""
          |double $best = java.lang.Double.NEGATIVE_INFINITY;
          |int $bestId = java.lang.Integer.MIN_VALUE;
+         |int $lim = $limExpr;
          |for (int $m = 0; $m < ${refs.length}; $m++) {
          |  double[] $r = $refsRef[$m];
-         |  int $n = java.lang.Math.min($r.length, $v.numElements());
+         |  int $n = java.lang.Math.min($r.length, $lim);
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) $acc += $r[$i] * $getElem;
+         |  for (int $i = 0; $i < $n; $i++) { int $j = $sliceFrom + $i; $acc += $r[$i] * $getElem; }
+         |  $addBias
          |  if ($acc > $best || ($acc == $best && $idsRef[$m] > $bestId)) {
          |    $best = $acc; $bestId = $idsRef[$m];
          |  }
@@ -242,6 +273,10 @@ case class ArgMaxDot(child: Expression, refVectors: Seq[Seq[Double]], ids: Seq[I
 object ArgMaxDot {
   def apply(vec: Column, refVectors: Seq[Seq[Double]], ids: Seq[Int]): Column =
     Bridge.column(ArgMaxDot(Bridge.expression(vec), refVectors, ids))
+  /** Fused-slice (+ optional per-ref bias) form — see the class doc. */
+  def sliced(vec: Column, refVectors: Seq[Seq[Double]], ids: Seq[Int],
+             from: Int, len: Int, biases: Seq[Double] = Nil): Column =
+    Bridge.column(ArgMaxDot(Bridge.expression(vec), refVectors, ids, from, len, biases))
 }
 
 /**

@@ -544,10 +544,12 @@ object Similarity {
                      cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
                      dims: Int = 64, vecCol: String = "embedding"): DataFrame = {
     val half = dims / 2
-    df.withColumn("cell1", graft.functions.ArgMaxDot(slice(col(vecCol), 1, half),
-        cents._1.map(_._2.toSeq).toSeq, cents._1.map(_._1).toSeq))
-      .withColumn("cell2", graft.functions.ArgMaxDot(slice(col(vecCol), half + 1, half),
-        cents._2.map(_._2.toSeq).toSeq, cents._2.map(_._1).toSeq))
+    // fused-slice form (r13): no per-row slice() array copies — each
+    // half dots the vector in place by index
+    df.withColumn("cell1", graft.functions.ArgMaxDot.sliced(col(vecCol),
+        cents._1.map(_._2.toSeq).toSeq, cents._1.map(_._1).toSeq, 0, half))
+      .withColumn("cell2", graft.functions.ArgMaxDot.sliced(col(vecCol),
+        cents._2.map(_._2.toSeq).toSeq, cents._2.map(_._1).toSeq, half, half))
   }
 
   /** Per-query top-`nProbe` IMI pair-cells, sorted by combined half
@@ -652,12 +654,16 @@ object Similarity {
    * deterministic, engine-independent.
    */
   private def pqCodeCol(vecCol: String, s: Int, ds: Int,
-                        book: Array[(Int, Array[Double])]): Column = {
-    val aug = concat(slice(col(vecCol), s * ds + 1, ds), array(lit(1.0f)))
-    graft.functions.ArgMaxDot(aug,
-      book.map { case (_, c) => (c :+ (-0.5 * c.map(x => x * x).sum)).toSeq }.toSeq,
-      book.map(_._1).toSeq)
-  }
+                        book: Array[(Int, Array[Double])]): Column =
+    // fused-slice + fused-bias form (r13): the old shape built
+    // concat(slice(vec), array(1.0f)) — TWO array copies per row per
+    // subspace (32 per encoded row at m=16), pure allocator traffic on
+    // the index build/append path. The -||c||²/2 distance bias is added
+    // bias-last, exactly where the old augmented element landed, so
+    // codes are bit-identical.
+    graft.functions.ArgMaxDot.sliced(col(vecCol),
+      book.map(_._2.toSeq).toSeq, book.map(_._1).toSeq,
+      s * ds, ds, book.map { case (_, c) => -0.5 * c.map(x => x * x).sum }.toSeq)
 
   /**
    * Train PQ codebooks: split `dims` into `m` subspaces, k-means each
