@@ -454,11 +454,17 @@ object ThirdDecade {
       val src = java.nio.file.Paths.get(imiPqLayoutFixture(spark, amp))
       val dst = java.nio.file.Paths.get(appendTestDir)
       graft.core.FsUtil.deleteRecursive(dst)
+      // HARDLINK tree, not a byte copy (r13): append only ADDS files —
+      // existing layout files are never modified — so links are safe,
+      // and the warm thunk stops writing ~0.5 GB whose writeback the
+      // timed append then paid (the rawv layouts made the old byte copy
+      // 5× bigger and the row jumped 2.0 → 3.7 s from copy writeback
+      // alone; links restore a clean append measurement)
       scala.util.Using.resource(java.nio.file.Files.walk(src)) { walk =>
         walk.forEach { p =>
           val t = dst.resolve(src.relativize(p))
           if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-          else java.nio.file.Files.copy(p, t): Unit
+          else java.nio.file.Files.createLink(t, p): Unit
         }
       }
       // the increment MATERIALIZES untimed (1% = the first 10 of the

@@ -311,11 +311,16 @@ object Layout {
     * make the column vanish under the default non-merging read). */
   private def appendImiPartitioned(assigned: DataFrame,
                                    cents: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]),
-                                   path: String): Unit = {
+                                   path: String,
+                                   layoutCols: Option[Seq[String]] = None): Unit = {
     val spark = assigned.sparkSession
     val partCol = imiPartCol(spark, path)
+    // layoutCols: pre-read schema columns, so one append costs ONE
+    // directory listing/schema read, not one per flag (each
+    // spark.read.parquet is a leaf-file listing job — measurable per
+    // micro-batch under streaming ingest)
     val hasPair = partCol == "pair" ||
-      spark.read.parquet(path).columns.contains("pair")
+      layoutCols.getOrElse(spark.read.parquet(path).columns.toSeq).contains("pair")
     val df = if (hasPair) withPairKey(assigned, cents._2.length) else assigned
     if (partCol == "pair")
       df.repartition(cents._1.length.toInt * cents._2.length, col("pair"))
@@ -372,15 +377,17 @@ object Layout {
     val cents = readImiCentroids(spark, dir)
     val books = readPqBooks(spark, dir)
     val m = books.length
-    // mirror the layout's own schema (legacy pre-vector layouts stay so)
-    val hasVec = spark.read.parquet(s"$dir/codes").columns.contains(vecCol)
+    // ONE schema read serves both the vector-column and pair-column
+    // mirroring decisions (legacy layouts keep their schema)
+    val layoutCols = spark.read.parquet(s"$dir/codes").columns.toSeq
+    val hasVec = layoutCols.contains(vecCol)
     val encoded = Similarity.pqEncode(
         Similarity.assignImiCells(newVectors, cents, dims, vecCol), books, dims, idCol, vecCol)
     val base = Seq(col(idCol), col("cell1"), col("cell2"),
       Similarity.pqPack(col("codes"), m).as("packed"))
     appendImiPartitioned(
       encoded.select((if (hasVec) base :+ col(vecCol) else base): _*),
-      cents, s"$dir/codes")
+      cents, s"$dir/codes", Some(layoutCols))
   }
 
   /** Both codebook sidecars of an [[imiWrite]] layout. */
