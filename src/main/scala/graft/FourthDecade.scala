@@ -61,7 +61,7 @@ object FourthDecade {
     val layoutDir = s"$fixDir/layout"
     val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
     val buildTag = OpsQueries.embSnapshotKey(ampDir) +
-      s"|imi(k=$kAuto,lloyd=1,dims=64,base-trained)|pq(m=16,kSub=16)|pairv2|rawv1"
+      s"|imi(k=$kAuto,lloyd=1,dims=64,base-trained)|pq(m=16,kSub=16)|pairv2|rawv1|adc2"
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
     if (!fresh) {
@@ -117,7 +117,7 @@ object FourthDecade {
     val layoutDir = s"$fixDir/layout"
     val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
     val buildTag = OpsQueries.embSnapshotKey(ampDir) +
-      s"|ivf(nCells=$nCells,lloyd=1,dims=64,base-trained)|pq(m=16,kSub=16)|rawv1"
+      s"|ivf(nCells=$nCells,lloyd=1,dims=64,base-trained)|pq(m=16,kSub=16)|rawv1|adc2"
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
     if (!fresh) {

@@ -694,7 +694,7 @@ object OpsQueries {
       // stored answers. (Semantics changes to ivfIndex/pqTrain/pqWrite
       // themselves still need the v-tag bump above.)
       val buildTag = embSnapshotKey(dir) +
-        "|k=5|ivf(nCells=64,lloyd=4,dims=64)|pq(m=16,kSub=16)|rawv1"
+        "|k=5|ivf(nCells=64,lloyd=4,dims=64)|pq(m=16,kSub=16)|rawv1|adc2"
       val markerFresh = java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
       if (!markerFresh) {
@@ -765,7 +765,7 @@ object OpsQueries {
       val directPath = s"$fixDir/expected_direct.parquet"
       val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
       val buildTag = embSnapshotKey(dir) +
-        "|k=5|imi(k=4,lloyd=2,probe=12)|pq(m=16,kSub=16)|pairv2|rawv1"
+        "|k=5|imi(k=4,lloyd=2,probe=12)|pq(m=16,kSub=16)|pairv2|rawv1|adc2"
       val markerFresh = java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
       if (!markerFresh) {

@@ -79,7 +79,7 @@ object ThirdDecade {
     val layoutDir = s"$fixDir/layout"
     val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
     val buildTag = OpsQueries.embSnapshotKey(dir) +
-      s"|ivf(nCells=$nCells,lloyd=$lloydIters,dims=64)|pq(m=16,kSub=16)|rawv1"
+      s"|ivf(nCells=$nCells,lloyd=$lloydIters,dims=64)|pq(m=16,kSub=16)|rawv1|adc2"
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
     if (!fresh) {
@@ -168,7 +168,7 @@ object ThirdDecade {
     val layoutDir = s"$fixDir/layout"
     val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
     val buildTag = OpsQueries.embSnapshotKey(dir) +
-      s"|imi(k=$k,lloyd=$lloydIters,dims=64)|pq(m=16,kSub=16)|pairv2$capTag|rawv1"
+      s"|imi(k=$k,lloyd=$lloydIters,dims=64)|pq(m=16,kSub=16)|pairv2$capTag|rawv1|adc2"
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
     if (!fresh) {

@@ -385,3 +385,116 @@ object SignLshBuckets {
   def apply(vec: Column, nTables: Int, nBits: Int, dims: Int): Column =
     Bridge.column(SignLshBuckets(Bridge.expression(vec), nTables, nBits, dims))
 }
+
+/**
+ * `pq_adc_dist(codes|packed, query_id)`: the FULL asymmetric (ADC)
+ * distance `Σ_s lut[query][s·kSub + code_s]` in ONE projection.
+ *
+ * The composed form this replaces — `posexplode(codes)` (or
+ * `pqUnpack(packed)`) → broadcast LUT join on (query, sub, code) →
+ * `groupBy(query, neighbor).sum(pd)` — multiplied every candidate row
+ * by m=16 intermediate rows and paid a full hash-aggregate EXCHANGE of
+ * them per serve. The per-query LUTs are aggregate-sized by
+ * construction (|queries|·m·kSub doubles — the same data the old plan
+ * broadcast as a join side), so they ride along as a codegen reference
+ * object and the whole ADC stage collapses into the candidate
+ * projection: no row multiplication, no shuffle, and the subspace sum
+ * runs in FIXED s-order (the old aggregate summed in shuffle-arrival
+ * order, which was nondeterministic at ULP level).
+ *
+ * Left input: `ARRAY<INT>` codes (in-memory paths) or packed `LONG`
+ * (layout paths, 4-bit nibbles, MSB-first — [[graft.ops.Similarity.pqPack]]'s
+ * format). An unknown query id throws: candidates only exist via a
+ * probe join against these very query ids, so a miss is a broken plan,
+ * not data.
+ */
+case class PqAdcDist(left: Expression, right: Expression,
+                     queryIds: Seq[Long], luts: Seq[Seq[Double]], m: Int)
+    extends BinaryExpression {
+  require(queryIds.length == luts.length && luts.nonEmpty,
+    "one LUT row per query id")
+  require(luts.head.length % m == 0, "LUT row length must be m*kSub")
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_dist"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), LongType) | (LongType, LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_dist requires (ARRAY<INT> | LONG, LONG), got $other")
+  }
+
+  private def isPacked: Boolean = left.dataType == LongType
+
+  // ids sorted for binary search; LUT rows permuted to match
+  @transient private lazy val sortedIds: Array[Long] = {
+    val perm = queryIds.indices.sortBy(queryIds).toArray
+    perm.map(queryIds)
+  }
+  @transient private lazy val lutArr: Array[Array[Double]] = {
+    val perm = queryIds.indices.sortBy(queryIds).toArray
+    perm.map(i => luts(i).toArray)
+  }
+  @transient private lazy val kSub: Int = luts.head.length / m
+
+  private def lookup(qid: Long): Array[Double] = {
+    val i = java.util.Arrays.binarySearch(sortedIds, qid)
+    if (i < 0) throw new IllegalStateException(
+      s"pq_adc_dist: query id $qid has no LUT — candidates must come from the probe join")
+    lutArr(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val lut = lookup(r.asInstanceOf[Long])
+    var acc = 0.0
+    var s = 0
+    if (isPacked) {
+      val p = l.asInstanceOf[Long]
+      while (s < m) {
+        val code = ((p >>> ((m - 1 - s) * 4)) & 0xFL).toInt
+        acc += lut(s * kSub + code)
+        s += 1
+      }
+    } else {
+      val arr = l.asInstanceOf[ArrayData]
+      while (s < m) { acc += lut(s * kSub + arr.getInt(s)); s += 1 }
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val idsRef = ctx.addReferenceObj("sortedIds", sortedIds, "long[]")
+      val lutsRef = ctx.addReferenceObj("luts", lutArr, "double[][]")
+      val qi = ctx.freshName("qi"); val lut = ctx.freshName("lut")
+      val acc = ctx.freshName("acc"); val s = ctx.freshName("s")
+      val code = ctx.freshName("code")
+      val codeExpr =
+        if (isPacked) s"(int) (($l >>> ((${m - 1} - $s) * 4)) & 0xFL)"
+        else s"$l.getInt($s)"
+      s"""
+         |int $qi = java.util.Arrays.binarySearch($idsRef, $r);
+         |if ($qi < 0) throw new IllegalStateException(
+         |  "pq_adc_dist: query id " + $r + " has no LUT — candidates must come from the probe join");
+         |double[] $lut = $lutsRef[$qi];
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $code = $codeExpr;
+         |  $acc += $lut[$s * $kSub + $code];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcDist {
+  def apply(codesOrPacked: Column, queryId: Column,
+            queryIds: Seq[Long], luts: Seq[Seq[Double]], m: Int): Column =
+    Bridge.column(PqAdcDist(Bridge.expression(codesOrPacked),
+      Bridge.expression(queryId), queryIds, luts, m))
+}

@@ -252,7 +252,7 @@ object Layout {
     val m = books.length
     val half = dims / 2
     val qRows = Similarity.collectQueries(queries, idCol, vecCol)
-    val lut = Similarity.pqLut(spark, qRows, books, dims / m)
+    val (qIds, lutM) = Similarity.pqLutMatrix(qRows, books, dims / m)
     val probes = queries.select(col(idCol).as("query_id"),
         explode(Similarity.imiProbesCol(cents, nProbe, col(vecCol), half)).as("__p"))
       .select(col("query_id"),
@@ -262,13 +262,13 @@ object Layout {
     val all = spark.read.parquet(s"$dir/codes")
     val pruned = prunePairs(all, imiPartCol(spark, s"$dir/codes"),
       cents._2.length, pairs)
-    val coded = pruned
+    // fused ADC over the packed words (r13) — see [[graft.functions.PqAdcDist]]
+    val approx = pruned
       .join(broadcast(probes), Seq("cell1", "cell2"))
       .where(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        posexplode(Similarity.pqUnpack(col("packed"), m)).as(Seq("sub", "code")))
-    val approx = coded.join(broadcast(lut), Seq("query_id", "sub", "code"))
-      .groupBy("query_id", "neighbor_id").agg(sum("pd").as("adist"))
+        graft.functions.PqAdcDist(col("packed"), col("query_id"),
+          qIds, lutM, m).as("adist"))
     // Re-rank from the same pair-pruned read when the layout stores raw
     // vectors (r13; see [[pqWrite]]) — the corpus arg is the legacy
     // fallback whose full-corpus join this change removed.
@@ -455,19 +455,21 @@ object Layout {
     val books = readPqBooks(spark, dir)
     val m = books.length
     val qRows = Similarity.collectQueries(queries, idCol, vecCol)
-    val lut = Similarity.pqLut(spark, qRows, books, dims / m)
+    val (qIds, lutM) = Similarity.pqLutMatrix(qRows, books, dims / m)
     val probes = Similarity.probeCells(spark, centroids, qRows, nProbe)
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val all = spark.read.parquet(s"$dir/codes")
     val pruned = all
       .where(col("cell").isin(cells: _*)) // partition filter: probed dirs only
-    val coded = pruned
+    // fused ADC over the packed words (r13): one row per (query,
+    // candidate), no 16× unpack-explode, no aggregate exchange — see
+    // [[graft.functions.PqAdcDist]]
+    val approx = pruned
       .join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        posexplode(Similarity.pqUnpack(col("packed"), m)).as(Seq("sub", "code")))
-    val approx = coded.join(broadcast(lut), Seq("query_id", "sub", "code"))
-      .groupBy("query_id", "neighbor_id").agg(sum("pd").as("adist"))
+        graft.functions.PqAdcDist(col("packed"), col("query_id"),
+          qIds, lutM, m).as("adist"))
     // Shortlist re-rank vectors come from the SAME cell-pruned read when
     // the layout stores them (r13) — O(probed cells), and columnar
     // pruning keeps the ADC scan above 8-bytes-per-row narrow. The corpus arg

@@ -790,12 +790,20 @@ object Similarity {
     // queries are few (ANN contract: a bounded probe set) — build the
     // per-(query, sub, code) lookup table driver-side and broadcast it
     val qRows = collectQueries(queries, idCol, vecCol)
-    val lut = pqLut(corpus.sparkSession, qRows, books, ds)
-    val coded = pqEncode(corpus, books, dims, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), posexplode(col("codes")).as(Seq("sub", "code")))
-    val approx = coded.join(broadcast(lut), Seq("sub", "code"))
+    // ADC fused into one projection (r13, [[graft.functions.PqAdcDist]]):
+    // the old posexplode → LUT join → hash-agg shape multiplied every
+    // candidate by m rows and shuffled them; now each (query, candidate)
+    // pair is ONE row with its distance computed in place
+    val (qIds, lutM) = pqLutMatrix(qRows, books, ds)
+    val qIdDf = broadcast(
+      corpus.sparkSession.createDataFrame(qIds.map(Tuple1(_))).toDF("query_id"))
+    val approx = pqEncode(corpus, books, dims, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(qIdDf)
       .where(col("query_id") =!= col("neighbor_id"))
-      .groupBy("query_id", "neighbor_id").agg(sum("pd").as("adist"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.PqAdcDist(col("codes"), col("query_id"),
+          qIds, lutM, books.length).as("adist"))
     adcShortlistRerank(approx, corpus, queries, k, shortlist, idCol, vecCol)
   }
 
@@ -822,18 +830,31 @@ object Similarity {
 
   /** Per-(query, sub, code) partial squared distances — the broadcast
     * ADC lookup table (|queries| · m · kSub rows). */
-  private[ops] def pqLut(spark: SparkSession, qRows: Array[(Long, Array[Double])],
-                         books: PqBooks, ds: Int): DataFrame =
-    spark.createDataFrame(for {
-      (qid, qv) <- qRows.toSeq
-      s <- books.indices
-      (cid, c) <- books(s)
-    } yield {
-      var d2 = 0.0
-      var i = 0
-      while (i < ds) { val diff = qv(s * ds + i) - c(i); d2 += diff * diff; i += 1 }
-      (qid, s, cid, d2)
-    }).toDF("query_id", "sub", "code", "pd")
+  /** Per-query ADC lookup tables — the partial squared distance from
+    * each query's s-th subvector to every codebook centroid — as a
+    * driver-side matrix for [[graft.functions.PqAdcDist]]'s reference
+    * objects: one flat `m·kSub`-double row per query, indexed
+    * `s·kSub + code`. Aggregate-sized by construction (|queries|·m·kSub
+    * doubles — the same data the pre-r13 plan broadcast as a join
+    * side). Code ids are positional ([[pqTrain]] seeds with
+    * zipWithIndex; the sidecar round-trip preserves them). */
+  private[graft] def pqLutMatrix(qRows: Array[(Long, Array[Double])],
+                                 books: PqBooks, ds: Int): (Seq[Long], Seq[Seq[Double]]) = {
+    val kSub = books.head.length
+    val ids = qRows.map(_._1).toSeq
+    val rows: Seq[Seq[Double]] = qRows.toSeq.map { case (_, qv) =>
+      val row = new Array[Double](books.length * kSub)
+      for (s <- books.indices; (cid, c) <- books(s)) {
+        require(cid >= 0 && cid < kSub, s"non-positional PQ code id $cid")
+        var d2 = 0.0
+        var i = 0
+        while (i < ds) { val diff = qv(s * ds + i) - c(i); d2 += diff * diff; i += 1 }
+        row(s * kSub + cid) = d2
+      }
+      row.toSeq
+    }
+    (ids, rows)
+  }
 
   /** Shared PQ tail: shortlist by approximate distance, then exact
     * cosine re-rank of the shortlist only. */
@@ -875,16 +896,17 @@ object Similarity {
     val spark = indexed.sparkSession
     val ds = dims / books.length
     val qRows = collectQueries(queries, idCol, vecCol)
-    val lut = pqLut(spark, qRows, books, ds)
+    val (qIds, lutM) = pqLutMatrix(qRows, books, ds)
     val probes = probeCells(spark, centroids, qRows, nProbe)
-    val coded = pqEncode(indexed, books, dims, idCol, vecCol)
+    // fused ADC (r13): one row per (query, candidate), no m× explode,
+    // no aggregate exchange — see [[graft.functions.PqAdcDist]]
+    val approx = pqEncode(indexed, books, dims, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("cell"), col("codes"))
       .join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-    val approx = coded.join(broadcast(lut), Seq("query_id", "sub", "code"))
-      .groupBy("query_id", "neighbor_id").agg(sum("pd").as("adist"))
+        graft.functions.PqAdcDist(col("codes"), col("query_id"),
+          qIds, lutM, books.length).as("adist"))
     adcShortlistRerank(approx, indexed, queries, k, shortlist, idCol, vecCol)
   }
 
@@ -912,19 +934,19 @@ object Similarity {
     val ds = dims / books.length
     val half = dims / 2
     val qRows = collectQueries(queries, idCol, vecCol)
-    val lut = pqLut(spark, qRows, books, ds)
+    val (qIds, lutM) = pqLutMatrix(qRows, books, ds)
     val probes = queries.select(col(idCol).as("query_id"),
         explode(imiProbesCol(cents, nProbe, col(vecCol), half)).as("__p"))
       .select(col("query_id"),
         col("__p.cell1").as("cell1"), col("__p.cell2").as("cell2"))
-    val coded = pqEncode(indexed, books, dims, idCol, vecCol)
+    // fused ADC (r13): see [[graft.functions.PqAdcDist]]
+    val approx = pqEncode(indexed, books, dims, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("cell1"), col("cell2"), col("codes"))
       .join(broadcast(probes), Seq("cell1", "cell2"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-    val approx = coded.join(broadcast(lut), Seq("query_id", "sub", "code"))
-      .groupBy("query_id", "neighbor_id").agg(sum("pd").as("adist"))
+        graft.functions.PqAdcDist(col("codes"), col("query_id"),
+          qIds, lutM, books.length).as("adist"))
     adcShortlistRerank(approx, indexed, queries, k, shortlist, idCol, vecCol)
   }
 }
