@@ -155,7 +155,14 @@ object Layout {
     val pairSpace = cents._1.length.toLong * cents._2.length
     if (pairSpace <= fusedDirCap)
       withPair
-        .repartition(pairSpace.toInt, col("pair"))
+        // task count capped at the parallelism: hash-partitioning on
+        // `pair` already lands each pair wholly in one task (≤ one file
+        // per pair dir either way), and pairSpace tasks for a small
+        // append is pure commit overhead (measured: the 20k-row append
+        // arm spent ~1 s on 256 task commits)
+        .repartition(math.min(pairSpace,
+          withPair.sparkSession.sparkContext.defaultParallelism.toLong).toInt,
+          col("pair"))
         .write.mode(mode).partitionBy("pair").parquet(path)
     else
       withPair
@@ -323,7 +330,9 @@ object Layout {
       layoutCols.getOrElse(spark.read.parquet(path).columns.toSeq).contains("pair")
     val df = if (hasPair) withPairKey(assigned, cents._2.length) else assigned
     if (partCol == "pair")
-      df.repartition(cents._1.length.toInt * cents._2.length, col("pair"))
+      df.repartition(math.min(cents._1.length.toLong * cents._2.length,
+          df.sparkSession.sparkContext.defaultParallelism.toLong).toInt,
+          col("pair"))
         .write.mode("append").partitionBy("pair").parquet(path)
     else
       df.repartition(cents._1.length, col("cell1"))
