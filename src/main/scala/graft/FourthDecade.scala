@@ -77,17 +77,17 @@ object FourthDecade {
     layoutDir
   }
 
-  /** The legacy (pre-rawv1) variant of [[imiPqFixture]]'s layout: same
-    * codes, same pair column and regime, vector column STRIPPED — the
-    * on-disk format whose serve must re-rank through a corpus join.
-    * Derived from the new layout (no re-encode), so the serve A/B
-    * isolates exactly ONE variable: where re-rank vectors come from. */
-  def legacyImiPqFixture(spark: SparkSession, ampDir: String, srcDir: String): String = {
-    val newDir = imiPqFixture(spark, ampDir, srcDir)
-    val fixDir = s"$fixRoot/imipq_legacy"
+  /** Strip the raw-vector column out of an IMI+PQ layout into the
+    * legacy (pre-rawv1) on-disk format: same codes, same pair column,
+    * cell1 partition dirs — the format whose serve must re-rank through
+    * a corpus join. Derived from the source layout (no re-encode), so a
+    * serve A/B isolates exactly ONE variable: where re-rank vectors
+    * come from. */
+  private def stripVectors(spark: SparkSession, newDir: String,
+                           fixDir: String, snapKey: String): String = {
     val layoutDir = s"$fixDir/layout"
     val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
-    val buildTag = OpsQueries.embSnapshotKey(ampDir) + "|stripped-from-rawv1"
+    val buildTag = snapKey + "|stripped-from-rawv1"
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
     if (!fresh) {
@@ -102,11 +102,81 @@ object FourthDecade {
       for (s <- Seq("_centroids1.tsv", "_centroids2.tsv", "_codebooks.tsv"))
         java.nio.file.Files.copy(java.nio.file.Paths.get(newDir, s),
           java.nio.file.Paths.get(layoutDir, s))
-      println(f"[10000x] legacy (stripped) layout build: ${(System.nanoTime() - t0) / 1e9}%.1fs (untimed fixture)")
+      println(f"[10000x] legacy (stripped) layout build ($fixDir): ${(System.nanoTime() - t0) / 1e9}%.1fs (untimed fixture)")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(fixDir))
       java.nio.file.Files.write(marker, buildTag.getBytes("UTF-8"))
     }
     layoutDir
+  }
+
+  /** The legacy variant of [[imiPqFixture]]'s 20M layout. */
+  def legacyImiPqFixture(spark: SparkSession, ampDir: String, srcDir: String): String =
+    stripVectors(spark, imiPqFixture(spark, ampDir, srcDir),
+      s"$fixRoot/imipq_legacy", OpsQueries.embSnapshotKey(ampDir))
+
+  /** Marker-guarded JITTERED 20M-vector IMI+PQ layout for the recall
+    * anchor: [[ThirdDecade.amplifyJitter]] copies (non-degenerate top-k
+    * ground truth — the r13 gap), quantizers trained on a ~20k
+    * deterministic SAMPLE of the jittered corpus (production practice;
+    * the key-shift "Lloyd on base ≡ Lloyd on copies" shortcut does not
+    * apply to perturbed copies), full-corpus assignment/encode untimed. */
+  def jitImiPqFixture(spark: SparkSession, srcDir: String): String = {
+    val jitDir = sys.env.getOrElse("SPARK_GRAFT_JIT10000_DIR",
+      "/tmp/graft_sf10000_embjit")
+    ThirdDecade.amplifyJitter(spark, srcDir, jitDir, factor = 10000)
+    val emb = Tables(spark, jitDir, "embeddings")
+    val kAuto = Similarity.autoCellsImi(emb.count())
+    val fixDir = s"$fixRoot/imipq_jit_k$kAuto"
+    val layoutDir = s"$fixDir/layout"
+    val marker = java.nio.file.Paths.get(s"$fixDir/_BUILT")
+    val buildTag = OpsQueries.embSnapshotKey(jitDir) +
+      s"|imi(k=$kAuto,lloyd=1,dims=64,sample-trained)|pq(m=16,kSub=16,sample-trained)|pairv2|rawv1|adc2"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == buildTag
+    if (!fresh) {
+      graft.core.FsUtil.deleteRecursive(java.nio.file.Paths.get(fixDir))
+      val t0 = System.nanoTime()
+      val sample = emb.where(pmod(col("vec_id"), lit(997L)) === 3L) // ~20k rows
+      val (_, cents) = Similarity.imiIndex(sample, k = kAuto, lloydIters = 1)
+      val books = Similarity.pqTrain(sample)
+      Layout.imiPqWrite(Similarity.assignImiCells(emb, cents), cents, books, layoutDir)
+      println(f"[10000x] jittered imipq layout build (k=$kAuto): ${(System.nanoTime() - t0) / 1e9}%.1fs (untimed fixture)")
+      java.nio.file.Files.write(marker, buildTag.getBytes("UTF-8"))
+    }
+    layoutDir
+  }
+
+  /** The fourth decade's RECALL anchor (r14; closes r13 "What's wrong
+    * #3"): IMI and IMI+PQ recall@5 at 20M vectors against the
+    * brute-force arm on the 10-query contract set, over the JITTERED
+    * fixture whose ground truth is non-degenerate. The serve numbers
+    * (imipq_serve@10000x) say the index is CHEAP at this scale; these
+    * rows say it still finds true neighbors. nProbe=32 of k²≈9801
+    * pair cells ≈ 0.33% probed fraction — the production deep-cell
+    * regime, far off the shallow (k=4–8) RecallCheck grid. */
+  def recallAnchor(spark: SparkSession,
+                   srcDir: String = "/root/testdata/sf0.1"): Map[String, Double] = {
+    val layoutDir = jitImiPqFixture(spark, srcDir)
+    val jitDir = sys.env.getOrElse("SPARK_GRAFT_JIT10000_DIR",
+      "/tmp/graft_sf10000_embjit")
+    val emb = Tables(spark, jitDir, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+    exact.cache()
+    val nExact = exact.count()
+    def recall(ann: DataFrame): Double =
+      ann.select("query_id", "neighbor_id")
+        .join(exact, col("query_id") === col("eq") && col("neighbor_id") === col("en"), "left_semi")
+        .count().toDouble / nExact
+    val rImiPq = recall(Layout.imiPqTopKFromLayout(spark, layoutDir,
+      emb.limit(0), queries, k = 5, nProbe = 32))
+    val cents = Layout.readImiCentroids(spark, layoutDir)
+    val rImi = recall(Similarity.imiTopK(
+      spark.read.parquet(s"$layoutDir/codes"), cents, queries, k = 5, nProbe = 32))
+    exact.unpersist()
+    println(f"[10000x] recall@5 on jittered 20M (nProbe=32, ${32.0 * 100 / (cents._1.length.toLong * cents._2.length)}%.2f%% of pairs): imi=$rImi%.3f imipq=$rImiPq%.3f")
+    Map("imi_recall_jit" -> rImi, "imipq_recall_jit" -> rImiPq)
   }
 
   /** Marker-guarded 20M-vector flat IVF+PQ layout at autoCells sizing. */
@@ -175,26 +245,52 @@ object FourthDecade {
       rows += ((name, s))
     }
 
-    // sf0.1 warm serves reuse the bench-scale fixtures for JIT only
+    // Fixture dirs hoisted out of the timed bodies (advisor r13): a
+    // fresh builder re-check still runs emb.count() over the 20M corpus
+    // plus a snapshot fingerprint — untimed work that belongs in the
+    // warm thunk, and the legacy arm would pay it twice.
+    lazy val imiPqDir = imiPqFixture(spark, amp, src)
+    lazy val annDir = annFixture(spark, amp, src)
+    lazy val legacyDir = legacyImiPqFixture(spark, amp, src)
+    // sf0.1-scale warm serves use the IDENTICAL query shape — full
+    // query set, nProbe=32 (ThirdDecade's pattern) — so the timed run
+    // pays no plan codegen/JIT and only data scale differs between
+    // warm and timed (advisor r13: the old limit(1)/nProbe=4 warm
+    // generated different wholestage source).
     run("imipq_serve", {
-      val d = imiPqFixture(spark, amp, src)
-      noop(Layout.imiPqTopKFromLayout(spark, d, emb.limit(0), queries.limit(1), k = 5, nProbe = 4))
-    })(noop(Layout.imiPqTopKFromLayout(spark, imiPqFixture(spark, amp, src),
+      val d = imiPqDir
+      noop(ThirdDecade.imiPqServe(spark, src))
+    })(noop(Layout.imiPqTopKFromLayout(spark, imiPqDir,
       emb.limit(0), queries, k = 5, nProbe = 32)))
     run("ann_serve", {
-      val d = annFixture(spark, amp, src)
-      noop(Layout.ivfPqTopKFromLayout(spark, d, emb.limit(0), queries.limit(1), k = 5, nProbe = 4))
-    })(noop(Layout.ivfPqTopKFromLayout(spark, annFixture(spark, amp, src),
+      val d = annDir
+      noop(ThirdDecade.annServe(spark, src))
+    })(noop(Layout.ivfPqTopKFromLayout(spark, annDir,
       emb.limit(0), queries, k = 5, nProbe = 32)))
     // the r13 re-rank fix A/B: the SAME codes served from the legacy
     // (vector-stripped) format, whose shortlist re-rank must join the
     // 20M-row corpus table — the O(corpus) serve input the fix removed.
     // Identical probes, codes, and pruning; the delta IS the corpus join.
     run("imipq_serve_legacy", {
-      val d = legacyImiPqFixture(spark, amp, src)
-      noop(Layout.imiPqTopKFromLayout(spark, d, emb, queries.limit(1), k = 5, nProbe = 4))
-    })(noop(Layout.imiPqTopKFromLayout(spark, legacyImiPqFixture(spark, amp, src),
+      val d = legacyDir
+      // legacy-shaped warm at sf0.1: vectors stripped from the sf0.1
+      // IMI+PQ fixture, corpus-join re-rank, same nProbe/query shape
+      val srcEmb = Tables(spark, src, "embeddings")
+      val legacySf01 = stripVectors(spark,
+        ThirdDecade.imiPqLayoutFixture(spark, src),
+        s"$fixRoot/imipq_legacy_sf01", OpsQueries.embSnapshotKey(src))
+      noop(Layout.imiPqTopKFromLayout(spark, legacySf01, srcEmb,
+        srcEmb.where(col("vec_id") < 10), k = 5, nProbe = 32))
+    })(noop(Layout.imiPqTopKFromLayout(spark, legacyDir,
       emb, queries, k = 5, nProbe = 32)))
+
+    // r14 recall anchor: untimed evidence rows (recall@5 fractions, not
+    // seconds) merged under their own names — run with the arg "recall"
+    // (or no args). Needs its own ~5 GB jittered fixture on first run.
+    val recallRows: Map[String, Double] =
+      if (only.isEmpty || only.exists(_.contains("recall")))
+        recallAnchor(spark, src)
+      else Map.empty
 
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val prior: Map[String, String] =
@@ -206,7 +302,7 @@ object FourthDecade {
       } catch { case _: Throwable => Map.empty }
     val merged = prior ++ rows.collect {
       case (n, s) if s >= 0 => (n + "@10000x") -> fmt(s)
-    }
+    } ++ recallRows.map { case (n, v) => (n + "@10000x") -> fmt(v) }
     val json = merged.toSeq.sortBy(_._1)
       .map { case (n, v) => "\"" + n + "\":" + v }
       .mkString("{", ",", "}")

@@ -7,6 +7,43 @@ import org.apache.spark.sql.functions._
   * q_ann_* accuracy-contract oracles). Sweeps a small parameter grid so
   * contract bounds are chosen from measurements, not hope. */
 object RecallCheck {
+  /** Deep-cell regime grid (r14, closes the r13 autoProbesImi scope
+    * caveat): k = 64 per half → 4096 pair cells over the JITTERED 2M
+    * fixture (~488 rows/cell — the production shape where probed
+    * fractions are tiny), recall@5 vs brute force across probe counts.
+    * The jittered fixture makes ground truth non-degenerate (see
+    * [[ThirdDecade.amplifyJitter]]); the key-shifted one would report
+    * reassuring noise. Raw-IMI and IMI+PQ arms, sample-trained books
+    * (production practice at this scale). Run: `runMain graft.RecallCheck deep` */
+  private def deepGrid(spark: SparkSession): Unit = {
+    import graft.ops.Similarity
+    val src = "/root/testdata/sf0.1"
+    val jit = sys.env.getOrElse("SPARK_GRAFT_JIT1000_DIR", "/tmp/graft_sf1000_embjit")
+    ThirdDecade.amplifyJitter(spark, src, jit, factor = 1000)
+    val emb = Tables(spark, jit, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+    exact.cache(); val nExact = exact.count()
+    def recall(ann: org.apache.spark.sql.DataFrame): Double = {
+      val hits = ann.select("query_id", "neighbor_id")
+        .join(exact, col("query_id") === col("eq") && col("neighbor_id") === col("en"), "left_semi")
+        .count()
+      hits.toDouble / nExact
+    }
+    val k = 64
+    val (indexed, cents) = Similarity.imiIndex(emb, k = k, lloydIters = 1)
+    indexed.cache(); indexed.count()
+    val books = Similarity.pqTrain(emb.where(pmod(col("vec_id"), lit(97L)) === 3L))
+    val pairSpace = k * k
+    for (nProbe <- Seq(8, 16, 32, 64, 128, 256, 512, 1024)) {
+      val rImi = recall(Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = nProbe))
+      val rPq = recall(Similarity.imiPqTopK(indexed, cents, books, queries, k = 5, nProbe = nProbe))
+      println(f"RECALL deep-jit2M imi k=$k probe=$nProbe (${nProbe * 100.0 / pairSpace}%.2f%%) imi=$rImi%.3f imipq=$rPq%.3f")
+    }
+    indexed.unpersist(); exact.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", 16)
@@ -16,6 +53,17 @@ object RecallCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.ops.Similarity
+    if (args.contains("deep")) { deepGrid(spark); spark.stop(); return }
+    if (args.contains("10000x")) {
+      // standing pin for the 20M jittered recall anchor (r14): the
+      // fourth decade's serve numbers must keep a live recall anchor.
+      // Threshold set from the measured r14 values minus slack; a
+      // config/fixture drift that craters recall fails loud here.
+      val r = FourthDecade.recallAnchor(spark)
+      require(r("imi_recall_jit") >= 0.85 && r("imipq_recall_jit") >= 0.85,
+        s"20M jittered recall anchor fell below its 0.85 floor: $r")
+      spark.stop(); return
+    }
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val emb = Tables(spark, s"/root/testdata/$sf", "embeddings")
       val queries = emb.where(col("vec_id") < 10)

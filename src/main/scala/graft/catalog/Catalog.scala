@@ -82,45 +82,69 @@ final case class VaultCatalog(spark: SparkSession, root: String) {
     * verify retrieved content against the catalog without trusting the
     * transport; "" when the writer didn't compute one.
     *
-    * `ifAbsent = true` makes the append IDEMPOTENT on (vault, cid): a
-    * crash-replay that re-publishes the same content (the event-time
-    * sink's at-least-once window republish — `VaultSink` replays a
-    * window whose publish landed but whose watermark commit didn't)
-    * re-derives the same cid, and the second append becomes a no-op
-    * instead of a duplicate listing row. It stays OFF by default
-    * because a deliberate re-upload of identical content IS an event —
-    * the content-addressed cid legitimately repeats in the log
-    * (`CompactorSpec` pins that listing semantic). The existence check
-    * is a vault-partition-pruned read of one vault's events —
-    * catalog-sized, not corpus-sized. Single-writer per vault (one
-    * streaming query owns a vault's exports) is the concurrency
-    * contract that makes read-then-append sound. */
+    * `ifAbsent = true` makes the append IDEMPOTENT on (vault, cid,
+    * window): a crash-replay that re-publishes the same content (the
+    * event-time sink's at-least-once window republish — `VaultSink`
+    * replays a window whose publish landed but whose watermark commit
+    * didn't) re-derives the same cid FOR THE SAME WINDOW, and the
+    * second append becomes a no-op instead of a duplicate listing row.
+    * The `window` token scopes the dedupe to actual replays: a LATER
+    * window that legitimately emits byte-identical content (same cid,
+    * different window) is a distinct event and appends normally — its
+    * newer timestamp and refreshed cache_expiry land in the log like
+    * the reference's append-always semantics (advisor r13). With no
+    * window token (window < 0) the dedupe falls back to (vault, cid).
+    * It stays OFF by default because a deliberate re-upload of
+    * identical content IS an event — the content-addressed cid
+    * legitimately repeats in the log (`CompactorSpec` pins that
+    * listing semantic). The existence check is a vault-partition-pruned
+    * read of one vault's events — catalog-sized, not corpus-sized.
+    * Single-writer per vault (one streaming query owns a vault's
+    * exports) is the concurrency contract that makes read-then-append
+    * sound. */
   def appendEvent(vault: VaultName, cid: String, timestampSec: Long,
                   isArchived: Boolean, cacheExpiry: java.sql.Timestamp,
-                  digest: String = "", ifAbsent: Boolean = false): Unit = {
+                  digest: String = "", ifAbsent: Boolean = false,
+                  window: Long = -1L): Unit = {
     import org.apache.spark.sql.functions.col
-    val dup = ifAbsent &&
-      (try events.where(col("vault") === vault.toString && col("cid") === cid)
-        .head(1).nonEmpty
-      catch { case _: Exception => false }) // no events dir yet → first append
+    // Existence probed explicitly: a transient/corrupt READ failure
+    // must propagate, not silently degrade to append-always — the
+    // exact duplicate the flag exists to prevent (advisor r13).
+    def eventsDirExists: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(eventsPath)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    val dup = ifAbsent && eventsDirExists && {
+      val base = events.where(col("vault") === vault.toString && col("cid") === cid)
+      // Pre-window event files read window = NULL under mergeSchema;
+      // NULL === w is never true, so legacy rows can't suppress a new
+      // window's append.
+      val scoped = if (window >= 0L) base.where(col("window") === window) else base
+      scoped.head(1).nonEmpty
+    }
     if (!dup)
-      Seq((vault.toString, cid, timestampSec, isArchived, cacheExpiry, digest))
-        .toDF("vault", "cid", "timestamp", "is_archived", "cache_expiry", "digest")
+      Seq((vault.toString, cid, timestampSec, isArchived, cacheExpiry, digest, window))
+        .toDF("vault", "cid", "timestamp", "is_archived", "cache_expiry", "digest", "window")
         .write.mode("append").partitionBy("vault").parquet(eventsPath)
   }
 
   def events: DataFrame =
     try {
-      // mergeSchema: event files written before the digest column was
-      // introduced coexist with new ones (old rows read digest = NULL)
-      val df = spark.read.option("mergeSchema", "true").parquet(eventsPath)
-      if (df.columns.contains("digest")) df
-      else df.withColumn("digest", org.apache.spark.sql.functions.lit(null: String))
+      // mergeSchema: event files written before the digest / window
+      // columns were introduced coexist with new ones (old rows read
+      // the missing column as NULL)
+      val df0 = spark.read.option("mergeSchema", "true").parquet(eventsPath)
+      val df =
+        if (df0.columns.contains("digest")) df0
+        else df0.withColumn("digest", org.apache.spark.sql.functions.lit(null: String))
+      if (df.columns.contains("window")) df
+      else df.withColumn("window",
+        org.apache.spark.sql.functions.lit(null).cast("bigint"))
     }
     catch { case _: Exception =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
-          "cid STRING, timestamp BIGINT, is_archived BOOLEAN, cache_expiry TIMESTAMP, digest STRING, vault STRING"))
+          "cid STRING, timestamp BIGINT, is_archived BOOLEAN, cache_expiry TIMESTAMP, digest STRING, window BIGINT, vault STRING"))
     }
 
   /**

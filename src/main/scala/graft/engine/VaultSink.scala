@@ -319,14 +319,17 @@ final class VaultSink(
           spark.read.parquet(artifact.toString), sch.columns.map(_.name))
       }.getOrElse("")
       val cid = store.put(vault, artifact, ts, sig)
-      // ifAbsent: a crash-replayed window (at-least-once foreachBatch /
-      // event-time republish) re-derives the same content cid — the
-      // catalog append must not double the listing row (advisor r12).
+      // ifAbsent + window token: a crash-replayed window (at-least-once
+      // foreachBatch / event-time republish) re-derives the same content
+      // cid for the SAME window — that append must not double the
+      // listing row (advisor r12). A LATER window that legitimately
+      // emits byte-identical content is a distinct (cid, window) and
+      // appends normally with its own timestamp/expiry (advisor r13).
       // Deliberate re-uploads go through BatchWrite, which keeps the
       // append-always listing semantic.
       catalog.foreach(c => c.appendEvent(vault, cid, ts,
         isArchived = false, c.cacheExpiryFor(vault, ts), digest,
-        ifAbsent = true))
+        ifAbsent = true, window = windowToken))
       FsUtil.deleteRecursive(stagePath)
       Some(table -> cid)
     }

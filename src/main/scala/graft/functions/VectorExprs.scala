@@ -420,6 +420,12 @@ case class PqAdcDist(left: Expression, right: Expression,
   override def prettyName: String = "pq_adc_dist"
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    // The packed-LONG decode below hardcodes 4-bit nibbles, which is
+    // only correct for kSub == 16; a wider codebook over a packed
+    // layout must fail at plan time, not with silently wrong distances.
+    case (LongType, LongType) if luts.head.length / m != 16 =>
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_dist packed-LONG input requires kSub == 16 (4-bit nibbles), got kSub = ${luts.head.length / m}")
     case (ArrayType(IntegerType, _), LongType) | (LongType, LongType) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

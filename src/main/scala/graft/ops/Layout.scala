@@ -183,6 +183,16 @@ object Layout {
         s.getPath.getName.startsWith("pair="))) "pair" else "cell1"
   }
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.ops.Layout")
+
+  /** One-line deprecation signal when a serve falls back to a pre-r13
+    * layout regime. Results stay exact either way; the legacy read
+    * bounds (full-corpus re-rank, Cartesian-superset pruning) do not
+    * scale — see DEPLOY.md "Legacy layouts" for the rewrite path. */
+  private def legacyWarn(dir: String, what: String, fix: String): Unit =
+    logger.warn(s"DEPRECATED legacy layout served from $dir: $what. " +
+      s"Rewrite path: $fix (DEPLOY.md 'Legacy layouts').")
+
   /** Exact pair-probe predicate for an IMI layout scan: partition
     * pruning on the layout's partition column plus the EXACT fused-pair
     * set pushed to row-group stats. Falls back to the r12 Cartesian
@@ -190,7 +200,7 @@ object Layout {
     * column (results were always exact either way — the (cell1, cell2)
     * probe join filters the superset; only the read bound differed). */
   private def prunePairs(all: DataFrame, partCol: String, k2: Int,
-                         pairs: Array[(Int, Int)]): DataFrame = {
+                         pairs: Array[(Int, Int)], dir: String): DataFrame = {
     if (pairs.isEmpty) return all.where(lit(false))
     val fusedPairs = pairs.map { case (a, b) => a * k2 + b }.toIndexedSeq
     if (partCol == "pair")
@@ -198,9 +208,13 @@ object Layout {
     else if (all.columns.contains("pair"))
       all.where(col("cell1").isin(pairs.map(_._1).distinct.toIndexedSeq: _*) &&
         col("pair").isin(fusedPairs: _*))
-    else
+    else {
+      legacyWarn(dir, "no fused `pair` column — pruning by the Cartesian " +
+        "(cell1 IN, cell2 IN) superset, a loose read bound",
+        "rebuild with imiWrite/imiPqWrite (appends mirror the legacy schema, they do not upgrade it)")
       all.where(col("cell1").isin(pairs.map(_._1).distinct.toIndexedSeq: _*) &&
         col("cell2").isin(pairs.map(_._2).distinct.toIndexedSeq: _*))
+    }
   }
 
   /**
@@ -268,7 +282,7 @@ object Layout {
       .map(r => (r.getInt(0), r.getInt(1)))
     val all = spark.read.parquet(s"$dir/codes")
     val pruned = prunePairs(all, imiPartCol(spark, s"$dir/codes"),
-      cents._2.length, pairs)
+      cents._2.length, pairs, s"$dir/codes")
     // fused ADC over the packed words (r13) — see [[graft.functions.PqAdcDist]]
     val approx = pruned
       .join(broadcast(probes), Seq("cell1", "cell2"))
@@ -281,7 +295,12 @@ object Layout {
     // fallback whose full-corpus join this change removed.
     val rerankSrc =
       if (all.columns.contains(vecCol)) pruned.select(col(idCol), col(vecCol))
-      else corpus
+      else {
+        legacyWarn(s"$dir/codes", s"no `$vecCol` column — shortlist re-rank " +
+          "joins the full corpus argument, an O(corpus) serve input",
+          "rebuild with imiPqWrite (appends mirror the legacy schema, they do not upgrade it)")
+        corpus
+      }
     Similarity.adcShortlistRerank(approx, rerankSrc, queries, k, shortlist, idCol, vecCol)
   }
 
@@ -431,7 +450,7 @@ object Layout {
       .map(r => (r.getInt(0), r.getInt(1)))
     val all = spark.read.parquet(s"$dir/data")
     val pruned = prunePairs(all, imiPartCol(spark, s"$dir/data"),
-      cents._2.length, pairs)
+      cents._2.length, pairs, s"$dir/data")
     val c = pruned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       col("cell1"), col("cell2"))
     Similarity.ivfScore(c, q, k, keys = Seq("cell1", "cell2"))
@@ -486,7 +505,12 @@ object Layout {
     // re-rank join — the scan this change removed from the serve path).
     val rerankSrc =
       if (all.columns.contains(vecCol)) pruned.select(col(idCol), col(vecCol))
-      else corpus
+      else {
+        legacyWarn(s"$dir/codes", s"no `$vecCol` column — shortlist re-rank " +
+          "joins the full corpus argument, an O(corpus) serve input",
+          "rebuild with pqWrite (appends mirror the legacy schema, they do not upgrade it)")
+        corpus
+      }
     Similarity.adcShortlistRerank(approx, rerankSrc, queries, k, shortlist, idCol, vecCol)
   }
 

@@ -81,4 +81,27 @@ class CatalogSpec extends SparkSpec {
     c.appendEvent(v, "cidA", 300L, isArchived = false, new java.sql.Timestamp(0))
     assert(cids(c.listEvents(v)) == Seq("cidA", "cidA"))
   }
+
+  test("appendEvent ifAbsent with a window token dedupes only true replays") {
+    val c = freshCatalog(); c.createVault(v, acct, 30)
+    // window 1 publishes; its crash-replay (same cid, SAME window) no-ops
+    c.appendEvent(v, "cidW", 100L, isArchived = false,
+      new java.sql.Timestamp(0), ifAbsent = true, window = 1L)
+    c.appendEvent(v, "cidW", 100L, isArchived = false,
+      new java.sql.Timestamp(0), ifAbsent = true, window = 1L)
+    assert(cids(c.listEvents(v)) == Seq("cidW"))
+    // a LATER window legitimately emitting byte-identical content (same
+    // cid, different window) is a distinct event: appended with its own
+    // timestamp, not silently dropped (advisor r13)
+    c.appendEvent(v, "cidW", 200L, isArchived = false,
+      new java.sql.Timestamp(0), ifAbsent = true, window = 2L)
+    assert(cids(c.listEvents(v)) == Seq("cidW", "cidW"))
+    val ts = c.listEvents(v).collect().map(r =>
+      r.getLong(r.fieldIndex("timestamp"))).sorted
+    assert(ts.toSeq == Seq(100L, 200L))
+    // and window 2's own replay still no-ops
+    c.appendEvent(v, "cidW", 200L, isArchived = false,
+      new java.sql.Timestamp(0), ifAbsent = true, window = 2L)
+    assert(cids(c.listEvents(v)) == Seq("cidW", "cidW"))
+  }
 }
