@@ -85,6 +85,21 @@ object LocalContentStore {
  * same content-addressed artifact). At 100 TB a pending window is
  * gigabytes; files-as-state (vs `flatMapGroupsWithState` rows-in-state)
  * is what lets this shape scale.
+ *
+ * Adversarial inputs (r14, spec-pinned in `StreamPipelineSpec`):
+ *  - a LATE-DATA FLOOD (arbitrarily many records aimed at closed
+ *    windows) is dropped record-by-record at the `live` filter and
+ *    never creates a pending slice — the pending store is bounded by
+ *    OPEN-window rows regardless of flood size (the
+ *    `file_feed_eventtime_hostile_late` INGEST_BENCH arm prices it);
+ *  - a STALLED event time freezes the watermark: exactly the open
+ *    windows accumulate (that data is genuinely unfinalizable), and
+ *    resumption flushes each exactly once;
+ *  - a FAR-FUTURE outlier timestamp advances the watermark past every
+ *    in-band window (Structured Streaming's own contract, inherited
+ *    deliberately — a clamp heuristic would hide producer clock bugs);
+ *    subsequent in-band records drop. Feeds are expected to sanitize
+ *    timestamps upstream.
  */
 final case class EventTimeWindows(windowSeconds: Long, latenessSeconds: Long) {
   require(windowSeconds > 0 && latenessSeconds >= 0,

@@ -68,16 +68,33 @@ object IngestBench {
 
   private def commitLsn(tx: Long): Long = 0x1000L * (tx + 1)
 
+  /** Hostile-late predicate (r14 adversarial arm): from the second
+    * micro-batch on, a GROWING fraction of transactions carries an
+    * event timestamp pinned at the stream's start — a window long
+    * closed by then. Fraction ramps ~10% → ~90% across the stream.
+    * Deterministic pure function of (tx, nTx) so the drop count is
+    * computable exactly by generator and gate alike. */
+  private def hostileLateTx(tx: Long, nTx: Long): Boolean =
+    tx >= nTx / 10 && (tx % 10) < (1 + tx * 8 / nTx)
+
+  private def hostileLateCount(nTx: Long): Long =
+    (0L until nTx).count(hostileLateTx(_, nTx)).toLong
+
   /** One spool envelope line (the FileWalFeed wire format). */
-  private def txLine(tx: Long, eventTimed: Boolean = false): String = {
-    val ts = if (eventTimed) etTs(tx) else "2024-01-01 00:00:00.000000+00"
+  private def txLine(tx: Long, eventTimed: Boolean = false,
+                     hostileLate: Boolean = false): String = {
+    val ts =
+      if (hostileLate) etTs(1) // the stream's opening second: window 0
+      else if (eventTimed) etTs(tx)
+      else "2024-01-01 00:00:00.000000+00"
     s"""{"commit_lsn":${commitLsn(tx)},"records":[${(0 until RecordsPerTx).map(record(tx, _, ts)).mkString(",")}]}"""
   }
 
   /** Write `nTx` envelope lines into `files` spool files, LSN-ordered
     * within each file (the feed's index merges across files). */
   private def genSpool(dir: String, nTx: Long, files: Int,
-                       eventTimed: Boolean = false): Unit = {
+                       eventTimed: Boolean = false,
+                       hostile: Boolean = false): Unit = {
     Files.createDirectories(Paths.get(dir))
     val perFile = (nTx + files - 1) / files
     for (f <- 0 until files) {
@@ -87,7 +104,9 @@ object IngestBench {
       try {
         var tx = f * perFile
         while (tx < math.min((f + 1) * perFile, nTx)) {
-          out.write(txLine(tx, eventTimed)); out.write("\n")
+          out.write(txLine(tx, eventTimed,
+            hostileLate = hostile && hostileLateTx(tx, nTx)))
+          out.write("\n")
           tx += 1
         }
       } finally out.close()
@@ -185,10 +204,12 @@ object IngestBench {
 
   private def runFileFeed(spark: SparkSession, base: String, nTx: Long,
                           nBatches: Int,
-                          eventTime: Option[graft.engine.EventTimeWindows] = None)
+                          eventTime: Option[graft.engine.EventTimeWindows] = None,
+                          hostile: Boolean = false)
       : Map[String, Any] = {
     val wal = s"$base/wal"; val store = s"$base/store"
-    genSpool(wal, nTx, files = 8, eventTimed = eventTime.isDefined)
+    genSpool(wal, nTx, files = 8, eventTimed = eventTime.isDefined,
+      hostile = hostile)
     val collector = new ProgressCollector
     spark.streams.addListener(collector)
     val t0 = System.nanoTime()
@@ -200,16 +221,25 @@ object IngestBench {
     val wallSec = (System.nanoTime() - t0) / 1e9
     spark.streams.removeListener(collector)
     val expected = nTx * RecordsPerTx
+    // hostile arm (r14): a growing fraction of txs is later than the
+    // watermark — those records DROP by the append-mode contract, and
+    // the drop count is a pure function of the generator
+    val droppedExpected =
+      if (hostile) hostileLateCount(nTx) * RecordsPerTx else 0L
     val stored = storedRows(spark, store)
     val pending = if (eventTime.isDefined) pendingRows(spark, s"$base/staging") else 0L
     if (eventTime.isDefined) {
       // conservation: every fed record is in exactly one of (published
-      // artifact, pending open window); monotonic timestamps mean no
-      // late drops, and the trailing window can never have closed
-      require(stored + pending == expected && stored > 0 && pending > 0,
-        s"event-time row gate: stored $stored + pending $pending != $expected")
-      // pending-dir growth gate: slices of published windows are GC'd,
-      // so open windows stay O(1) regardless of stream length
+      // artifact, pending open window, documented late drop); with the
+      // benign monotonic feed droppedExpected = 0 and the trailing
+      // window can never have closed
+      require(stored + pending == expected - droppedExpected &&
+          stored > 0 && pending > 0,
+        s"event-time row gate: stored $stored + pending $pending != " +
+          s"$expected - $droppedExpected dropped-late")
+      // pending-dir growth gate: slices of published windows are GC'd
+      // and DROPPED records never create slices, so open windows stay
+      // O(1) regardless of stream length OR flood size
       val openW = pendingWindowsMax(s"$base/staging")
       require(openW <= 2,
         s"pending-slice GC left $openW open windows (bound 2)")
@@ -222,7 +252,9 @@ object IngestBench {
       "batch_ms_min" -> mn, "batch_ms_median" -> md, "batch_ms_max" -> mx,
       "rows_verified" -> (stored + pending)) ++
       (if (eventTime.isDefined)
-        Map("rows_stored" -> stored, "rows_pending" -> pending)
+        Map("rows_stored" -> stored, "rows_pending" -> pending) ++
+          (if (hostile) Map("rows_dropped_late" -> droppedExpected)
+          else Map.empty[String, Any])
       else Map.empty[String, Any])
   }
 
@@ -455,6 +487,20 @@ object IngestBench {
     val fileEt100 = runFileFeed(spark, s"$base/fileEt100", nTx * 10, nBatches = 10,
       eventTime = Some(graft.engine.EventTimeWindows(
         windowSeconds = nTx max 1, latenessSeconds = 0L)))
+    // r14 ADVERSARIAL arm: a late-data flood whose late fraction GROWS
+    // ~10% → ~90% through the stream, every late record aimed at the
+    // long-closed opening window. Gates inside runFileFeed: conservation
+    // becomes stored + pending == fed - dropped (drop count is a pure
+    // function of the generator) and the open-window bound must hold —
+    // dropped records may never create pending slices, so the pending
+    // store stays bounded no matter how large the flood. windowSeconds
+    // = half a batch's timestamp span so the opening window is closed
+    // before the first late record ever arrives.
+    val fileEtHostile = runFileFeed(spark, s"$base/fileEtHostile", nTx,
+      nBatches = 10,
+      eventTime = Some(graft.engine.EventTimeWindows(
+        windowSeconds = (nTx / 20) max 1, latenessSeconds = 0L)),
+      hostile = true)
     val pg = runPgFeed(spark, s"$base/pg", nTx / 10)
     val pg100x = runPgFeed(spark, s"$base/pg100x", nTx * 10)
     // r13: event-time windows on the LIVE-FEED side — spool segment GC
@@ -500,6 +546,7 @@ object IngestBench {
       "file_feed_100x" -> file100x,
       "file_feed_eventtime_10x" -> fileEt,
       "file_feed_eventtime_100x" -> fileEt100,
+      "file_feed_eventtime_hostile_late" -> fileEtHostile,
       "pg_feed" -> pg, "pg_feed_100x" -> pg100x,
       "pg_feed_eventtime" -> pgEt,
       "scaling_exponent_file_feed" -> exp,

@@ -450,4 +450,161 @@ class StreamPipelineSpec extends SparkSpec {
     assert(got.isDefined && Files.readAllBytes(got.get).toSeq == Seq[Byte](1, 2, 3))
     assert(store.get("missing-cid").isEmpty)
   }
+
+  // ---- adversarial event-time arms (r14, verdict #5) -----------------
+  // Shared direct-drive helpers: the VaultSink.processBatch pattern (no
+  // full streaming query per batch) so hostile feeds stay deterministic
+  // and cheap.
+
+  private def etBatchOf(lines: String*) =
+    spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING).toDF("value")
+
+  private def etTx(lsn: Long, ts: String, id: Int, name: String): String =
+    s"""{"commit_lsn": $lsn, "records": [{"action": "I", "xid": 1, "lsn": "0/$lsn",
+       |"nextlsn": "", "timestamp": "$ts", "schema": "public", "table": "t",
+       |"columns": [{"name": "id", "type": "integer", "value": $id},
+       |{"name": "name", "type": "text", "value": "$name"}],
+       |"pk": [{"name": "id", "type": "integer"}]}]}""".stripMargin.replace("\n", " ")
+
+  /** All pending slice dirs (`__wstart=*`) under staging, per window. */
+  private def pendingSliceWindows(staging: String): Seq[Long] = {
+    val root = Paths.get(staging, "pending")
+    if (!Files.exists(root)) Nil
+    else graft.core.FsUtil.listDir(root).filter(Files.isDirectory(_))
+      .flatMap(t => graft.core.FsUtil.listDir(t)).filter(Files.isDirectory(_))
+      .flatMap(b => graft.core.FsUtil.listDir(b))
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("__wstart="))
+      .map(_.getFileName.toString.stripPrefix("__wstart=").toLong)
+  }
+
+  private def pendingIds(staging: String): Set[Int] = {
+    val root = Paths.get(staging, "pending")
+    if (!Files.exists(root)) Set.empty
+    else {
+      val slices = graft.core.FsUtil.listDir(root).filter(Files.isDirectory(_))
+        .flatMap(t => graft.core.FsUtil.listDir(t)).filter(Files.isDirectory(_))
+        .flatMap(b => graft.core.FsUtil.listDir(b))
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("__wstart="))
+      if (slices.isEmpty) Set.empty
+      else spark.read.parquet(slices.map(_.toString): _*)
+        .select("id").collect().map(_.getInt(0)).toSet
+    }
+  }
+
+  test("event-time: a growing late-data flood drops without growing the pending store") {
+    // Hostile arm: after the watermark passes window 0, feed floods of
+    // records whose windows are long closed, with the late fraction
+    // GROWING batch over batch. Contract (the append-mode watermark
+    // drop, priced at the store level): dropped records must create NO
+    // pending slices and NO artifacts — the pending store is bounded by
+    // OPEN-window rows no matter how large the flood gets.
+    val (_, staging, _, storeDir) = freshDirs()
+    val sink = new VaultSink("ns", Seq(schemaT), staging,
+      new LocalContentStore(storeDir),
+      eventTime = Some(EventTimeWindows(60L, 30L)))
+    // batch 0: window 0 fills; batch 1: watermark 00:01:45 closes it
+    sink.processBatch(etBatchOf(
+      etTx(1, "2024-01-01 00:00:10.000000", 1, "a"),
+      etTx(2, "2024-01-01 00:00:20.000000", 2, "b")), 0L)
+    sink.processBatch(etBatchOf(
+      etTx(3, "2024-01-01 00:02:15.000000", 3, "c")), 1L)
+    val afterClose = storeFiles(storeDir).map(_.toString).toSet
+    assert(afterClose.exists(_.contains("t-1704067200")), "window 0 must have closed")
+
+    // floods: 40 then 80 late records into the closed window 0, each
+    // batch carrying ONE on-time record so the stream stays live
+    val flood1 = (100 until 140).map(i =>
+      etTx(1000 + i, "2024-01-01 00:00:05.000000", i, s"late-$i"))
+    sink.processBatch(etBatchOf(
+      (flood1 :+ etTx(2000, "2024-01-01 00:02:30.000000", 50, "ok-50")): _*), 2L)
+    val flood2 = (200 until 280).map(i =>
+      etTx(3000 + i, "2024-01-01 00:00:15.000000", i, s"late-$i"))
+    sink.processBatch(etBatchOf(
+      (flood2 :+ etTx(4000, "2024-01-01 00:02:40.000000", 51, "ok-51")): _*), 3L)
+
+    // no re-publish of the closed window, no pending slice for it
+    assert(storeFiles(storeDir).map(_.toString).toSet == afterClose,
+      "flood must not publish anything (its windows are closed)")
+    assert(!pendingSliceWindows(staging).contains(1704067200L),
+      "dropped records created a pending slice for a closed window")
+    // the pending store holds exactly the on-time open-window rows:
+    // id 3 (window 2) + ids 50, 51 (window 2) — 120 flood rows nowhere
+    assert(pendingIds(staging) == Set(3, 50, 51),
+      s"pending must hold only open-window rows, got ${pendingIds(staging)}")
+
+    // advance event time: open windows flush; flood ids still nowhere
+    sink.processBatch(etBatchOf(
+      etTx(5000, "2024-01-01 00:05:00.000000", 60, "adv")), 4L)
+    val published = storeFiles(storeDir).flatMap(readRows).map(_._1).toSet
+    assert(published == Set(1, 2, 3, 50, 51),
+      s"published set wrong after flush: $published")
+    assert(pendingIds(staging) == Set(60), "only the advancing record stays pending")
+  }
+
+  test("event-time: a stalled event-time feed bounds pending to the open window and flushes once on resume") {
+    // Hostile arm: event time STOPS advancing — every batch lands in the
+    // same open window, the watermark freezes, nothing can close.
+    // Contract: pending grows only with in-window arrivals (that data is
+    // genuinely unfinalizable), the OPEN WINDOW COUNT stays 1, no
+    // artifact is published early — and when event time resumes, the
+    // stalled window publishes ALL accumulated rows exactly once.
+    val (_, staging, _, storeDir) = freshDirs()
+    val sink = new VaultSink("ns", Seq(schemaT), staging,
+      new LocalContentStore(storeDir),
+      eventTime = Some(EventTimeWindows(60L, 0L)))
+    var fed = Set.empty[Int]
+    for (b <- 0 until 5) {
+      val ids = (b * 20) until (b * 20 + 20)
+      fed ++= ids
+      // ts creeps within window 0 ([00:00:00, 00:01:00)) but never exits
+      sink.processBatch(etBatchOf(ids.map(i =>
+        etTx(10000 + i, f"2024-01-01 00:00:${5 + b * 2}%02d.000000", i, s"r$i")): _*), b.toLong)
+      assert(storeFiles(storeDir).isEmpty,
+        s"no window may close while event time is stalled (batch $b)")
+      assert(pendingSliceWindows(staging).distinct == Seq(1704067200L),
+        "stall must keep exactly ONE window open")
+      assert(pendingIds(staging) == fed,
+        "pending must hold exactly the fed rows under stall")
+    }
+    // resume: one record past the window end closes it
+    sink.processBatch(etBatchOf(
+      etTx(20000, "2024-01-01 00:01:30.000000", 999, "resume")), 5L)
+    val files = storeFiles(storeDir)
+    assert(files.size == 1, s"stalled window must flush exactly once, got $files")
+    assert(readRows(files.head).map(_._1) == fed,
+      "flush must carry ALL accumulated stall rows")
+    assert(pendingIds(staging) == Set(999))
+  }
+
+  test("event-time: a far-future outlier poisons the watermark — subsequent in-band records documented-drop") {
+    // Documented hazard, pinned: the watermark is max-event-time minus
+    // lateness (Structured Streaming's own contract), so one corrupt /
+    // far-future timestamp force-closes everything behind it and
+    // subsequent in-band records become droppable-late. The sink
+    // inherits this semantic deliberately (no clamp heuristic — a
+    // silently clamped watermark would hide producer clock bugs);
+    // upstream feeds are expected to sanitize timestamps.
+    val (_, staging, _, storeDir) = freshDirs()
+    val sink = new VaultSink("ns", Seq(schemaT), staging,
+      new LocalContentStore(storeDir),
+      eventTime = Some(EventTimeWindows(60L, 30L)))
+    sink.processBatch(etBatchOf(
+      etTx(1, "2024-01-01 00:00:10.000000", 1, "a")), 0L)
+    // the poison pill: one record six months ahead
+    sink.processBatch(etBatchOf(
+      etTx(2, "2024-06-01 00:00:00.000000", 99, "poison")), 1L)
+    // window 0 was force-closed and published with what it had
+    val afterPoison = storeFiles(storeDir)
+    assert(afterPoison.exists(_.toString.contains("t-1704067200")),
+      "outlier must force-close the in-band window")
+    // an in-band record that would have been on time is now dropped
+    sink.processBatch(etBatchOf(
+      etTx(3, "2024-01-01 00:00:40.000000", 2, "now-late")), 2L)
+    assert(storeFiles(storeDir).flatMap(readRows).map(_._1).toSet == Set(1),
+      "post-poison in-band record must be dropped, not published")
+    assert(pendingIds(staging) == Set(99),
+      "only the outlier's own window may stay pending")
+  }
 }
