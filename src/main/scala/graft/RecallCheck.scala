@@ -31,17 +31,44 @@ object RecallCheck {
         .count()
       hits.toDouble / nExact
     }
-    val k = 64
-    val (indexed, cents) = Similarity.imiIndex(emb, k = k, lloydIters = 1)
-    indexed.cache(); indexed.count()
     val books = Similarity.pqTrain(emb.where(pmod(col("vec_id"), lit(97L)) === 3L))
-    val pairSpace = k * k
-    for (nProbe <- Seq(8, 16, 32, 64, 128, 256, 512, 1024)) {
-      val rImi = recall(Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = nProbe))
-      val rPq = recall(Similarity.imiPqTopK(indexed, cents, books, queries, k = 5, nProbe = nProbe))
-      println(f"RECALL deep-jit2M imi k=$k probe=$nProbe (${nProbe * 100.0 / pairSpace}%.2f%%) imi=$rImi%.3f imipq=$rPq%.3f")
+    // k sweep across the mid + deep regimes (the shallow fraction grid
+    // was measured at k = 4–8 on the unjittered corpora): what matters
+    // here is whether the probe COUNT that saturates recall is absolute
+    // or fraction-scaled as the pair space grows
+    for (k <- Seq(16, 32, 64)) {
+      val (indexed, cents) = Similarity.imiIndex(emb, k = k, lloydIters = 1)
+      indexed.cache(); indexed.count()
+      val pairSpace = k * k
+      for (nProbe <- Seq(8, 16, 32, 64, 128).filter(_ <= pairSpace)) {
+        val rImi = recall(Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = nProbe))
+        val rPq = recall(Similarity.imiPqTopK(indexed, cents, books, queries, k = 5, nProbe = nProbe))
+        println(f"RECALL deep-jit2M imi k=$k probe=$nProbe (${nProbe * 100.0 / pairSpace}%.2f%%) imi=$rImi%.3f imipq=$rPq%.3f")
+      }
+      // the PQ arm's plateau is SHORTLIST-bound on this fixture (top-k
+      // margins thinner than ADC quantization error): sweep it
+      for (shortlist <- Seq(100, 400, 1600, 6400)) {
+        val rPq = recall(Similarity.imiPqTopK(indexed, cents, books, queries,
+          k = 5, nProbe = 32, shortlist = shortlist))
+        println(f"RECALL deep-jit2M imipq k=$k probe=32 shortlist=$shortlist r=$rPq%.3f")
+      }
+      // standing gate: the deep-regime sizing rules must keep deriving
+      // configs that MEET their target on this grid's own fixture
+      val nAuto = Similarity.autoProbesImi(k, 0.9)
+      require(nAuto == 32,
+        s"deep autoProbesImi(k=$k, 0.9) drifted from the measured 32: $nAuto")
+      val rAuto = recall(Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = nAuto))
+      require(rAuto >= 0.9 - 1e-9,
+        s"deep auto-probed IMI config fell below its 0.9 target at k=$k: $rAuto")
+      val sAuto = Similarity.autoShortlistImiPq(0.9)
+      val rS = recall(Similarity.imiPqTopK(indexed, cents, books, queries,
+        k = 5, nProbe = nAuto, shortlist = sAuto))
+      require(rS >= 0.9 - 1e-9,
+        s"deep auto-shortlisted IMI+PQ config fell below its 0.9 target at k=$k: $rS")
+      println(f"RECALL deep-jit2M auto k=$k probes=$nAuto shortlist=$sAuto imi=$rAuto%.3f imipq=$rS%.3f (gates held)")
+      indexed.unpersist()
     }
-    indexed.unpersist(); exact.unpersist()
+    exact.unpersist()
   }
 
   def main(args: Array[String]): Unit = {

@@ -422,34 +422,69 @@ object Similarity {
     math.min(maxK.toLong, math.max(minK.toLong, want)).toInt
   }
 
-  /** IMI probe-count sizing from the MEASURED recall-vs-probed-fraction
-    * grid (RecallCheck r13, sf0.001–0.1, k@5 vs brute force, raw IMI
-    * and IMI+PQ arms; each entry is the MINIMUM recall observed at that
-    * fraction across scales and arms): 25% → 0.48, 50% → 0.66,
-    * 75% → 0.90, 100% → 0.96 (PQ quantization keeps even a full probe
-    * below 1.0 before the shortlist re-rank widens). Returns the
-    * smallest probed pair count whose grid fraction met `targetRecall`
-    * — at the registered k = 4 and the 0.9 default this derives exactly
-    * the hand-picked 12-of-16 config the q_ann_imi* rows ship
-    * (RecallCheck pins the derived config's recall at each scale).
+  /** IMI probe-count sizing from MEASURED recall grids — two regimes,
+    * both grids in RecallCheck:
     *
-    * Scope, honestly: the grid was measured on this corpus family's
-    * bench regime (k = 4–8, 64-dim synthetic embeddings). It encodes
-    * the measured shape — recall rises steeply between 50% and 75%
-    * probed fraction because two independent half-space quantizers rank
-    * pair-cells noisily (the [[imiIndex]] scaladoc's caveat) — not a
-    * universal law; production deep-cell regimes (k ≥ 64, tiny probed
-    * fractions) should re-run the RecallCheck grid on their corpus and
-    * rely on the shortlist re-rank, like any ANN deployment. */
+    * SHALLOW (pair space ≤ 64; measured r13 at k = 4–8, sf0.001–0.1,
+    * k@5 vs brute force, raw IMI and IMI+PQ arms; each entry the
+    * MINIMUM recall at that fraction across scales and arms): recall is
+    * FRACTION-driven — 25% → 0.48, 50% → 0.66, 75% → 0.90, 100% → 0.96
+    * — because with a handful of pair cells the two independent
+    * half-space quantizers rank them noisily (the [[imiIndex]] caveat).
+    * At the registered k = 4 / 0.9 target this derives exactly the
+    * hand-picked 12-of-16 config the q_ann_imi* rows ship.
+    *
+    * DEEP (pair space > 64; measured r14, `RecallCheck deep`, on the
+    * jittered 2M fixture at k = 16/32/64 — pair spaces 256/1024/4096,
+    * probed fractions 0.2%–25%): recall is ABSOLUTE-COUNT-driven and
+    * nearly k-independent — probes 8 → 0.78, 16 → 0.88, 32 → 0.98,
+    * 64 → 1.00 (minimum across the three k) — a query's true neighbors
+    * concentrate in a handful of cells, and once the probe ranking has
+    * covered them, probing more of an ever-larger pair space buys
+    * nothing. This closes the r13 extrapolation caveat: the fraction
+    * rule applied at k = 64 would have demanded 3072 probes for a 0.9
+    * target where 32 measure at 0.98.
+    *
+    * Scope: the deep grid's fixture is CLUSTERED (jittered copies —
+    * tight same-base neighbor groups, the LLM-dedup corpus shape). A
+    * corpus whose true neighbors spread uniformly across cells has no
+    * small covering probe set; re-run `RecallCheck deep` on such a
+    * corpus before trusting the absolute counts, like any ANN
+    * deployment. For IMI+PQ serves on thin-margin corpora the SHORTLIST
+    * is the binding constraint, not probes — see [[autoShortlistImiPq]]. */
   def autoProbesImi(k: Int, targetRecall: Double = 0.9): Int = {
     require(k > 0 && targetRecall > 0.0 && targetRecall <= 1.0,
       "autoProbesImi: need k > 0 and targetRecall in (0, 1]")
-    val grid = Seq( // probed fraction -> min recall measured (RecallCheck r13)
-      0.25 -> 0.48, 0.50 -> 0.66, 0.75 -> 0.90, 1.00 -> 0.96)
-    val frac = grid.collectFirst { case (f, r) if r >= targetRecall => f }
-      .getOrElse(1.0) // above the measured ceiling: probe everything
     val pairSpace = k.toLong * k
-    math.max(1L, math.min(pairSpace, math.ceil(pairSpace * frac).toLong)).toInt
+    if (pairSpace <= 64) {
+      val grid = Seq( // probed fraction -> min recall measured (RecallCheck r13)
+        0.25 -> 0.48, 0.50 -> 0.66, 0.75 -> 0.90, 1.00 -> 0.96)
+      val frac = grid.collectFirst { case (f, r) if r >= targetRecall => f }
+        .getOrElse(1.0) // above the measured ceiling: probe everything
+      math.max(1L, math.min(pairSpace, math.ceil(pairSpace * frac).toLong)).toInt
+    } else {
+      val grid = Seq( // absolute probes -> min recall measured (RecallCheck r14 deep)
+        8 -> 0.78, 16 -> 0.88, 32 -> 0.98, 64 -> 1.00)
+      val probes = grid.collectFirst { case (p, r) if r >= targetRecall => p }
+        .getOrElse(64)
+      math.min(pairSpace, probes.toLong).toInt
+    }
+  }
+
+  /** IMI+PQ shortlist sizing from the MEASURED shortlist-vs-recall
+    * sweep (`RecallCheck deep`, r14, jittered 2M, nProbe = 32, constant
+    * across k = 16/32/64): 100 → 0.54, 400 → 0.92, 1600 → 0.98+. On a
+    * thin-margin corpus (top-k gaps below ADC quantization error — the
+    * near-duplicate-heavy shape) the shortlist, not the probe count, is
+    * what bounds recall: the exact re-rank recovers everything the
+    * shortlist admits, so recall buys linearly-priced re-rank width
+    * rather than extra probes. On well-separated corpora the default
+    * 100 already measures ≥ 0.9 (the sf-scale RecallCheck arms). */
+  def autoShortlistImiPq(targetRecall: Double = 0.9): Int = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      "autoShortlistImiPq: need targetRecall in (0, 1]")
+    val grid = Seq(100 -> 0.54, 400 -> 0.92, 1600 -> 0.98)
+    grid.collectFirst { case (s, r) if r >= targetRecall => s }.getOrElse(1600)
   }
 
   /**

@@ -663,6 +663,19 @@ class OpsSpec extends SparkSpec {
     assert(Similarity.autoCellsImi(2000000L) == 32)  // 32² = 1024 pairs ≈ 2k rows/cell
     assert(Similarity.autoCellsImi(100000000000L) == 4096) // 100B rows hits the cap
     assert(Similarity.autoCellsImi(Long.MaxValue / 2) == 4096) // capped
+
+    // probe sizing: the two measured regimes (RecallCheck r13 shallow
+    // fraction grid / r14 deep absolute grid) and their boundary
+    assert(Similarity.autoProbesImi(4, 0.9) == 12)   // shallow: the registered 12-of-16
+    assert(Similarity.autoProbesImi(8, 0.9) == 48)   // shallow edge: 75% of 64
+    assert(Similarity.autoProbesImi(16, 0.9) == 32)  // deep: absolute count, not 192
+    assert(Similarity.autoProbesImi(64, 0.9) == 32)  // deep: same absolute count
+    assert(Similarity.autoProbesImi(64, 1.0) == 64)  // deep ceiling
+    assert(Similarity.autoProbesImi(64, 0.75) == 8)
+    // shortlist sizing: the measured thin-margin sweep
+    assert(Similarity.autoShortlistImiPq(0.9) == 400)
+    assert(Similarity.autoShortlistImiPq(0.5) == 100)
+    assert(Similarity.autoShortlistImiPq(0.95) == 1600)
   }
 
   test("IVF+PQ composition: probed-cell candidates only, recall above floor, sims exact") {
