@@ -28,13 +28,15 @@ import org.apache.spark.sql.functions._
  * ASSIGNMENT and ENCODE run over the 20M rows, inside the untimed
  * marker-guarded fixture.
  *
- * Recall is deliberately NOT measured here: on the amplified fixture it
- * is trivially perfect by construction — every query's five nearest
- * neighbors are its own byte-identical copies, which land in the
- * query's own (first-probed) cell — so a 20M-row recall number would be
- * reassuring noise. Quality contracts live at the unamplified scales
- * (RecallCheck grid, q_ann_* oracle rows); what changes with scale is
- * COST, and that is what these rows measure.
+ * Recall is NOT measured on the key-shifted fixture: there it is
+ * trivially perfect by construction — every query's five nearest
+ * neighbors are its own byte-identical copies in its own first-probed
+ * cell — so any number would be reassuring noise. The r14 RECALL
+ * ANCHOR ([[recallAnchor]]) closes that gap on a separate JITTERED
+ * fixture ([[ThirdDecade.amplifyJitter]]) whose ground truth is
+ * non-degenerate; serve COST stays measured on the key-shifted one
+ * (same row counts, layout shape, and probe sets — cost does not care
+ * which fixture, recall does).
  *
  * Rows (SCALING_10000.json, merge-on-write like ThirdDecade):
  *  - `imipq_serve`: the composed two-level production config at
@@ -169,14 +171,27 @@ object FourthDecade {
       ann.select("query_id", "neighbor_id")
         .join(exact, col("query_id") === col("eq") && col("neighbor_id") === col("en"), "left_semi")
         .count().toDouble / nExact
-    val rImiPq = recall(Layout.imiPqTopKFromLayout(spark, layoutDir,
-      emb.limit(0), queries, k = 5, nProbe = 32))
     val cents = Layout.readImiCentroids(spark, layoutDir)
+    val kAuto = cents._1.length
+    // the auto-derived probe count (RecallCheck deep grid): 32 probes
+    // past 64 pair cells
+    val nProbe = Similarity.autoProbesImi(kAuto)
     val rImi = recall(Similarity.imiTopK(
-      spark.read.parquet(s"$layoutDir/codes"), cents, queries, k = 5, nProbe = 32))
+      spark.read.parquet(s"$layoutDir/codes"), cents, queries, k = 5, nProbe = nProbe))
+    // PQ shortlist sweep: on a thin-margin corpus the shortlist must
+    // scale with the DUPLICATE-CLUSTER size (10000 jittered copies per
+    // base here vs 1000 on the 2M grid fixture) — the sweep prices that
+    // law at the fourth decade instead of hiding it behind one number
+    val sls = Seq(100, 400, 1600, 6400)
+    val slRecalls = sls.map { sl =>
+      sl -> recall(Layout.imiPqTopKFromLayout(spark, layoutDir,
+        emb.limit(0), queries, k = 5, nProbe = nProbe, shortlist = sl))
+    }
     exact.unpersist()
-    println(f"[10000x] recall@5 on jittered 20M (nProbe=32, ${32.0 * 100 / (cents._1.length.toLong * cents._2.length)}%.2f%% of pairs): imi=$rImi%.3f imipq=$rImiPq%.3f")
-    Map("imi_recall_jit" -> rImi, "imipq_recall_jit" -> rImiPq)
+    val slStr = slRecalls.map { case (s, r) => f"sl=$s:$r%.3f" }.mkString(" ")
+    println(f"[10000x] recall@5 on jittered 20M (k=$kAuto, nProbe=$nProbe = ${nProbe * 100.0 / (kAuto.toLong * kAuto)}%.2f%% of pairs): imi=$rImi%.3f imipq $slStr")
+    Map("imi_recall_jit" -> rImi) ++
+      slRecalls.map { case (s, r) => s"imipq_recall_jit_sl$s" -> r }.toMap
   }
 
   /** Marker-guarded 20M-vector flat IVF+PQ layout at autoCells sizing. */
@@ -306,7 +321,7 @@ object FourthDecade {
     val json = merged.toSeq.sortBy(_._1)
       .map { case (n, v) => "\"" + n + "\":" + v }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"scaling_10000x","unit":"sec","queries":$json}"""
+    val line = s"""{"metric":"scaling_10000x","unit":"sec","protocol":"min of same-session runs; all samples in SCALING.md","note":"*_recall_* rows are recall@5 fractions (jittered fixture), not seconds","queries":$json}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_10000.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -84,11 +84,21 @@ object RecallCheck {
     if (args.contains("10000x")) {
       // standing pin for the 20M jittered recall anchor (r14): the
       // fourth decade's serve numbers must keep a live recall anchor.
-      // Threshold set from the measured r14 values minus slack; a
-      // config/fixture drift that craters recall fails loud here.
+      // Floors sit just under the measured r14 values (SCALING_10000
+      // rows); a config/fixture drift that craters recall fails loud.
+      // The PQ floor is on the cluster-size-scaled shortlist — see
+      // recallAnchor's sweep — and monotonicity of the sweep itself.
       val r = FourthDecade.recallAnchor(spark)
-      require(r("imi_recall_jit") >= 0.85 && r("imipq_recall_jit") >= 0.85,
-        s"20M jittered recall anchor fell below its 0.85 floor: $r")
+      require(r("imi_recall_jit") >= 0.9,
+        s"20M jittered IMI recall fell below its 0.9 floor: $r")
+      val sweep = Seq(100, 400, 1600, 6400).map(s => r(s"imipq_recall_jit_sl$s"))
+      require(sweep.zip(sweep.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"PQ shortlist sweep must be monotone: $sweep")
+      // at the cluster-size-scaled shortlist the PQ arm must rejoin the
+      // probe-bound (raw-IMI) ceiling — measured 0.94 == 0.94 in r14
+      require(r("imipq_recall_jit_sl6400") >= 0.9 &&
+          r("imipq_recall_jit_sl6400") >= r("imi_recall_jit") - 0.05,
+        s"PQ at sl=6400 must rejoin the probe-bound ceiling: $r")
       spark.stop(); return
     }
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {

@@ -479,7 +479,14 @@ object Similarity {
     * what bounds recall: the exact re-rank recovers everything the
     * shortlist admits, so recall buys linearly-priced re-rank width
     * rather than extra probes. On well-separated corpora the default
-    * 100 already measures ≥ 0.9 (the sf-scale RecallCheck arms). */
+    * 100 already measures ≥ 0.9 (the sf-scale RecallCheck arms).
+    *
+    * Scaling law (the 20M anchor, `RecallCheck 10000x`): the sufficient
+    * shortlist scales with the DUPLICATE-CLUSTER size C. This grid was
+    * measured at C ≈ 1000 (sl 0.4·C → 0.92); at C ≈ 10000 the same
+    * sweep reads 400 → 0.44, 1600 → 0.80, 6400 (0.64·C) → 0.94 = the
+    * probe-bound ceiling. Size the shortlist as a fraction (~0.5) of
+    * the expected near-dup cluster size, not as a constant. */
   def autoShortlistImiPq(targetRecall: Double = 0.9): Int = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       "autoShortlistImiPq: need targetRecall in (0, 1]")
