@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
  * single samples. Output: SCALING_1000.json + stdout lines.
  *
  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ThirdDecade"
+ *
+ * Env note (r14, measured — SCALING.md "dup-span third decade"): the
+ * dup-span rows should run with SPARK_DRIVER_MEM=16g
+ * SPARK_GRAFT_SHUFFLE=64. A 64 GB heap is a 2–3× PESSIMIZATION for
+ * them — the 1B-row localCheckpoint churns ~30 GB of storage memory
+ * (eviction + GC) where a small heap spills to disk at once and the
+ * OS page cache serves the re-reads. The big-heap/256-part env remains
+ * right for rows whose single tasks exceed a small executor heap.
  */
 object ThirdDecade {
 
