@@ -671,22 +671,36 @@ object Dedup {
       .where(!(col(idCol) === col("first").getField(idCol) &&
         col("pos") === col("first").getField("pos")))
       .select(col(idCol), col("pos"))
-    val covered = removable
-      .select(col(idCol), explode(sequence(col("pos"), col("pos") + L - 1)).as("p"))
-      .distinct()
-    val kept = toks
-      .select(col(idCol), posexplode(col("toks")))
-      .toDF(idCol, "p", "tok")
-      .join(covered, Seq(idCol, "p"), "left_anti")
-    val rebuilt = kept.groupBy(idCol)
-      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-        x => x.getField("tok")), " ").as("text_stripped"),
-        count(lit(1)).as("n_kept"))
-    docs.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("__n"))
-      .join(rebuilt, Seq(idCol), "left")
+    // r14 rewrite of the tree's heaviest 1000× row: removable window
+    // STARTS merge into per-doc covered intervals first (the
+    // duplicateSpans island rule — tiny output, a handful of merged
+    // spans per doc), and the rebuild FILTERS each doc's token array
+    // against its own interval list in one narrow pass. The previous
+    // form exploded every covered position, distinct'ed them,
+    // anti-joined them against a token-level explode of the corpus,
+    // and re-sorted 10⁹ (pos, tok) structs through a collect_list —
+    // three corpus×L-row shuffles that all vanish here (SCALING.md
+    // r14). The per-token interval test is an interpreted higher-order
+    // lambda, but it is O(tokens·spans/doc) CPU with ZERO shuffle —
+    // the shuffles were the cost, not the compare.
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val intervals = removable
+      .withColumn("brk", when(col("pos") - lag("pos", 1).over(byDoc) > L, 1).otherwise(0))
+      .withColumn("g", sum("brk").over(byDoc))
+      .groupBy(col(idCol), col("g"))
+      .agg(min("pos").cast("int").as("s"), (max("pos") + L - 1).cast("int").as("e"))
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("s"), col("e"))).as("__rm"))
+    toks.join(intervals, Seq(idCol), "left")
+      .select(col(idCol), col("toks"),
+        when(col("__rm").isNull, col("toks")).otherwise(
+          filter(col("toks"), (_, i) =>
+            !exists(col("__rm"), r =>
+              i >= r.getField("s") && i <= r.getField("e")))).as("__kept"))
       .select(col(idCol),
-        coalesce(col("text_stripped"), lit("")).as("text_stripped"),
-        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        array_join(col("__kept"), " ").as("text_stripped"),
+        (size(col("toks")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
   /**
