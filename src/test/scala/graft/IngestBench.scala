@@ -444,7 +444,11 @@ object IngestBench {
     } finally cluster.close()
   }
 
+  /** A pre-serialized JSON fragment carried verbatim through [[js]]. */
+  private final case class RawJson(raw: String)
+
   private def js(v: Any): String = v match {
+    case RawJson(raw) => raw
     case m: Map[_, _] =>
       m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
         .map { case (k, x) => s""""$k":${js(x)}""" }.mkString("{", ",", "}")
@@ -558,7 +562,28 @@ object IngestBench {
         w3 = f3("wall_sec").asInstanceOf[Double]
         w2 = file100x("wall_sec").asInstanceOf[Double]
       } yield "scaling_exponent_file_feed_3" -> math.log10(w3 / w2)).toMap
-    val json = js(result)
+    // Carry the env-gated decade-3 rows forward from the prior artifact
+    // when this run didn't produce them (tens of minutes + ~40 GB spool
+    // behind SPARK_GRAFT_INGEST_DECADE3=1): a default-scale refresh must
+    // not silently erase the third decade (r14 — it did, once).
+    val carried: Map[String, Any] =
+      if (decade3) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(outPath)), StandardCharsets.UTF_8)
+        def rawObj(key: String): Option[String] = {
+          val m = java.util.regex.Pattern.compile(
+            "\"" + key + "\":\\{[^{}]*\\}").matcher(txt)
+          if (m.find()) Some(m.group(0).drop(key.length + 3)) else None
+        }
+        def rawNum(key: String): Option[String] =
+          ("\"" + key + "\":(-?[0-9.]+)").r.findFirstMatchIn(txt).map(_.group(1))
+        (Seq("file_feed_1000x", "file_feed_eventtime_1000x")
+          .flatMap(k => rawObj(k).map(k -> RawJson(_))) ++
+         rawNum("scaling_exponent_file_feed_3")
+          .map("scaling_exponent_file_feed_3" -> RawJson(_))).toMap
+      } catch { case _: Throwable => Map.empty }
+    val json = js(result ++ carried)
     println(s"INGEST_BENCH: $json")
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()

@@ -61,7 +61,10 @@ final class FakeWalsender(
   /** Rethrow any protocol error the server thread hit (call from asserts). */
   def check(): Unit = failure.foreach(t => throw new AssertionError("fake walsender failed", t))
 
+  @volatile private var stopped = false
+
   override def close(): Unit = {
+    stopped = true
     scala.util.Try(server.close())
     ()
   }
@@ -136,6 +139,25 @@ final class FakeWalsender(
       for (raw <- trailer)
         writeMessage(out, MsgCopyData, raw)
       streamed.countDown()
+      // Real walsenders HEARTBEAT while idle (wal_sender_timeout/2 =
+      // 30 s primary keepalives); a fake that goes silent after the
+      // script diverges from the protocol the client's 120 s read
+      // timeout is calibrated against — an engine that lags more than
+      // that after the last frame then dies on a spurious socket
+      // timeout (the r14 100k-tx pgEt flake). Tick well inside the
+      // client window. Writes are synchronized on `out`: the serve
+      // thread writes nothing after this point (CopyBoth reads only),
+      // but the lock keeps that invariant safe.
+      val ticker = new Thread(() => {
+        try while (!stopped) {
+          Thread.sleep(15000)
+          out.synchronized {
+            writeMessage(out, MsgCopyData, keepalive(consistentPoint, replyRequested = false))
+          }
+        } catch { case _: Throwable => () } // socket gone: ticker ends
+      }, s"fake-walsender-keepalive-$port")
+      ticker.setDaemon(true)
+      ticker.start()
       // stay in CopyBoth: the main loop keeps consuming standby acks
     } else if (upper.startsWith("CREATE_REPLICATION_SLOT")) {
       val slot = sql.split('"')(1)
