@@ -299,6 +299,31 @@ object FourthDecade {
     })(noop(Layout.imiPqTopKFromLayout(spark, legacyDir,
       emb, queries, k = 5, nProbe = 32)))
 
+    // r14: the PRICE of the cluster-size-scaled shortlist (the recall
+    // recovery lever the anchor measures) — same jittered fixture and
+    // probe set, only the re-rank width differs. If the law's cost is
+    // linear-and-small, recall on thin-margin corpora is cheap to buy.
+    locally {
+      val jitDir = sys.env.getOrElse("SPARK_GRAFT_JIT10000_DIR",
+        "/tmp/graft_sf10000_embjit")
+      lazy val jitLayout = jitImiPqFixture(spark, src)
+      lazy val jitEmb = Tables(spark, jitDir, "embeddings")
+      lazy val jitQ = jitEmb.where(col("vec_id") < 10)
+      def warmSl(sl: Int): Unit = {
+        val d = jitLayout
+        val srcEmb = Tables(spark, src, "embeddings")
+        noop(Layout.imiPqTopKFromLayout(spark,
+          ThirdDecade.imiPqLayoutFixture(spark, src), srcEmb.limit(0),
+          srcEmb.where(col("vec_id") < 10), k = 5, nProbe = 32, shortlist = sl))
+      }
+      run("imipq_serve_jit_sl100", warmSl(100))(noop(
+        Layout.imiPqTopKFromLayout(spark, jitLayout, jitEmb.limit(0), jitQ,
+          k = 5, nProbe = 32, shortlist = 100)))
+      run("imipq_serve_jit_sl6400", warmSl(6400))(noop(
+        Layout.imiPqTopKFromLayout(spark, jitLayout, jitEmb.limit(0), jitQ,
+          k = 5, nProbe = 32, shortlist = 6400)))
+    }
+
     // r14 recall anchor: untimed evidence rows (recall@5 fractions, not
     // seconds) merged under their own names — run with the arg "recall"
     // (or no args). Needs its own ~5 GB jittered fixture on first run.

@@ -72,6 +72,24 @@ class OpsPlanShapeSpec extends SparkSpec {
     assertShape("duplicateSpans", p, maxEx = 3, wantBroadcast = false)
   }
 
+  test("stripDuplicateSpans rebuild: interval filter — no anti-join, no token explode, no covered distinct") {
+    // r14 rewrite gate: the rebuild must stay the per-doc INTERVAL
+    // filter. The pre-r14 shape — covered-position explode + distinct,
+    // token-level corpus explode, LeftAnti join, 10⁹-struct
+    // collect_list re-sort — cost 181 s of the 402 s 1000× row
+    // (SCALING.md r14). Post-checkpoint plan: interval island/aggregate
+    // on removable starts + ONE narrow filter pass over the docs.
+    val p = planOf(Dedup.stripDuplicateSpans(docs, windowTokens = 8))
+    assert(!p.contains("LeftAnti"),
+      s"strip rebuild regressed to the token anti-join:\n$p")
+    assert(!p.contains("Generate"),
+      s"strip rebuild re-grew an explode (covered positions or tokens):\n$p")
+    // exchanges: dup agg on h, join-back on h, island window on doc,
+    // interval aggregate reuses doc partitioning, final join brings the
+    // docs side in — budget read off the audited plan
+    assertShape("stripDuplicateSpans", p, maxEx = 5, wantBroadcast = false)
+  }
+
   test("ivfPqTopK serve path: cell pruning via broadcast joins, no corpus shuffle before it") {
     val emb = graft.Tables(spark, sf, "embeddings")
     val cents = graft.OpsQueries.ivfCentsFor(spark, sf)
