@@ -35,8 +35,10 @@ object RecallCheck {
     // k sweep across the mid + deep regimes (the shallow fraction grid
     // was measured at k = 4–8 on the unjittered corpora): what matters
     // here is whether the probe COUNT that saturates recall is absolute
-    // or fraction-scaled as the pair space grows
-    for (k <- Seq(16, 32, 64)) {
+    // or fraction-scaled as the pair space grows. k = 99 is the 20M
+    // anchor's autoCellsImi config measured at THIS decade (~204
+    // rows/cell) — the cross-decade link point.
+    for (k <- Seq(16, 32, 64, 99)) {
       val (indexed, cents) = Similarity.imiIndex(emb, k = k, lloydIters = 1)
       indexed.cache(); indexed.count()
       val pairSpace = k * k
@@ -53,19 +55,30 @@ object RecallCheck {
         println(f"RECALL deep-jit2M imipq k=$k probe=32 shortlist=$shortlist r=$rPq%.3f")
       }
       // standing gate: the deep-regime sizing rules must keep deriving
-      // configs that MEET their target on this grid's own fixture
-      val nAuto = Similarity.autoProbesImi(k, 0.9)
-      require(nAuto == 32,
-        s"deep autoProbesImi(k=$k, 0.9) drifted from the measured 32: $nAuto")
+      // configs that MEET their target on this grid's own fixture — in
+      // the regime the rules are FOR (autoCellsImi-sized cells, ≥ ~488
+      // rows/cell here). k = 99 at 2M is a deliberate 10×-OVER-SHARDED
+      // boundary point (~204 rows/cell): clusters fragment across more
+      // cells and the 0.9-target absolute count doubles (measured 32 →
+      // 0.88, 64 → 0.94) — gate it at the doubled count instead, so the
+      // boundary stays measured without pretending the rule covers it.
+      val sized = 2000000L / (k.toLong * k) >= 400
+      val nAuto0 = Similarity.autoProbesImi(k, 0.9)
+      require(nAuto0 == 32,
+        s"deep autoProbesImi(k=$k, 0.9) drifted from the measured 32: $nAuto0")
+      val nAuto = if (sized) nAuto0 else nAuto0 * 2
       val rAuto = recall(Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = nAuto))
       require(rAuto >= 0.9 - 1e-9,
-        s"deep auto-probed IMI config fell below its 0.9 target at k=$k: $rAuto")
+        s"deep auto-probed IMI config fell below its 0.9 target at k=$k (sized=$sized, nProbe=$nAuto): $rAuto")
       val sAuto = Similarity.autoShortlistImiPq(0.9)
       val rS = recall(Similarity.imiPqTopK(indexed, cents, books, queries,
         k = 5, nProbe = nAuto, shortlist = sAuto))
-      require(rS >= 0.9 - 1e-9,
-        s"deep auto-shortlisted IMI+PQ config fell below its 0.9 target at k=$k: $rS")
-      println(f"RECALL deep-jit2M auto k=$k probes=$nAuto shortlist=$sAuto imi=$rAuto%.3f imipq=$rS%.3f (gates held)")
+      // over-sharded boundary: the PQ arm inherits the same fragmentation;
+      // gate it at its measured floor there
+      val pqFloor = if (sized) 0.9 else 0.8
+      require(rS >= pqFloor - 1e-9,
+        s"deep auto-shortlisted IMI+PQ config fell below its $pqFloor floor at k=$k: $rS")
+      println(f"RECALL deep-jit2M auto k=$k probes=$nAuto shortlist=$sAuto sized=$sized imi=$rAuto%.3f imipq=$rS%.3f (gates held)")
       indexed.unpersist()
     }
     exact.unpersist()

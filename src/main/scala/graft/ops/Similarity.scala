@@ -450,8 +450,14 @@ object Similarity {
     * corpus whose true neighbors spread uniformly across cells has no
     * small covering probe set; re-run `RecallCheck deep` on such a
     * corpus before trusting the absolute counts, like any ANN
-    * deployment. For IMI+PQ serves on thin-margin corpora the SHORTLIST
-    * is the binding constraint, not probes — see [[autoShortlistImiPq]]. */
+    * deployment. The absolute grid also assumes [[autoCellsImi]]-SIZED
+    * cells (~0.5–2k rows/cell): a measured boundary point at 10× finer
+    * sharding (k = 99 over 2M, ~204 rows/cell) needs DOUBLE the probes
+    * for the same target (32 → 0.88, 64 → 0.94) — clusters fragment
+    * across more cells. At 20M, where k = 99 IS the sized config, 32
+    * probes measure 0.94 (the recall anchor). For IMI+PQ serves on
+    * thin-margin corpora the SHORTLIST is the binding constraint, not
+    * probes — see [[autoShortlistImiPq]]. */
   def autoProbesImi(k: Int, targetRecall: Double = 0.9): Int = {
     require(k > 0 && targetRecall > 0.0 && targetRecall <= 1.0,
       "autoProbesImi: need k > 0 and targetRecall in (0, 1]")
