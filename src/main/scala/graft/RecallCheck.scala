@@ -70,7 +70,8 @@ object RecallCheck {
       val rAuto = recall(Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = nAuto))
       require(rAuto >= 0.9 - 1e-9,
         s"deep auto-probed IMI config fell below its 0.9 target at k=$k (sized=$sized, nProbe=$nAuto): $rAuto")
-      val sAuto = Similarity.autoShortlistImiPq(0.9)
+      // C = 1000: amplifyJitter(factor = 1000) makes 1000-copy clusters
+      val sAuto = Similarity.autoShortlistImiPq(0.9, expectedClusterSize = 1000L)
       val rS = recall(Similarity.imiPqTopK(indexed, cents, books, queries,
         k = 5, nProbe = nAuto, shortlist = sAuto))
       // over-sharded boundary: the PQ arm inherits the same fragmentation;
@@ -108,10 +109,16 @@ object RecallCheck {
       require(sweep.zip(sweep.tail).forall { case (a, b) => b >= a - 1e-9 },
         s"PQ shortlist sweep must be monotone: $sweep")
       // at the cluster-size-scaled shortlist the PQ arm must rejoin the
-      // probe-bound (raw-IMI) ceiling — measured 0.94 == 0.94 in r14
-      require(r("imipq_recall_jit_sl6400") >= 0.9 &&
-          r("imipq_recall_jit_sl6400") >= r("imi_recall_jit") - 0.05,
-        s"PQ at sl=6400 must rejoin the probe-bound ceiling: $r")
+      // probe-bound (raw-IMI) ceiling — measured 0.94 == 0.94 in r14.
+      // The shortlist is AUTO-DERIVED from the fixture's known cluster
+      // size (amplifyJitter factor = 10000), not hand-picked: this gate
+      // is what certifies autoShortlistImiPq's ~0.64*C law at 20M.
+      val slAuto = Similarity.autoShortlistImiPq(0.9, expectedClusterSize = 10000L)
+      require(r.contains(s"imipq_recall_jit_sl$slAuto"),
+        s"recallAnchor sweep must include the auto-derived shortlist $slAuto: ${r.keys}")
+      require(r(s"imipq_recall_jit_sl$slAuto") >= 0.9 &&
+          r(s"imipq_recall_jit_sl$slAuto") >= r("imi_recall_jit") - 0.05,
+        s"PQ at auto-derived sl=$slAuto must rejoin the probe-bound ceiling: $r")
       spark.stop(); return
     }
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {

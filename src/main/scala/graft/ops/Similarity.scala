@@ -478,26 +478,74 @@ object Similarity {
   }
 
   /** IMI+PQ shortlist sizing from the MEASURED shortlist-vs-recall
-    * sweep (`RecallCheck deep`, r14, jittered 2M, nProbe = 32, constant
-    * across k = 16/32/64): 100 → 0.54, 400 → 0.92, 1600 → 0.98+. On a
-    * thin-margin corpus (top-k gaps below ADC quantization error — the
-    * near-duplicate-heavy shape) the shortlist, not the probe count, is
-    * what bounds recall: the exact re-rank recovers everything the
-    * shortlist admits, so recall buys linearly-priced re-rank width
-    * rather than extra probes. On well-separated corpora the default
-    * 100 already measures ≥ 0.9 (the sf-scale RecallCheck arms).
+    * sweeps at TWO decades. On a thin-margin corpus (top-k gaps below
+    * ADC quantization error — the near-duplicate-heavy shape) the
+    * shortlist, not the probe count, is what bounds recall: the exact
+    * re-rank recovers everything the shortlist admits, so recall buys
+    * linearly-priced re-rank width rather than extra probes. On
+    * well-separated corpora the default 100 already measures ≥ 0.9
+    * (the sf-scale RecallCheck arms).
     *
-    * Scaling law (the 20M anchor, `RecallCheck 10000x`): the sufficient
-    * shortlist scales with the DUPLICATE-CLUSTER size C. This grid was
-    * measured at C ≈ 1000 (sl 0.4·C → 0.92); at C ≈ 10000 the same
-    * sweep reads 400 → 0.44, 1600 → 0.80, 6400 (0.64·C) → 0.94 = the
-    * probe-bound ceiling. Size the shortlist as a fraction (~0.5) of
-    * the expected near-dup cluster size, not as a constant. */
-  def autoShortlistImiPq(targetRecall: Double = 0.9): Int = {
+    * The sufficient shortlist scales with the DUPLICATE-CLUSTER size C
+    * (r14's two anchors, both `RecallCheck`):
+    *   - jittered 2M, C ≈ 1000, nProbe = 32, constant across
+    *     k = 16/32/64: sl 100 → 0.54, 400 (0.4·C) → 0.92,
+    *     1600 (1.6·C) → 0.98+;
+    *   - jittered 20M, C ≈ 10000 (`RecallCheck 10000x`): sl 400 → 0.44,
+    *     1600 (0.16·C) → 0.80, 6400 (0.64·C) → 0.94 = the probe-bound
+    *     ceiling.
+    * The cross-anchor law certified at BOTH decades (taking the minimum
+    * recall where one anchor only brackets a fraction): 0.16·C → 0.54,
+    * 0.40·C → 0.80, 0.64·C → 0.92. The rule returns the law's value
+    * with the C ≈ 1000 constant grid as a floor (sub-1000 clusters are
+    * unmeasured below it; the floor can only over-provision). Targets
+    * above 0.92 are certified only by the C ≈ 1000 anchor's 1.6·C →
+    * 0.98 point — past C = 1000 the 20M anchor's own ceiling is
+    * PROBE-bound at 0.94, so asking this rule for more fails loud
+    * (raise nProbe and re-measure) instead of returning a constant the
+    * measurements contradict (the r14 trap: the old constant 1600
+    * measured 0.80 at C ≈ 10000 against a 0.9 target).
+    *
+    * Estimate C with [[clusterSizeStat]] when it isn't known a priori.
+    */
+  def autoShortlistImiPq(targetRecall: Double = 0.9,
+                         expectedClusterSize: Long = 1000L): Int = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       "autoShortlistImiPq: need targetRecall in (0, 1]")
-    val grid = Seq(100 -> 0.54, 400 -> 0.92, 1600 -> 0.98)
-    grid.collectFirst { case (s, r) if r >= targetRecall => s }.getOrElse(1600)
+    require(expectedClusterSize > 0,
+      "autoShortlistImiPq: need expectedClusterSize > 0")
+    val c = expectedClusterSize
+    if (targetRecall <= 0.92) {
+      val law = Seq(0.16 -> 0.54, 0.40 -> 0.80, 0.64 -> 0.92)
+      val frac = law.collectFirst { case (f, r) if r >= targetRecall => f }.get
+      val floorGrid = Seq(100 -> 0.54, 400 -> 0.92)
+      val floor = floorGrid
+        .collectFirst { case (s, r) if r >= targetRecall => s }.getOrElse(400)
+      math.max(floor.toLong, math.ceil(frac * c).toLong)
+        .min(Int.MaxValue.toLong).toInt
+    } else {
+      require(c <= 1000 && targetRecall <= 0.98,
+        s"autoShortlistImiPq: target $targetRecall at cluster size $c is " +
+          "beyond the measured anchors — the 20M sweep's ceiling is " +
+          "PROBE-bound at 0.94 (sl 0.64*C rejoins raw IMI), so a wider " +
+          "shortlist cannot certify it; raise nProbe and re-measure " +
+          "(RecallCheck deep / 10000x) before trusting a config here")
+      math.max(1600L, math.ceil(1.6 * c).toLong).toInt
+    }
+  }
+
+  /** Cheap corpus estimate of the expected duplicate-cluster size C for
+    * [[autoShortlistImiPq]]: the p99 exact-duplicate group size over a
+    * grouping key (a content hash, a minhash signature, or any column
+    * that collapses near-identical rows). One groupBy-count aggregate +
+    * one approx-quantile over the group sizes — aggregate-sized state,
+    * no collect of the groups themselves. p99 (not max) so one
+    * degenerate mega-group (an empty-document hash) doesn't size every
+    * serve's re-rank width; callers with adversarial skew should route
+    * such groups out first (the dedup pipeline already does). */
+  def clusterSizeStat(df: DataFrame, keyCol: String): Long = {
+    val sizes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    math.max(1L, sizes.stat.approxQuantile("n", Array(0.99), 0.01).head.toLong)
   }
 
   /**

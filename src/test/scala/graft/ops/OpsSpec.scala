@@ -672,10 +672,35 @@ class OpsSpec extends SparkSpec {
     assert(Similarity.autoProbesImi(64, 0.9) == 32)  // deep: same absolute count
     assert(Similarity.autoProbesImi(64, 1.0) == 64)  // deep ceiling
     assert(Similarity.autoProbesImi(64, 0.75) == 8)
-    // shortlist sizing: the measured thin-margin sweep
-    assert(Similarity.autoShortlistImiPq(0.9) == 400)
-    assert(Similarity.autoShortlistImiPq(0.5) == 100)
-    assert(Similarity.autoShortlistImiPq(0.95) == 1600)
+    // shortlist sizing: the cross-anchor cluster-size law (~0.64*C for
+    // 0.9 targets) with the C~1000 constant grid as floor
+    assert(Similarity.autoShortlistImiPq(0.9) == 640)              // 0.64*1000
+    assert(Similarity.autoShortlistImiPq(0.9, 10000L) == 6400)     // the 20M anchor's measured 0.94 point
+    assert(Similarity.autoShortlistImiPq(0.5, 10000L) == 1600)     // 0.16*C
+    assert(Similarity.autoShortlistImiPq(0.5) == 160)              // law above the 100 floor
+    assert(Similarity.autoShortlistImiPq(0.5, 100L) == 100)        // small C: floor binds
+    assert(Similarity.autoShortlistImiPq(0.8, 100L) == 400)        // floor binds (0.40*100 = 40 < 400)
+    assert(Similarity.autoShortlistImiPq(0.95) == 1600)            // C<=1000: the 1.6*C anchor point
+    // beyond the anchors: probe-bound at the 20M decade -> fail loud
+    assertThrows[IllegalArgumentException] {
+      Similarity.autoShortlistImiPq(0.95, 10000L)
+    }
+    assertThrows[IllegalArgumentException] {
+      Similarity.autoShortlistImiPq(0.99, 500L)
+    }
+  }
+
+  test("clusterSizeStat: p99 duplicate-group size, robust to one mega-group") {
+    // 200 groups of size 10 and one degenerate group of size 100000
+    // (the empty-document-hash shape): p99 must report the typical
+    // cluster scale, not let the outlier size every serve's shortlist
+    val typical = spark.range(2000).selectExpr("concat('g', id % 200) as key")
+    val mega = spark.range(100000).selectExpr("'MEGA' as key")
+    val c = Similarity.clusterSizeStat(typical.union(mega), "key")
+    assert(c >= 10 && c < 100000, s"p99 cluster size should be ~10, got $c")
+    // uniform groups: the stat is the group size itself
+    val uniform = spark.range(5000).selectExpr("concat('u', id % 50) as key")
+    assert(Similarity.clusterSizeStat(uniform, "key") == 100)
   }
 
   test("IVF+PQ composition: probed-cell candidates only, recall above floor, sims exact") {

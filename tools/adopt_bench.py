@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Bench-reference adoption gate.
+
+A candidate BENCH_QUERIES.json map may only become the committed reference
+after passing two health gates, and its drift must be reported against TWO
+baselines — the previous adopt AND the prior round's reference — so that
+intra-round re-baselining can never hide cumulative drift (the r14 lesson:
+two same-round adopts each showed geomean ~0.98 vs the previous adopt
+while the chain vs the r13 reference was 1.071).
+
+Gates (either failing refuses adoption):
+  1. host_contended must be false (the run's own sentinel tripwire).
+  2. max intra-run spread ratio must be <= --max-spread (default 4.0).
+     Calibration over the committed history: every healthy adopted map
+     tops out at <= 2.9x (q_dedup_embed's bucketed-join variance); the
+     r14 end-of-round map the driver mistakenly committed carried an
+     11.2x q_stats_agg spread and a 3.3x q_ann_pq spread. 4.0 separates
+     the populations with margin on both sides.
+
+Usage:
+  python3 tools/adopt_bench.py CANDIDATE.json \
+      [--prev PATH|GITREV] [--prior-round PATH|GITREV] \
+      [--max-spread 4.0] [--adopt] [--force]
+
+  --prev         previous adopt (default: HEAD:BENCH_QUERIES.json)
+  --prior-round  prior round's reference (a path, or a git rev whose
+                 BENCH_QUERIES.json is read); optional but recommended
+  --adopt        on gate pass, copy CANDIDATE over BENCH_QUERIES.json
+  --force        adopt even on gate failure (prints a loud warning)
+
+Exit code: 0 = gates pass, 1 = gates fail (regardless of --force).
+"""
+import argparse, json, math, os, shutil, subprocess, sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load(src):
+    """Load a bench map from a file path or `git show <rev>:BENCH_QUERIES.json`."""
+    if os.path.exists(src):
+        with open(src) as f:
+            return json.load(f), src
+    out = subprocess.run(
+        ["git", "-C", REPO, "show", f"{src}:BENCH_QUERIES.json"],
+        capture_output=True, text=True)
+    if out.returncode != 0:
+        sys.exit(f"cannot load '{src}': not a file, and git show failed: "
+                 f"{out.stderr.strip()}")
+    return json.loads(out.stdout), f"{src}:BENCH_QUERIES.json"
+
+
+def compare(cand, base, label):
+    """Geomean + regressed/improved rows of candidate vs a baseline map."""
+    cq, bq = cand.get("queries", {}), base.get("queries", {})
+    shared = [(k, cq[k], bq[k]) for k in sorted(cq)
+              if k in bq and cq[k] > 0 and bq[k] > 0]
+    if not shared:
+        print(f"  vs {label}: no shared queries")
+        return
+    logs = [math.log(c / b) for _, c, b in shared]
+    geomean = math.exp(sum(logs) / len(logs))
+    # same thresholds as Bench.scala's confirm pass: >1.5x AND +0.25s
+    regressed = {k: [b, c] for k, c, b in shared
+                 if c > 1.5 * b and c - b >= 0.25}
+    improved = {k: [b, c] for k, c, b in shared
+                if b > 1.5 * c and b - c >= 0.25}
+    print(f"  vs {label}: total {base.get('value')} -> {cand.get('value')}, "
+          f"geomean {geomean:.3f} over {len(shared)} shared queries")
+    for name, (b, c) in sorted(regressed.items(), key=lambda x: -x[1][1] / x[1][0]):
+        print(f"    REGRESSED {name}: {b:.3f} -> {c:.3f} ({c / b:.2f}x)")
+    for name, (b, c) in sorted(improved.items(), key=lambda x: -x[1][0] / x[1][1]):
+        print(f"    improved  {name}: {b:.3f} -> {c:.3f} ({c / b:.2f}x)")
+    if not regressed and not improved:
+        print("    no rows past the 1.5x/0.25s threshold in either direction")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("candidate")
+    ap.add_argument("--prev", default="HEAD")
+    ap.add_argument("--prior-round", default=None)
+    ap.add_argument("--max-spread", type=float, default=4.0)
+    ap.add_argument("--adopt", action="store_true")
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+
+    cand, cand_src = load(args.candidate)
+    failures = []
+
+    if cand.get("host_contended"):
+        failures.append("host_contended=true (sentinel tripwire fired)")
+
+    spread = cand.get("spread", {})
+    worst = max(((mx / mn, k, mn, mx) for k, (mn, mx) in spread.items()),
+                default=None)
+    if worst:
+        ratio, k, mn, mx = worst
+        print(f"candidate {cand_src}: total {cand.get('value')}, "
+              f"worst spread {k} [{mn:.3f},{mx:.3f}] = {ratio:.2f}x")
+        if ratio > args.max_spread:
+            failures.append(
+                f"max intra-run spread {ratio:.2f}x ({k}) exceeds gate "
+                f"{args.max_spread}x — the window is unhealthy even if the "
+                f"sentinels stayed quiet")
+    else:
+        print(f"candidate {cand_src}: total {cand.get('value')}, no spread rows")
+
+    prev, prev_src = load(args.prev)
+    compare(cand, prev, f"previous adopt ({prev_src})")
+    if args.prior_round:
+        prior, prior_src = load(args.prior_round)
+        compare(cand, prior, f"prior round ({prior_src})")
+    else:
+        print("  (no --prior-round given: cumulative drift vs the round-open "
+              "baseline is NOT being checked)")
+
+    if failures:
+        print("\nGATE FAIL:")
+        for f in failures:
+            print(f"  - {f}")
+    else:
+        print("\nGATE PASS")
+
+    if args.adopt:
+        if failures and not args.force:
+            print("refusing to adopt (use --force to override)")
+        else:
+            if failures:
+                print("WARNING: adopting a gate-failing map under --force")
+            target = os.path.join(REPO, "BENCH_QUERIES.json")
+            shutil.copyfile(args.candidate, target)
+            print(f"adopted {args.candidate} -> {target}")
+
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
