@@ -14,8 +14,15 @@ object RecallCheck {
     * The jittered fixture makes ground truth non-degenerate (see
     * [[ThirdDecade.amplifyJitter]]); the key-shifted one would report
     * reassuring noise. Raw-IMI and IMI+PQ arms, sample-trained books
-    * (production practice at this scale). Run: `runMain graft.RecallCheck deep` */
-  private def deepGrid(spark: SparkSession): Unit = {
+    * (production practice at this scale). Run: `runMain graft.RecallCheck deep`
+    *
+    * `RecallCheck band` runs the same sweep at k = 9 and 12 (pair spaces
+    * 81/144) — the band between the shallow fraction grid's k ≤ 8 edge
+    * and the deep grid's k ≥ 16 floor, measured r15 so the absolute-probe
+    * rule's regime boundary is a measurement, not an extrapolation. */
+  private def deepGrid(spark: SparkSession,
+                       ks: Seq[Int] = Seq(16, 32, 64, 99),
+                       gates: Boolean = true): Unit = {
     import graft.ops.Similarity
     val src = "/root/testdata/sf0.1"
     val jit = sys.env.getOrElse("SPARK_GRAFT_JIT1000_DIR", "/tmp/graft_sf1000_embjit")
@@ -38,7 +45,7 @@ object RecallCheck {
     // or fraction-scaled as the pair space grows. k = 99 is the 20M
     // anchor's autoCellsImi config measured at THIS decade (~204
     // rows/cell) — the cross-decade link point.
-    for (k <- Seq(16, 32, 64, 99)) {
+    for (k <- ks) {
       val (indexed, cents) = Similarity.imiIndex(emb, k = k, lloydIters = 1)
       indexed.cache(); indexed.count()
       val pairSpace = k * k
@@ -62,24 +69,26 @@ object RecallCheck {
       // cells and the 0.9-target absolute count doubles (measured 32 →
       // 0.88, 64 → 0.94) — gate it at the doubled count instead, so the
       // boundary stays measured without pretending the rule covers it.
-      val sized = 2000000L / (k.toLong * k) >= 400
-      val nAuto0 = Similarity.autoProbesImi(k, 0.9)
-      require(nAuto0 == 32,
-        s"deep autoProbesImi(k=$k, 0.9) drifted from the measured 32: $nAuto0")
-      val nAuto = if (sized) nAuto0 else nAuto0 * 2
-      val rAuto = recall(Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = nAuto))
-      require(rAuto >= 0.9 - 1e-9,
-        s"deep auto-probed IMI config fell below its 0.9 target at k=$k (sized=$sized, nProbe=$nAuto): $rAuto")
-      // C = 1000: amplifyJitter(factor = 1000) makes 1000-copy clusters
-      val sAuto = Similarity.autoShortlistImiPq(0.9, expectedClusterSize = 1000L)
-      val rS = recall(Similarity.imiPqTopK(indexed, cents, books, queries,
-        k = 5, nProbe = nAuto, shortlist = sAuto))
-      // over-sharded boundary: the PQ arm inherits the same fragmentation;
-      // gate it at its measured floor there
-      val pqFloor = if (sized) 0.9 else 0.8
-      require(rS >= pqFloor - 1e-9,
-        s"deep auto-shortlisted IMI+PQ config fell below its $pqFloor floor at k=$k: $rS")
-      println(f"RECALL deep-jit2M auto k=$k probes=$nAuto shortlist=$sAuto sized=$sized imi=$rAuto%.3f imipq=$rS%.3f (gates held)")
+      if (gates) {
+        val sized = 2000000L / (k.toLong * k) >= 400
+        val nAuto0 = Similarity.autoProbesImi(k, 0.9)
+        require(nAuto0 == 32,
+          s"deep autoProbesImi(k=$k, 0.9) drifted from the measured 32: $nAuto0")
+        val nAuto = if (sized) nAuto0 else nAuto0 * 2
+        val rAuto = recall(Similarity.imiTopK(indexed, cents, queries, k = 5, nProbe = nAuto))
+        require(rAuto >= 0.9 - 1e-9,
+          s"deep auto-probed IMI config fell below its 0.9 target at k=$k (sized=$sized, nProbe=$nAuto): $rAuto")
+        // C = 1000: amplifyJitter(factor = 1000) makes 1000-copy clusters
+        val sAuto = Similarity.autoShortlistImiPq(0.9, expectedClusterSize = 1000L)
+        val rS = recall(Similarity.imiPqTopK(indexed, cents, books, queries,
+          k = 5, nProbe = nAuto, shortlist = sAuto))
+        // over-sharded boundary: the PQ arm inherits the same fragmentation;
+        // gate it at its measured floor there
+        val pqFloor = if (sized) 0.9 else 0.8
+        require(rS >= pqFloor - 1e-9,
+          s"deep auto-shortlisted IMI+PQ config fell below its $pqFloor floor at k=$k: $rS")
+        println(f"RECALL deep-jit2M auto k=$k probes=$nAuto shortlist=$sAuto sized=$sized imi=$rAuto%.3f imipq=$rS%.3f (gates held)")
+      }
       indexed.unpersist()
     }
     exact.unpersist()
@@ -95,6 +104,14 @@ object RecallCheck {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.ops.Similarity
     if (args.contains("deep")) { deepGrid(spark); spark.stop(); return }
+    if (args.contains("band")) {
+      // the k = 9–15 band between the two regimes, measured r15
+      // (k = 9/12: probes 8 → 0.86, 16 → 0.98, 32 → 1.00 min across the
+      // band) — the absolute rule is conservative here, and the standing
+      // gates now apply like any other deep-grid k
+      deepGrid(spark, ks = Seq(9, 12))
+      spark.stop(); return
+    }
     if (args.contains("10000x")) {
       // standing pin for the 20M jittered recall anchor (r14): the
       // fourth decade's serve numbers must keep a live recall anchor.

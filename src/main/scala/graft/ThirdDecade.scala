@@ -305,9 +305,34 @@ object ThirdDecade {
       { Bpe.train(docs(dir), nMerges = R8Queries.BpeMerges); () }
 
     val rows = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    // The dup-span family's measured env protocol (SCALING.md r14: a
+    // 64 GB heap is a 2–3× PESSIMIZATION — the 1B-row localCheckpoint
+    // churns storage memory where a small heap spills once and the OS
+    // page cache serves re-reads) is ENFORCED here, not just documented:
+    // under an oversized heap the family's rows are SKIPPED loudly, so a
+    // 2× slow number can never silently merge into SCALING_1000.json.
+    // Deliberate A/Bs opt out with SPARK_GRAFT_ALLOW_BIGHEAP_DUPSPAN=1.
+    // r15 note: the fused window-count defaults REMOVED the family's
+    // localCheckpoint and with it the pathology's mechanism (fused spans
+    // measured 162 s at 64g/256 vs the old form's 597.6) — the guard
+    // stays because the artifact's recorded rows are protocol-pinned at
+    // 16g/64, and env-mixed rows would break cross-round comparability.
+    val dupSpanFamily = Set("q_dup_spans", "q_dup_span_strip")
+    val heapGb = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
     def run(name: String, warm: => Unit)(body: => Unit): Unit = {
       // exists, not forall: naming several rows must run each of them
       if (only.nonEmpty && !only.exists(_.contains(name))) return
+      if (dupSpanFamily(name) && heapGb > 24 &&
+          !sys.env.contains("SPARK_GRAFT_ALLOW_BIGHEAP_DUPSPAN")) {
+        println(f"[1000x] SKIP $name: heap $heapGb%.0fg exceeds the family's " +
+          "measured 16g/64 protocol (2-3x pessimization, SCALING.md r14); " +
+          "rerun with SPARK_DRIVER_MEM=16g SPARK_GRAFT_SHUFFLE=64, or set " +
+          "SPARK_GRAFT_ALLOW_BIGHEAP_DUPSPAN=1 for a deliberate A/B")
+        return
+      }
+      if (dupSpanFamily(name) && shuffleParts != "64")
+        println(s"[1000x] WARN $name: shuffle partitions $shuffleParts differ " +
+          "from the family's measured protocol (64)")
       time(warm) // sf0.1 warmup: JIT + codegen for this pipeline
       val s = time(body)
       println(f"[1000x] $name%s: $s%.2fs")
@@ -507,6 +532,22 @@ object ThirdDecade {
         .parquet(s"${bm25Fixture(amp)}/postings").count()
       println(f"[1000x] bm25_serve_rare scan evidence: max-scan=${
         if (scanned.isEmpty) 0L else scanned.max} rows of $totalPostings postings, served=$servedRows docs")
+      // relevance evidence at the third decade (r15 verdict task 6,
+      // untimed): the pruned layout's top-20 must equal the unpruned
+      // ad-hoc scorer's top-20 — for the rare term AND the common
+      // 3-term query — at 5M docs, where row-group and bucket pruning
+      // both actually engage. Distributed top-k (orderBy+limit), never
+      // a full collect.
+      for (q <- Seq(Seq("dup"), bmQuery)) {
+        def topk(df: DataFrame) = df
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+        val lay = topk(graft.ops.Layout.bm25FromLayout(spark, bm25Fixture(amp), q))
+        val adhoc = topk(graft.ops.TextAnalysis.bm25(docs(amp), q))
+        require(lay == adhoc && lay.nonEmpty,
+          s"[1000x] bm25 layout top-20 diverged from unpruned for $q:\n  $lay\n  $adhoc")
+        println(s"[1000x] bm25 top-20 equality held for query $q (untimed evidence)")
+      }
     }
     val appendTestDir = s"${sys.props("java.io.tmpdir")}/graft_1000x_imipq_appendtest"
     run("imipq_append_1pct", {

@@ -141,10 +141,20 @@ final case class VaultCatalog(spark: SparkSession, root: String) {
       else df.withColumn("window",
         org.apache.spark.sql.functions.lit(null).cast("bigint"))
     }
-    catch { case _: Exception =>
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "cid STRING, timestamp BIGINT, is_archived BOOLEAN, cache_expiry TIMESTAMP, digest STRING, window BIGINT, vault STRING"))
+    catch {
+      // ONLY the two legitimate empty-catalog shapes map to an empty
+      // DataFrame: the events dir not existing yet, and an existing dir
+      // with no parquet to infer a schema from. Anything else (transient
+      // IO, corrupt footer) PROPAGATES — a swallow-all here would let
+      // appendEvent's ifAbsent dedupe read dup=false off a failed read
+      // and silently append a duplicate (advisor r14).
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(c =>
+            c.startsWith("PATH_NOT_FOUND") ||
+            c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "cid STRING, timestamp BIGINT, is_archived BOOLEAN, cache_expiry TIMESTAMP, digest STRING, window BIGINT, vault STRING"))
     }
 
   /**

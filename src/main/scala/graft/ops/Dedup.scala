@@ -597,10 +597,14 @@ object Dedup {
    *  1. each doc's window hashes materialize in ONE narrow projection —
    *     `transform(sequence(0, n−L), i → unhex(md5(slice(toks, i+1, L))))`
    *     on the already-split token array, no per-window explode, no shuffle;
-   *  2. repeated hashes surface via one hash aggregate (the only
-   *     corpus-wide shuffle, keyed on the 16-BYTE binary md5 — half the
-   *     key bytes of the hex-string form through the one spill-bound
-   *     stage at 1000×, bijective with it so exactness is unchanged);
+   *  2. repeated hashes surface via ONE window-count over the hash (the
+   *     only corpus-wide shuffle, keyed on the 16-BYTE binary md5 —
+   *     half the key bytes of the hex-string form through the one
+   *     spill-bound stage at 1000×, bijective with it so exactness is
+   *     unchanged); r15: this replaced an aggregate + join-back pair of
+   *     exchanges and the checkpoint sharing their scan — measured
+   *     0.64× at 100×, tie at 1000×, and it removes the checkpoint's
+   *     big-heap storage churn (597.6 → 162 s at 64g/256);
    *  3. surviving window starts merge into maximal spans with one
    *     windowed island pass per doc (starts p, p' of L-windows are
    *     contiguous-or-overlapping iff p' − p ≤ L).
@@ -611,12 +615,13 @@ object Dedup {
    * straddling-chunk-boundary case chunk dedup misses.
    */
   def duplicateSpans(docs: DataFrame, windowTokens: Int,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                     idCol: String = "doc_id", textCol: String = "text",
+                     fuseWindowCount: Boolean = true): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
     import org.apache.spark.sql.expressions.Window
     val L = windowTokens
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
-    val wh = toks.where(size(col("toks")) >= L)
+    val whBase = toks.where(size(col("toks")) >= L)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("toks")) - L),
         // chr(31) separator: without one ("ab","c") and ("a","bc")
@@ -624,10 +629,29 @@ object Dedup {
         // unhex: shuffle the 16-byte binary digest, not 32 hex chars
         i => unhex(md5(concat_ws("\u001f", slice(col("toks"), i + 1, lit(L))))))))
       .toDF(idCol, "pos", "h")
-      // feeds the dup aggregate AND the join-back: one scan, not two
-      .localCheckpoint()
-    val dup = wh.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") >= 2).select("h")
-    val starts = wh.join(dup, "h").select(col(idCol), col("pos"))
+    val starts = if (fuseWindowCount) {
+      // FUSED form — THE DEFAULT since r15 (the r14 stage profile's
+      // lever b, measured): the corpus-wide repetition test is ONE
+      // window-count over `h` — a single exchange + in-partition sort —
+      // replacing the default form's aggregate exchange AND join-back
+      // exchange. With a single consumer of the window-hash table, the
+      // 1B-row localCheckpoint (which existed to share the scan between
+      // the aggregate and the join-back) disappears too. Measured
+      // (DiagSpanFusion, quiet windows): 100× 20.3 → 13.0 s (0.64×),
+      // 1000× 190.5 → 189.3 s (tie — md5 CPU dominates there), and the
+      // checkpoint's big-heap pathology is GONE: 64g/256 serves 162 s
+      // where the checkpointed form measured 597.6 s (SCALING.md r14).
+      // Semantics identical (count per h >= 2), OpsSpec pins equality.
+      val byH = Window.partitionBy("h")
+      whBase.withColumn("c", count(lit(1)).over(byH))
+        .where(col("c") >= 2).select(col(idCol), col("pos"))
+    } else {
+      // pre-r15 form, kept as the A/B reference: feeds the dup
+      // aggregate AND the join-back off one checkpointed scan
+      val wh = whBase.localCheckpoint()
+      val dup = wh.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") >= 2).select("h")
+      wh.join(dup, "h").select(col(idCol), col("pos"))
+    }
     val byDoc = Window.partitionBy(idCol).orderBy("pos")
     val grouped = starts
       .withColumn("brk", when(col("pos") - lag("pos", 1).over(byDoc) > L, 1).otherwise(0))
@@ -651,11 +675,13 @@ object Dedup {
    * corpus. Returns every input row with `text_stripped` + `n_removed`.
    */
   def stripDuplicateSpans(docs: DataFrame, windowTokens: Int,
-                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                          idCol: String = "doc_id", textCol: String = "text",
+                          fuseWindowCount: Boolean = true): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
+    import org.apache.spark.sql.expressions.{Window => W}
     val L = windowTokens
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
-    val wh = toks.where(size(col("toks")) >= L)
+    val whBase = toks.where(size(col("toks")) >= L)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("toks")) - L),
         // chr(31) separator: without one ("ab","c") and ("a","bc")
@@ -663,14 +689,34 @@ object Dedup {
         // unhex: shuffle the 16-byte binary digest, not 32 hex chars
         i => unhex(md5(concat_ws("\u001f", slice(col("toks"), i + 1, lit(L))))))))
       .toDF(idCol, "pos", "h")
-      .localCheckpoint()
-    val byHash = wh.groupBy("h").agg(
-      count(lit(1)).as("c"),
-      min(struct(col(idCol), col("pos"))).as("first"))
-    val removable = wh.join(byHash.where(col("c") >= 2), "h")
-      .where(!(col(idCol) === col("first").getField(idCol) &&
-        col("pos") === col("first").getField("pos")))
-      .select(col(idCol), col("pos"))
+    val removable = if (fuseWindowCount) {
+      // FUSED form — THE DEFAULT since r15 (same lever as
+      // [[duplicateSpans]], measured: 100× 15.2 → 11.0 s, 1000×
+      // 159.8 → 141.5 s in the same windows): per-hash count AND
+      // canonical-first occurrence come from two window functions over
+      // ONE partitionBy(h) window — a single exchange + in-partition
+      // sort replaces the aggregate exchange, the join-back exchange,
+      // and the localCheckpoint that shared the window-hash scan
+      // between them (and with it the big-heap storage churn the r14
+      // 16g/64 protocol worked around).
+      val byH = W.partitionBy("h")
+      whBase
+        .withColumn("c", count(lit(1)).over(byH))
+        .withColumn("first", min(struct(col(idCol), col("pos"))).over(byH))
+        .where(col("c") >= 2 &&
+          !(col(idCol) === col("first").getField(idCol) &&
+            col("pos") === col("first").getField("pos")))
+        .select(col(idCol), col("pos"))
+    } else {
+      val wh = whBase.localCheckpoint()
+      val byHash = wh.groupBy("h").agg(
+        count(lit(1)).as("c"),
+        min(struct(col(idCol), col("pos"))).as("first"))
+      wh.join(byHash.where(col("c") >= 2), "h")
+        .where(!(col(idCol) === col("first").getField(idCol) &&
+          col("pos") === col("first").getField("pos")))
+        .select(col(idCol), col("pos"))
+    }
     // r14 rewrite of the tree's heaviest 1000× row: removable window
     // STARTS merge into per-doc covered intervals first (the
     // duplicateSpans island rule — tiny output, a handful of merged

@@ -445,6 +445,14 @@ object Similarity {
     * rule applied at k = 64 would have demanded 3072 probes for a 0.9
     * target where 32 measure at 0.98.
     *
+    * The BAND between the regimes (pair space 65–255, k = 9–15) is
+    * measured too (r15, `RecallCheck band`, k = 9/12 on the same
+    * fixture): probes 8 → 0.86, 16 → 0.98, 32 → 1.00 (min across the
+    * band) — at least the deep grid's recall at every count, so the
+    * absolute rule is CONSERVATIVE there and the regime boundary
+    * (k = 8 → 48 probes by fraction, k = 9 → 32 absolute) is a
+    * measured step on both sides, not an extrapolated discontinuity.
+    *
     * Scope: the deep grid's fixture is CLUSTERED (jittered copies —
     * tight same-base neighbor groups, the LLM-dedup corpus shape). A
     * corpus whose true neighbors spread uniformly across cells has no
@@ -545,7 +553,10 @@ object Similarity {
     * such groups out first (the dedup pipeline already does). */
   def clusterSizeStat(df: DataFrame, keyCol: String): Long = {
     val sizes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-    math.max(1L, sizes.stat.approxQuantile("n", Array(0.99), 0.01).head.toLong)
+    // relativeError 0.001: at 0.01 the error band around p99 reaches the
+    // max itself once fewer than ~1000 groups exist, which is exactly
+    // when a degenerate mega-group would leak through
+    math.max(1L, sizes.stat.approxQuantile("n", Array(0.99), 0.001).head.toLong)
   }
 
   /**

@@ -519,12 +519,18 @@ object IngestBench {
     // SPARK_GRAFT_INGEST_DECADE3=1 SPARK_DRIVER_MEM=64g. Dirs are
     // deleted right after their gates so the two arms don't stack up.
     val decade3 = sys.env.get("SPARK_GRAFT_INGEST_DECADE3").contains("1")
-    def bigRow(name: String, et: Option[graft.engine.EventTimeWindows])
-        : Option[(String, Map[String, Any])] =
-      if (!decade3) None
+    // optional comma-list filter: run only the named decade-3 rows this
+    // pass (each is tens of minutes + ~40 GB spool); the carry-forward
+    // below preserves the others from the prior artifact
+    val decade3Only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_INGEST_DECADE3_ONLY").map(_.split(",").toSet)
+    def bigRow(name: String, et: Option[graft.engine.EventTimeWindows],
+               hostile: Boolean = false): Option[(String, Map[String, Any])] =
+      if (!decade3 || decade3Only.exists(f => !f.exists(name.contains))) None
       else {
         val d = s"$base/$name"
-        val r = runFileFeed(spark, d, nTx * 100, nBatches = 10, eventTime = et)
+        val r = runFileFeed(spark, d, nTx * 100, nBatches = 10, eventTime = et,
+          hostile = hostile)
         graft.core.FsUtil.deleteRecursive(Paths.get(d))
         Some(name -> r)
       }
@@ -532,6 +538,15 @@ object IngestBench {
     val fileEt1000 = bigRow("file_feed_eventtime_1000x",
       Some(graft.engine.EventTimeWindows(
         windowSeconds = (nTx * 10) max 1, latenessSeconds = 0L)))
+    // r15 (verdict task 7): the HOSTILE late flood at the third decade —
+    // 100M records, ~44% aimed late at the long-closed opening window,
+    // same exact-conservation gate as the 1M-record arm (stored +
+    // pending == fed − dropped, pending bounded). windowSeconds = half a
+    // batch's span, the same construction as the small arm.
+    val fileEtHostile1000 = bigRow("file_feed_eventtime_hostile_late_1000x",
+      Some(graft.engine.EventTimeWindows(
+        windowSeconds = (nTx * 5) max 1, latenessSeconds = 0L)),
+      hostile = true)
     // real-Postgres run only where server binaries exist (the artifact
     // field is optional; the spec checks it when present)
     val pgLive =
@@ -556,7 +571,7 @@ object IngestBench {
       "scaling_exponent_file_feed" -> exp,
       "scaling_exponent_file_feed_2" -> exp2) ++
       pgLive.map("pg_live_feed" -> _) ++
-      file1000x.toMap ++ fileEt1000.toMap ++
+      file1000x.toMap ++ fileEt1000.toMap ++ fileEtHostile1000.toMap ++
       (for {
         (_, f3) <- file1000x
         w3 = f3("wall_sec").asInstanceOf[Double]
@@ -567,8 +582,7 @@ object IngestBench {
     // behind SPARK_GRAFT_INGEST_DECADE3=1): a default-scale refresh must
     // not silently erase the third decade (r14 — it did, once).
     val carried: Map[String, Any] =
-      if (decade3) Map.empty
-      else try {
+      try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(outPath)), StandardCharsets.UTF_8)
         def rawObj(key: String): Option[String] = {
@@ -578,10 +592,15 @@ object IngestBench {
         }
         def rawNum(key: String): Option[String] =
           ("\"" + key + "\":(-?[0-9.]+)").r.findFirstMatchIn(txt).map(_.group(1))
-        (Seq("file_feed_1000x", "file_feed_eventtime_1000x")
-          .flatMap(k => rawObj(k).map(k -> RawJson(_))) ++
-         rawNum("scaling_exponent_file_feed_3")
-          .map("scaling_exponent_file_feed_3" -> RawJson(_))).toMap
+        // carry only keys THIS run didn't produce (a filtered decade-3
+        // pass must not erase its siblings, and a full pass must not be
+        // shadowed by stale values)
+        (Seq("file_feed_1000x", "file_feed_eventtime_1000x",
+             "file_feed_eventtime_hostile_late_1000x", "scaling_exponent_file_feed_3")
+          .filterNot(result.contains)
+          .flatMap(k =>
+            (if (k.startsWith("scaling_")) rawNum(k) else rawObj(k))
+              .map(k -> RawJson(_)))).toMap
       } catch { case _: Throwable => Map.empty }
     val json = js(result ++ carried)
     println(s"INGEST_BENCH: $json")

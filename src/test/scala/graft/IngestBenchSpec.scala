@@ -93,6 +93,27 @@ class IngestBenchSpec extends AnyFunSuite {
         node.get("rows_stored").asLong > 0 && node.get("rows_pending").asLong > 0,
         "pg_feed_eventtime must finalize some windows and hold a pending tail")
     }
+    // r14/r15 hostile-late arms (1M and, env-gated, 100M records): the
+    // EXACT conservation contract — stored + pending == fed − dropped,
+    // with a real drop count and a real pending tail — at both decades
+    for (run <- Seq("file_feed_eventtime_hostile_late",
+        "file_feed_eventtime_hostile_late_1000x") if root.has(run)) {
+      val node = root.get(run)
+      assert(node.has("rows_dropped_late") &&
+        node.get("rows_dropped_late").asLong > 0,
+        s"$run must document its late drops")
+      assert(node.get("rows_verified").asLong ==
+        node.get("n_records").asLong - node.get("rows_dropped_late").asLong,
+        s"$run conservation: stored+pending != fed - dropped")
+      assert(node.get("rows_stored").asLong > 0 &&
+        node.get("rows_pending").asLong > 0,
+        s"$run must finalize some windows and hold a pending tail")
+    }
+    if (root.has("file_feed_eventtime_hostile_late_1000x"))
+      assert(root.get("file_feed_eventtime_hostile_late_1000x")
+          .get("n_records").asLong ==
+        1000 * root.get("file_feed_1x").get("n_records").asLong,
+        "hostile 1000x arm is not a true third decade")
     // r13: third decade on the file feed, when present — stays out of a
     // super-linear blowup like the second decade
     if (root.has("file_feed_1000x")) {

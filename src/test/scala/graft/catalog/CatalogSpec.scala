@@ -104,4 +104,31 @@ class CatalogSpec extends SparkSpec {
       new java.sql.Timestamp(0), ifAbsent = true, window = 2L)
     assert(cids(c.listEvents(v)) == Seq("cidW", "cidW"))
   }
+
+  test("events read failures: empty catalog maps to empty, corruption propagates") {
+    // missing events dir (fresh catalog, nothing appended): empty listing
+    val c = freshCatalog(); c.createVault(v, acct, 30)
+    assert(c.listEvents(v).count() == 0)
+    // a CORRUPT events store must THROW, not read as empty — a swallowed
+    // read failure would let ifAbsent dedupe silently append a duplicate
+    // (advisor r14: the catch-all in `events` covered this path)
+    val root = Files.createTempDirectory("catalog_corrupt")
+    val cc = VaultCatalog(spark, root.toString)
+    cc.createVault(v, acct, 30)
+    val eventsDir = root.resolve("events")
+    Files.createDirectories(eventsDir)
+    Files.write(eventsDir.resolve("part-corrupt.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    val ex = intercept[Exception] { cc.listEvents(v).count() }
+    assert(!ex.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+      !Option(ex.asInstanceOf[org.apache.spark.sql.AnalysisException].getCondition)
+        .exists(cond => cond.startsWith("PATH_NOT_FOUND") ||
+          cond.startsWith("UNABLE_TO_INFER_SCHEMA")),
+      s"corruption must not map to the empty-catalog shape: $ex")
+    // and the replay-safe append path fails loud instead of duplicating
+    intercept[Exception] {
+      cc.appendEvent(v, "cidX", 100L, isArchived = false,
+        new java.sql.Timestamp(0), ifAbsent = true, window = 1L)
+    }
+  }
 }

@@ -133,11 +133,23 @@ final class FakeWalsender(
   private def handleQuery(out: DataOutputStream, in: DataInputStream, sql: String): Unit = {
     val upper = sql.trim.toUpperCase
     if (upper.startsWith("START_REPLICATION")) {
-      writeMessage(out, MsgCopyBothResponse, Array[Byte](0, 0, 0))
-      for ((walStart, payload) <- stream)
-        writeMessage(out, MsgCopyData, xlogData(walStart, payload))
-      for (raw <- trailer)
-        writeMessage(out, MsgCopyData, raw)
+      // ALL CopyBoth-phase writes go through out.synchronized — the
+      // script below and the keepalive ticker share the stream, and the
+      // interleaving must never rely on an unchecked "serve thread is
+      // done writing" invariant (advisor r14).
+      val lastStreamedLsn = out.synchronized {
+        writeMessage(out, MsgCopyBothResponse, Array[Byte](0, 0, 0))
+        var last = consistentPoint
+        for ((walStart, payload) <- stream) {
+          writeMessage(out, MsgCopyData, xlogData(walStart, payload))
+          // xlogData's walEnd: walStart + payload bytes
+          last = math.max(last,
+            walStart + payload.getBytes(StandardCharsets.UTF_8).length)
+        }
+        for (raw <- trailer)
+          writeMessage(out, MsgCopyData, raw)
+        last
+      }
       streamed.countDown()
       // Real walsenders HEARTBEAT while idle (wal_sender_timeout/2 =
       // 30 s primary keepalives); a fake that goes silent after the
@@ -145,14 +157,16 @@ final class FakeWalsender(
       // timeout is calibrated against — an engine that lags more than
       // that after the last frame then dies on a spurious socket
       // timeout (the r14 100k-tx pgEt flake). Tick well inside the
-      // client window. Writes are synchronized on `out`: the serve
-      // thread writes nothing after this point (CopyBoth reads only),
-      // but the lock keeps that invariant safe.
+      // client window. walEnd carries the LAST STREAMED LSN (never
+      // behind the data frames): a real walsender's keepalives report
+      // its send position, and a client folding keepalive walEnd into
+      // progress tracking must never see its position regress
+      // (advisor r14).
       val ticker = new Thread(() => {
         try while (!stopped) {
           Thread.sleep(15000)
           out.synchronized {
-            writeMessage(out, MsgCopyData, keepalive(consistentPoint, replyRequested = false))
+            writeMessage(out, MsgCopyData, keepalive(lastStreamedLsn, replyRequested = false))
           }
         } catch { case _: Throwable => () } // socket gone: ticker ends
       }, s"fake-walsender-keepalive-$port")

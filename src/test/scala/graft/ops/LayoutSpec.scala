@@ -536,6 +536,43 @@ class LayoutSpec extends SparkSpec {
         s"(total $postingsFilesTotal)")
   }
 
+  test("postings layout top-k: pruned serve equals unpruned top-k on a seeded query set") {
+    // Relevance-side gate (r15 verdict task 6): the scan-evidence tests
+    // prove the layout reads FEWER rows; this one proves the pruning
+    // never drops a posting that changes top-k. Row-group pruning is
+    // FORCED to engage (tiny parquet blocks, same as the tok-sort A/B)
+    // so the equality is checked in the regime where skipping actually
+    // happens, not a single-row-group layout where nothing is skipped.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    hc.setInt("parquet.page.size", 4 * 1024)
+    try {
+      val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      val dir = Files.createTempDirectory("layout-postings-topk").toString + "/idx"
+      Layout.postingsWrite(docs, dir, nBuckets = 16)
+      // seeded query set: the rare term, common terms, multi-term mixes
+      val querySet = Seq(
+        Seq("dup"), Seq("spark"), Seq("spark", "query", "merge"),
+        Seq("dup", "spark"), Seq("data", "the"))
+      for (query <- querySet) {
+        def topk(df: org.apache.spark.sql.DataFrame) = df
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+          .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+        val served = topk(Layout.bm25FromLayout(spark, dir, query))
+        val exact = topk(graft.ops.TextAnalysis.bm25(docs, query))
+        assert(served == exact,
+          s"layout top-k diverged from unpruned top-k for query $query:\n" +
+            s"  layout: $served\n  exact:  $exact")
+        assert(served.nonEmpty, s"seeded query $query matched nothing")
+      }
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", oldPage)
+    }
+  }
+
   test("postings tok-sort: a selective term's read skips row groups (sorted vs unsorted A/B)") {
     // The r12 tok-sorting of bucket files was a structural claim with no
     // supporting number (r12 verdict item 2) — this is the gate. Small

@@ -64,12 +64,16 @@ class OpsPlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"ppJoin lost its equi-join:\n$p")
   }
 
-  test("duplicateSpans: one corpus-wide hash shuffle + per-doc window, bounded") {
+  test("duplicateSpans (fused default): one h-window exchange + per-doc window, no join-back") {
     val p = planOf(Dedup.duplicateSpans(docs, windowTokens = 8))
-    // post window-hash checkpoint: dup aggregate on h (the ONE
-    // corpus-wide shuffle), join-back on h, island window on doc_id
-    // (final span aggregate reuses the doc_id partitioning)
-    assertShape("duplicateSpans", p, maxEx = 3, wantBroadcast = false)
+    // r15 fused shape: window-count over h (the ONE corpus-wide
+    // shuffle), island window on doc_id (final span aggregate reuses
+    // the doc_id partitioning). No checkpoint, no join-back — the plan
+    // is fully visible and must stay join-free.
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"fused duplicateSpans re-grew the join-back:\n$p")
+    assert(p.contains("Window"), s"fused duplicateSpans lost its h-window:\n$p")
+    assertShape("duplicateSpans", p, maxEx = 2, wantBroadcast = false)
   }
 
   test("stripDuplicateSpans rebuild: interval filter — no anti-join, no token explode, no covered distinct") {
@@ -82,12 +86,19 @@ class OpsPlanShapeSpec extends SparkSpec {
     val p = planOf(Dedup.stripDuplicateSpans(docs, windowTokens = 8))
     assert(!p.contains("LeftAnti"),
       s"strip rebuild regressed to the token anti-join:\n$p")
-    assert(!p.contains("Generate"),
-      s"strip rebuild re-grew an explode (covered positions or tokens):\n$p")
-    // exchanges: dup agg on h, join-back on h, island window on doc,
-    // interval aggregate reuses doc partitioning, final join brings the
-    // docs side in — budget read off the audited plan
-    assertShape("stripDuplicateSpans", p, maxEx = 5, wantBroadcast = false)
+    // r15: the fused default drops the localCheckpoint, so the WHOLE
+    // pipeline is one visible plan — including the (legitimate, always
+    // present) window-hash posexplode that the checkpoint used to hide.
+    // Exactly ONE Generate is that materialization; a second would be
+    // the covered-position or token explode the r14 rewrite removed.
+    val generates = "Generate".r.findAllIn(p).length
+    assert(generates <= 1,
+      s"strip rebuild re-grew an explode ($generates Generates — only the " +
+        s"window-hash posexplode is legitimate):\n$p")
+    // exchanges: h-window (count + canonical-first), island window on
+    // doc, toks side of the final rebuild join — budget read off the
+    // audited fused plan, +1 AQE headroom
+    assertShape("stripDuplicateSpans", p, maxEx = 4, wantBroadcast = false)
   }
 
   test("ivfPqTopK serve path: cell pruning via broadcast joins, no corpus shuffle before it") {

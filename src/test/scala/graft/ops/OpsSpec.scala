@@ -228,6 +228,14 @@ class OpsSpec extends SparkSpec {
     val chunked = Dedup.corpusChunkDedup(corpus, chunkTokens = 8)
       .agg(sum(col("n_chunks") - col("n_kept"))).collect()(0).getLong(0)
     assert(chunked == 0L)
+
+    // the pre-r15 aggregate+join-back form is semantics-identical to
+    // the fused default — same spans, bit for bit (both pinned to the
+    // hand-computed extents above through `spans`)
+    val unfused = Dedup.duplicateSpans(corpus, windowTokens = 8, fuseWindowCount = false)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(unfused == spans)
   }
 
   test("stripDuplicateSpans: canonical occurrence survives, copies removed, no-dup identity") {
@@ -248,6 +256,15 @@ class OpsSpec extends SparkSpec {
     val ident = Dedup.stripDuplicateSpans(clean, windowTokens = 8).orderBy("doc_id").collect()
     assert(ident.forall(_.getAs[Long]("n_removed") == 0L) &&
       ident(0).getAs[String]("text_stripped") == words("u", 12).mkString(" "))
+
+    // the pre-r15 aggregate+join-back form is semantics-identical to
+    // the fused default: same canonical-first policy, same rebuilt texts
+    val unfused = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
+      fuseWindowCount = false).orderBy("doc_id").collect()
+    assert(unfused.map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text_stripped"), r.getAs[Long]("n_removed"))).toSeq ==
+      out.map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text_stripped"), r.getAs[Long]("n_removed"))).toSeq)
   }
 
   test("jaccard verification: dup pair = 1.0, near pair high, ordered cols") {
@@ -670,6 +687,10 @@ class OpsSpec extends SparkSpec {
     assert(Similarity.autoProbesImi(8, 0.9) == 48)   // shallow edge: 75% of 64
     assert(Similarity.autoProbesImi(16, 0.9) == 32)  // deep: absolute count, not 192
     assert(Similarity.autoProbesImi(64, 0.9) == 32)  // deep: same absolute count
+    // the 65-255-pair band (r15 RecallCheck band, k=9/12: 32 probes
+    // measure 1.00) — the absolute rule holds conservative in-band
+    assert(Similarity.autoProbesImi(9, 0.9) == 32)
+    assert(Similarity.autoProbesImi(12, 0.9) == 32)
     assert(Similarity.autoProbesImi(64, 1.0) == 64)  // deep ceiling
     assert(Similarity.autoProbesImi(64, 0.75) == 8)
     // shortlist sizing: the cross-anchor cluster-size law (~0.64*C for
@@ -691,10 +712,10 @@ class OpsSpec extends SparkSpec {
   }
 
   test("clusterSizeStat: p99 duplicate-group size, robust to one mega-group") {
-    // 200 groups of size 10 and one degenerate group of size 100000
+    // 1000 groups of size 10 and one degenerate group of size 100000
     // (the empty-document-hash shape): p99 must report the typical
     // cluster scale, not let the outlier size every serve's shortlist
-    val typical = spark.range(2000).selectExpr("concat('g', id % 200) as key")
+    val typical = spark.range(10000).selectExpr("concat('g', id % 1000) as key")
     val mega = spark.range(100000).selectExpr("'MEGA' as key")
     val c = Similarity.clusterSizeStat(typical.union(mega), "key")
     assert(c >= 10 && c < 100000, s"p99 cluster size should be ~10, got $c")
