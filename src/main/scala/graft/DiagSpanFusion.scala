@@ -46,14 +46,23 @@ object DiagSpanFusion {
     ThirdDecade.amplify1000(spark, sf01, amp1000, factor = 1000)
 
     val stripMode = args.contains("strip")
-    def spans(dir: String, fused: Boolean): DataFrame =
+    // "rolling" mode: the A/B axis becomes the window-hash
+    // materialization (md5 vs the codegen'd two-poly rolling pass),
+    // both arms on the fused window-count shape
+    val rollingMode = args.contains("rolling")
+    def spans(dir: String, arm: Boolean): DataFrame = {
+      val (fused, rolling) =
+        if (rollingMode) (true, arm) else (arm, false)
       if (stripMode)
         Dedup.stripDuplicateSpans(Tables(spark, dir, "documents"),
-          windowTokens = R8Queries.DupSpanWindow, fuseWindowCount = fused)
+          windowTokens = R8Queries.DupSpanWindow,
+          fuseWindowCount = fused, rollingHash = rolling)
       else
         Dedup.duplicateSpans(Tables(spark, dir, "documents"),
-          windowTokens = R8Queries.DupSpanWindow, fuseWindowCount = fused)
+          windowTokens = R8Queries.DupSpanWindow,
+          fuseWindowCount = fused, rollingHash = rolling)
           .orderBy("doc_id", "span_start")
+    }
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
       try body catch { case e: Throwable =>
@@ -63,28 +72,28 @@ object DiagSpanFusion {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val what = if (stripMode) "strip" else "spans"
+    val what = (if (stripMode) "strip" else "spans") + (if (rollingMode) "-rollingAB" else "")
     if (args.contains("fusedonly")) {
       // env-robustness probe: the fused form under whatever env this JVM
       // got (e.g. the 64g/256 default that pessimizes the checkpointed
       // form 2-3x) — warm at sf0.1, two timed 1000x runs
-      noop(spans(sf01, fused = true))
-      val f1 = time(noop(spans(amp1000, fused = true)))
-      val f2 = time(noop(spans(amp1000, fused = true)))
+      noop(spans(sf01, arm = true))
+      val f1 = time(noop(spans(amp1000, arm = true)))
+      val f2 = time(noop(spans(amp1000, arm = true)))
       println(f"[fusion] $what fusedonly 1000x heap=$heapGb%.0fg shuffle=$shuffleParts " +
         f"runs $f1%.1f/$f2%.1f min=${math.min(f1, f2)}%.1fs")
       spark.stop(); return
     }
     // warmup both plan shapes (JIT + codegen)
-    noop(spans(sf01, fused = false)); noop(spans(sf01, fused = true))
+    noop(spans(sf01, arm = false)); noop(spans(sf01, arm = true))
 
     for ((label, dir) <- Seq("100x" -> amp100, "1000x" -> amp1000)
-         if args.forall(a => a == "strip" || a == label) || args.contains(label)) {
+         if args.forall(a => a == "strip" || a == "rolling" || a == label) || args.contains(label)) {
       // alternating arms: drift lands on both
-      val d1 = time(noop(spans(dir, fused = false)))
-      val f1 = time(noop(spans(dir, fused = true)))
-      val d2 = time(noop(spans(dir, fused = false)))
-      val f2 = time(noop(spans(dir, fused = true)))
+      val d1 = time(noop(spans(dir, arm = false)))
+      val f1 = time(noop(spans(dir, arm = true)))
+      val d2 = time(noop(spans(dir, arm = false)))
+      val f2 = time(noop(spans(dir, arm = true)))
       val d = math.min(d1, d2); val f = math.min(f1, f2)
       println(f"[fusion] $what $label default=$d%.1fs (runs $d1%.1f/$d2%.1f) " +
         f"fused=$f%.1fs (runs $f1%.1f/$f2%.1f) ratio=${f / d}%.2f")

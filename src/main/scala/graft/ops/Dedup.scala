@@ -616,12 +616,26 @@ object Dedup {
    */
   def duplicateSpans(docs: DataFrame, windowTokens: Int,
                      idCol: String = "doc_id", textCol: String = "text",
-                     fuseWindowCount: Boolean = true): DataFrame = {
+                     fuseWindowCount: Boolean = true,
+                     rollingHash: Boolean = true): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
     import org.apache.spark.sql.expressions.Window
     val L = windowTokens
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
-    val whBase = toks.where(size(col("toks")) >= L)
+    // rollingHash — THE DEFAULT since r15: the window-hash table comes
+    // from ONE codegen'd two-poly prefix-hash pass per document
+    // ([[graft.functions.WindowHashes]]) instead of a per-window
+    // slice+join+md5 — same 16-byte key width through the shuffle, same
+    // exactness class (~2^-122 vs md5's 2^-128 per-pair collision
+    // odds), and it removes the materialization CPU the r14 stage
+    // profile measured dominant. Measured on the fused shape
+    // (DiagSpanFusion rolling, paired arms): 100x 10.0 -> 6.6 s,
+    // 1000x 122.6 -> 66.2 s (0.54x). rollingHash=false keeps the
+    // md5 form the SQL oracle replays literally.
+    val whRolling = docs.select(col(idCol),
+        posexplode(graft.functions.WindowHashes(col(textCol), L)))
+      .toDF(idCol, "pos", "h")
+    val whMd5 = toks.where(size(col("toks")) >= L)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("toks")) - L),
         // chr(31) separator: without one ("ab","c") and ("a","bc")
@@ -629,6 +643,7 @@ object Dedup {
         // unhex: shuffle the 16-byte binary digest, not 32 hex chars
         i => unhex(md5(concat_ws("\u001f", slice(col("toks"), i + 1, lit(L))))))))
       .toDF(idCol, "pos", "h")
+    val whBase = if (rollingHash) whRolling else whMd5
     val starts = if (fuseWindowCount) {
       // FUSED form — THE DEFAULT since r15 (the r14 stage profile's
       // lever b, measured): the corpus-wide repetition test is ONE
@@ -676,12 +691,18 @@ object Dedup {
    */
   def stripDuplicateSpans(docs: DataFrame, windowTokens: Int,
                           idCol: String = "doc_id", textCol: String = "text",
-                          fuseWindowCount: Boolean = true): DataFrame = {
+                          fuseWindowCount: Boolean = true,
+                          rollingHash: Boolean = true): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
     import org.apache.spark.sql.expressions.{Window => W}
     val L = windowTokens
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
-    val whBase = toks.where(size(col("toks")) >= L)
+    // rollingHash: same codegen'd two-poly window-hash pass as
+    // [[duplicateSpans]] — see the exactness note there
+    val whRolling = docs.select(col(idCol),
+        posexplode(graft.functions.WindowHashes(col(textCol), L)))
+      .toDF(idCol, "pos", "h")
+    val whMd5 = toks.where(size(col("toks")) >= L)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("toks")) - L),
         // chr(31) separator: without one ("ab","c") and ("a","bc")
@@ -689,6 +710,7 @@ object Dedup {
         // unhex: shuffle the 16-byte binary digest, not 32 hex chars
         i => unhex(md5(concat_ws("\u001f", slice(col("toks"), i + 1, lit(L))))))))
       .toDF(idCol, "pos", "h")
+    val whBase = if (rollingHash) whRolling else whMd5
     val removable = if (fuseWindowCount) {
       // FUSED form — THE DEFAULT since r15 (same lever as
       // [[duplicateSpans]], measured: 100× 15.2 → 11.0 s, 1000×

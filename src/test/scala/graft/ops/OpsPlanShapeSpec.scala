@@ -73,6 +73,10 @@ class OpsPlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"fused duplicateSpans re-grew the join-back:\n$p")
     assert(p.contains("Window"), s"fused duplicateSpans lost its h-window:\n$p")
+    // r15: the window-hash materialization is the codegen'd rolling pass,
+    // not per-window md5 string assembly (2x the 1000x row's CPU)
+    assert(p.contains("window_hashes"),
+      s"duplicateSpans lost the rolling window-hash materialization:\n$p")
     assertShape("duplicateSpans", p, maxEx = 2, wantBroadcast = false)
   }
 
@@ -95,6 +99,8 @@ class OpsPlanShapeSpec extends SparkSpec {
     assert(generates <= 1,
       s"strip rebuild re-grew an explode ($generates Generates — only the " +
         s"window-hash posexplode is legitimate):\n$p")
+    assert(p.contains("window_hashes"),
+      s"strip lost the rolling window-hash materialization:\n$p")
     // exchanges: h-window (count + canonical-first), island window on
     // doc, toks side of the final rebuild join — budget read off the
     // audited fused plan, +1 AQE headroom

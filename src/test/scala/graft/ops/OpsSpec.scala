@@ -236,6 +236,39 @@ class OpsSpec extends SparkSpec {
       .orderBy("doc_id", "span_start")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(unfused == spans)
+
+    // the md5 window materialization (the form the SQL oracle replays
+    // literally) detects the same spans as the rolling-hash default —
+    // any exact repeated-window detector must
+    val md5Form = Dedup.duplicateSpans(corpus, windowTokens = 8, rollingHash = false)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(md5Form == spans)
+  }
+
+  test("WindowHashes: per-window 16-byte hashes match split-token identity semantics") {
+    import graft.functions.WindowHashes
+    val df = Seq(
+      (1L, "a b c d e"),            // 5 tokens, L=3 -> 3 windows
+      (2L, "x y a b c d q"),        // shares windows (a b c), (b c d) with doc 1
+      (3L, "ab c d"),               // boundary: "ab c" vs "a bc" must differ
+      (4L, "a bc d"),
+      (5L, "a b")                   // under L -> empty
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", posexplode(WindowHashes($"text", 3)))
+      .toDF("doc_id", "pos", "h")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]]("h").toSeq))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(1L).size == 3 && byDoc(2L).size == 5 && byDoc(3L).size == 1)
+    assert(!byDoc.contains(5L), "under-L doc must emit no windows")
+    // cross-doc identical windows hash equal: doc1 (a b c)@0 == doc2 @2
+    assert(byDoc(1L)(0)._3 == byDoc(2L)(2)._3)
+    assert(byDoc(1L)(1)._3 == byDoc(2L)(3)._3) // (b c d)
+    // token-boundary disambiguation: "ab c d" != "a bc d"
+    assert(byDoc(3L)(0)._3 != byDoc(4L)(0)._3)
+    // all hashes are 16 bytes; distinct windows within a doc distinct
+    assert(out.forall(_._3.size == 16))
+    assert(byDoc(1L).map(_._3).distinct.size == 3)
   }
 
   test("stripDuplicateSpans: canonical occurrence survives, copies removed, no-dup identity") {
@@ -259,12 +292,18 @@ class OpsSpec extends SparkSpec {
 
     // the pre-r15 aggregate+join-back form is semantics-identical to
     // the fused default: same canonical-first policy, same rebuilt texts
+    def triples(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text_stripped"), r.getAs[Long]("n_removed"))).toSeq
     val unfused = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
       fuseWindowCount = false).orderBy("doc_id").collect()
-    assert(unfused.map(r => (r.getAs[Long]("doc_id"),
-        r.getAs[String]("text_stripped"), r.getAs[Long]("n_removed"))).toSeq ==
-      out.map(r => (r.getAs[Long]("doc_id"),
-        r.getAs[String]("text_stripped"), r.getAs[Long]("n_removed"))).toSeq)
+    assert(triples(unfused) == triples(out))
+    // and the md5 materialization strips identically to the rolling
+    // default (the canonical-first policy keys on (doc_id, pos), not on
+    // the hash value)
+    val md5Form = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
+      rollingHash = false).orderBy("doc_id").collect()
+    assert(triples(md5Form) == triples(out))
   }
 
   test("jaccard verification: dup pair = 1.0, near pair high, ordered cols") {
