@@ -66,14 +66,19 @@ object R8Queries {
     }),
 
     // ── BPE application: per-doc token counts under the learned table ──
-    // (narrow nested-replace expression over the corpus — no shuffle
-    // beyond training's vocab reduction; at 100 TB this runs at
-    // parquet-scan speed with only doc_id+text read)
+    // (one memoized codegen'd call per doc — no shuffle beyond
+    // training's vocab reduction; at 100 TB this runs at parquet-scan
+    // speed with only doc_id+text read. r15: the memoized per-word
+    // counter replaced the nested-replace state encoding — the apply
+    // stage measured 40.7 → 0.98 s at 1000× (DiagBpeApply, equality
+    // asserted on every sf0.1 doc first); the nested-replace form
+    // remains Bpe.tokenCountAfter, spec-pinned value-identical and
+    // literally replayed by the SQL oracle)
     "q_bpe_tokens" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val merges = Bpe.train(docs, nMerges = BpeMerges)
       docs.select(col("doc_id"),
-          Bpe.tokenCountAfter(col("text"), merges).as("n_bpe"))
+          Bpe.tokenCountFast(col("text"), merges).as("n_bpe"))
         .orderBy("doc_id")
     })
   )

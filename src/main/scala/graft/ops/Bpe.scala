@@ -275,6 +275,15 @@ object Bpe {
   /** BPE token count of a doc = #double-space symbol gaps + #words
     * (each word contributes gaps+1 symbols; gaps are the only double
     * spaces in the state — word joints are `" | "`). */
+  /** [[tokenCountAfter]] as one memoized codegen'd call per document
+    * ([[graft.functions.BpeTokenCount]]) — value-identical (spec-pinned
+    * and oracle-checked), without rebuilding the 3×-expanded state
+    * string once per merge. Word memo makes Zipf-distributed corpora
+    * nearly O(distinct words). */
+  def tokenCountFast(text: Column, merges: Seq[Merge]): Column =
+    graft.functions.BpeTokenCount(text,
+      merges.sortBy(_.rank).map(m => (m.l, m.r)))
+
   def tokenCountAfter(text: Column, merges: Seq[Merge]): Column = {
     val st = encodeState(text, merges)
     val gaps = (length(st) - length(replace(st, lit("  "), lit(" ")))).cast("long")

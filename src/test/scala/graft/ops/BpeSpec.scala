@@ -27,6 +27,30 @@ class BpeSpec extends SparkSpec {
     // aaa → [aa, a] = 2 tokens; aaaa → [aa, aa] = 2 tokens
     val n = df.select(Bpe.tokenCountAfter(col("text"), merges)).head().getLong(0)
     assert(n == 4L)
+    // the memoized per-word counter (the registered q_bpe_tokens path
+    // since r15) has identical leftmost-first non-overlapping semantics
+    assert(df.select(Bpe.tokenCountFast(col("text"), merges)).head().getLong(0) == 4L)
+  }
+
+  test("memoized counter ≡ nested-replace on real corpus + edge cases") {
+    val merges = Bpe.train(
+      graft.Tables(spark, "/root/testdata/sf0.001", "documents"), nMerges = 12)
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val nDiff = docs.select(
+        Bpe.tokenCountAfter(col("text"), merges).as("a"),
+        Bpe.tokenCountFast(col("text"), merges).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(nDiff == 0, s"memoized BPE count diverges on $nDiff docs")
+    // edge cases: empty text, single char, single word, chained merges
+    val edge = Seq((1L, ""), (2L, "a"), (3L, "abab"), (4L, "ab ab ab"))
+      .toDF("doc_id", "text")
+    val chained = Seq(Bpe.Merge(1, "a", "b", 9L), Bpe.Merge(2, "ab", "ab", 9L))
+    val got = edge.select(col("doc_id"),
+        Bpe.tokenCountAfter(col("text"), chained).as("a"),
+        Bpe.tokenCountFast(col("text"), chained).as("b"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (a, b) => a == b }, got.mkString(","))
+    assert(got.map(_._2).toSeq == Seq(0L, 1L, 1L, 3L))
   }
 
   test("merges never cross word boundaries") {
