@@ -38,16 +38,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Committed reference map, read before this run overwrites the file.
-    // Two uses: (1) host-contention tripwire — sentinel timings that
-    // balloon 3x+ on trivial queries flag the whole artifact; (2) the
-    // per-query confirm pass — any query slower than 1.5x its committed
-    // reference gets a third run and is flagged even when its own two
-    // runs agree (a both-runs-slow query is invisible to run-to-run
-    // spread; q_corpus_curate's 6.8s-vs-2.9s same-code swing is the
-    // motivating case). A reference whose own run was host_contended is
-    // NOT adopted: its inflated values would mask future contention.
-    val qfile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    // Committed reference map. Two uses: (1) host-contention tripwire —
+    // sentinel timings that balloon 3x+ on trivial queries flag the
+    // whole artifact; (2) the per-query confirm pass — any query slower
+    // than 1.5x its committed reference gets a third run and is flagged
+    // even when its own two runs agree (a both-runs-slow query is
+    // invisible to run-to-run spread; q_corpus_curate's 6.8s-vs-2.9s
+    // same-code swing is the motivating case).
+    //
+    // r16 structural fix for the three-rounds-running round-close
+    // split-brain: Bench READS the reference but never writes it. The
+    // run's full map goes to BENCH_LAST_RUN.json (gitignored), so the
+    // only path into the committed reference is an explicit, gated
+    // `tools/adopt_bench.py CANDIDATE --adopt` — a raw slow-window run
+    // sitting in the working tree can no longer be committed by the
+    // driver's round-close snapshot.
+    val qfile = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_QUERIES.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST_RUN.json")
     val sentinels = Seq("q_distinct", "q_topk", "q_zorder")
     val (refSentinels, refQueries): (Map[String, Double], Map[String, Double]) =
       try {
@@ -155,13 +162,13 @@ object Bench {
     //     fit whole in any tail window — carrying the slowest queries
     //     inline plus a pointer to the full file.
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","host_contended":$contended,"sentinels":$sentinelJson,"spread":$spreadJson,"regressed":$regressedJson,"queries":$qjson}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get(qfile),
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(full)
     val slowest = results.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"host_contended":$contended,"queries_file":"$qfile","queries":$slowest}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"host_contended":$contended,"queries_file":"$outFile","queries":$slowest}""")
     spark.stop()
   }
 }

@@ -63,12 +63,15 @@ object DiagSpanFusion {
           fuseWindowCount = fused, rollingHash = rolling)
           .orderBy("doc_id", "span_start")
     }
-    def time(body: => Unit): Double = {
+    // r15 advice: a failed arm must not flow into min/ratio as a
+    // sentinel (−1 would report the FAILED arm as the faster one)
+    def time(body: => Unit): Option[Double] = {
       val t0 = System.nanoTime()
-      try body catch { case e: Throwable =>
-        System.err.println(s"[fusion] FAILED: ${e.getMessage}"); return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try { body; Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"[fusion] FAILED: ${e.getMessage}"); None }
     }
+    def fmt(o: Option[Double]): String = o.fold("FAIL")(v => f"$v%.1f")
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -80,8 +83,9 @@ object DiagSpanFusion {
       noop(spans(sf01, arm = true))
       val f1 = time(noop(spans(amp1000, arm = true)))
       val f2 = time(noop(spans(amp1000, arm = true)))
+      val best = (f1.toSeq ++ f2.toSeq).minOption
       println(f"[fusion] $what fusedonly 1000x heap=$heapGb%.0fg shuffle=$shuffleParts " +
-        f"runs $f1%.1f/$f2%.1f min=${math.min(f1, f2)}%.1fs")
+        s"runs ${fmt(f1)}/${fmt(f2)} min=${best.fold("FAIL")(v => f"$v%.1f")}s")
       spark.stop(); return
     }
     // warmup both plan shapes (JIT + codegen)
@@ -94,9 +98,13 @@ object DiagSpanFusion {
       val f1 = time(noop(spans(dir, arm = true)))
       val d2 = time(noop(spans(dir, arm = false)))
       val f2 = time(noop(spans(dir, arm = true)))
-      val d = math.min(d1, d2); val f = math.min(f1, f2)
-      println(f"[fusion] $what $label default=$d%.1fs (runs $d1%.1f/$d2%.1f) " +
-        f"fused=$f%.1fs (runs $f1%.1f/$f2%.1f) ratio=${f / d}%.2f")
+      val d = (d1.toSeq ++ d2.toSeq).minOption
+      val f = (f1.toSeq ++ f2.toSeq).minOption
+      val ratio = for (fv <- f; dv <- d) yield fv / dv
+      println(s"[fusion] $what $label default=${d.fold("FAIL")(v => f"$v%.1f")}s " +
+        s"(runs ${fmt(d1)}/${fmt(d2)}) fused=${f.fold("FAIL")(v => f"$v%.1f")}s " +
+        s"(runs ${fmt(f1)}/${fmt(f2)})" +
+        ratio.fold(" ratio=N/A (an arm failed)")(r => f" ratio=$r%.2f"))
     }
     spark.stop()
   }

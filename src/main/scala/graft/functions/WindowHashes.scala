@@ -86,21 +86,6 @@ object WindowHashes {
     while (i < len) { if (bytes(i) == ' '.toByte) tokens += 1; i += 1 }
     if (tokens < n) return new GenericArrayData(Array.empty[Any])
 
-    val prefix1 = new Array[Long](len + 1)
-    val prefix2 = new Array[Long](len + 1)
-    val pow1 = new Array[Long](len + 1)
-    val pow2 = new Array[Long](len + 1)
-    pow1(0) = 1L; pow2(0) = 1L
-    i = 0
-    while (i < len) {
-      // bytes as unsigned so multi-byte UTF-8 stays injective
-      val b = bytes(i) & 0xff
-      prefix1(i + 1) = (mulmod(prefix1(i), Base1) + b) % Mod
-      prefix2(i + 1) = (mulmod(prefix2(i), Base2) + b) % Mod
-      pow1(i + 1) = mulmod(pow1(i), Base1)
-      pow2(i + 1) = mulmod(pow2(i), Base2)
-      i += 1
-    }
     val starts = new Array[Int](tokens + 1)
     starts(0) = 0
     var t = 1
@@ -110,6 +95,37 @@ object WindowHashes {
       i += 1
     }
     starts(tokens) = len + 1 // sentinel: token end = next start - 1
+
+    // Transient per-doc memory (r15 advice, documented bound): the two
+    // prefix arrays are 16 B per input byte; the pow arrays are sized to
+    // the LONGEST WINDOW's byte length only (the sole exponents queried),
+    // not the document — so a multi-megabyte document with ordinary
+    // window sizes costs ~16x its byte length transiently, plus the
+    // 16-byte-per-window output.
+    var maxWin = 0
+    var g0 = 0
+    while (g0 <= tokens - n) {
+      val w = starts(g0 + n) - 1 - starts(g0)
+      if (w > maxWin) maxWin = w
+      g0 += 1
+    }
+    val prefix1 = new Array[Long](len + 1)
+    val prefix2 = new Array[Long](len + 1)
+    val pow1 = new Array[Long](maxWin + 1)
+    val pow2 = new Array[Long](maxWin + 1)
+    pow1(0) = 1L; pow2(0) = 1L
+    i = 0
+    while (i < len) {
+      // bytes as unsigned so multi-byte UTF-8 stays injective
+      val b = bytes(i) & 0xff
+      prefix1(i + 1) = (mulmod(prefix1(i), Base1) + b) % Mod
+      prefix2(i + 1) = (mulmod(prefix2(i), Base2) + b) % Mod
+      if (i < maxWin) {
+        pow1(i + 1) = mulmod(pow1(i), Base1)
+        pow2(i + 1) = mulmod(pow2(i), Base2)
+      }
+      i += 1
+    }
 
     val out = new Array[Any](tokens - n + 1)
     var g = 0

@@ -53,6 +53,45 @@ class BpeSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == Seq(0L, 1L, 1L, 3L))
   }
 
+  test("memoized counter ≡ nested-replace OUTSIDE the documents-table shape (r15 advice)") {
+    // uppercase (encodeState lowercases), digits/punct (not space-wrapped
+    // by the state regex, so they split [a-z] runs), repeated / leading /
+    // trailing spaces (the state counts empty "words"), unicode
+    val merges = Seq(Bpe.Merge(1, "a", "b", 9L), Bpe.Merge(2, "ab", "c", 9L))
+    val hostile = Seq(
+      (1L, "A1b"), (2L, "a1b"), (3L, "AB CD"), (4L, "ab  cd"),
+      (5L, " ab"), (6L, "ab "), (7L, " "), (8L, "ABC abc"),
+      (9L, "a-b_c"), (10L, "café über"), (11L, "ab3ab ab!ab"),
+      (12L, "42 1337"), (13L, "ABc aBC"), (14L, "  "), (15L, "ÀBÇ"))
+      .toDF("doc_id", "text")
+    val rows = hostile.select(col("doc_id"),
+        Bpe.tokenCountAfter(col("text"), merges).as("a"),
+        Bpe.tokenCountFast(col("text"), merges).as("b"))
+      .orderBy("doc_id").collect()
+    for (r <- rows)
+      assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)}: after=${r.getLong(1)} fast=${r.getLong(2)}")
+    // spot-check the state semantics themselves: "A1b" lowers to "a1b",
+    // runs "a"/"b" are 1 symbol each, digits contribute no gaps, 1 word
+    assert(rows(0).getLong(1) == 1L)
+  }
+
+  test("memo past its fill-once cap stays correct and warns (r15 verdict task 5)") {
+    import graft.functions.BpeCounter
+    val merges = Array(("a", "b"))
+    val tiny = new BpeCounter(merges, cacheCap = 4)
+    val words = Seq("ab", "ba", "aab", "abab", "bbb", "abba", "baab")
+    val expect = words.map(w => tiny.countWord(w)) // fills + saturates
+    assert(tiny.saturated, "cap of 4 should saturate on 7 distinct words")
+    // past-cap recomputes must equal the first computation (uncached path)
+    val again = words.map(w => tiny.countWord(w))
+    assert(again == expect)
+    // and equal an uncapped counter's answers
+    val big = new BpeCounter(merges)
+    assert(words.map(w => big.countWord(w)) == expect)
+    assert(!big.saturated)
+  }
+
   test("merges never cross word boundaries") {
     // merge (b, c): "ab ca" must NOT merge the b|c across the space
     val merges = Seq(Bpe.Merge(1, "b", "c", 99L))

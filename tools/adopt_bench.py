@@ -17,6 +17,10 @@ Gates (either failing refuses adoption):
      11.2x q_stats_agg spread and a 3.3x q_ann_pq spread. 4.0 separates
      the populations with margin on both sides.
 
+Since r16 Bench writes its run to BENCH_LAST_RUN.json (gitignored) and
+never touches BENCH_QUERIES.json — this gate's --adopt is the ONLY path
+into the committed reference.
+
 Usage:
   python3 tools/adopt_bench.py CANDIDATE.json \
       [--prev PATH|GITREV] [--prior-round PATH|GITREV] \
@@ -91,7 +95,14 @@ def main():
         failures.append("host_contended=true (sentinel tripwire fired)")
 
     spread = cand.get("spread", {})
-    worst = max(((mx / mn, k, mn, mx) for k, (mn, mx) in spread.items()),
+    # a 3-decimal-rounded min of 0.000 is itself suspicious — flag it
+    # instead of crashing the ratio (r15 advice)
+    zeroish = [k for k, (mn, mx) in spread.items() if mn <= 0]
+    if zeroish:
+        failures.append(
+            f"spread rows with min <= 0 (broken timing?): {sorted(zeroish)}")
+    worst = max(((mx / mn, k, mn, mx) for k, (mn, mx) in spread.items()
+                 if mn > 0),
                 default=None)
     if worst:
         ratio, k, mn, mx = worst
