@@ -1,0 +1,153 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Heavy-hitter skew A/B for the dup-span family (r15 verdict task 1):
+ * the uniform ×N amplification duplicates every window hash equally, so
+ * it CANNOT represent the operator's actual target input — a boilerplate
+ * window shared by a large fraction of documents, which lands on ONE
+ * task of the fused `partitionBy(h)` window (no map-side combine, and
+ * AQE cannot split a WindowExec partition).
+ *
+ * Fixture (deterministic, marker-guarded): sf0.1 documents ×factor,
+ * every token carrying a per-copy suffix so ordinary windows are
+ * SINGLETONS (the realistic corpus shape — uniform amplification makes
+ * every hash a duplicate), plus
+ *   - planted cross-doc dup paragraphs: docs with key % 50 == 0 append
+ *     one of 37 pool paragraphs (27 tokens → 20 dup windows each, count
+ *     ≈ docs/50/37 — "warm" repeated hashes, below any hot threshold);
+ *   - a heavy hitter: docs with key % (100/hotPct) == 1 append the same
+ *     27-token single-token boilerplate — all 20 of its windows are ONE
+ *     hash, so hotPct=50 at factor 1000 piles ~50M rows of one hash
+ *     onto one window task.
+ *
+ * Arms (all rollingHash=true so the axis is purely the count shape):
+ *   fused  — `count(1).over(partitionBy(h))`, the r15 default
+ *   legacy — checkpoint + aggregate + join-back (AQE-splittable join)
+ *   guard  — fused + sampled hot-set salt routing (SpanSkewGuard)
+ *
+ * Usage (dup-span family env protocol):
+ *   SPARK_DRIVER_MEM=16g SPARK_GRAFT_SHUFFLE=64 SPARK_GRAFT_CPUS=32 \
+ *     sbt "runMain graft.DiagSpanSkew [strip] [100x|1000x] [hot0|hot10|hot50] [fused|legacy|guard ...]"
+ * Prints seconds; never merges into SCALING_1000.json.
+ */
+object DiagSpanSkew {
+  private val Shift = 100000000L
+
+  /** Build the skewed corpus at `outDir/documents.parquet` (marker-guarded). */
+  def buildFixture(spark: SparkSession, srcDir: String, outDir: String,
+                   factor: Int, hotPct: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val out = java.nio.file.Paths.get(outDir, "documents.parquet")
+    val marker = java.nio.file.Paths.get(outDir, "documents.parquet.marker")
+    val srcFp = graft.core.FsUtil.snapshotFingerprint(
+      java.nio.file.Paths.get(srcDir, "documents.parquet"))
+    val want = s"factor=$factor;hotPct=$hotPct;src=$srcFp;v=1"
+    val upToDate = java.nio.file.Files.exists(out) &&
+      java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == want
+    if (upToDate) return
+
+    val pool = (0 until 37).map(i =>
+      (0 until 27).map(j => s"dupseg${i}w$j").mkString(" "))
+    val poolArr = array(pool.map(lit): _*)
+    val boiler = Seq.fill(27)("zzboilerplate").mkString(" ")
+
+    val df = spark.read.parquet(s"$srcDir/documents.parquet")
+      .select("doc_id", "text")
+      .withColumn("__copy", explode(sequence(lit(0L), lit(factor - 1L))))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("key", col("doc_id") + col("__copy") * Shift)
+      // per-copy token suffix: every ordinary window hash is unique to
+      // its copy — the singleton-dominated shape of a real corpus
+      .withColumn("t1", array_join(
+        transform(split(col("text"), " "),
+          t => concat(t, lit("c"), col("__copy"))), " "))
+      .withColumn("t2", when(col("key") % 50 === 0,
+        concat(col("t1"), lit(" "),
+          element_at(poolArr, (col("key") % 37).cast("int") + 1)))
+        .otherwise(col("t1")))
+      .withColumn("t3",
+        if (hotPct <= 0) col("t2")
+        else when(col("key") % (100 / hotPct) === 1,
+          concat(col("t2"), lit(" "), lit(boiler))).otherwise(col("t2")))
+      .select(col("key").as("doc_id"), col("t3").as("text"))
+    df.write.mode("overwrite").parquet(out.toString)
+    java.nio.file.Files.write(marker, (want + "\n").getBytes("UTF-8"))
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "64")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val heapGb = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
+    if (heapGb > 24)
+      println(f"[skew] WARN: heap $heapGb%.0fg exceeds the family's 16g protocol")
+
+    val sf01 = "/root/testdata/sf0.1"
+    val stripMode = args.contains("strip")
+    val scales = Seq("100x" -> 100, "1000x" -> 1000)
+      .filter { case (l, _) => !args.exists(_.endsWith("00x")) || args.contains(l) }
+    val hots = Seq("hot0" -> 0, "hot10" -> 10, "hot50" -> 50)
+      .filter { case (l, _) => !args.exists(_.startsWith("hot")) || args.contains(l) }
+    val armNames = Seq("fused", "legacy", "guard")
+      .filter(a => !args.exists(armName => Seq("fused", "legacy", "guard").contains(armName)) || args.contains(a))
+
+    def run(dir: String, arm: String): DataFrame = {
+      val docs = Tables(spark, dir, "documents")
+      val (fused, g) = arm match {
+        case "fused"  => (true, None)
+        case "legacy" => (false, None)
+        case "guard"  => (true, Some(Dedup.SpanSkewGuard()))
+      }
+      if (stripMode)
+        Dedup.stripDuplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
+          fuseWindowCount = fused, rollingHash = true, skewGuard = g)
+      else
+        Dedup.duplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
+          fuseWindowCount = fused, rollingHash = true, skewGuard = g)
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(body: => Unit): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { body; Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"[skew] FAILED: ${e.getMessage}"); None }
+    }
+    def fmt(o: Option[Double]): String = o.fold("FAIL")(v => f"$v%.1f")
+
+    val what = if (stripMode) "strip" else "spans"
+    for ((hotLabel, hotPct) <- hots; (scaleLabel, factor) <- scales) {
+      val dir = s"/tmp/graft_spanskew_${factor}x_$hotLabel"
+      buildFixture(spark, sf01, dir, factor, hotPct)
+      // warmup every arm's plan shape on a small same-shape fixture
+      val warmDir = s"/tmp/graft_spanskew_1x_$hotLabel"
+      buildFixture(spark, sf01, warmDir, 1, hotPct)
+      armNames.foreach(a => noop(run(warmDir, a)))
+      // two alternating passes per arm so window drift lands on all
+      val t1 = armNames.map(a => a -> time(noop(run(dir, a))))
+      val t2 = armNames.map(a => a -> time(noop(run(dir, a))))
+      val best = armNames.map { a =>
+        val runs = (t1.toMap.apply(a).toSeq ++ t2.toMap.apply(a).toSeq)
+        a -> (runs.minOption, t1.toMap.apply(a), t2.toMap.apply(a))
+      }
+      val summary = best.map { case (a, (m, r1, r2)) =>
+        s"$a=${m.fold("FAIL")(v => f"$v%.1f")}s(${fmt(r1)}/${fmt(r2)})"
+      }.mkString(" ")
+      println(s"[skew] $what $scaleLabel $hotLabel $summary")
+    }
+    spark.stop()
+  }
+}

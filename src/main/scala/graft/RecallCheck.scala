@@ -127,10 +127,15 @@ object RecallCheck {
         s"PQ shortlist sweep must be monotone: $sweep")
       // at the cluster-size-scaled shortlist the PQ arm must rejoin the
       // probe-bound (raw-IMI) ceiling — measured 0.94 == 0.94 in r14.
-      // The shortlist is AUTO-DERIVED from the fixture's known cluster
-      // size (amplifyJitter factor = 10000), not hand-picked: this gate
-      // is what certifies autoShortlistImiPq's ~0.64*C law at 20M.
-      val slAuto = Similarity.autoShortlistImiPq(0.9, expectedClusterSize = 10000L)
+      // r16 (verdict task 3): C is no longer hand-passed from fixture
+      // knowledge — recallAnchor ESTIMATES it with clusterSizeStat over
+      // the copy-identity key, and this gate certifies the whole
+      // production loop (estimate → auto-size → serve) at 20M. The
+      // estimate itself is sanity-pinned to the fixture's known 10000.
+      val cEst = r("cluster_size_est").toLong
+      require(cEst == 10000L,
+        s"clusterSizeStat on the jittered 20M fixture must recover C=10000, got $cEst")
+      val slAuto = Similarity.autoShortlistImiPq(0.9, expectedClusterSize = cEst)
       require(r.contains(s"imipq_recall_jit_sl$slAuto"),
         s"recallAnchor sweep must include the auto-derived shortlist $slAuto: ${r.keys}")
       require(r(s"imipq_recall_jit_sl$slAuto") >= 0.9 &&

@@ -583,6 +583,86 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** The dup-span window-hash table `(idCol, pos, h)` — shared by
+    * [[duplicateSpans]], [[stripDuplicateSpans]], and the skew guard's
+    * sample pass.
+    *
+    * rollingHash — THE DEFAULT since r15: the table comes from ONE
+    * codegen'd two-poly prefix-hash pass per document
+    * ([[graft.functions.WindowHashes]]) instead of a per-window
+    * slice+join+md5 — same 16-byte key width through the shuffle, same
+    * exactness class (~2^-122 vs md5's 2^-128 per-pair collision odds),
+    * and it removes the materialization CPU the r14 stage profile
+    * measured dominant. Measured on the fused shape (DiagSpanFusion
+    * rolling, paired arms): 100x 10.0 -> 6.6 s, 1000x 122.6 -> 66.2 s
+    * (0.54x). rollingHash=false keeps the md5 form the SQL oracle
+    * replays literally. */
+  private[graft] def windowHashTable(docs: DataFrame, L: Int, idCol: String,
+                                     textCol: String, rollingHash: Boolean): DataFrame =
+    if (rollingHash)
+      docs.select(col(idCol),
+          posexplode(graft.functions.WindowHashes(col(textCol), L)))
+        .toDF(idCol, "pos", "h")
+    else
+      docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+        .where(size(col("toks")) >= L)
+        .select(col(idCol), posexplode(transform(
+          sequence(lit(0), size(col("toks")) - L),
+          // chr(31) separator: without one ("ab","c") and ("a","bc")
+          // would hash equal; the DuckDB oracle mirrors with chr(31).
+          // unhex: shuffle the 16-byte binary digest, not 32 hex chars
+          i => unhex(md5(concat_ws("", slice(col("toks"), i + 1, lit(L))))))))
+        .toDF(idCol, "pos", "h")
+
+  /**
+   * Sampled heavy-hitter guard for the fused dup-span window (r15
+   * verdict: `count(1).over(partitionBy(h))` has no map-side combine and
+   * AQE cannot split a WindowExec partition, so a boilerplate window
+   * hash occurring in a large share of documents concentrates on ONE
+   * task). The guard samples `sampleRate` of the DOCUMENTS (unbiased for
+   * per-hash occurrence totals, within-doc repeats included), flags
+   * hashes whose estimated mass exceeds `partitionShare` of an average
+   * shuffle partition's, and the span operators route flagged rows
+   * AROUND the per-h window via a salt — see them for the exactness
+   * argument.
+   *
+   * Correctness does not depend on the sample: a hash is only flagged
+   * when its SAMPLE count is >= 2, and the sample is a subset of the
+   * corpus, so every flagged hash truly repeats; a missed heavy hitter
+   * just stays on the (slow but exact) window path.
+   */
+  final case class SpanSkewGuard(sampleRate: Double = 0.002,
+                                 partitionShare: Double = 0.25,
+                                 maxHotHashes: Int = 10000,
+                                 seed: Long = 42L)
+
+  /** The guard's sample pass: hot window hashes as driver-side bytes
+    * (bounded by `maxHotHashes`, largest first; a deeper hot tail stays
+    * on the window path — correct, just unguarded). Empty when no hash
+    * clears max(2, partitionShare x an average partition's sample mass). */
+  private def hotWindowHashes(docs: DataFrame, g: SpanSkewGuard, L: Int,
+                              idCol: String, textCol: String,
+                              rollingHash: Boolean): Array[Array[Byte]] = {
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val agg = windowHashTable(docs.sample(g.sampleRate, g.seed), L, idCol, textCol, rollingHash)
+      .groupBy("h").agg(count(lit(1)).as("c")).persist()
+    try {
+      val total = Option(agg.agg(sum("c")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+      if (total == 0L) return Array.empty
+      val thr = math.max(2L, (g.partitionShare * total / parts).toLong)
+      agg.where(col("c") >= thr).orderBy(col("c").desc, col("h"))
+        .limit(g.maxHotHashes).select("h").collect()
+        .map(_.getAs[Array[Byte]](0))
+    } finally { agg.unpersist(); () }
+  }
+
+  /** Broadcastable hot-hash membership side (h, __hot=true). */
+  private def hotHashDf(docs: DataFrame, hot: Array[Array[Byte]]): DataFrame =
+    broadcast(docs.sparkSession
+      .createDataset(hot.toSeq)(org.apache.spark.sql.Encoders.BINARY)
+      .toDF("h").withColumn("__hot", lit(true)))
+
+
   /**
    * Exact substring-duplication detection at ARBITRARY offsets (the
    * Lee et al. ACL'22 "Deduplicating Training Data" recipe, re-expressed
@@ -617,34 +697,37 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, windowTokens: Int,
                      idCol: String = "doc_id", textCol: String = "text",
                      fuseWindowCount: Boolean = true,
-                     rollingHash: Boolean = true): DataFrame = {
+                     rollingHash: Boolean = true,
+                     skewGuard: Option[SpanSkewGuard] = None): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
     import org.apache.spark.sql.expressions.Window
     val L = windowTokens
-    val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
-    // rollingHash — THE DEFAULT since r15: the window-hash table comes
-    // from ONE codegen'd two-poly prefix-hash pass per document
-    // ([[graft.functions.WindowHashes]]) instead of a per-window
-    // slice+join+md5 — same 16-byte key width through the shuffle, same
-    // exactness class (~2^-122 vs md5's 2^-128 per-pair collision
-    // odds), and it removes the materialization CPU the r14 stage
-    // profile measured dominant. Measured on the fused shape
-    // (DiagSpanFusion rolling, paired arms): 100x 10.0 -> 6.6 s,
-    // 1000x 122.6 -> 66.2 s (0.54x). rollingHash=false keeps the
-    // md5 form the SQL oracle replays literally.
-    val whRolling = docs.select(col(idCol),
-        posexplode(graft.functions.WindowHashes(col(textCol), L)))
-      .toDF(idCol, "pos", "h")
-    val whMd5 = toks.where(size(col("toks")) >= L)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), size(col("toks")) - L),
-        // chr(31) separator: without one ("ab","c") and ("a","bc")
-        // would hash equal; the DuckDB oracle mirrors with chr(31).
-        // unhex: shuffle the 16-byte binary digest, not 32 hex chars
-        i => unhex(md5(concat_ws("\u001f", slice(col("toks"), i + 1, lit(L))))))))
-      .toDF(idCol, "pos", "h")
-    val whBase = if (rollingHash) whRolling else whMd5
-    val starts = if (fuseWindowCount) {
+    val whBase = windowHashTable(docs, L, idCol, textCol, rollingHash)
+    val hot: Array[Array[Byte]] =
+      if (fuseWindowCount)
+        skewGuard.fold(Array.empty[Array[Byte]])(g =>
+          hotWindowHashes(docs, g, L, idCol, textCol, rollingHash))
+      else Array.empty
+    val starts = if (fuseWindowCount && hot.nonEmpty) {
+      // GUARDED fused form: flagged rows are salted OUT of the per-h
+      // window (scatter key xxhash64(id, pos) is unique per row, so the
+      // one-task pileup becomes hash-uniform across partitions) and
+      // their repetition test short-circuits to `c = 2`: membership in
+      // the hot set PROVES corpus count >= 2 (sample count >= 2 on a
+      // subset of the corpus), and duplicateSpans only needs the >= 2
+      // predicate, never the count value. Cold rows keep the exact
+      // windowed count over (h, 0) — the same groups as the unguarded
+      // window. Output is bit-identical to the unguarded/legacy forms
+      // (OpsSpec pins it on a planted-skew corpus with a forced-hot
+      // guard).
+      val marked = whBase.join(hotHashDf(docs, hot), Seq("h"), "left")
+      val scatter = when(col("__hot"), xxhash64(col(idCol), col("pos"))).otherwise(lit(0L))
+      val byHSalt = Window.partitionBy(col("h"), scatter)
+      marked
+        .withColumn("c", when(col("__hot"), lit(2L))
+          .otherwise(count(lit(1)).over(byHSalt)))
+        .where(col("c") >= 2).select(col(idCol), col("pos"))
+    } else if (fuseWindowCount) {
       // FUSED form — THE DEFAULT since r15 (the r14 stage profile's
       // lever b, measured): the corpus-wide repetition test is ONE
       // window-count over `h` — a single exchange + in-partition sort —
@@ -692,26 +775,48 @@ object Dedup {
   def stripDuplicateSpans(docs: DataFrame, windowTokens: Int,
                           idCol: String = "doc_id", textCol: String = "text",
                           fuseWindowCount: Boolean = true,
-                          rollingHash: Boolean = true): DataFrame = {
+                          rollingHash: Boolean = true,
+                          skewGuard: Option[SpanSkewGuard] = None): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
     import org.apache.spark.sql.expressions.{Window => W}
     val L = windowTokens
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
-    // rollingHash: same codegen'd two-poly window-hash pass as
-    // [[duplicateSpans]] — see the exactness note there
-    val whRolling = docs.select(col(idCol),
-        posexplode(graft.functions.WindowHashes(col(textCol), L)))
-      .toDF(idCol, "pos", "h")
-    val whMd5 = toks.where(size(col("toks")) >= L)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), size(col("toks")) - L),
-        // chr(31) separator: without one ("ab","c") and ("a","bc")
-        // would hash equal; the DuckDB oracle mirrors with chr(31).
-        // unhex: shuffle the 16-byte binary digest, not 32 hex chars
-        i => unhex(md5(concat_ws("\u001f", slice(col("toks"), i + 1, lit(L))))))))
-      .toDF(idCol, "pos", "h")
-    val whBase = if (rollingHash) whRolling else whMd5
-    val removable = if (fuseWindowCount) {
+    val whBase = windowHashTable(docs, L, idCol, textCol, rollingHash)
+    val hot: Array[Array[Byte]] =
+      if (fuseWindowCount)
+        skewGuard.fold(Array.empty[Array[Byte]])(g =>
+          hotWindowHashes(docs, g, L, idCol, textCol, rollingHash))
+      else Array.empty
+    val removable = if (fuseWindowCount && hot.nonEmpty) {
+      // GUARDED fused form. Counts: as in [[duplicateSpans]] (hot rows
+      // short-circuit to c = 2, exact because hot membership proves
+      // corpus count >= 2). Canonical-first: the strip policy needs each
+      // hot hash's GLOBAL min (id, pos), which salted singleton groups
+      // cannot provide — so a second, hot-only restricted pass computes
+      // it with a map-side-combined aggregate (semi-join against the
+      // tiny broadcast hot set; a heavy hitter is exactly where partial
+      // aggregation collapses best) and broadcasts the result back. One
+      // extra corpus scan+hash, only when skew was detected; no extra
+      // full-row exchange.
+      val hotDf = hotHashDf(docs, hot)
+      val hotFirst = broadcast(
+        whBase.join(hotDf.select("h"), Seq("h"), "left_semi")
+          .groupBy("h")
+          .agg(min(struct(col(idCol), col("pos"))).as("__hfirst")))
+      val marked = whBase.join(hotDf, Seq("h"), "left")
+        .join(hotFirst, Seq("h"), "left")
+      val scatter = when(col("__hot"), xxhash64(col(idCol), col("pos"))).otherwise(lit(0L))
+      val byHSalt = W.partitionBy(col("h"), scatter)
+      marked
+        .withColumn("c", when(col("__hot"), lit(2L))
+          .otherwise(count(lit(1)).over(byHSalt)))
+        .withColumn("first", when(col("__hot"), col("__hfirst"))
+          .otherwise(min(struct(col(idCol), col("pos"))).over(byHSalt)))
+        .where(col("c") >= 2 &&
+          !(col(idCol) === col("first").getField(idCol) &&
+            col("pos") === col("first").getField("pos")))
+        .select(col(idCol), col("pos"))
+    } else if (fuseWindowCount) {
       // FUSED form — THE DEFAULT since r15 (same lever as
       // [[duplicateSpans]], measured: 100× 15.2 → 11.0 s, 1000×
       // 159.8 → 141.5 s in the same windows): per-hash count AND

@@ -35,10 +35,10 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
  */
 object IngestBench {
 
-  private val RecordsPerTx = 10
+  private[graft] val RecordsPerTx = 10
   private val TableNames = Seq("t0", "t1", "t2")
 
-  private val schemas: Seq[TableSchema] = TableNames.map(tn =>
+  private[graft] val schemas: Seq[TableSchema] = TableNames.map(tn =>
     TableSchema(tn, Seq(
       TableColumn("id", "integer", nullable = false, isPrimary = true),
       TableColumn("name", "text", nullable = false, isPrimary = false),
@@ -74,7 +74,7 @@ object IngestBench {
     * closed by then. Fraction ramps ~10% → ~90% across the stream.
     * Deterministic pure function of (tx, nTx) so the drop count is
     * computable exactly by generator and gate alike. */
-  private def hostileLateTx(tx: Long, nTx: Long): Boolean =
+  private[graft] def hostileLateTx(tx: Long, nTx: Long): Boolean =
     tx >= nTx / 10 && (tx % 10) < (1 + tx * 8 / nTx)
 
   private def hostileLateCount(nTx: Long): Long =
@@ -92,7 +92,7 @@ object IngestBench {
 
   /** Write `nTx` envelope lines into `files` spool files, LSN-ordered
     * within each file (the feed's index merges across files). */
-  private def genSpool(dir: String, nTx: Long, files: Int,
+  private[graft] def genSpool(dir: String, nTx: Long, files: Int,
                        eventTimed: Boolean = false,
                        hostile: Boolean = false): Unit = {
     Files.createDirectories(Paths.get(dir))

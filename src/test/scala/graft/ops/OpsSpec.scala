@@ -244,6 +244,23 @@ class OpsSpec extends SparkSpec {
       .orderBy("doc_id", "span_start")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(md5Form == spans)
+
+    // the skew guard with a FORCED-hot config (full sample, near-zero
+    // partition share -> every repeated hash flagged hot) must route all
+    // repeated rows around the window and still emit identical spans —
+    // the exactness argument exercised on its nonempty-hot branch
+    val guarded = Dedup.duplicateSpans(corpus, windowTokens = 8,
+        skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9)))
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(guarded == spans)
+    // and a guard that detects nothing hot (threshold unreachable) is
+    // the plain fused plan: same output, hot set empty
+    val coldGuard = Dedup.duplicateSpans(corpus, windowTokens = 8,
+        skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e9)))
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(coldGuard == spans)
   }
 
   test("WindowHashes: per-window 16-byte hashes match split-token identity semantics") {
@@ -304,6 +321,15 @@ class OpsSpec extends SparkSpec {
     val md5Form = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
       rollingHash = false).orderBy("doc_id").collect()
     assert(triples(md5Form) == triples(out))
+
+    // forced-hot skew guard: the salted window + broadcast hot-canonical
+    // path must reproduce the same canonical-first strip exactly (the
+    // global min(id,pos) for hot hashes comes from the restricted second
+    // pass, not the salted singleton groups)
+    val guarded = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
+      skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9)))
+      .orderBy("doc_id").collect()
+    assert(triples(guarded) == triples(out))
   }
 
   test("jaccard verification: dup pair = 1.0, near pair high, ordered cols") {
