@@ -72,6 +72,37 @@ object DiagBpeApply {
       println(f"[bpe] $label apply nested-replace=$s%.2fs (runs $s1%.2f/$s2%.2f) " +
         f"memoized=$f%.2fs (runs $f1%.2f/$f2%.2f) ratio=${f / s}%.2f")
     }
+
+    // r15 verdict task 5 (measured half): the memo's WORST case — a
+    // high-entropy vocabulary where every word occurrence is globally
+    // unique, so once the 2^20 fill-once cap saturates the hit rate is
+    // 0% and every doc pays O(merges x wordLen) uncached. Corpus:
+    // sf0.1 (or 100x with the arg) with each word suffixed by
+    // (doc_id, position) — same doc/word geometry as the memo-friendly
+    // corpus above, different only in vocabulary entropy; compare the
+    // [bpe] rows directly. Expect the saturation WARN once per executor.
+    if (args.contains("highentropy")) {
+      def hiEntropy(dir: String): DataFrame =
+        Tables(spark, dir, "documents").select(col("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            (t, i) => concat(t, lit("q"), col("doc_id") % 1000000, lit("q"), i)), " ")
+            .as("text"))
+      val heDir = if (args.contains("100x")) amp100 else sf01
+      val heLabel = if (args.contains("100x")) "100x" else "sf0.1"
+      val docs = hiEntropy(heDir)
+      def heCount(fast: Boolean): DataFrame = {
+        val f = if (fast) Bpe.tokenCountFast _ else Bpe.tokenCountAfter _
+        docs.select(col("doc_id"), f(col("text"), merges).as("n_bpe"))
+      }
+      noop(heCount(fast = true)) // warm + saturate the memo
+      val h1 = time(noop(heCount(fast = true)))
+      val n1 = time(noop(heCount(fast = false)))
+      val h2 = time(noop(heCount(fast = true)))
+      val n2 = time(noop(heCount(fast = false)))
+      println(f"[bpe] $heLabel HIGH-ENTROPY apply memoized=${math.min(h1, h2)}%.2fs " +
+        f"(runs $h1%.2f/$h2%.2f) nested-replace=${math.min(n1, n2)}%.2fs " +
+        f"(runs $n1%.2f/$n2%.2f) — memo saturated, hit rate ~0%%")
+    }
     spark.stop()
   }
 }

@@ -99,24 +99,33 @@ object DiagSpanSkew {
     val stripMode = args.contains("strip")
     val scales = Seq("100x" -> 100, "1000x" -> 1000)
       .filter { case (l, _) => !args.exists(_.endsWith("00x")) || args.contains(l) }
-    val hots = Seq("hot0" -> 0, "hot10" -> 10, "hot50" -> 50)
-      .filter { case (l, _) => !args.exists(_.startsWith("hot")) || args.contains(l) }
-    val armNames = Seq("fused", "legacy", "guard")
-      .filter(a => !args.exists(armName => Seq("fused", "legacy", "guard").contains(armName)) || args.contains(a))
+    // "uniform" = the registered bench fixtures (ScaleBench/ThirdDecade
+    // key-shift amplification, every hash duplicated xN) — the arm that
+    // decides whether a shape change may touch the REGISTERED rows
+    val hots = Seq("hot0" -> 0, "hot10" -> 10, "hot50" -> 50, "uniform" -> -1)
+      .filter { case (l, _) =>
+        !args.exists(a => a.startsWith("hot") || a == "uniform") || args.contains(l) }
+    val allArms = Seq("fused", "legacy", "aggjoin", "guard")
+    val armNames = allArms
+      .filter(a => !args.exists(allArms.contains) || args.contains(a))
 
     def run(dir: String, arm: String): DataFrame = {
       val docs = Tables(spark, dir, "documents")
-      val (fused, g) = arm match {
-        case "fused"  => (true, None)
-        case "legacy" => (false, None)
-        case "guard"  => (true, Some(Dedup.SpanSkewGuard()))
+      // (fuseWindowCount, skewGuard, legacyCheckpoint)
+      val (fused, g, ckpt) = arm match {
+        case "fused"   => (true, None, true)
+        case "legacy"  => (false, None, true)
+        case "aggjoin" => (false, None, false) // narrow agg + AQE join-back, no checkpoint
+        case "guard"   => (true, Some(Dedup.SpanSkewGuard()), true)
       }
       if (stripMode)
         Dedup.stripDuplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
-          fuseWindowCount = fused, rollingHash = true, skewGuard = g)
+          fuseWindowCount = fused, rollingHash = true, skewGuard = g,
+          legacyCheckpoint = ckpt)
       else
         Dedup.duplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
-          fuseWindowCount = fused, rollingHash = true, skewGuard = g)
+          fuseWindowCount = fused, rollingHash = true, skewGuard = g,
+          legacyCheckpoint = ckpt)
     }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -130,11 +139,22 @@ object DiagSpanSkew {
 
     val what = if (stripMode) "strip" else "spans"
     for ((hotLabel, hotPct) <- hots; (scaleLabel, factor) <- scales) {
-      val dir = s"/tmp/graft_spanskew_${factor}x_$hotLabel"
-      buildFixture(spark, sf01, dir, factor, hotPct)
+      val dir =
+        if (hotPct < 0) { // registered bench fixtures
+          if (factor == 100) {
+            val d = sys.env.getOrElse("SPARK_GRAFT_AMPLIFIED100_DIR", "/tmp/graft_sf10_documents")
+            ScaleBench.amplify(spark, sf01, d, factor = 100, tables = Seq("documents")); d
+          } else {
+            val d = sys.env.getOrElse("SPARK_GRAFT_AMPLIFIED1000_DIR", "/tmp/graft_sf100_documents")
+            ThirdDecade.amplify1000(spark, sf01, d, factor = 1000); d
+          }
+        } else {
+          val d = s"/tmp/graft_spanskew_${factor}x_$hotLabel"
+          buildFixture(spark, sf01, d, factor, hotPct); d
+        }
       // warmup every arm's plan shape on a small same-shape fixture
-      val warmDir = s"/tmp/graft_spanskew_1x_$hotLabel"
-      buildFixture(spark, sf01, warmDir, 1, hotPct)
+      val warmDir = s"/tmp/graft_spanskew_1x_${if (hotPct < 0) "hot0" else hotLabel}"
+      buildFixture(spark, sf01, warmDir, 1, math.max(0, hotPct))
       armNames.foreach(a => noop(run(warmDir, a)))
       // two alternating passes per arm so window drift lands on all
       val t1 = armNames.map(a => a -> time(noop(run(dir, a))))

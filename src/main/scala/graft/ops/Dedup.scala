@@ -698,7 +698,8 @@ object Dedup {
                      idCol: String = "doc_id", textCol: String = "text",
                      fuseWindowCount: Boolean = true,
                      rollingHash: Boolean = true,
-                     skewGuard: Option[SpanSkewGuard] = None): DataFrame = {
+                     skewGuard: Option[SpanSkewGuard] = None,
+                     legacyCheckpoint: Boolean = true): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
     import org.apache.spark.sql.expressions.Window
     val L = windowTokens
@@ -743,12 +744,28 @@ object Dedup {
       val byH = Window.partitionBy("h")
       whBase.withColumn("c", count(lit(1)).over(byH))
         .where(col("c") >= 2).select(col(idCol), col("pos"))
-    } else {
+    } else if (legacyCheckpoint) {
       // pre-r15 form, kept as the A/B reference: feeds the dup
       // aggregate AND the join-back off one checkpointed scan
       val wh = whBase.localCheckpoint()
       val dup = wh.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") >= 2).select("h")
       wh.join(dup, "h").select(col(idCol), col("pos"))
+    } else {
+      // AGG+JOIN candidate shape (r15 verdict task 4): the repetition
+      // test shuffles ONLY the 16-byte hash through a map-side-combined
+      // aggregate — never the full (id, pos, h) rows — and the dup-hash
+      // set filters the table via the join-back. The checkpoint that
+      // motivated the r14 protocol is GONE: the codegen'd rolling-hash
+      // pass made recomputing the window-hash table cheaper than
+      // materializing 10^9 rows of it. On a realistic (singleton-
+      // dominated) corpus the dup side is tiny and AQE converts the
+      // join-back to a BROADCAST at runtime — the full-row table then
+      // never shuffles at all, and the shape is skew-immune on both
+      // stages (partial aggregation; no per-h window anywhere). When
+      // the dup side is large, AQE keeps a skew-splittable shuffle join.
+      val dup = whBase.groupBy("h").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2).select("h")
+      whBase.join(dup, "h").select(col(idCol), col("pos"))
     }
     val byDoc = Window.partitionBy(idCol).orderBy("pos")
     val grouped = starts
@@ -776,7 +793,8 @@ object Dedup {
                           idCol: String = "doc_id", textCol: String = "text",
                           fuseWindowCount: Boolean = true,
                           rollingHash: Boolean = true,
-                          skewGuard: Option[SpanSkewGuard] = None): DataFrame = {
+                          skewGuard: Option[SpanSkewGuard] = None,
+                          legacyCheckpoint: Boolean = true): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
     import org.apache.spark.sql.expressions.{Window => W}
     val L = windowTokens
@@ -834,12 +852,24 @@ object Dedup {
           !(col(idCol) === col("first").getField(idCol) &&
             col("pos") === col("first").getField("pos")))
         .select(col(idCol), col("pos"))
-    } else {
+    } else if (legacyCheckpoint) {
       val wh = whBase.localCheckpoint()
       val byHash = wh.groupBy("h").agg(
         count(lit(1)).as("c"),
         min(struct(col(idCol), col("pos"))).as("first"))
       wh.join(byHash.where(col("c") >= 2), "h")
+        .where(!(col(idCol) === col("first").getField(idCol) &&
+          col("pos") === col("first").getField("pos")))
+        .select(col(idCol), col("pos"))
+    } else {
+      // AGG+JOIN candidate shape — see [[duplicateSpans]]. The strip
+      // aggregate additionally carries min(struct(id, pos)) per hash:
+      // a wider dup side (count + canonical per dup hash) but the same
+      // narrow-shuffle / AQE-broadcast / skew-immune structure.
+      val byHash = whBase.groupBy("h").agg(
+        count(lit(1)).as("c"),
+        min(struct(col(idCol), col("pos"))).as("first"))
+      whBase.join(byHash.where(col("c") >= 2), "h")
         .where(!(col(idCol) === col("first").getField(idCol) &&
           col("pos") === col("first").getField("pos")))
         .select(col(idCol), col("pos"))

@@ -261,6 +261,13 @@ class OpsSpec extends SparkSpec {
       .orderBy("doc_id", "span_start")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(coldGuard == spans)
+
+    // the checkpoint-free agg+join candidate shape (r16): same spans
+    val aggJoin = Dedup.duplicateSpans(corpus, windowTokens = 8,
+        fuseWindowCount = false, legacyCheckpoint = false)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(aggJoin == spans)
   }
 
   test("WindowHashes: per-window 16-byte hashes match split-token identity semantics") {
@@ -330,6 +337,11 @@ class OpsSpec extends SparkSpec {
       skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9)))
       .orderBy("doc_id").collect()
     assert(triples(guarded) == triples(out))
+
+    // checkpoint-free agg+join candidate shape (r16): identical strip
+    val aggJoin = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
+      fuseWindowCount = false, legacyCheckpoint = false).orderBy("doc_id").collect()
+    assert(triples(aggJoin) == triples(out))
   }
 
   test("jaccard verification: dup pair = 1.0, near pair high, ordered cols") {
