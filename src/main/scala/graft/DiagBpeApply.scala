@@ -82,11 +82,20 @@ object DiagBpeApply {
     // corpus above, different only in vocabulary entropy; compare the
     // [bpe] rows directly. Expect the saturation WARN once per executor.
     if (args.contains("highentropy")) {
-      def hiEntropy(dir: String): DataFrame =
+      def hiEntropy(dir: String): DataFrame = {
+        // prime modulus: the amplification key-shift (10^8) must not
+        // divide it, or every copy would reuse the base's suffixes and
+        // the vocabulary would stop growing with the corpus. The suffix
+        // must be LETTERS (translate digits) — BPE symbols are [a-z]
+        // runs, so digit suffixes would split into a tiny run vocabulary
+        // instead of a high-entropy one.
+        def letters(c: org.apache.spark.sql.Column) =
+          translate(c.cast("string"), "0123456789", "qwertyuiop")
         Tables(spark, dir, "documents").select(col("doc_id"),
           array_join(transform(split(col("text"), " "),
-            (t, i) => concat(t, lit("q"), col("doc_id") % 1000000, lit("q"), i)), " ")
+            (t, i) => concat(t, letters(col("doc_id") % 999983L), letters(i))), " ")
             .as("text"))
+      }
       val heDir = if (args.contains("100x")) amp100 else sf01
       val heLabel = if (args.contains("100x")) "100x" else "sf0.1"
       val docs = hiEntropy(heDir)
