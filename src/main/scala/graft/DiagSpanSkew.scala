@@ -105,7 +105,11 @@ object DiagSpanSkew {
     val hots = Seq("hot0" -> 0, "hot10" -> 10, "hot50" -> 50, "uniform" -> -1)
       .filter { case (l, _) =>
         !args.exists(a => a.startsWith("hot") || a == "uniform") || args.contains(l) }
-    val allArms = Seq("fused", "legacy", "aggjoin", "guard")
+    // "fused_oldisl": the fused count shape with the pre-r16 relational
+    // island pass — alternates IN-JVM against "fused" so the island-axis
+    // A/B is drift-robust (sequential JVM invocations measured 2x apart
+    // in one ambient swing)
+    val allArms = Seq("fused", "fused_oldisl", "legacy", "aggjoin", "guard")
     val armNames = allArms
       .filter(a => !args.exists(allArms.contains) || args.contains(a))
 
@@ -113,19 +117,20 @@ object DiagSpanSkew {
       val docs = Tables(spark, dir, "documents")
       // (fuseWindowCount, skewGuard, legacyCheckpoint)
       val (fused, g, ckpt) = arm match {
-        case "fused"   => (true, None, true)
+        case "fused" | "fused_oldisl" => (true, None, true)
         case "legacy"  => (false, None, true)
         case "aggjoin" => (false, None, false) // narrow agg + AQE join-back, no checkpoint
         case "guard"   => (true, Some(Dedup.SpanSkewGuard()), true)
       }
+      val islands = arm != "fused_oldisl" && !args.contains("oldislands")
       if (stripMode)
         Dedup.stripDuplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
           fuseWindowCount = fused, rollingHash = true, skewGuard = g,
-          legacyCheckpoint = ckpt)
+          legacyCheckpoint = ckpt, islandAgg = islands)
       else
         Dedup.duplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
           fuseWindowCount = fused, rollingHash = true, skewGuard = g,
-          legacyCheckpoint = ckpt)
+          legacyCheckpoint = ckpt, islandAgg = islands)
     }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

@@ -699,7 +699,8 @@ object Dedup {
                      fuseWindowCount: Boolean = true,
                      rollingHash: Boolean = true,
                      skewGuard: Option[SpanSkewGuard] = None,
-                     legacyCheckpoint: Boolean = true): DataFrame = {
+                     legacyCheckpoint: Boolean = true,
+                     islandAgg: Boolean = true): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
     import org.apache.spark.sql.expressions.Window
     val L = windowTokens
@@ -767,15 +768,35 @@ object Dedup {
         .where(col("c") >= 2).select("h")
       whBase.join(dup, "h").select(col(idCol), col("pos"))
     }
-    val byDoc = Window.partitionBy(idCol).orderBy("pos")
-    val grouped = starts
-      .withColumn("brk", when(col("pos") - lag("pos", 1).over(byDoc) > L, 1).otherwise(0))
-      .withColumn("g", sum("brk").over(byDoc))
-    grouped.groupBy(col(idCol), col("g"))
-      .agg(min("pos").cast("long").as("span_start"),
-        (max("pos") + L - 1).cast("long").as("span_end"),
-        count(lit(1)).as("n_windows"))
-      .drop("g")
+    if (islandAgg) {
+      // r16 DEFAULT: per-doc island merge as ONE hash aggregate + a
+      // codegen'd per-row call ([[graft.functions.PosIslands]]) — the
+      // exchange is the same (survivor rows keyed by doc) but reached
+      // through ObjectHashAggregate's map-side partials instead of a
+      // sort-based window, removing the survivor-table-wide sort + lag
+      // + running-sum + second aggregate. On the all-duplicate extreme
+      // (uniform amplified fixtures: EVERY window survives) that sort
+      // is 10^8 rows; per-doc arrays stay bounded by windows/doc.
+      // Measured (DiagSpanSkew uniform 1000x): see SCALING.md r16.
+      starts.groupBy(col(idCol)).agg(collect_list(col("pos")).as("__ps"))
+        .select(col(idCol),
+          explode(graft.functions.PosIslands(col("__ps"), L)).as("__sp"))
+        .select(col(idCol),
+          col("__sp.span_start").as("span_start"),
+          col("__sp.span_end").as("span_end"),
+          col("__sp.n_windows").as("n_windows"))
+    } else {
+      // pre-r16 relational island pass, kept as the A/B reference
+      val byDoc = Window.partitionBy(idCol).orderBy("pos")
+      val grouped = starts
+        .withColumn("brk", when(col("pos") - lag("pos", 1).over(byDoc) > L, 1).otherwise(0))
+        .withColumn("g", sum("brk").over(byDoc))
+      grouped.groupBy(col(idCol), col("g"))
+        .agg(min("pos").cast("long").as("span_start"),
+          (max("pos") + L - 1).cast("long").as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .drop("g")
+    }
   }
 
   /**
@@ -794,7 +815,8 @@ object Dedup {
                           fuseWindowCount: Boolean = true,
                           rollingHash: Boolean = true,
                           skewGuard: Option[SpanSkewGuard] = None,
-                          legacyCheckpoint: Boolean = true): DataFrame = {
+                          legacyCheckpoint: Boolean = true,
+                          islandAgg: Boolean = true): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
     import org.apache.spark.sql.expressions.{Window => W}
     val L = windowTokens
@@ -886,15 +908,30 @@ object Dedup {
     // r14). The per-token interval test is an interpreted higher-order
     // lambda, but it is O(tokens·spans/doc) CPU with ZERO shuffle —
     // the shuffles were the cost, not the compare.
-    import org.apache.spark.sql.expressions.Window
-    val byDoc = Window.partitionBy(idCol).orderBy("pos")
-    val intervals = removable
-      .withColumn("brk", when(col("pos") - lag("pos", 1).over(byDoc) > L, 1).otherwise(0))
-      .withColumn("g", sum("brk").over(byDoc))
-      .groupBy(col(idCol), col("g"))
-      .agg(min("pos").cast("int").as("s"), (max("pos") + L - 1).cast("int").as("e"))
-      .groupBy(idCol)
-      .agg(collect_list(struct(col("s"), col("e"))).as("__rm"))
+    val intervals = if (islandAgg) {
+      // r16 DEFAULT: interval merge via ONE hash aggregate + the
+      // codegen'd [[graft.functions.PosIslands]] call (see
+      // [[duplicateSpans]]) — and the per-doc interval LIST falls
+      // straight out of the same call (a narrow transform over a
+      // handful of islands), removing the pre-r16 form's window pass,
+      // intermediate aggregate, AND the re-collect of intervals.
+      removable.groupBy(col(idCol)).agg(collect_list(col("pos")).as("__ps"))
+        .select(col(idCol), transform(
+          graft.functions.PosIslands(col("__ps"), L),
+          r => struct(r.getField("span_start").cast("int").as("s"),
+            r.getField("span_end").cast("int").as("e"))).as("__rm"))
+    } else {
+      // pre-r16 relational interval pass, kept as the A/B reference
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy(idCol).orderBy("pos")
+      removable
+        .withColumn("brk", when(col("pos") - lag("pos", 1).over(byDoc) > L, 1).otherwise(0))
+        .withColumn("g", sum("brk").over(byDoc))
+        .groupBy(col(idCol), col("g"))
+        .agg(min("pos").cast("int").as("s"), (max("pos") + L - 1).cast("int").as("e"))
+        .groupBy(idCol)
+        .agg(collect_list(struct(col("s"), col("e"))).as("__rm"))
+    }
     toks.join(intervals, Seq(idCol), "left")
       .select(col(idCol), col("toks"),
         when(col("__rm").isNull, col("toks")).otherwise(

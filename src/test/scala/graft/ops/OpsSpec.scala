@@ -268,6 +268,34 @@ class OpsSpec extends SparkSpec {
       .orderBy("doc_id", "span_start")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(aggJoin == spans)
+
+    // the pre-r16 relational island pass (sort-based window + lag +
+    // running sum) must emit the same spans as the PosIslands default
+    val oldIslands = Dedup.duplicateSpans(corpus, windowTokens = 8, islandAgg = false)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(oldIslands == spans)
+  }
+
+  test("PosIslands: unsorted input, break rule, counts, empty") {
+    import graft.functions.PosIslands
+    val df = Seq(
+      (1L, Seq(9, 2, 3, 4)),     // unsorted; 2,3,4 contiguous, 9 within 2+ of 4? gap 9-4=5 > L=3 -> break
+      (2L, Seq(5)),              // single start
+      (3L, Seq.empty[Int])       // no survivors
+    ).toDF("id", "ps")
+    val out = df.select($"id", PosIslands($"ps", 3).as("sp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))))
+      .toMap
+    assert(out(1L) == Seq((2L, 6L, 3L), (9L, 11L, 1L)))
+    assert(out(2L) == Seq((5L, 7L, 1L)))
+    assert(out(3L) == Seq())
+    // boundary: gap exactly L merges (p' - p <= L)
+    val b = df.sparkSession.range(1).select(
+      PosIslands(typedLit(Seq(0, 3)), 3).as("sp")).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(b.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))) == Seq((0L, 5L, 2L)))
   }
 
   test("WindowHashes: per-window 16-byte hashes match split-token identity semantics") {
@@ -342,6 +370,11 @@ class OpsSpec extends SparkSpec {
     val aggJoin = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
       fuseWindowCount = false, legacyCheckpoint = false).orderBy("doc_id").collect()
     assert(triples(aggJoin) == triples(out))
+
+    // pre-r16 relational interval pass ≡ the PosIslands default
+    val oldIslands = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
+      islandAgg = false).orderBy("doc_id").collect()
+    assert(triples(oldIslands) == triples(out))
   }
 
   test("jaccard verification: dup pair = 1.0, near pair high, ordered cols") {
