@@ -16,6 +16,11 @@ Gates (either failing refuses adoption):
      r14 end-of-round map the driver mistakenly committed carried an
      11.2x q_stats_agg spread and a 3.3x q_ann_pq spread. 4.0 separates
      the populations with margin on both sides.
+  3. uniform drift (r16): |log geomean| vs the previous adopt beyond
+     --max-geomean (default 1.08) while fewer than 3 rows cross the
+     per-row 1.5x/0.25s threshold = an ambient window in either
+     direction, refused (code changes move specific rows; windows move
+     all rows a little). --force for deliberate global changes.
 
 Since r16 Bench writes its run to BENCH_LAST_RUN.json (gitignored) and
 never touches BENCH_QUERIES.json — this gate's --adopt is the ONLY path
@@ -76,6 +81,7 @@ def compare(cand, base, label):
         print(f"    improved  {name}: {b:.3f} -> {c:.3f} ({c / b:.2f}x)")
     if not regressed and not improved:
         print("    no rows past the 1.5x/0.25s threshold in either direction")
+    return geomean, len(regressed) + len(improved)
 
 
 def main():
@@ -84,6 +90,7 @@ def main():
     ap.add_argument("--prev", default="HEAD")
     ap.add_argument("--prior-round", default=None)
     ap.add_argument("--max-spread", type=float, default=4.0)
+    ap.add_argument("--max-geomean", type=float, default=1.08)
     ap.add_argument("--adopt", action="store_true")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
@@ -117,7 +124,25 @@ def main():
         print(f"candidate {cand_src}: total {cand.get('value')}, no spread rows")
 
     prev, prev_src = load(args.prev)
-    compare(cand, prev, f"previous adopt ({prev_src})")
+    drift = compare(cand, prev, f"previous adopt ({prev_src})")
+    # Gate 3 (r16): refuse UNIFORM drift — a geomean shifted past
+    # --max-geomean with (almost) no per-row 1.5x/0.25s flags is an
+    # ambient window, not a code change (r16's 1.235-geomean slow-window
+    # map passed gates 1+2 cleanly: host quiet by the sentinels' own
+    # standard, spread 2.26x). Real code changes move SPECIFIC rows past
+    # the threshold; ambient drift moves ALL rows a little. Refused in
+    # BOTH directions — an ambient-FAST window would set a reference
+    # that false-flags every later honest run. A deliberate global
+    # change (session config, Spark upgrade) uses --force.
+    if drift is not None:
+        geomean, flagged = drift
+        if abs(math.log(geomean)) > math.log(args.max_geomean) and flagged < 3:
+            failures.append(
+                f"uniform drift: geomean {geomean:.3f} vs previous adopt with "
+                f"only {flagged} per-row threshold flags — an ambient window "
+                f"(gate {args.max_geomean}); re-run in a calibrated-quiet "
+                f"window (DiagRuns q_dedup_embed steady 0.35-0.5s) or --force "
+                f"for a deliberate global change")
     if args.prior_round:
         prior, prior_src = load(args.prior_round)
         compare(cand, prior, f"prior round ({prior_src})")
