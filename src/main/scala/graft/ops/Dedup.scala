@@ -611,7 +611,7 @@ object Dedup {
           // chr(31) separator: without one ("ab","c") and ("a","bc")
           // would hash equal; the DuckDB oracle mirrors with chr(31).
           // unhex: shuffle the 16-byte binary digest, not 32 hex chars
-          i => unhex(md5(concat_ws("", slice(col("toks"), i + 1, lit(L))))))))
+          i => unhex(md5(concat_ws("\u001f", slice(col("toks"), i + 1, lit(L))))))))
         .toDF(idCol, "pos", "h")
 
   /**
@@ -693,6 +693,17 @@ object Dedup {
    * replays all three stages in SQL; OpsSpec pins hand-computed extents
    * on a planted cross-doc copy, a within-doc repeat, and the
    * straddling-chunk-boundary case chunk dedup misses.
+   *
+   * DETERMINISM REQUIREMENT: `skewGuard` (its sample pass) and
+   * `legacyCheckpoint=false` (the agg+join shape's self-join) both
+   * evaluate the `docs` plan MORE THAN ONCE. If `docs` is
+   * nondeterministic (rand()-derived text, an un-seeded sample(), a
+   * non-idempotent source), the passes can disagree — in the guard's
+   * case voiding the "sample is a subset of the corpus" argument behind
+   * the c=2 short-circuit. `localCheckpoint()` such inputs first (the
+   * legacy default pins exactly this). Passing `skewGuard` also
+   * triggers eager Spark jobs at plan-CONSTRUCTION time (the sample
+   * aggregate + collect), not at action time.
    */
   def duplicateSpans(docs: DataFrame, windowTokens: Int,
                      idCol: String = "doc_id", textCol: String = "text",
@@ -809,6 +820,11 @@ object Dedup {
    * same property the reference recipe's byte-range cuts have. Linear:
    * the ×L expansion runs over REMOVABLE window starts only, never the
    * corpus. Returns every input row with `text_stripped` + `n_removed`.
+   *
+   * DETERMINISM REQUIREMENT: as in [[duplicateSpans]] — `skewGuard`
+   * and `legacyCheckpoint=false` re-evaluate the `docs` plan;
+   * nondeterministic inputs must be `localCheckpoint()`ed first, and
+   * passing `skewGuard` runs eager jobs at plan-construction time.
    */
   def stripDuplicateSpans(docs: DataFrame, windowTokens: Int,
                           idCol: String = "doc_id", textCol: String = "text",

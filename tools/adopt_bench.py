@@ -18,8 +18,9 @@ Gates (either failing refuses adoption):
      the populations with margin on both sides.
   3. geomean drift (r16): |log geomean| vs the previous adopt beyond
      --max-geomean (default 1.08) = an ambient window in either
-     direction, refused. A genuine few-row code change cannot move a
-     151-row geomean 8%; lumpy ambient drift can even push untouched
+     direction, refused — on geomean alone, regardless of how many
+     rows cross the per-row threshold. A genuine few-row code change
+     cannot move a full-map geomean 8%; lumpy ambient drift can even push untouched
      rows past the per-row threshold (r16: 7 such rows in a
      1.19-geomean window). --force for deliberate global changes.
 
@@ -82,7 +83,7 @@ def compare(cand, base, label):
         print(f"    improved  {name}: {b:.3f} -> {c:.3f} ({c / b:.2f}x)")
     if not regressed and not improved:
         print("    no rows past the 1.5x/0.25s threshold in either direction")
-    return geomean, len(regressed) + len(improved)
+    return geomean, len(regressed) + len(improved), len(shared)
 
 
 def main():
@@ -136,13 +137,13 @@ def main():
     # that false-flags every later honest run. A deliberate global
     # change (session config, Spark upgrade) uses --force.
     if drift is not None:
-        geomean, flagged = drift
+        geomean, flagged, nshared = drift
         if abs(math.log(geomean)) > math.log(args.max_geomean):
             failures.append(
                 f"geomean drift {geomean:.3f} vs previous adopt exceeds the "
                 f"{args.max_geomean} gate ({flagged} rows past the per-row "
                 f"threshold) — a genuine few-row code change cannot move a "
-                f"151-row geomean this far; this is an ambient window (lumpy "
+                f"{nshared}-row geomean this far; this is an ambient window (lumpy "
                 f"drift can even push untouched rows past 1.5x, as r16's "
                 f"1.19-geomean window did to 7 of them). Re-run in a "
                 f"calibrated-quiet window (DiagRuns q_dedup_embed steady "
