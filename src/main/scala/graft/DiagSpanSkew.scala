@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
  *
  * Usage (dup-span family env protocol):
  *   SPARK_DRIVER_MEM=16g SPARK_GRAFT_SHUFFLE=64 SPARK_GRAFT_CPUS=32 \
- *     sbt "runMain graft.DiagSpanSkew [strip] [100x|1000x] [hot0|hot10|hot50] [fused|legacy|guard ...]"
+ *     sbt "runMain graft.DiagSpanSkew [strip] [100x|1000x] [hot0|hot10|hot50|hot100] [fused|legacy|guard ...]"
  * Prints seconds; never merges into SCALING_1000.json.
  */
 object DiagSpanSkew {
@@ -72,6 +72,8 @@ object DiagSpanSkew {
         .otherwise(col("t1")))
       .withColumn("t3",
         if (hotPct <= 0) col("t2")
+        else if (hotPct >= 100) // hot100: EVERY doc carries the boilerplate
+          concat(col("t2"), lit(" "), lit(boiler))
         else when(col("key") % (100 / hotPct) === 1,
           concat(col("t2"), lit(" "), lit(boiler))).otherwise(col("t2")))
       .select(col("key").as("doc_id"), col("t3").as("text"))
@@ -102,7 +104,11 @@ object DiagSpanSkew {
     // "uniform" = the registered bench fixtures (ScaleBench/ThirdDecade
     // key-shift amplification, every hash duplicated xN) — the arm that
     // decides whether a shape change may touch the REGISTERED rows
-    val hots = Seq("hot0" -> 0, "hot10" -> 10, "hot50" -> 50, "uniform" -> -1)
+    // hot100 (r16 verdict): every doc carries the boilerplate — ~1e8
+    // occurrences of ONE hash at 1000x, the next decade above hot50's
+    // ~5e7, where the fused-vs-guard crossover claim was extrapolated
+    val hots = Seq("hot0" -> 0, "hot10" -> 10, "hot50" -> 50,
+                   "hot100" -> 100, "uniform" -> -1)
       .filter { case (l, _) =>
         !args.exists(a => a.startsWith("hot") || a == "uniform") || args.contains(l) }
     // "fused_oldisl": the fused count shape with the pre-r16 relational

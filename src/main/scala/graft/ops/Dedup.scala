@@ -630,11 +630,31 @@ object Dedup {
    * when its SAMPLE count is >= 2, and the sample is a subset of the
    * corpus, so every flagged hash truly repeats; a missed heavy hitter
    * just stays on the (slow but exact) window path.
+   *
+   * AUTO-ENABLED since r17 (the default `skewGuard` of the span
+   * operators): the fused-vs-guard crossover was MEASURED one decade
+   * above r16's hot50 tie — at ~1e8 occurrences of ONE window hash
+   * (hot100 at 1000x, DiagSpanSkew) the fused window loses 2.2x
+   * (spans 183.7 vs 85.1 s), so from ~2x an average partition's mass up
+   * the salt is no longer optional insurance. Flagging is still the
+   * scale-relative partition-share rule (0.25x an average partition's
+   * sampled mass), which on the measured fixtures fires at the hot50
+   * tie point (harmless) and the hot100 crossover (necessary).
+   * `minInputBytes` skips the sample pass entirely when the optimizer's
+   * size estimate (`stats.sizeInBytes` — static file sizes for parquet,
+   * no job) is below ~256 MiB: there, the worst-case straggler loss is
+   * the same order as the sample pass's own fixed cost (a corpus that
+   * small tops out near the measured tie region), so small inputs —
+   * including every oracle/bench corpus — keep a byte-identical plan
+   * and zero eager work. Streaming inputs always skip (a sample/collect
+   * cannot run on an unstarted stream). Set `skewGuard = None` to force
+   * the pure fused plan, or `minInputBytes = 0` to force sampling.
    */
   final case class SpanSkewGuard(sampleRate: Double = 0.002,
                                  partitionShare: Double = 0.25,
                                  maxHotHashes: Int = 10000,
-                                 seed: Long = 42L)
+                                 seed: Long = 42L,
+                                 minInputBytes: Long = 256L << 20)
 
   /** The guard's sample pass: hot window hashes as driver-side bytes
     * (bounded by `maxHotHashes`, largest first; a deeper hot tail stays
@@ -643,6 +663,9 @@ object Dedup {
   private def hotWindowHashes(docs: DataFrame, g: SpanSkewGuard, L: Int,
                               idCol: String, textCol: String,
                               rollingHash: Boolean): Array[Array[Byte]] = {
+    if (docs.isStreaming) return Array.empty
+    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <
+          BigInt(g.minInputBytes)) return Array.empty
     val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val agg = windowHashTable(docs.sample(g.sampleRate, g.seed), L, idCol, textCol, rollingHash)
       .groupBy("h").agg(count(lit(1)).as("c")).persist()
@@ -694,14 +717,21 @@ object Dedup {
    * on a planted cross-doc copy, a within-doc repeat, and the
    * straddling-chunk-boundary case chunk dedup misses.
    *
-   * DETERMINISM REQUIREMENT: `skewGuard` (its sample pass) and
-   * `legacyCheckpoint=false` (the agg+join shape's self-join) both
-   * evaluate the `docs` plan MORE THAN ONCE. If `docs` is
-   * nondeterministic (rand()-derived text, an un-seeded sample(), a
-   * non-idempotent source), the passes can disagree — in the guard's
-   * case voiding the "sample is a subset of the corpus" argument behind
-   * the c=2 short-circuit. `localCheckpoint()` such inputs first (the
-   * legacy default pins exactly this). Passing `skewGuard` also
+   * The skew guard is ON by default since r17 (measured crossover: at
+   * ~1e8 occurrences of one window hash the fused window loses 2.2x —
+   * see [[SpanSkewGuard]]); its sample pass self-disables below
+   * `minInputBytes` (~256 MiB), so small inputs keep a byte-identical
+   * plan with zero eager work.
+   *
+   * DETERMINISM REQUIREMENT: an ACTIVE `skewGuard` (its sample pass,
+   * input >= `minInputBytes`) and `legacyCheckpoint=false` (the
+   * agg+join shape's self-join) both evaluate the `docs` plan MORE THAN
+   * ONCE. If `docs` is nondeterministic (rand()-derived text, an
+   * un-seeded sample(), a non-idempotent source), the passes can
+   * disagree — in the guard's case voiding the "sample is a subset of
+   * the corpus" argument behind the c=2 short-circuit.
+   * `localCheckpoint()` such inputs first (the legacy default pins
+   * exactly this), or pass `skewGuard = None`. An active guard also
    * triggers eager Spark jobs at plan-CONSTRUCTION time (the sample
    * aggregate + collect), not at action time.
    */
@@ -709,7 +739,7 @@ object Dedup {
                      idCol: String = "doc_id", textCol: String = "text",
                      fuseWindowCount: Boolean = true,
                      rollingHash: Boolean = true,
-                     skewGuard: Option[SpanSkewGuard] = None,
+                     skewGuard: Option[SpanSkewGuard] = Some(SpanSkewGuard()),
                      legacyCheckpoint: Boolean = true,
                      islandAgg: Boolean = true): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
@@ -821,16 +851,18 @@ object Dedup {
    * the ×L expansion runs over REMOVABLE window starts only, never the
    * corpus. Returns every input row with `text_stripped` + `n_removed`.
    *
-   * DETERMINISM REQUIREMENT: as in [[duplicateSpans]] — `skewGuard`
+   * DETERMINISM REQUIREMENT: as in [[duplicateSpans]] — an active
+   * `skewGuard` (ON by default, self-disabled below `minInputBytes`)
    * and `legacyCheckpoint=false` re-evaluate the `docs` plan;
-   * nondeterministic inputs must be `localCheckpoint()`ed first, and
-   * passing `skewGuard` runs eager jobs at plan-construction time.
+   * nondeterministic inputs must be `localCheckpoint()`ed first (or
+   * pass `skewGuard = None`), and an active guard runs eager jobs at
+   * plan-construction time.
    */
   def stripDuplicateSpans(docs: DataFrame, windowTokens: Int,
                           idCol: String = "doc_id", textCol: String = "text",
                           fuseWindowCount: Boolean = true,
                           rollingHash: Boolean = true,
-                          skewGuard: Option[SpanSkewGuard] = None,
+                          skewGuard: Option[SpanSkewGuard] = Some(SpanSkewGuard()),
                           legacyCheckpoint: Boolean = true,
                           islandAgg: Boolean = true): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")

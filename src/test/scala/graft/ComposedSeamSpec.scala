@@ -20,15 +20,18 @@ import org.apache.spark.sql.functions._
  *  1. ID-granular conservation (STRONGER than IngestBench's count gate):
  *     stored ∪ pending ids == fed ids minus the generator's dropped-late
  *     set, with stored and pending disjoint.
- *  2. Span exactness on the artifact: each stored id becomes a document
- *     of 12 consecutive tokens w(id)..w(id+11), so window multiplicity
- *     is a sharp function of WHICH ids survived — a single wrongly
- *     dropped/kept/duplicated record changes span extents. The spans and
- *     strips computed from the pipeline's artifacts must equal those
- *     computed from an independently constructed corpus over the same
- *     id set (generator predicate minus observed pending) — covering
- *     artifact round-trip quirks (schema, types, window partitioning of
- *     the store) that the count gates cannot see.
+ *  2. Span exactness on the artifact, CONTENT-BEARING (r16 verdict):
+ *     each stored ROW becomes a document whose tokens derive from the
+ *     PAYLOAD columns — the 12 consecutive w-tokens from the tx/i
+ *     parsed out of `name`, plus a 13th token encoding `v` — not from
+ *     the id column alone. The spans and strips computed from the
+ *     pipeline's artifacts must equal those computed from an
+ *     independently constructed corpus over the same id set (generator
+ *     predicate minus observed pending), so the gate detects VALUE
+ *     corruption through the artifact seam (schema, types, encoding,
+ *     window partitioning of the store), not just id-set/duplication
+ *     drift gate 1 mostly covers. A negative arm perturbs one stored
+ *     row's `v` (and one `name`) and asserts the gate flips.
  */
 class ComposedSeamSpec extends SparkSpec {
 
@@ -36,10 +39,29 @@ class ComposedSeamSpec extends SparkSpec {
     if (!Files.exists(root)) Seq.empty
     else graft.core.FsUtil.listDir(root)
 
-  /** doc per id: 12 consecutive synthetic tokens — L=8 gives 5 windows
-    * per doc and every window is shared with up to 4 id-neighbors. */
-  private def docsOf(ids: DataFrame): DataFrame = {
-    val toks = (0 to 11).map(j => concat(lit("w"), (col("id") + lit(j)).cast("long")))
+  /** doc per stored ROW, payload-derived: k is parsed from `name`
+    * ("row-<tx>-<i>-payload-…" → tx*RecordsPerTx+i, == id only when the
+    * payload survived the seam intact), the 12 consecutive w(k)..w(k+11)
+    * tokens give 5 shared windows per doc at L=8, and a 13th token
+    * encodes `v` (v = (id%1000)+0.25 ⇒ v*100 exact in double). The
+    * v-window is a singleton (its w-tokens are id-unique) so the v token
+    * always survives the strip — any v corruption shows in
+    * `text_stripped` even when span extents are unchanged. */
+  private def docsOfRows(rows: DataFrame): DataFrame = {
+    val tx = regexp_extract(col("name"), "^row-(\\d+)-(\\d+)-", 1).cast("long")
+    val i = regexp_extract(col("name"), "^row-(\\d+)-(\\d+)-", 2).cast("long")
+    val k = tx * lit(IngestBench.RecordsPerTx.toLong) + i
+    val toks = (0 to 11).map(j => concat(lit("w"), (k + lit(j)).cast("long"))) :+
+      concat(lit("v"), (col("v") * 100).cast("long"))
+    rows.select(col("id").cast("long").as("doc_id"),
+      concat_ws(" ", toks: _*).as("text"))
+  }
+
+  /** The independent construction of the same documents from the id set
+    * alone (the generator's payload is a pure function of id). */
+  private def docsOfIds(ids: DataFrame): DataFrame = {
+    val toks = (0 to 11).map(j => concat(lit("w"), (col("id") + lit(j)).cast("long"))) :+
+      concat(lit("v"), (col("id") % 1000) * 100 + 25)
     ids.select(col("id").cast("long").as("doc_id"),
       concat_ws(" ", toks: _*).as("text"))
   }
@@ -59,9 +81,11 @@ class ComposedSeamSpec extends SparkSpec {
         latenessSeconds = 0L)))
     q.awaitTermination(600000L)
 
-    val storedIds = listParquetDirs(Paths.get(store))
-      .map(p => spark.read.parquet(p.toString).select(col("id").cast("long")))
+    val storedRows = listParquetDirs(Paths.get(store))
+      .map(p => spark.read.parquet(p.toString)
+        .select(col("id").cast("long"), col("name"), col("v")))
       .reduce(_.unionByName(_))
+    val storedIds = storedRows.select("id")
     val pendingRoot = Paths.get(s"$base/staging", "pending")
     val pendingDirs = listParquetDirs(pendingRoot).filter(Files.isDirectory(_))
       .flatMap(t => graft.core.FsUtil.listDir(t)).filter(Files.isDirectory(_))
@@ -93,23 +117,38 @@ class ComposedSeamSpec extends SparkSpec {
     // independently constructed corpus over the same ids
     import spark.implicits._
     val cleanIds = (expected -- pending).toSeq.sorted.toDF("id")
-    def spans(ids: DataFrame): Seq[(Long, Long, Long, Long)] =
-      Dedup.duplicateSpans(docsOf(ids), windowTokens = 8)
+    def spans(docs: DataFrame): Seq[(Long, Long, Long, Long)] =
+      Dedup.duplicateSpans(docs, windowTokens = 8)
         .orderBy("doc_id", "span_start").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-    def strips(ids: DataFrame): Seq[(Long, String, Long)] =
-      Dedup.stripDuplicateSpans(docsOf(ids), windowTokens = 8)
+    def strips(docs: DataFrame): Seq[(Long, String, Long)] =
+      Dedup.stripDuplicateSpans(docs, windowTokens = 8)
         .orderBy("doc_id").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
 
-    val artifactSpans = spans(storedIds.toDF("id"))
-    assert(artifactSpans == spans(cleanIds), "spans diverge through the seam")
+    val artifactSpans = spans(docsOfRows(storedRows))
+    assert(artifactSpans == spans(docsOfIds(cleanIds)),
+      "spans diverge through the seam")
     assert(artifactSpans.nonEmpty,
       "consecutive surviving ids must produce duplicate spans")
-    val artifactStrips = strips(storedIds.toDF("id"))
-    assert(artifactStrips == strips(cleanIds), "strips diverge through the seam")
+    val artifactStrips = strips(docsOfRows(storedRows))
+    assert(artifactStrips == strips(docsOfIds(cleanIds)),
+      "strips diverge through the seam")
     // the strip must actually remove tokens (neighboring docs overlap)
     assert(artifactStrips.map(_._3).sum > 0)
+
+    // negative arm: the gate must be CONTENT-bearing — perturbing one
+    // stored row's payload (same id set!) has to flip the equality
+    val victim = stored.head
+    val badV = storedRows.withColumn("v",
+      when(col("id") === victim, col("v") + 1).otherwise(col("v")))
+    assert(strips(docsOfRows(badV)) != artifactStrips,
+      "gate 2 failed to detect a perturbed v payload value")
+    val badName = storedRows.withColumn("name",
+      when(col("id") === victim,
+        concat(lit("row-999999-0-payload-x"))).otherwise(col("name")))
+    assert(strips(docsOfRows(badName)) != artifactStrips,
+      "gate 2 failed to detect a perturbed name payload value")
 
     graft.core.FsUtil.deleteRecursive(Paths.get(base))
   }

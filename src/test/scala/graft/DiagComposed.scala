@@ -47,9 +47,11 @@ object DiagComposed {
 
     def listDirs(root: java.nio.file.Path): Seq[java.nio.file.Path] =
       if (!Files.exists(root)) Seq.empty else graft.core.FsUtil.listDir(root)
-    val storedIds = listDirs(Paths.get(store))
-      .map(p => spark.read.parquet(p.toString).select(col("id").cast("long")))
-      .reduce(_.unionByName(_)).toDF("id")
+    val storedRows = listDirs(Paths.get(store))
+      .map(p => spark.read.parquet(p.toString)
+        .select(col("id").cast("long"), col("name"), col("v")))
+      .reduce(_.unionByName(_))
+    val storedIds = storedRows.select("id")
     val pendingIds = listDirs(Paths.get(s"$base/staging", "pending"))
       .filter(Files.isDirectory(_))
       .flatMap(t => graft.core.FsUtil.listDir(t)).filter(Files.isDirectory(_))
@@ -84,16 +86,31 @@ object DiagComposed {
     val gate1Sec = (System.nanoTime() - t1) / 1e9
 
     // gate 2: strip on artifact-derived docs == strip on the clean
-    // construction over the same id set (12 consecutive tokens per id)
-    def docsOf(ids: DataFrame): DataFrame = {
-      val toks = (0 to 11).map(j => concat(lit("w"), (col("id") + lit(j)).cast("long")))
+    // construction over the same id set. CONTENT-BEARING (r16 verdict,
+    // mirrors ComposedSeamSpec): the artifact side derives its tokens
+    // from the PAYLOAD columns (k parsed from `name`, a 13th token from
+    // `v`), the clean side from the id alone (the generator's payload
+    // is a pure function of id) — value corruption through the seam
+    // diverges the strip even when the id set is conserved.
+    def docsOfRows(rows: DataFrame): DataFrame = {
+      val tx = regexp_extract(col("name"), "^row-(\\d+)-(\\d+)-", 1).cast("long")
+      val i = regexp_extract(col("name"), "^row-(\\d+)-(\\d+)-", 2).cast("long")
+      val k = tx * lit(IngestBench.RecordsPerTx.toLong) + i
+      val toks = (0 to 11).map(j => concat(lit("w"), (k + lit(j)).cast("long"))) :+
+        concat(lit("v"), (col("v") * 100).cast("long"))
+      rows.select(col("id").cast("long").as("doc_id"),
+        concat_ws(" ", toks: _*).as("text"))
+    }
+    def docsOfIds(ids: DataFrame): DataFrame = {
+      val toks = (0 to 11).map(j => concat(lit("w"), (col("id") + lit(j)).cast("long"))) :+
+        concat(lit("v"), (col("id") % 1000) * 100 + 25)
       ids.select(col("id").cast("long").as("doc_id"),
         concat_ws(" ", toks: _*).as("text"))
     }
     val t2 = System.nanoTime()
-    val a = Dedup.stripDuplicateSpans(docsOf(storedIds), windowTokens = 8)
-    val b = Dedup.stripDuplicateSpans(docsOf(expected.except(pendingIds).toDF("id")),
-      windowTokens = 8)
+    val a = Dedup.stripDuplicateSpans(docsOfRows(storedRows), windowTokens = 8)
+    val b = Dedup.stripDuplicateSpans(
+      docsOfIds(expected.except(pendingIds).toDF("id")), windowTokens = 8)
     val divergent = a.except(b).count() + b.except(a).count()
     require(divergent == 0, s"strip diverges through the seam: $divergent rows")
     val nRemoved = a.agg(sum("n_removed")).head.getLong(0)

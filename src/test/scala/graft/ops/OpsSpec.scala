@@ -250,17 +250,28 @@ class OpsSpec extends SparkSpec {
     // repeated rows around the window and still emit identical spans —
     // the exactness argument exercised on its nonempty-hot branch
     val guarded = Dedup.duplicateSpans(corpus, windowTokens = 8,
-        skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9)))
+        skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9, minInputBytes = 0)))
       .orderBy("doc_id", "span_start")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(guarded == spans)
     // and a guard that detects nothing hot (threshold unreachable) is
     // the plain fused plan: same output, hot set empty
     val coldGuard = Dedup.duplicateSpans(corpus, windowTokens = 8,
-        skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e9)))
+        skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e9, minInputBytes = 0)))
       .orderBy("doc_id", "span_start")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(coldGuard == spans)
+
+    // r17 auto-default: Some(SpanSkewGuard()) self-disables below
+    // minInputBytes — on this tiny corpus the DEFAULT call must build
+    // the very same plan as an explicit skewGuard = None (no sample
+    // pass, no marker join, nothing)
+    val autoPlan = Dedup.duplicateSpans(corpus, windowTokens = 8)
+      .queryExecution.optimizedPlan
+    val offPlan = Dedup.duplicateSpans(corpus, windowTokens = 8, skewGuard = None)
+      .queryExecution.optimizedPlan
+    assert(autoPlan.sameResult(offPlan),
+      "default skew guard must be plan-invisible on a sub-threshold corpus")
 
     // the checkpoint-free agg+join candidate shape (r16): same spans
     val aggJoin = Dedup.duplicateSpans(corpus, windowTokens = 8,
@@ -362,7 +373,7 @@ class OpsSpec extends SparkSpec {
     // global min(id,pos) for hot hashes comes from the restricted second
     // pass, not the salted singleton groups)
     val guarded = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
-      skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9)))
+      skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9, minInputBytes = 0)))
       .orderBy("doc_id").collect()
     assert(triples(guarded) == triples(out))
 
