@@ -27,7 +27,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default 32 = the documented local[32] target (and every other
+    // runner's default). r17: two full runs at an accidental local[4]
+    // made the CPU-dense ristretto rows read as 3.3x "regressions" —
+    // the per-query references are only comparable at the same core
+    // count, so the default must match the protocol.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
