@@ -115,15 +115,24 @@ object DiagSpanSkew {
     // island pass — alternates IN-JVM against "fused" so the island-axis
     // A/B is drift-robust (sequential JVM invocations measured 2x apart
     // in one ambient swing)
-    val allArms = Seq("fused", "fused_oldisl", "legacy", "aggjoin", "guard")
+    // "hashagg": the r17 experimental count shape — same h-keyed
+    // exchange consumed by a hash aggregate (collect_list group state)
+    // instead of the WindowExec sort. Only meaningful with
+    // SPARK_GRAFT_OHA_THRESHOLD raised past the per-partition group
+    // count, else ObjectHashAggregate falls back to sort-based and the
+    // shape degenerates to the window's economics.
+    val allArms = Seq("fused", "fused_oldisl", "legacy", "aggjoin", "guard", "hashagg")
     val armNames = allArms
       .filter(a => !args.exists(allArms.contains) || args.contains(a))
+
+    sys.env.get("SPARK_GRAFT_OHA_THRESHOLD").foreach(t =>
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", t))
 
     def run(dir: String, arm: String): DataFrame = {
       val docs = Tables(spark, dir, "documents")
       // (fuseWindowCount, skewGuard, legacyCheckpoint)
       val (fused, g, ckpt) = arm match {
-        case "fused" | "fused_oldisl" => (true, None, true)
+        case "fused" | "fused_oldisl" | "hashagg" => (true, None, true)
         case "legacy"  => (false, None, true)
         case "aggjoin" => (false, None, false) // narrow agg + AQE join-back, no checkpoint
         case "guard"   => (true, Some(Dedup.SpanSkewGuard()), true)
@@ -132,11 +141,13 @@ object DiagSpanSkew {
       if (stripMode)
         Dedup.stripDuplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
           fuseWindowCount = fused, rollingHash = true, skewGuard = g,
-          legacyCheckpoint = ckpt, islandAgg = islands)
+          legacyCheckpoint = ckpt, islandAgg = islands,
+          hashAggCount = arm == "hashagg")
       else
         Dedup.duplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
           fuseWindowCount = fused, rollingHash = true, skewGuard = g,
-          legacyCheckpoint = ckpt, islandAgg = islands)
+          legacyCheckpoint = ckpt, islandAgg = islands,
+          hashAggCount = arm == "hashagg")
     }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

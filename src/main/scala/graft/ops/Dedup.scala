@@ -741,7 +741,8 @@ object Dedup {
                      rollingHash: Boolean = true,
                      skewGuard: Option[SpanSkewGuard] = Some(SpanSkewGuard()),
                      legacyCheckpoint: Boolean = true,
-                     islandAgg: Boolean = true): DataFrame = {
+                     islandAgg: Boolean = true,
+                     hashAggCount: Boolean = false): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
     import org.apache.spark.sql.expressions.Window
     val L = windowTokens
@@ -770,6 +771,23 @@ object Dedup {
         .withColumn("c", when(col("__hot"), lit(2L))
           .otherwise(count(lit(1)).over(byHSalt)))
         .where(col("c") >= 2).select(col(idCol), col("pos"))
+    } else if (fuseWindowCount && hashAggCount) {
+      // EXPERIMENTAL r17 shape (verdict task 5 candidate): the same
+      // single exchange keyed on h, but consumed by a HASH aggregate
+      // whose group state carries the occurrences — singleton groups
+      // (the vast majority of a realistic corpus) die in place as
+      // 1-element lists without a partition-wide sort, where the fused
+      // WindowExec must sort every shuffled row by h first. Same
+      // exchange volume, sort removed; the trade is per-group object
+      // state (ObjectHashAggregate falls back to sort-based past
+      // spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+      // in-memory groups, so the win requires raising it). Measured
+      // under the family protocol before any default change.
+      whBase.groupBy("h")
+        .agg(collect_list(struct(col(idCol), col("pos"))).as("__occ"))
+        .where(size(col("__occ")) >= 2)
+        .select(explode(col("__occ")).as("__o"))
+        .select(col(s"__o.$idCol").as(idCol), col("__o.pos").as("pos"))
     } else if (fuseWindowCount) {
       // FUSED form — THE DEFAULT since r15 (the r14 stage profile's
       // lever b, measured): the corpus-wide repetition test is ONE
@@ -864,7 +882,8 @@ object Dedup {
                           rollingHash: Boolean = true,
                           skewGuard: Option[SpanSkewGuard] = Some(SpanSkewGuard()),
                           legacyCheckpoint: Boolean = true,
-                          islandAgg: Boolean = true): DataFrame = {
+                          islandAgg: Boolean = true,
+                          hashAggCount: Boolean = false): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
     import org.apache.spark.sql.expressions.{Window => W}
     val L = windowTokens
@@ -904,6 +923,19 @@ object Dedup {
           !(col(idCol) === col("first").getField(idCol) &&
             col("pos") === col("first").getField("pos")))
         .select(col(idCol), col("pos"))
+    } else if (fuseWindowCount && hashAggCount) {
+      // EXPERIMENTAL r17 shape (see [[duplicateSpans]]): one hash
+      // aggregate carries the occurrences AND the canonical-first min;
+      // singleton hashes die as 1-element lists without the
+      // partition-wide sort.
+      whBase.groupBy("h")
+        .agg(collect_list(struct(col(idCol), col("pos"))).as("__occ"),
+          min(struct(col(idCol), col("pos"))).as("first"))
+        .where(size(col("__occ")) >= 2)
+        .select(explode(col("__occ")).as("__o"), col("first"))
+        .where(!(col(s"__o.$idCol") === col("first").getField(idCol) &&
+          col("__o.pos") === col("first").getField("pos")))
+        .select(col(s"__o.$idCol").as(idCol), col("__o.pos").as("pos"))
     } else if (fuseWindowCount) {
       // FUSED form — THE DEFAULT since r15 (same lever as
       // [[duplicateSpans]], measured: 100× 15.2 → 11.0 s, 1000×

@@ -280,6 +280,13 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(aggJoin == spans)
 
+    // the r17 hash-aggregate count shape (collect_list group state in
+    // place of the WindowExec sort): same spans
+    val hashAgg = Dedup.duplicateSpans(corpus, windowTokens = 8, hashAggCount = true)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(hashAgg == spans)
+
     // the pre-r16 relational island pass (sort-based window + lag +
     // running sum) must emit the same spans as the PosIslands default
     val oldIslands = Dedup.duplicateSpans(corpus, windowTokens = 8, islandAgg = false)
@@ -381,6 +388,12 @@ class OpsSpec extends SparkSpec {
     val aggJoin = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
       fuseWindowCount = false, legacyCheckpoint = false).orderBy("doc_id").collect()
     assert(triples(aggJoin) == triples(out))
+
+    // r17 hash-aggregate count shape: identical strip (count AND the
+    // canonical-first min from one aggregate)
+    val hashAgg = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
+      hashAggCount = true).orderBy("doc_id").collect()
+    assert(triples(hashAgg) == triples(out))
 
     // pre-r16 relational interval pass ≡ the PosIslands default
     val oldIslands = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
