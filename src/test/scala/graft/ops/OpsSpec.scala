@@ -401,6 +401,39 @@ class OpsSpec extends SparkSpec {
     assert(triples(oldIslands) == triples(out))
   }
 
+  test("skew guard DEFAULT threshold flags a planted boilerplate, stays cold without one") {
+    // r17 auto-enable sensitivity pin: the forced-hot/cold configs above
+    // use extreme partitionShare values — this pins that the DEFAULT
+    // partition-share rule (0.25x an average partition's sampled mass)
+    // fires on a realistic planted skew and does NOT fire without one.
+    // The salted routing is observable in the plan: only the guarded
+    // branch scatters with xxhash64(id, pos).
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    val boiler = Seq.fill(27)("zzboil").mkString(" ")
+    val skewed = (1 to 100).map { i =>
+      val base = words(s"d$i-", 13).mkString(" ")
+      (i.toLong, if (i % 2 == 0) s"$base $boiler" else base)
+    }.toDF("doc_id", "text")
+    val plain = (1 to 100)
+      .map(i => (i.toLong, words(s"d$i-", 13).mkString(" ")))
+      .toDF("doc_id", "text")
+    val g = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, minInputBytes = 0))
+    val hotPlan = Dedup.duplicateSpans(skewed, windowTokens = 8, skewGuard = g)
+      .queryExecution.optimizedPlan.toString
+    assert(hotPlan.contains("xxhash64"),
+      "default threshold must flag a boilerplate carried by half the docs")
+    val coldPlan = Dedup.duplicateSpans(plain, windowTokens = 8, skewGuard = g)
+      .queryExecution.optimizedPlan.toString
+    assert(!coldPlan.contains("xxhash64"),
+      "default threshold must not flag a corpus with no repeated window")
+    // and the flagged plan's output still equals the unguarded form
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows(Dedup.duplicateSpans(skewed, windowTokens = 8, skewGuard = g)) ==
+      rows(Dedup.duplicateSpans(skewed, windowTokens = 8, skewGuard = None)))
+  }
+
   test("jaccard verification: dup pair = 1.0, near pair high, ordered cols") {
     val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.jaccardVerify(cands, docs).orderBy("id_b")
