@@ -61,9 +61,12 @@ object DiagRuns {
     // in-bench vs 1.3s isolated) can be attributed to JVM state vs host
     if (args.contains("warmall")) {
       println(s"[diag] warmall: running all ${SparkEntry.queries.size} queries once first")
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, f) =>
+      // NonFatal only: swallowing an OutOfMemoryError here would corrupt
+      // the very JVM-state measurement warmall exists to diagnose
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (qn, f) =>
         try f(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          println(s"[diag] warmall: $qn failed: $e") }
       }
     }
     (1 to n).foreach { i =>

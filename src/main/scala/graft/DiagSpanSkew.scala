@@ -31,21 +31,28 @@ import org.apache.spark.sql.functions._
  *
  * Usage (dup-span family env protocol):
  *   SPARK_DRIVER_MEM=16g SPARK_GRAFT_SHUFFLE=64 SPARK_GRAFT_CPUS=32 \
- *     sbt "runMain graft.DiagSpanSkew [strip] [100x|1000x] [hot0|hot10|hot50|hot100] [fused|legacy|guard ...]"
+ *     sbt "runMain graft.DiagSpanSkew [strip] [100x|1000x] [hot0|hot10|hot50|hot100|uniform|tail20k] [fused|legacy|guard|guardall|reuse ...]"
  * Prints seconds; never merges into SCALING_1000.json.
  */
 object DiagSpanSkew {
   private val Shift = 100000000L
 
-  /** Build the skewed corpus at `outDir/documents.parquet` (marker-guarded). */
+  /** Build the skewed corpus at `outDir/documents.parquet` (marker-guarded).
+    * `tailFam` > 0 (r18, VERDICT r17 task 3) additionally appends to EVERY
+    * doc one of `tailFam` distinct 27-token "templated boilerplate family"
+    * paragraphs (chosen by key % tailFam) — tailFam=1000 yields 20,000
+    * distinct repeated window hashes, each with docs/tailFam occurrences:
+    * a deep WARM tail (each family far below the detection threshold),
+    * the shape where the old fixed flag cap would have mattered. */
   def buildFixture(spark: SparkSession, srcDir: String, outDir: String,
-                   factor: Int, hotPct: Int): Unit = {
+                   factor: Int, hotPct: Int, tailFam: Int = 0): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val out = java.nio.file.Paths.get(outDir, "documents.parquet")
     val marker = java.nio.file.Paths.get(outDir, "documents.parquet.marker")
     val srcFp = graft.core.FsUtil.snapshotFingerprint(
       java.nio.file.Paths.get(srcDir, "documents.parquet"))
-    val want = s"factor=$factor;hotPct=$hotPct;src=$srcFp;v=1"
+    val want = s"factor=$factor;hotPct=$hotPct;src=$srcFp;v=1" +
+      (if (tailFam > 0) s";tail=$tailFam" else "")
     val upToDate = java.nio.file.Files.exists(out) &&
       java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == want
@@ -76,7 +83,12 @@ object DiagSpanSkew {
           concat(col("t2"), lit(" "), lit(boiler))
         else when(col("key") % (100 / hotPct) === 1,
           concat(col("t2"), lit(" "), lit(boiler))).otherwise(col("t2")))
-      .select(col("key").as("doc_id"), col("t3").as("text"))
+      .withColumn("t4",
+        if (tailFam <= 0) col("t3")
+        else concat(col("t3"), lit(" "), array_join(
+          transform(sequence(lit(0), lit(26)),
+            j => concat(lit("tailfam"), col("key") % tailFam, lit("w"), j)), " ")))
+      .select(col("key").as("doc_id"), col("t4").as("text"))
     df.write.mode("overwrite").parquet(out.toString)
     java.nio.file.Files.write(marker, (want + "\n").getBytes("UTF-8"))
     ()
@@ -107,10 +119,16 @@ object DiagSpanSkew {
     // hot100 (r16 verdict): every doc carries the boilerplate — ~1e8
     // occurrences of ONE hash at 1000x, the next decade above hot50's
     // ~5e7, where the fused-vs-guard crossover claim was extrapolated
+    // tail20k (r18): 1000 templated boilerplate families on every doc =
+    // 20k distinct repeated window hashes, each docs/1000 occurrences —
+    // a deep WARM tail below any detection threshold. Decides (a)
+    // whether an unguarded warm tail straggles the fused window and (b)
+    // what force-flagging all 20k (arm "guardall") costs.
     val hots = Seq("hot0" -> 0, "hot10" -> 10, "hot50" -> 50,
-                   "hot100" -> 100, "uniform" -> -1)
+                   "hot100" -> 100, "uniform" -> -1, "tail20k" -> -2)
       .filter { case (l, _) =>
-        !args.exists(a => a.startsWith("hot") || a == "uniform") || args.contains(l) }
+        !args.exists(a => a.startsWith("hot") || a == "uniform" || a == "tail20k") ||
+          args.contains(l) }
     // "fused_oldisl": the fused count shape with the pre-r16 relational
     // island pass — alternates IN-JVM against "fused" so the island-axis
     // A/B is drift-robust (sequential JVM invocations measured 2x apart
@@ -121,7 +139,15 @@ object DiagSpanSkew {
     // SPARK_GRAFT_OHA_THRESHOLD raised past the per-partition group
     // count, else ObjectHashAggregate falls back to sort-based and the
     // shape degenerates to the window's economics.
-    val allArms = Seq("fused", "fused_oldisl", "legacy", "aggjoin", "guard", "hashagg")
+    // "guardall" (r18): detection sensitivity forced to ~zero share so
+    // EVERY repeated hash in the sample flags hot — the cost ceiling of
+    // the guard's broadcast + salt routing on a many-hot-hash corpus.
+    // "reuse" (r18, strip only): the guarded form with hotFirstViaReuse —
+    // the canonical-first aggregate rides the window's own exchange via
+    // ReuseExchange instead of a second corpus scan; in spans mode it
+    // degenerates to "guard".
+    val allArms = Seq("fused", "fused_oldisl", "legacy", "aggjoin", "guard",
+                      "hashagg", "guardall", "reuse")
     val armNames = allArms
       .filter(a => !args.exists(allArms.contains) || args.contains(a))
 
@@ -135,14 +161,16 @@ object DiagSpanSkew {
         case "fused" | "fused_oldisl" | "hashagg" => (true, None, true)
         case "legacy"  => (false, None, true)
         case "aggjoin" => (false, None, false) // narrow agg + AQE join-back, no checkpoint
-        case "guard"   => (true, Some(Dedup.SpanSkewGuard()), true)
+        case "guard" | "reuse" => (true, Some(Dedup.SpanSkewGuard()), true)
+        case "guardall" => (true, Some(Dedup.SpanSkewGuard(partitionShare = 1e-6)), true)
       }
       val islands = arm != "fused_oldisl" && !args.contains("oldislands")
       if (stripMode)
         Dedup.stripDuplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
           fuseWindowCount = fused, rollingHash = true, skewGuard = g,
           legacyCheckpoint = ckpt, islandAgg = islands,
-          hashAggCount = arm == "hashagg")
+          hashAggCount = arm == "hashagg",
+          hotFirstViaReuse = arm == "reuse")
       else
         Dedup.duplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
           fuseWindowCount = fused, rollingHash = true, skewGuard = g,
@@ -162,7 +190,7 @@ object DiagSpanSkew {
     val what = if (stripMode) "strip" else "spans"
     for ((hotLabel, hotPct) <- hots; (scaleLabel, factor) <- scales) {
       val dir =
-        if (hotPct < 0) { // registered bench fixtures
+        if (hotPct == -1) { // registered bench fixtures
           if (factor == 100) {
             val d = sys.env.getOrElse("SPARK_GRAFT_AMPLIFIED100_DIR", "/tmp/graft_sf10_documents")
             ScaleBench.amplify(spark, sf01, d, factor = 100, tables = Seq("documents")); d
@@ -170,13 +198,17 @@ object DiagSpanSkew {
             val d = sys.env.getOrElse("SPARK_GRAFT_AMPLIFIED1000_DIR", "/tmp/graft_sf100_documents")
             ThirdDecade.amplify1000(spark, sf01, d, factor = 1000); d
           }
+        } else if (hotPct == -2) {
+          val d = s"/tmp/graft_spanskew_${factor}x_tail20k"
+          buildFixture(spark, sf01, d, factor, 0, tailFam = 1000); d
         } else {
           val d = s"/tmp/graft_spanskew_${factor}x_$hotLabel"
           buildFixture(spark, sf01, d, factor, hotPct); d
         }
       // warmup every arm's plan shape on a small same-shape fixture
-      val warmDir = s"/tmp/graft_spanskew_1x_${if (hotPct < 0) "hot0" else hotLabel}"
-      buildFixture(spark, sf01, warmDir, 1, math.max(0, hotPct))
+      val warmDir = s"/tmp/graft_spanskew_1x_${if (hotPct == -1) "hot0" else hotLabel}"
+      buildFixture(spark, sf01, warmDir, 1, math.max(0, hotPct),
+        tailFam = if (hotPct == -2) 1000 else 0)
       armNames.foreach(a => noop(run(warmDir, a)))
       // two alternating passes per arm so window drift lands on all
       val t1 = armNames.map(a => a -> time(noop(run(dir, a))))

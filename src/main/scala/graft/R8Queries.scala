@@ -37,6 +37,19 @@ object R8Queries {
     * on web-scale text; the fixture's docs are tens of tokens). */
   val DupSpanWindow = 8
 
+  /** Verification hook (r18, VERDICT r17 task 2): `GRAFT_SPAN_GUARD=force`
+    * makes the span queries run with a maximally-ACTIVE skew guard (full
+    * sample, zero share threshold, size gate bypassed) so the DuckDB
+    * oracle can hash-match a plan whose sample-and-salt pass is LIVE —
+    * every oracle corpus is sub-threshold for the default guard, which
+    * is deliberately plan-invisible there, so without this hook guard
+    * exactness rests only on the OpsSpec planted fixtures. Unset = the
+    * production default. */
+  private def spanGuard: Option[Dedup.SpanSkewGuard] =
+    if (sys.env.get("GRAFT_SPAN_GUARD").contains("force"))
+      Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9, minInputBytes = 0))
+    else Some(Dedup.SpanSkewGuard())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
 
     // ── exact similarity self-join (prefix filter, NO false negatives) ──
@@ -48,12 +61,14 @@ object R8Queries {
 
     // ── exact substring dedup at arbitrary offsets (Lee et al. ACL'22) ─
     "q_dup_spans" -> ((s, dir) =>
-      Dedup.duplicateSpans(Tables(s, dir, "documents"), windowTokens = DupSpanWindow)
+      Dedup.duplicateSpans(Tables(s, dir, "documents"), windowTokens = DupSpanWindow,
+          skewGuard = spanGuard)
         .orderBy("doc_id", "span_start")),
 
     // ── all-but-first removal of those spans (text rebuild oracled) ────
     "q_dup_span_strip" -> ((s, dir) =>
-      Dedup.stripDuplicateSpans(Tables(s, dir, "documents"), windowTokens = DupSpanWindow)
+      Dedup.stripDuplicateSpans(Tables(s, dir, "documents"), windowTokens = DupSpanWindow,
+          skewGuard = spanGuard)
         .orderBy("doc_id")),
 
     // ── learned BPE merge table (training replayed by the oracle) ──────

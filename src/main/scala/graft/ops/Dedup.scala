@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+
   /** Exact dedup: keep the lowest-id row per identical (normalized) text. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
@@ -649,6 +651,35 @@ object Dedup {
    * and zero eager work. Streaming inputs always skip (a sample/collect
    * cannot run on an unstarted stream). Set `skewGuard = None` to force
    * the pure fused plan, or `minInputBytes = 0` to force sampling.
+   *
+   * Two further self-disable rules enforce the guard's own preconditions
+   * instead of leaving them to the scaladoc (r18):
+   *  - NONDETERMINISTIC inputs always skip: the sample pass re-evaluates
+   *    the `docs` plan, so on a plan containing any nondeterministic
+   *    expression (rand()-derived text, an un-seeded sample(), ...) a
+   *    flagged hash may not repeat in the realized corpus — which would
+   *    void the "sample is a subset of the corpus" argument behind the
+   *    c=2 short-circuit and silently emit false duplicate spans. The
+   *    window path it falls back to evaluates the plan once and stays
+   *    exact for whatever corpus materializes.
+   *  - UNKNOWN-SIZE inputs skip unless forced: sources without real
+   *    statistics (JDBC, RDD-backed plans, some views) report
+   *    `spark.sql.defaultSizeInBytes` = Long.MaxValue — "unknown", not
+   *    "huge" — so without this rule the default guard would run its
+   *    eager sample jobs at plan-construction time on arbitrarily tiny
+   *    stat-less inputs. `minInputBytes = 0` remains the explicit
+   *    opt-in for such plans (it bypasses the size gate entirely, never
+   *    the determinism gate).
+   *
+   * `maxHotHashes` is the flag-list capacity FLOOR, not a truncation
+   * point: the effective capacity is max(maxHotHashes,
+   * parts/partitionShare) (<= 1e6), and parts/partitionShare is the
+   * mass rule's own bound on how many hashes can clear the threshold at
+   * once — so under the default rule the hot set always contains EVERY
+   * flagged hash (a warning logs if a forced config ever saturates the
+   * capacity). At default share 0.25 that is 4x the shuffle partition
+   * count in 16-byte keys — trivially broadcastable at any realistic
+   * parallelism.
    */
   final case class SpanSkewGuard(sampleRate: Double = 0.002,
                                  partitionShare: Double = 0.25,
@@ -656,16 +687,26 @@ object Dedup {
                                  seed: Long = 42L,
                                  minInputBytes: Long = 256L << 20)
 
-  /** The guard's sample pass: hot window hashes as driver-side bytes
-    * (bounded by `maxHotHashes`, largest first; a deeper hot tail stays
-    * on the window path — correct, just unguarded). Empty when no hash
-    * clears max(2, partitionShare x an average partition's sample mass). */
+  /** The guard's sample pass: hot window hashes as driver-side bytes.
+    * Empty when no hash clears max(2, partitionShare x an average
+    * partition's sample mass). The flag-list capacity is
+    * max(maxHotHashes, parts/partitionShare) (<= 1e6): the second term
+    * is the mass rule's own flaggable-count bound, so under the default
+    * rule NO flagged hash is ever truncated — see the inline derivation. */
   private def hotWindowHashes(docs: DataFrame, g: SpanSkewGuard, L: Int,
                               idCol: String, textCol: String,
                               rollingHash: Boolean): Array[Array[Byte]] = {
     if (docs.isStreaming) return Array.empty
-    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <
-          BigInt(g.minInputBytes)) return Array.empty
+    // determinism gate (see [[SpanSkewGuard]]): a plan with any
+    // nondeterministic expression would be evaluated differently by the
+    // sample pass and the main flow — never guard it, even when forced
+    if (docs.queryExecution.analyzed
+          .find(_.expressions.exists(!_.deterministic)).isDefined) return Array.empty
+    val size = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val unknownSize = size >= BigInt(docs.sparkSession.conf
+      .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString).toLong)
+    if (g.minInputBytes > 0 && (unknownSize || size < BigInt(g.minInputBytes)))
+      return Array.empty
     val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val agg = windowHashTable(docs.sample(g.sampleRate, g.seed), L, idCol, textCol, rollingHash)
       .groupBy("h").agg(count(lit(1)).as("c")).persist()
@@ -673,9 +714,31 @@ object Dedup {
       val total = Option(agg.agg(sum("c")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
       if (total == 0L) return Array.empty
       val thr = math.max(2L, (g.partitionShare * total / parts).toLong)
-      agg.where(col("c") >= thr).orderBy(col("c").desc, col("h"))
-        .limit(g.maxHotHashes).select("h").collect()
+      // r18 (VERDICT r17 task 3): the mass rule bounds its own flaggable
+      // count — per-hash masses sum to `total`, so at most
+      // parts/partitionShare hashes can each hold >= partitionShare x an
+      // average partition's mass. Capping the flag list at that bound
+      // (when it exceeds maxHotHashes) makes largest-first truncation
+      // IMPOSSIBLE under the default rule: every hash the rule flags is
+      // kept. At the default share 0.25 the bound is 4x the shuffle
+      // partition count (1k parts -> 4k keys = 64 KiB broadcast, 20k
+      // parts -> 80k keys = 1.25 MiB), so the broadcast stays trivial;
+      // maxHotHashes remains the capacity floor and a 1e6 ceiling bounds
+      // the collect under forced near-zero-share test configs. The old
+      // fixed 10k cap could bind only above 2,500 shuffle partitions —
+      // and for hashes at the measured ~2x-partition-mass crossover only
+      // above 20,000 (at most parts/2 such hashes can exist).
+      val flaggableBound =
+        if (g.partitionShare > 0) math.min(1e6, parts / g.partitionShare) else 1e6
+      val cap = math.max(g.maxHotHashes.toDouble, flaggableBound).toInt
+      val flagged = agg.where(col("c") >= thr).orderBy(col("c").desc, col("h"))
+        .limit(cap).select("h").collect()
         .map(_.getAs[Array[Byte]](0))
+      if (flagged.length == cap) log.warn(
+        s"SpanSkewGuard: flag list hit its capacity $cap — some hashes at " +
+        "or above the detection threshold stay on the (exact, unguarded) " +
+        "window path; raise maxHotHashes or partitionShare")
+      flagged
     } finally { agg.unpersist(); () }
   }
 
@@ -753,6 +816,10 @@ object Dedup {
           hotWindowHashes(docs, g, L, idCol, textCol, rollingHash))
       else Array.empty
     val starts = if (fuseWindowCount && hot.nonEmpty) {
+      if (hashAggCount) log.warn(
+        "duplicateSpans: hashAggCount=true requested but the active skew " +
+        "guard takes precedence (hot hashes detected) — the guarded fused-" +
+        "window form runs; pass skewGuard = None to force the hash-agg shape")
       // GUARDED fused form: flagged rows are salted OUT of the per-h
       // window (scatter key xxhash64(id, pos) is unique per row, so the
       // one-task pileup becomes hash-uniform across partitions) and
@@ -782,7 +849,16 @@ object Dedup {
       // state (ObjectHashAggregate falls back to sort-based past
       // spark.sql.objectHashAggregate.sortBased.fallbackThreshold
       // in-memory groups, so the win requires raising it). Measured
-      // under the family protocol before any default change.
+      // under the family protocol (r17: 1.19x/4.1x LOSSES) — kept only
+      // as the A/B reference. UNBOUNDED-STATE WARNING: collect_list
+      // puts every (id, pos) occurrence of a hash into ONE group's
+      // in-memory state, and neither the OHA fallback threshold (it
+      // counts groups, not list length) nor sort-based fallback bounds
+      // a single group's list — a heavy-hitter hash at the ~1e8-
+      // occurrence crossover mass is multi-GB single-task state and
+      // OOMs. An active skew guard takes precedence over this flag
+      // (with a logged warning); with skewGuard = None this shape must
+      // only run on corpora known free of heavy hitters.
       whBase.groupBy("h")
         .agg(collect_list(struct(col(idCol), col("pos"))).as("__occ"))
         .where(size(col("__occ")) >= 2)
@@ -883,7 +959,8 @@ object Dedup {
                           skewGuard: Option[SpanSkewGuard] = Some(SpanSkewGuard()),
                           legacyCheckpoint: Boolean = true,
                           islandAgg: Boolean = true,
-                          hashAggCount: Boolean = false): DataFrame = {
+                          hashAggCount: Boolean = false,
+                          hotFirstViaReuse: Boolean = false): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
     import org.apache.spark.sql.expressions.{Window => W}
     val L = windowTokens
@@ -895,36 +972,76 @@ object Dedup {
           hotWindowHashes(docs, g, L, idCol, textCol, rollingHash))
       else Array.empty
     val removable = if (fuseWindowCount && hot.nonEmpty) {
+      if (hashAggCount) log.warn(
+        "stripDuplicateSpans: hashAggCount=true requested but the active " +
+        "skew guard takes precedence (hot hashes detected) — the guarded " +
+        "fused-window form runs; pass skewGuard = None to force the hash-agg shape")
       // GUARDED fused form. Counts: as in [[duplicateSpans]] (hot rows
       // short-circuit to c = 2, exact because hot membership proves
       // corpus count >= 2). Canonical-first: the strip policy needs each
       // hot hash's GLOBAL min (id, pos), which salted singleton groups
-      // cannot provide — so a second, hot-only restricted pass computes
-      // it with a map-side-combined aggregate (semi-join against the
-      // tiny broadcast hot set; a heavy hitter is exactly where partial
-      // aggregation collapses best) and broadcasts the result back. One
-      // extra corpus scan+hash, only when skew was detected; no extra
-      // full-row exchange.
+      // cannot provide. Two measured ways to get it:
       val hotDf = hotHashDf(docs, hot)
-      val hotFirst = broadcast(
-        whBase.join(hotDf.select("h"), Seq("h"), "left_semi")
-          .groupBy("h")
-          .agg(min(struct(col(idCol), col("pos"))).as("__hfirst")))
-      val marked = whBase.join(hotDf, Seq("h"), "left")
-        .join(hotFirst, Seq("h"), "left")
-      val scatter = when(col("__hot"), xxhash64(col(idCol), col("pos"))).otherwise(lit(0L))
-      val byHSalt = W.partitionBy(col("h"), scatter)
-      marked
-        .withColumn("c", when(col("__hot"), lit(2L))
-          .otherwise(count(lit(1)).over(byHSalt)))
-        .withColumn("first", when(col("__hot"), col("__hfirst"))
-          .otherwise(min(struct(col(idCol), col("pos"))).over(byHSalt)))
-        .where(col("c") >= 2 &&
-          !(col(idCol) === col("first").getField(idCol) &&
-            col("pos") === col("first").getField("pos")))
-        .select(col(idCol), col("pos"))
+      if (hotFirstViaReuse) {
+        // r18 PROTOTYPE (VERDICT r17 task 4): ride the window's OWN
+        // exchange instead of re-scanning the corpus. The (h, salt)
+        // exchange is made explicit via repartition; the window (same
+        // required distribution — EnsureRequirements adds nothing) and
+        // a hot-only map-side-combined min aggregate both consume THAT
+        // exchange subtree, so ReuseExchange/AQE stage reuse serves the
+        // aggregate from the already-materialized shuffle files — the
+        // second corpus scan + tokenize + hash of the restricted-pass
+        // form disappears; what remains is one local shuffle re-read
+        // feeding a partial agg whose output is <= |hot| groups,
+        // broadcast-joined back. Exactness: min over ALL occurrences of
+        // each hot hash — the same value the restricted pass computes.
+        val marked = whBase.join(hotDf, Seq("h"), "left")
+          .withColumn("__sc", when(col("__hot"),
+            xxhash64(col(idCol), col("pos"))).otherwise(lit(0L)))
+        val exchanged = marked.repartition(col("h"), col("__sc"))
+        val hotFirst = broadcast(exchanged.where(col("__hot"))
+          .groupBy("h").agg(min(struct(col(idCol), col("pos"))).as("__hfirst")))
+        val byHSalt = W.partitionBy(col("h"), col("__sc"))
+        exchanged
+          .withColumn("c", when(col("__hot"), lit(2L))
+            .otherwise(count(lit(1)).over(byHSalt)))
+          .withColumn("__wfirst", min(struct(col(idCol), col("pos"))).over(byHSalt))
+          .join(hotFirst, Seq("h"), "left")
+          .withColumn("first", when(col("__hot"), col("__hfirst"))
+            .otherwise(col("__wfirst")))
+          .where(col("c") >= 2 &&
+            !(col(idCol) === col("first").getField(idCol) &&
+              col("pos") === col("first").getField("pos")))
+          .select(col(idCol), col("pos"))
+      } else {
+        // restricted second pass (the r17 shape, kept as the A/B
+        // reference): a hot-only map-side-combined aggregate (semi-join
+        // against the tiny broadcast hot set; a heavy hitter is exactly
+        // where partial aggregation collapses best) broadcast back. One
+        // extra corpus scan+hash, only when skew was detected; no extra
+        // full-row exchange.
+        val hotFirst = broadcast(
+          whBase.join(hotDf.select("h"), Seq("h"), "left_semi")
+            .groupBy("h")
+            .agg(min(struct(col(idCol), col("pos"))).as("__hfirst")))
+        val marked = whBase.join(hotDf, Seq("h"), "left")
+          .join(hotFirst, Seq("h"), "left")
+        val scatter = when(col("__hot"), xxhash64(col(idCol), col("pos"))).otherwise(lit(0L))
+        val byHSalt = W.partitionBy(col("h"), scatter)
+        marked
+          .withColumn("c", when(col("__hot"), lit(2L))
+            .otherwise(count(lit(1)).over(byHSalt)))
+          .withColumn("first", when(col("__hot"), col("__hfirst"))
+            .otherwise(min(struct(col(idCol), col("pos"))).over(byHSalt)))
+          .where(col("c") >= 2 &&
+            !(col(idCol) === col("first").getField(idCol) &&
+              col("pos") === col("first").getField("pos")))
+          .select(col(idCol), col("pos"))
+      }
     } else if (fuseWindowCount && hashAggCount) {
-      // EXPERIMENTAL r17 shape (see [[duplicateSpans]]): one hash
+      // EXPERIMENTAL r17 shape (see [[duplicateSpans]], incl. the
+      // unbounded-group-state OOM warning — a heavy-hitter hash is one
+      // multi-GB collect_list group here too): one hash
       // aggregate carries the occurrences AND the canonical-first min;
       // singleton hashes die as 1-element lists without the
       // partition-wide sort.

@@ -273,6 +273,43 @@ class OpsSpec extends SparkSpec {
     assert(autoPlan.sameResult(offPlan),
       "default skew guard must be plan-invisible on a sub-threshold corpus")
 
+    // r18 determinism gate: a plan carrying ANY nondeterministic
+    // expression must skip the guard even when FORCED (sample pass and
+    // main flow would evaluate the plan differently — the c=2 short-
+    // circuit's subset argument would be void). The forced config below
+    // flags hot hashes on the deterministic corpus (pinned above), so
+    // plan-equality with skewGuard=None is a discriminating check.
+    val noisy = corpus.withColumn("__junk", rand(7))
+    val forcedG = Some(Dedup.SpanSkewGuard(
+      sampleRate = 1.0, partitionShare = 1e-9, minInputBytes = 0))
+    val nondetPlan = Dedup.duplicateSpans(noisy, windowTokens = 8,
+        skewGuard = forcedG).queryExecution.optimizedPlan
+    val offNoisy = Dedup.duplicateSpans(noisy, windowTokens = 8,
+        skewGuard = None).queryExecution.optimizedPlan
+    assert(nondetPlan.sameResult(offNoisy),
+      "nondeterministic input must skip the guard even when forced")
+
+    // r18 unknown-size gate: a stat-less plan (RDD-backed — reports
+    // spark.sql.defaultSizeInBytes, i.e. "unknown") must skip the guard
+    // under any minInputBytes > 0; only the explicit minInputBytes = 0
+    // opt-in samples it. Same forced-hot sensitivity, default size gate:
+    // pre-fix this ran the sample and flagged hot (plan visibly changed).
+    val rddDocs = corpus.sparkSession.createDataFrame(corpus.rdd, corpus.schema)
+    val statlessPlan = Dedup.duplicateSpans(rddDocs, windowTokens = 8,
+        skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9)))
+      .queryExecution.optimizedPlan
+    val offStatless = Dedup.duplicateSpans(rddDocs, windowTokens = 8,
+        skewGuard = None).queryExecution.optimizedPlan
+    assert(statlessPlan.sameResult(offStatless),
+      "unknown-size (stat-less) input must skip the guard unless minInputBytes = 0")
+    // and the explicit opt-in still guards it: forced sampling on the
+    // stat-less plan flags the same hot hashes and emits the same spans
+    val statlessForced = Dedup.duplicateSpans(rddDocs, windowTokens = 8,
+        skewGuard = forcedG)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(statlessForced == spans)
+
     // the checkpoint-free agg+join candidate shape (r16): same spans
     val aggJoin = Dedup.duplicateSpans(corpus, windowTokens = 8,
         fuseWindowCount = false, legacyCheckpoint = false)
@@ -383,6 +420,16 @@ class OpsSpec extends SparkSpec {
       skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9, minInputBytes = 0)))
       .orderBy("doc_id").collect()
     assert(triples(guarded) == triples(out))
+
+    // r18 exchange-reuse prototype: the hot canonical-first aggregate
+    // rides the window's own (h, salt) exchange instead of a second
+    // corpus scan — min over ALL occurrences of each hot hash either
+    // way, so the strip must be byte-identical
+    val reuse = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
+      skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9, minInputBytes = 0)),
+      hotFirstViaReuse = true)
+      .orderBy("doc_id").collect()
+    assert(triples(reuse) == triples(out))
 
     // checkpoint-free agg+join candidate shape (r16): identical strip
     val aggJoin = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
