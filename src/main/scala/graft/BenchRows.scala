@@ -17,12 +17,18 @@ import org.apache.spark.sql.SparkSession
  * This main makes the ROW the unit of adoption instead:
  *
  *  1. CALIBRATION ANCHOR — after a full warmup (every query once, the
- *     same JVM state Bench produces), the sentinel pair (q_distinct +
- *     q_zorder: two sub-0.2 s queries exercising an aggregate exchange
- *     and a codegen'd projection) is sampled repeatedly across several
- *     whipsaw periods; the session MINIMUM is the quiet-host anchor.
- *     An anchor is self-calibrating: it needs no committed reference,
- *     so a stale-slow reference cannot leak into it.
+ *     same JVM state Bench produces), the CONTENTION-SENSITIVE sentinel
+ *     (q_dedup_embed — the documented host-speed probe: ~0.35-0.5 s
+ *     quiet, ~0.8-1.0 s in the slow mode that doubles dedup-class rows
+ *     while trivial sentinels stay clean) is sampled repeatedly across
+ *     several whipsaw periods; the 3rd-smallest sample ever seen (a
+ *     trimmed minimum — robust to lucky flukes) is the quiet-host
+ *     anchor. An anchor is self-calibrating: it needs no committed
+ *     reference, so a stale-slow reference cannot leak into it. (The
+ *     first r18 run used a trivial q_distinct+q_zorder pair and a pure
+ *     minimum: 84 "in-band" rows still carried a bimodal 0.83x-2.15x,
+ *     1.24-geomean drift — the trivial pair cannot see the mode that
+ *     matters, and the pure-min anchor thrashed accepted rows.)
  *  2. BRACKETED ROWS — each query is timed (min of 2 noop-sink runs,
  *     Bench's exact semantics) BETWEEN two sentinel calibrations taken
  *     in the same seconds. A row is ACCEPTED only when both brackets
@@ -31,10 +37,14 @@ import org.apache.spark.sql.SparkSession
  *     rule). Consecutive rows share a bracket, so the overhead is one
  *     sentinel pair per row.
  *  3. RE-SWEEPS — refused rows are retried in later sweeps (a pause
- *     between sweeps lets a whipsaw phase pass). If a later bracket
- *     beats the anchor by >3%, the anchor drops and every previously
- *     accepted row whose brackets no longer fit is re-queued: an
- *     early ambient-slow phase cannot survive as "accepted".
+ *     between sweeps lets a whipsaw phase pass). The anchor may tighten
+ *     only through the END of sweep 1 (phase A plus one full sweep —
+ *     10+ minutes of samples across several whipsaw periods); a drop
+ *     re-queues any accepted row whose brackets no longer fit, so an
+ *     early ambient-slow phase cannot survive as "accepted". After
+ *     sweep 1 the anchor FREEZES: run 2 of r18 let it ratchet all
+ *     session, and every small drop invalidated certified rows faster
+ *     than new ones accepted (16/151 final vs ~45 pre-drop).
  *
  * Output (SPARK_GRAFT_BENCH_OUT, default BENCH_ROWS_CAND.json) is a
  * Bench-compatible map: `host_contended` is false only when EVERY row
@@ -81,13 +91,27 @@ object BenchRows {
       if (a < 0 || b < 0) (-1.0, a, b) else (math.min(a, b), a, b)
     }
 
-    // sentinel pair: one calibration = min of 2 of (q_distinct + q_zorder)
-    val sentA = SparkEntry.queries("q_distinct")
-    val sentB = SparkEntry.queries("q_zorder")
+    // Calibration sentinel: q_dedup_embed — the CONTENTION-SENSITIVE
+    // probe this host's history pins (verify skill, r10): steady
+    // ~0.35-0.5 s quiet, ~0.8-1.0 s in the slow mode where dedup-class
+    // queries read ~2x high WHILE TRIVIAL SENTINELS STAY CLEAN. The
+    // first r18 BenchRows run proved that lesson applies to brackets
+    // too: with a (q_distinct + q_zorder) bracket, 84 "in-band" rows
+    // still carried a 1.24 geomean vs the adopted map, bimodal 0.83x-
+    // 2.15x — the trivial pair cannot see the mode that matters. A 2x
+    // signal on a ~0.35 s probe separates cleanly at band 1.25.
+    val sentinel = SparkEntry.queries("q_dedup_embed")
     def bracket(): Double = {
-      def one() = { val a = timeOnce(sentA); val b = timeOnce(sentB)
-        if (a < 0 || b < 0) Double.MaxValue else a + b }
-      math.min(one(), one())
+      val a = timeOnce(sentinel); val b = timeOnce(sentinel)
+      if (a < 0 || b < 0) Double.MaxValue else math.min(a, b)
+    }
+    // Robust anchor: the 3rd-smallest bracket ever seen (a trimmed min) —
+    // one or two lucky flukes cannot ratchet the band down and thrash
+    // accepted rows the way the run-1 pure-min anchor did.
+    val allBrackets = scala.collection.mutable.ArrayBuffer[Double]()
+    def anchorOf(): Double = {
+      val s = allBrackets.filter(_ < Double.MaxValue).sorted
+      if (s.isEmpty) Double.MaxValue else s(math.min(2, s.size - 1))
     }
 
     println(s"[rows] warmup: ${qs.size} queries")
@@ -97,12 +121,12 @@ object BenchRows {
         println(s"[rows] warmup $qn failed: $e") }
     }
 
-    // Phase 1: anchor — 10 calibration samples across ~60 s (several
-    // 5-minute-period phases sampled at different offsets)
-    val samples = (1 to 10).map { i =>
-      val b = bracket(); Thread.sleep(4000); b
+    // Phase 1: anchor — 10 calibration samples across ~40 s (several
+    // whipsaw phases sampled at different offsets)
+    val samples = (1 to 10).map { _ =>
+      val b = bracket(); allBrackets += b; Thread.sleep(4000); b
     }
-    var anchor = samples.min
+    var anchor = anchorOf()
     println(f"[rows] anchor=$anchor%.3f s  (samples min=${samples.min}%.3f " +
       f"median=${samples.sorted.apply(samples.size / 2)}%.3f max=${samples.max}%.3f)")
 
@@ -114,20 +138,23 @@ object BenchRows {
     while (pending.nonEmpty && sweep < maxSweeps) {
       sweep += 1
       println(s"[rows] sweep $sweep: ${pending.size} rows pending")
-      var b = bracket()
-      if (b < anchor * 0.97) {
-        println(f"[rows] anchor improved: $anchor%.3f -> $b%.3f")
-        anchor = b
-      }
+      var b = bracket(); allBrackets += b
       val stillPending = scala.collection.mutable.ArrayBuffer[String]()
       for (name <- pending) {
         val fn = SparkEntry.queries(name)
         val b0 = b
         val (v, r1, r2) = minOf2(fn)
-        var b1 = bracket()
-        if (b1 < anchor * 0.97) {
-          println(f"[rows] anchor improved: $anchor%.3f -> $b1%.3f")
-          anchor = b1
+        val b1 = bracket(); allBrackets += b1
+        // the anchor may only tighten during sweep 1 (phase A + a full
+        // sweep ≈ 10+ minutes of samples spans several whipsaw periods —
+        // ample to find the floor); afterwards it is FROZEN. Run 2 of
+        // r18 let it ratchet all session: each drop re-queued previously
+        // certified rows, and the thrash left 16/151 accepted where the
+        // pre-drop state had ~45.
+        val a2 = anchorOf()
+        if (sweep <= 1 && a2 < anchor * 0.999) {
+          println(f"[rows] anchor improved: $anchor%.3f -> $a2%.3f")
+          anchor = a2
         }
         val spreadOk = v > 0 &&
           (math.max(r1, r2) / math.min(r1, r2) < 1.5 || math.max(r1, r2) - math.min(r1, r2) < 0.25)
