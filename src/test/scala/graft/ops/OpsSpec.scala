@@ -412,24 +412,23 @@ class OpsSpec extends SparkSpec {
       rollingHash = false).orderBy("doc_id").collect()
     assert(triples(md5Form) == triples(out))
 
-    // forced-hot skew guard: the salted window + broadcast hot-canonical
-    // path must reproduce the same canonical-first strip exactly (the
-    // global min(id,pos) for hot hashes comes from the restricted second
-    // pass, not the salted singleton groups)
+    // forced-hot skew guard (r18 default: hot canonical-first rides the
+    // window's own (h, salt) exchange via ReuseExchange): the salted
+    // window + broadcast hot-canonical path must reproduce the same
+    // canonical-first strip exactly
     val guarded = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
       skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9, minInputBytes = 0)))
       .orderBy("doc_id").collect()
     assert(triples(guarded) == triples(out))
 
-    // r18 exchange-reuse prototype: the hot canonical-first aggregate
-    // rides the window's own (h, salt) exchange instead of a second
-    // corpus scan — min over ALL occurrences of each hot hash either
-    // way, so the strip must be byte-identical
-    val reuse = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
+    // the pre-r18 restricted-second-pass form (hot-only corpus re-scan +
+    // map-side-combined aggregate), kept as the A/B reference: min over
+    // ALL occurrences of each hot hash either way — byte-identical strip
+    val restricted = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
       skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9, minInputBytes = 0)),
-      hotFirstViaReuse = true)
+      hotFirstViaReuse = false)
       .orderBy("doc_id").collect()
-    assert(triples(reuse) == triples(out))
+    assert(triples(restricted) == triples(out))
 
     // checkpoint-free agg+join candidate shape (r16): identical strip
     val aggJoin = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
