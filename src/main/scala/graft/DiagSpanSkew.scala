@@ -142,10 +142,14 @@ object DiagSpanSkew {
     // "guardall" (r18): detection sensitivity forced to ~zero share so
     // EVERY repeated hash in the sample flags hot — the cost ceiling of
     // the guard's broadcast + salt routing on a many-hot-hash corpus.
-    // "reuse" (r18, strip only): the guarded form with hotFirstViaReuse —
-    // the canonical-first aggregate rides the window's own exchange via
-    // ReuseExchange instead of a second corpus scan; in spans mode it
-    // degenerates to "guard".
+    // "reuse" (r18, strip only): the guarded form with hotFirstAboveWindow
+    // FALSE inverted — after the r18 adoption "guard" IS the above-window
+    // default, so this arm now measures the pre-r18 restricted-pass
+    // reference (hot canonical struct joined below the window + hot-only
+    // corpus re-scan); in spans mode it degenerates to "guard". (The arm
+    // name predates the adoption: the exchange-reuse mechanism it first
+    // prototyped was refuted by plan audit — the measured win was the
+    // join placement, SCALING.md r18.)
     val allArms = Seq("fused", "fused_oldisl", "legacy", "aggjoin", "guard",
                       "hashagg", "guardall", "reuse")
     val armNames = allArms
@@ -170,7 +174,7 @@ object DiagSpanSkew {
           fuseWindowCount = fused, rollingHash = true, skewGuard = g,
           legacyCheckpoint = ckpt, islandAgg = islands,
           hashAggCount = arm == "hashagg",
-          hotFirstViaReuse = arm == "reuse")
+          hotFirstAboveWindow = arm != "reuse")
       else
         Dedup.duplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
           fuseWindowCount = fused, rollingHash = true, skewGuard = g,

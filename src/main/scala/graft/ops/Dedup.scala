@@ -960,7 +960,7 @@ object Dedup {
                           legacyCheckpoint: Boolean = true,
                           islandAgg: Boolean = true,
                           hashAggCount: Boolean = false,
-                          hotFirstViaReuse: Boolean = true): DataFrame = {
+                          hotFirstAboveWindow: Boolean = true): DataFrame = {
     require(windowTokens >= 2, s"windowTokens >= 2 required, got $windowTokens")
     import org.apache.spark.sql.expressions.{Window => W}
     val L = windowTokens
@@ -982,7 +982,7 @@ object Dedup {
       // hot hash's GLOBAL min (id, pos), which salted singleton groups
       // cannot provide. Two measured ways to get it:
       val hotDf = hotHashDf(docs, hot)
-      if (hotFirstViaReuse) {
+      if (hotFirstAboveWindow) {
         // r18 DEFAULT (VERDICT r17 task 4, measured): the hot
         // canonical-first is broadcast-joined AFTER the salted window
         // instead of below it. The restricted-pass form attached both

@@ -426,7 +426,7 @@ class OpsSpec extends SparkSpec {
     // ALL occurrences of each hot hash either way — byte-identical strip
     val restricted = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
       skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9, minInputBytes = 0)),
-      hotFirstViaReuse = false)
+      hotFirstAboveWindow = false)
       .orderBy("doc_id").collect()
     assert(triples(restricted) == triples(out))
 
