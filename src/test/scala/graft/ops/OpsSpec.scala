@@ -430,6 +430,24 @@ class OpsSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(triples(restricted) == triples(out))
 
+    // r18 plan gate on the adoption's MECHANISM (the 0.56-0.63x win is
+    // the narrow window input): in the default guarded strip no Window
+    // node's input may carry the joined canonical struct; the restricted
+    // A/B form is the discriminating negative (it joins below the window)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def windowCarriesHFirst(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w.child.output.exists(_.name.contains("__hfirst"))
+      }.exists(identity)
+    val forcedHot = Some(Dedup.SpanSkewGuard(
+      sampleRate = 1.0, partitionShare = 1e-9, minInputBytes = 0))
+    assert(!windowCarriesHFirst(Dedup.stripDuplicateSpans(
+        corpus, windowTokens = 8, skewGuard = forcedHot)),
+      "adopted guarded strip must keep the window input narrow")
+    assert(windowCarriesHFirst(Dedup.stripDuplicateSpans(
+        corpus, windowTokens = 8, skewGuard = forcedHot, hotFirstAboveWindow = false)),
+      "the restricted A/B form should still join the canonical side below the window")
+
     // checkpoint-free agg+join candidate shape (r16): identical strip
     val aggJoin = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
       fuseWindowCount = false, legacyCheckpoint = false).orderBy("doc_id").collect()
