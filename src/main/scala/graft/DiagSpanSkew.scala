@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
  *
  * Usage (dup-span family env protocol):
  *   SPARK_DRIVER_MEM=16g SPARK_GRAFT_SHUFFLE=64 SPARK_GRAFT_CPUS=32 \
- *     sbt "runMain graft.DiagSpanSkew [strip] [100x|1000x] [hot0|hot10|hot50|hot100|uniform|tail20k] [fused|legacy|guard|guardall|reuse ...]"
+ *     sbt "runMain graft.DiagSpanSkew [strip] [100x|1000x] [hot0|hot10|hot50|hot100|uniform|tail20k] [fused|legacy|guard|guardall|restricted ...]"
  * Prints seconds; never merges into SCALING_1000.json.
  */
 object DiagSpanSkew {
@@ -142,16 +142,14 @@ object DiagSpanSkew {
     // "guardall" (r18): detection sensitivity forced to ~zero share so
     // EVERY repeated hash in the sample flags hot — the cost ceiling of
     // the guard's broadcast + salt routing on a many-hot-hash corpus.
-    // "reuse" (r18, strip only): the guarded form with hotFirstAboveWindow
-    // FALSE inverted — after the r18 adoption "guard" IS the above-window
-    // default, so this arm now measures the pre-r18 restricted-pass
+    // "restricted" (r19 rename of r18's "reuse"; strip only): the guarded
+    // form with hotFirstAboveWindow=false — the pre-r18 restricted-pass
     // reference (hot canonical struct joined below the window + hot-only
-    // corpus re-scan); in spans mode it degenerates to "guard". (The arm
-    // name predates the adoption: the exchange-reuse mechanism it first
-    // prototyped was refuted by plan audit — the measured win was the
-    // join placement, SCALING.md r18.)
+    // corpus re-scan), the A/B baseline for the adopted above-window
+    // default that "guard" now measures; in spans mode it degenerates to
+    // "guard".
     val allArms = Seq("fused", "fused_oldisl", "legacy", "aggjoin", "guard",
-                      "hashagg", "guardall", "reuse")
+                      "hashagg", "guardall", "restricted")
     val armNames = allArms
       .filter(a => !args.exists(allArms.contains) || args.contains(a))
 
@@ -165,7 +163,7 @@ object DiagSpanSkew {
         case "fused" | "fused_oldisl" | "hashagg" => (true, None, true)
         case "legacy"  => (false, None, true)
         case "aggjoin" => (false, None, false) // narrow agg + AQE join-back, no checkpoint
-        case "guard" | "reuse" => (true, Some(Dedup.SpanSkewGuard()), true)
+        case "guard" | "restricted" => (true, Some(Dedup.SpanSkewGuard()), true)
         case "guardall" => (true, Some(Dedup.SpanSkewGuard(partitionShare = 1e-6)), true)
       }
       val islands = arm != "fused_oldisl" && !args.contains("oldislands")
@@ -174,7 +172,7 @@ object DiagSpanSkew {
           fuseWindowCount = fused, rollingHash = true, skewGuard = g,
           legacyCheckpoint = ckpt, islandAgg = islands,
           hashAggCount = arm == "hashagg",
-          hotFirstAboveWindow = arm != "reuse")
+          hotFirstAboveWindow = arm != "restricted")
       else
         Dedup.duplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
           fuseWindowCount = fused, rollingHash = true, skewGuard = g,

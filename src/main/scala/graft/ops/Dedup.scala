@@ -702,9 +702,17 @@ object Dedup {
     // sample pass and the main flow — never guard it, even when forced
     if (docs.queryExecution.analyzed
           .find(_.expressions.exists(!_.deterministic)).isDefined) return Array.empty
-    val size = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    val unknownSize = size >= BigInt(docs.sparkSession.conf
+    val plan = docs.queryExecution.optimizedPlan
+    val size = plan.stats.sizeInBytes
+    val defaultSize = BigInt(docs.sparkSession.conf
       .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString).toLong)
+    // stat-less-ness is detected STRUCTURALLY at the leaves, not by
+    // comparing the plan total to the sentinel: a projection or filter
+    // over a stat-less source scales the Long.MaxValue placeholder below
+    // the sentinel (e.g. selectivity x0.9), so the total alone would let
+    // tiny derived stat-less plans through to the eager sample jobs
+    val unknownSize = size >= defaultSize ||
+      plan.collectLeaves().exists(_.stats.sizeInBytes >= defaultSize)
     if (g.minInputBytes > 0 && (unknownSize || size < BigInt(g.minInputBytes)))
       return Array.empty
     val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
@@ -720,7 +728,16 @@ object Dedup {
       // average partition's mass. Capping the flag list at that bound
       // (when it exceeds maxHotHashes) makes largest-first truncation
       // IMPOSSIBLE under the default rule: every hash the rule flags is
-      // kept. At the default share 0.25 the bound is 4x the shuffle
+      // kept. The bound covers BOTH threshold regimes (r19, closing the
+      // r18 advice question): when the thr=2 floor binds,
+      // 2 > partitionShare*total/parts, i.e. total < 2*parts/
+      // partitionShare; each flagged hash contributes >= 2 to total, so
+      // the flagged count is <= total/2 < parts/partitionShare — the same
+      // bound. (At default share 0.25: floor binding means total < 8x
+      // parts, so <= 4x parts hashes can reach c>=2.) The only capped
+      // path is the 1e6 collect ceiling, reachable solely under forced
+      // near-zero-share test configs or >250k shuffle partitions, and it
+      // logs the warning below. At the default share 0.25 the bound is 4x the shuffle
       // partition count (1k parts -> 4k keys = 64 KiB broadcast, 20k
       // parts -> 80k keys = 1.25 MiB), so the broadcast stays trivial;
       // maxHotHashes remains the capacity floor and a 1e6 ceiling bounds

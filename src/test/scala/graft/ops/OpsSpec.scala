@@ -309,6 +309,20 @@ class OpsSpec extends SparkSpec {
       .orderBy("doc_id", "span_start")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(statlessForced == spans)
+    // r19 (ADVICE r18): a DERIVED stat-less plan must skip too — a
+    // filter's selectivity scales the Long.MaxValue placeholder BELOW
+    // the sentinel, so the old total-vs-sentinel test let it through to
+    // the eager sample jobs; stat-less-ness is now detected at the
+    // leaves. The filter below keeps every row (ids are non-negative),
+    // so the guarded and unguarded plans stay comparable.
+    val derivedStatless = rddDocs.where(col("doc_id") >= -1L)
+    val derivedPlan = Dedup.duplicateSpans(derivedStatless, windowTokens = 8,
+        skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9)))
+      .queryExecution.optimizedPlan
+    val offDerived = Dedup.duplicateSpans(derivedStatless, windowTokens = 8,
+        skewGuard = None).queryExecution.optimizedPlan
+    assert(derivedPlan.sameResult(offDerived),
+      "a projection/filter over a stat-less source must still skip the guard")
 
     // the checkpoint-free agg+join candidate shape (r16): same spans
     val aggJoin = Dedup.duplicateSpans(corpus, windowTokens = 8,
@@ -412,10 +426,11 @@ class OpsSpec extends SparkSpec {
       rollingHash = false).orderBy("doc_id").collect()
     assert(triples(md5Form) == triples(out))
 
-    // forced-hot skew guard (r18 default: hot canonical-first rides the
-    // window's own (h, salt) exchange via ReuseExchange): the salted
-    // window + broadcast hot-canonical path must reproduce the same
-    // canonical-first strip exactly
+    // forced-hot skew guard (r18 default: narrow window input + the
+    // broadcast canonical join placed ABOVE the window, with a hot-only
+    // re-scan — the exchange-reuse variant was refuted by plan audit):
+    // the salted window + broadcast hot-canonical path must reproduce
+    // the same canonical-first strip exactly
     val guarded = Dedup.stripDuplicateSpans(corpus, windowTokens = 8,
       skewGuard = Some(Dedup.SpanSkewGuard(sampleRate = 1.0, partitionShare = 1e-9, minInputBytes = 0)))
       .orderBy("doc_id").collect()
