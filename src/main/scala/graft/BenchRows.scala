@@ -158,6 +158,43 @@ object BenchRows {
       println(s"[rows] subset mode: ${pending.size} rows")
     }
     var sweep = 0
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // r19: the artifact is (re)written after EVERY sweep, not only at
+    // exit — a session killed mid-run (timeout, interrupt) still yields
+    // its certified rows for the cross-session sweep.
+    def writeArtifact(): Unit = {
+      val measuredQs = onlyRows.fold(qs)(only => qs.filter(q => only(q._1)))
+      val results = measuredQs.map { case (n, _) => n -> accepted.get(n).fold(-1.0)(_.value) }
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val allAccepted = pending.isEmpty
+      // Bench-compatible sentinels object (values from accepted rows — each
+      // bracketed like any other row)
+      val sentinelJson = Seq("q_distinct", "q_topk", "q_zorder")
+        .flatMap(s => accepted.get(s).map(r => "\"" + s + "\":" + fmt(r.value)))
+        .mkString("{", ",", "}")
+      // r19 (ADVICE r18): emit EVERY accepted row's [min,max] runs, not
+      // only those failing the acceptance predicate (which is vacuous by
+      // construction — acceptance requires ratio<1.5 || diff<0.25).
+      // adopt_bench.py gate 2 now mirrors the diff escape, so the full
+      // record is a defense-in-depth cross-check on acceptance bugs
+      // rather than a guaranteed pass.
+      val spreadJson = accepted.toSeq.sortBy(_._1).map { case (n, r) =>
+        "\"" + n + "\":[" + fmt(r.runs.min) + "," + fmt(r.runs.max) + "]"
+      }.mkString("{", ",", "}")
+      val qjson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val bracketsJson = accepted.toSeq.sortBy(_._1).map { case (n, r) =>
+        "\"" + n + "\":[" + fmt(r.b0) + "," + fmt(r.b1) + "]"
+      }.mkString("{", ",", "}")
+      val pendingJson = pending.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val protocolJson = s"""{"anchor":${fmt(anchor)},"band":${fmt(band)},"sweeps":$sweep,"pending":$pendingJson,"brackets":$bracketsJson}"""
+      val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","host_contended":${!allAccepted},"sentinels":$sentinelJson,"spread":$spreadJson,"regressed":{},"queries":$qjson,"protocol":$protocolJson}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        println(s"[rows] write $outFile failed: $e") }
+      println(full)
+    }
     while (pending.nonEmpty && sweep < maxSweeps) {
       sweep += 1
       println(s"[rows] sweep $sweep: ${pending.size} rows pending")
@@ -206,44 +243,14 @@ object BenchRows {
         accepted.remove(n)
       }
       pending = (stillPending.toSeq ++ invalidated).distinct.sorted
+      writeArtifact()
       if (pending.nonEmpty && sweep < maxSweeps) {
         println(s"[rows] pausing ${pauseSec}s before next sweep")
         Thread.sleep(pauseSec * 1000L)
       }
     }
 
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val measuredQs = onlyRows.fold(qs)(only => qs.filter(q => only(q._1)))
-    val results = measuredQs.map { case (n, _) => n -> accepted.get(n).fold(-1.0)(_.value) }
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val allAccepted = pending.isEmpty
-    // Bench-compatible sentinels object (values from accepted rows — each
-    // bracketed like any other row)
-    val sentinelJson = Seq("q_distinct", "q_topk", "q_zorder")
-      .flatMap(s => accepted.get(s).map(r => "\"" + s + "\":" + fmt(r.value)))
-      .mkString("{", ",", "}")
-    // r19 (ADVICE r18): emit EVERY accepted row's [min,max] runs, not
-    // only those failing the acceptance predicate (which is vacuous by
-    // construction — acceptance requires ratio<1.5 || diff<0.25).
-    // adopt_bench.py gate 2 now mirrors the diff escape, so the full
-    // record is a defense-in-depth cross-check on acceptance bugs
-    // rather than a guaranteed pass.
-    val spreadJson = accepted.toSeq.sortBy(_._1).map { case (n, r) =>
-      "\"" + n + "\":[" + fmt(r.runs.min) + "," + fmt(r.runs.max) + "]"
-    }.mkString("{", ",", "}")
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val bracketsJson = accepted.toSeq.sortBy(_._1).map { case (n, r) =>
-      "\"" + n + "\":[" + fmt(r.b0) + "," + fmt(r.b1) + "]"
-    }.mkString("{", ",", "}")
-    val pendingJson = pending.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val protocolJson = s"""{"anchor":${fmt(anchor)},"band":${fmt(band)},"sweeps":$sweep,"pending":$pendingJson,"brackets":$bracketsJson}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","host_contended":${!allAccepted},"sentinels":$sentinelJson,"spread":$spreadJson,"regressed":{},"queries":$qjson,"protocol":$protocolJson}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(e) =>
-      println(s"[rows] write $outFile failed: $e") }
-    println(full)
+    val total = accepted.valuesIterator.map(_.value).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_accepted":${accepted.size},"n_pending":${pending.size},"anchor":${fmt(anchor)},"sweeps":$sweep,"out":"$outFile"}""")
     spark.stop()
   }

@@ -148,7 +148,16 @@ object DiagSpanSkew {
     // corpus re-scan), the A/B baseline for the adopted above-window
     // default that "guard" now measures; in spans mode it degenerates to
     // "guard".
-    val allArms = Seq("fused", "fused_oldisl", "legacy", "aggjoin", "guard",
+    // "fusedgc" (r19): fused + an explicit System.gc() at construction —
+    // the control for the tail20k strip observation that the guard arm
+    // read FASTER than its plan-identical fused sibling (plancheck:
+    // sameResult=true, nothing flagged). Hypothesis: the guard's eager
+    // sample pass (persist/unpersist + its own jobs) hands the big
+    // window job a collected heap, and near the 16g spill threshold
+    // that is worth more than the sample costs; each plain-fused run
+    // instead inherits the previous arm's garbage. If fusedgc ~= guard,
+    // the inversion is heap hygiene, not mechanism.
+    val allArms = Seq("fused", "fused_oldisl", "fusedgc", "legacy", "aggjoin", "guard",
                       "hashagg", "guardall", "restricted")
     val armNames = allArms
       .filter(a => !args.exists(allArms.contains) || args.contains(a))
@@ -159,8 +168,9 @@ object DiagSpanSkew {
     def run(dir: String, arm: String): DataFrame = {
       val docs = Tables(spark, dir, "documents")
       // (fuseWindowCount, skewGuard, legacyCheckpoint)
+      if (arm == "fusedgc") System.gc()
       val (fused, g, ckpt) = arm match {
-        case "fused" | "fused_oldisl" | "hashagg" => (true, None, true)
+        case "fused" | "fused_oldisl" | "fusedgc" | "hashagg" => (true, None, true)
         case "legacy"  => (false, None, true)
         case "aggjoin" => (false, None, false) // narrow agg + AQE join-back, no checkpoint
         case "guard" | "restricted" => (true, Some(Dedup.SpanSkewGuard()), true)
@@ -207,6 +217,19 @@ object DiagSpanSkew {
           val d = s"/tmp/graft_spanskew_${factor}x_$hotLabel"
           buildFixture(spark, sf01, d, factor, hotPct); d
         }
+      // "plancheck" (r19): no timing — adjudicate whether the default
+      // guard's plan on THIS fixture equals the unguarded fused plan
+      // (guard flagged nothing -> degenerate-identical) or carries the
+      // salted scatter (guard flagged hot hashes). Settles questions
+      // like the tail20k strip gap without inference from timings.
+      if (args.contains("plancheck")) {
+        val g = run(dir, "guard").queryExecution.optimizedPlan
+        val f = run(dir, "fused").queryExecution.optimizedPlan
+        val scatter = g.toString.contains("xxhash64")
+        println(s"[skew] plancheck $what $scaleLabel $hotLabel: " +
+          s"sameResult=${g.sameResult(f)} guardCarriesScatter=$scatter")
+        ()
+      } else {
       // warmup every arm's plan shape on a small same-shape fixture
       val warmDir = s"/tmp/graft_spanskew_1x_${if (hotPct == -1) "hot0" else hotLabel}"
       buildFixture(spark, sf01, warmDir, 1, math.max(0, hotPct),
@@ -223,6 +246,7 @@ object DiagSpanSkew {
         s"$a=${m.fold("FAIL")(v => f"$v%.1f")}s(${fmt(r1)}/${fmt(r2)})"
       }.mkString(" ")
       println(s"[skew] $what $scaleLabel $hotLabel $summary")
+      }
     }
     spark.stop()
   }

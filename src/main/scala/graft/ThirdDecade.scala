@@ -319,6 +319,36 @@ object ThirdDecade {
     // 16g/64, and env-mixed rows would break cross-round comparability.
     val dupSpanFamily = Set("q_dup_spans", "q_dup_span_strip")
     val heapGb = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
+    // r19: bracketed mode — the manual adjudication loop (calibrate,
+    // run, calibrate, refuse out-of-band reads) that caught the r18
+    // 68.12 s slow-window read, mechanized so a bad read can never
+    // reach SCALING_1000.json by forgetting the revert. When
+    // SPARK_GRAFT_ROW_ANCHOR is set, each row is bracketed by a
+    // q_dedup_embed min-of-2 noop probe (BenchRows' sentinel) at sf0.1;
+    // a row whose brackets exceed anchor x band is REFUSED (not merged)
+    // UNLESS it still tightens the prior registry value — a slow-window
+    // read that beats the reference bounds the quiet truth from above
+    // (the r18 strip-row argument), so the tightening-only rule admits
+    // it. SPARK_GRAFT_WAIT_QUIET_SEC (default 0) polls the probe before
+    // each row until it enters the band or the budget expires (the row
+    // then runs anyway; the bracket still adjudicates the merge). Note
+    // the family env (shuffle=64 vs the bench's 32) can read the probe
+    // a few ms different from the BenchRows anchor — supply the anchor
+    // consciously, don't copy it blindly across envs.
+    val rowAnchor = sys.env.get("SPARK_GRAFT_ROW_ANCHOR").map(_.toDouble)
+    val rowBand = sys.env.getOrElse("SPARK_GRAFT_ROW_BAND", "1.25").toDouble
+    val waitQuietSec = sys.env.getOrElse("SPARK_GRAFT_WAIT_QUIET_SEC", "0").toInt
+    val refused = scala.collection.mutable.ArrayBuffer[String]()
+    var sentinelWarm = false
+    def probe(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        noop(reg("q_dedup_embed")(sf01))
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (!sentinelWarm) { once(); sentinelWarm = true } // discard the JIT run
+      math.min(once(), once())
+    }
     def run(name: String, warm: => Unit)(body: => Unit): Unit = {
       // exists, not forall: naming several rows must run each of them
       if (only.nonEmpty && !only.exists(_.contains(name))) return
@@ -334,10 +364,44 @@ object ThirdDecade {
         println(s"[1000x] WARN $name: shuffle partitions $shuffleParts differ " +
           "from the family's measured protocol (64)")
       time(warm) // sf0.1 warmup: JIT + codegen for this pipeline
-      val s = time(body)
-      println(f"[1000x] $name%s: $s%.2fs")
-      rows += ((name, s))
+      rowAnchor match {
+        case None =>
+          val s = time(body)
+          println(f"[1000x] $name%s: $s%.2fs")
+          rows += ((name, s))
+        case Some(anchor) =>
+          val cut = anchor * rowBand
+          var b0 = probe()
+          val deadline = System.nanoTime() + waitQuietSec * 1000000000L
+          while (b0 > cut && System.nanoTime() < deadline) {
+            println(f"[1000x] $name: waiting for quiet (probe $b0%.3f > $cut%.3f)")
+            Thread.sleep(20000)
+            b0 = probe()
+          }
+          val s = time(body)
+          val b1 = probe()
+          val inBand = b0 <= cut && b1 <= cut
+          println(f"[1000x] $name%s: $s%.2fs  brackets=[$b0%.3f,$b1%.3f] " +
+            f"anchor=$anchor%.3f band=$rowBand%.2f in_band=$inBand")
+          if (inBand || s >= 0 && priorSeconds(name).forall(s < _)) {
+            if (!inBand) println(f"[1000x] $name: out-of-band read $s%.2fs still " +
+              "tightens the registry — merged under the bounds-from-above rule")
+            rows += ((name, s))
+          } else {
+            refused += name
+            println(f"[1000x] $name: REFUSED (brackets out of band, no tighten) " +
+              "— registry value kept")
+          }
+      }
     }
+    // prior registry value for one row, for the bounds-from-above rule
+    def priorSeconds(name: String): Option[Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("SCALING_1000.json")), "UTF-8")
+        ("\"" + name + "@1000x\":(-?[0-9.]+)").r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      } catch { case _: Throwable => None }
 
     run("q_dedup_corpus", noop(reg("q_dedup_corpus")(sf01)))(
       noop(reg("q_dedup_corpus")(amp)))
