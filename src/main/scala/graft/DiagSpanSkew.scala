@@ -235,9 +235,14 @@ object DiagSpanSkew {
       buildFixture(spark, sf01, warmDir, 1, math.max(0, hotPct),
         tailFam = if (hotPct == -2) 1000 else 0)
       armNames.foreach(a => noop(run(warmDir, a)))
-      // two alternating passes per arm so window drift lands on all
+      // two alternating passes per arm so window drift lands on all;
+      // the second pass runs in REVERSE order (r19): the tail20k strip
+      // sessions showed the first timed run after warmups systematically
+      // lands slow, so a fixed order hands the first-listed arm a
+      // structural penalty in min-of-2 — reversing gives every arm one
+      // read in each position
       val t1 = armNames.map(a => a -> time(noop(run(dir, a))))
-      val t2 = armNames.map(a => a -> time(noop(run(dir, a))))
+      val t2 = armNames.reverse.map(a => a -> time(noop(run(dir, a)))).reverse
       val best = armNames.map { a =>
         val runs = (t1.toMap.apply(a).toSeq ++ t2.toMap.apply(a).toSeq)
         a -> (runs.minOption, t1.toMap.apply(a), t2.toMap.apply(a))
