@@ -77,8 +77,13 @@ def main():
                          [(n, o, v) for n, o, v in
                           patched + confirmed + slower]) /
                      max(1, len(patched) + len(confirmed) + len(slower)))
+        # ONE-LINE compact JSON, like Bench writes it: graft.Bench reads
+        # this file with whitespace-INTOLERANT regexes ("key":{...} /
+        # "name":value, no space after the colon), so a pretty-printed
+        # reference silently disarms the per-query regression tripwire
+        # (flatObj returns empty maps). Caught in r19 — do not re-indent.
         with open("BENCH_QUERIES.json", "w") as f:
-            json.dump(ref, f, indent=1)
+            json.dump(ref, f, separators=(",", ":"))
             f.write("\n")
         print(f"applied {len(patched)} patches; new total {ref['value']}; "
               f"certified-vs-ref geomean {g:.3f}")
