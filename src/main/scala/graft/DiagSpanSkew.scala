@@ -157,8 +157,14 @@ object DiagSpanSkew {
     // that is worth more than the sample costs; each plain-fused run
     // instead inherits the previous arm's garbage. If fusedgc ~= guard,
     // the inversion is heap hygiene, not mechanism.
+    // "sorted" (r19): the fused default PLUS the registered bench row's
+    // trailing global orderBy (q_dup_spans sorts (doc_id, span_start);
+    // strip sorts doc_id). The diag arms time the bare operator, the
+    // SCALING_1000 registry times the SparkEntry query — this arm
+    // measures the difference, which is exactly the wedge between the
+    // r17 "fast-stretch 35-40 s" diag evidence and the registered 54.2.
     val allArms = Seq("fused", "fused_oldisl", "fusedgc", "legacy", "aggjoin", "guard",
-                      "hashagg", "guardall", "restricted")
+                      "hashagg", "guardall", "restricted", "sorted")
     val armNames = allArms
       .filter(a => !args.exists(allArms.contains) || args.contains(a))
 
@@ -170,24 +176,29 @@ object DiagSpanSkew {
       // (fuseWindowCount, skewGuard, legacyCheckpoint)
       if (arm == "fusedgc") System.gc()
       val (fused, g, ckpt) = arm match {
-        case "fused" | "fused_oldisl" | "fusedgc" | "hashagg" => (true, None, true)
+        case "fused" | "fused_oldisl" | "fusedgc" | "hashagg" | "sorted" => (true, None, true)
         case "legacy"  => (false, None, true)
         case "aggjoin" => (false, None, false) // narrow agg + AQE join-back, no checkpoint
         case "guard" | "restricted" => (true, Some(Dedup.SpanSkewGuard()), true)
         case "guardall" => (true, Some(Dedup.SpanSkewGuard(partitionShare = 1e-6)), true)
       }
       val islands = arm != "fused_oldisl" && !args.contains("oldislands")
-      if (stripMode)
-        Dedup.stripDuplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
-          fuseWindowCount = fused, rollingHash = true, skewGuard = g,
-          legacyCheckpoint = ckpt, islandAgg = islands,
-          hashAggCount = arm == "hashagg",
-          hotFirstAboveWindow = arm != "restricted")
-      else
-        Dedup.duplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
-          fuseWindowCount = fused, rollingHash = true, skewGuard = g,
-          legacyCheckpoint = ckpt, islandAgg = islands,
-          hashAggCount = arm == "hashagg")
+      val base =
+        if (stripMode)
+          Dedup.stripDuplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
+            fuseWindowCount = fused, rollingHash = true, skewGuard = g,
+            legacyCheckpoint = ckpt, islandAgg = islands,
+            hashAggCount = arm == "hashagg",
+            hotFirstAboveWindow = arm != "restricted")
+        else
+          Dedup.duplicateSpans(docs, windowTokens = R8Queries.DupSpanWindow,
+            fuseWindowCount = fused, rollingHash = true, skewGuard = g,
+            legacyCheckpoint = ckpt, islandAgg = islands,
+            hashAggCount = arm == "hashagg")
+      if (arm == "sorted") {
+        if (stripMode) base.orderBy("doc_id")
+        else base.orderBy("doc_id", "span_start")
+      } else base
     }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
