@@ -346,7 +346,25 @@ object ThirdDecade {
         noop(reg("q_dedup_embed")(sf01))
         (System.nanoTime() - t0) / 1e9
       }
-      if (!sentinelWarm) { once(); sentinelWarm = true } // discard the JIT run
+      // Warm to STABILITY, not a fixed discard count: the r19 gate run
+      // showed the sentinel pipeline keeps C2-compiling for ~30
+      // executions (polls declined 0.62 -> 0.40 on an OS-idle host), so
+      // a single discarded run makes early polls report JIT warmth as
+      // contention and burn the quiet budget. Run until the best-of-3
+      // rolling min stops improving >3% (cap 24 runs, ~10 s) — the
+      // steady-state sentinel BenchRows' fully-warmed JVM reaches.
+      if (!sentinelWarm) {
+        var best = once()
+        var sinceImproved = 0
+        var n = 1
+        while (sinceImproved < 3 && n < 24) {
+          val r = once(); n += 1
+          if (r < best * 0.97) { best = r; sinceImproved = 0 }
+          else sinceImproved += 1
+        }
+        println(f"[1000x] sentinel warmed: $n%d runs, steady $best%.3fs")
+        sentinelWarm = true
+      }
       math.min(once(), once())
     }
     def run(name: String, warm: => Unit)(body: => Unit): Unit = {
@@ -379,7 +397,20 @@ object ThirdDecade {
             b0 = probe()
           }
           val s = time(body)
-          val b1 = probe()
+          // Closing bracket: best-of-3 with 5 s settles. Probing the
+          // instant a 50-130 s full-tilt job ends conflates the job's
+          // own residue (full old-gen, cold sentinel code paths evicted
+          // by the big pipeline) with ambient contention; the logged
+          // trace tells them apart — residue recovers across the three
+          // reads, a hot neighbor doesn't. min() is still honest: a
+          // genuinely contended window keeps all three reads high.
+          val trace = (0 until 3).map { i =>
+            if (i > 0) Thread.sleep(5000)
+            probe()
+          }
+          val b1 = trace.min
+          println(f"[1000x] $name: closing trace " +
+            trace.map(v => f"$v%.3f").mkString("[", ",", "]"))
           val inBand = b0 <= cut && b1 <= cut
           println(f"[1000x] $name%s: $s%.2fs  brackets=[$b0%.3f,$b1%.3f] " +
             f"anchor=$anchor%.3f band=$rowBand%.2f in_band=$inBand")
