@@ -15,8 +15,47 @@ the log alongside the probe brackets:
 
 Columns: unix_ts busy% steal% iowait% (of total ticks incl. idle).
 Pure observer: ~0 cost, no JVM, safe to leave running across a session.
+
+CAVEAT (learned the first idle night): steal only accrues while the
+guest's vCPUs are RUNNABLE — an idle guest cannot see a hot neighbor
+at all, so a flat passive trace does NOT certify a window. To certify,
+actively sample with a burn:
+
+    python3 tools/hostwatch.py --burn 8 3
+
+spawns 8 spin processes for 3 s and prints the stolen_frac measured
+under that load — the hypervisor's answer to "would you give me CPU
+right now". stolen_frac < 0.03 under burn = genuinely quiet.
 """
+import multiprocessing
 import sys, time
+
+
+def _spin(deadline):
+    while time.time() < deadline:
+        pass
+
+
+def burn(nproc, seconds):
+    before = sample()
+    deadline = time.time() + seconds
+    procs = [
+        multiprocessing.Process(target=_spin, args=(deadline,))
+        for _ in range(nproc)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    after = sample()
+    db, ds, dw, dt = (a - b for a, b in zip(after, before))
+    run = db + ds
+    frac = ds / run if run > 0 else 0.0
+    print(
+        f"burn nproc={nproc} sec={seconds} busy={100*db/dt:.1f} "
+        f"steal={100*ds/dt:.1f} stolen_frac={frac:.3f}"
+    )
+    return frac
 
 
 def sample():
@@ -31,6 +70,11 @@ def sample():
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--burn":
+        nproc = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        seconds = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
+        frac = burn(nproc, seconds)
+        sys.exit(0 if frac < 0.03 else 1)
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hostwatch.log"
     period = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
     prev = sample()
@@ -50,11 +94,14 @@ def main():
             # (first r19 bench window: steal 7.5% of total ticks was 65%
             # of runnable time).
             run = db + ds
-            frac = ds / run if run > 0 else 0.0
+            # frac is meaningless on an idle guest (0.4 steal ticks over
+            # 0.4 runnable reads 0.91 from noise); report it only when
+            # the guest was actually asking for CPU (>0.5% of capacity).
+            frac = f"{ds/run:.2f}" if run > 0.005 * dt else "-"
             f.write(
                 f"{time.time():.0f} busy={100*db/dt:.1f} "
                 f"steal={100*ds/dt:.1f} iowait={100*dw/dt:.1f} "
-                f"stolen_frac={frac:.2f}\n"
+                f"stolen_frac={frac}\n"
             )
 
 
