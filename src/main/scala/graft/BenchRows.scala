@@ -84,6 +84,13 @@ object BenchRows {
     val onlyRows = sys.env.get("SPARK_GRAFT_ROW_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val frozenAnchor = sys.env.get("SPARK_GRAFT_ROW_ANCHOR").map(_.toDouble)
+    // In-row steal gate (r19, mirrors ThirdDecade): brackets sample the
+    // EDGES of a row; hypervisor-steal bursts live in the interior and
+    // inflated eight "certified" 1000x reads 1.3-2.0x before the gate
+    // existed. A row whose runs accrued more than this stolen fraction
+    // (steal/(busy+steal) from /proc/stat, integrated across both runs)
+    // is refused no matter what the brackets say.
+    val maxSteal = sys.env.getOrElse("SPARK_GRAFT_MAX_STEAL", "0.05").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -203,7 +210,7 @@ object BenchRows {
       for (name <- pending) {
         val fn = SparkEntry.queries(name)
         val b0 = b
-        val (v, r1, r2) = minOf2(fn)
+        val ((v, r1, r2), _, rowSteal) = HostSteal.timed(minOf2(fn))
         val b1 = bracket(); allBrackets += b1
         // the anchor may only tighten during sweep 1 (phase A + a full
         // sweep ≈ 10+ minutes of samples spans several whipsaw periods —
@@ -219,7 +226,8 @@ object BenchRows {
         val spreadOk = v > 0 &&
           (math.max(r1, r2) / math.min(r1, r2) < 1.5 || math.max(r1, r2) - math.min(r1, r2) < 0.25)
         val inBand = b0 <= anchor * band && b1 <= anchor * band
-        if (v > 0 && spreadOk && inBand) {
+        val stealOk = rowSteal.forall(_ <= maxSteal)
+        if (v > 0 && spreadOk && inBand && stealOk) {
           // keep the BEST accepted measurement across sweeps (both are
           // bracket-certified quiet; min matches Bench's min-of-n intent)
           if (!accepted.get(name).exists(_.value <= v))
@@ -229,6 +237,7 @@ object BenchRows {
           val why =
             if (v <= 0) "run failed"
             else if (!spreadOk) f"spread [${math.min(r1, r2)}%.3f,${math.max(r1, r2)}%.3f]"
+            else if (!stealOk) f"in-row stolen_frac ${rowSteal.get}%.3f > $maxSteal%.2f"
             else f"bracket out of band (b0=$b0%.3f b1=$b1%.3f anchor=$anchor%.3f)"
           println(s"[rows]   refused $name: $why")
         }

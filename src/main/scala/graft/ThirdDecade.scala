@@ -346,19 +346,6 @@ object ThirdDecade {
     // (1/(1-0.30) = 1.43x — matching the loosenings). Brackets see the
     // edges; only in-row integration sees the interior.
     val maxSteal = sys.env.getOrElse("SPARK_GRAFT_MAX_STEAL", "0.05").toDouble
-    // (runnable ticks, steal ticks) from the aggregate cpu line; None
-    // off-Linux, which disables the steal test rather than failing.
-    def cpuTicks(): Option[(Long, Long)] =
-      try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        val line = try src.getLines().next() finally src.close()
-        val v = line.trim.split("\\s+").drop(1).map(_.toLong)
-        // user nice system idle iowait irq softirq steal
-        Some((v(0) + v(1) + v(2) + v(5) + v(6) + v(7), v(7)))
-      } catch { case scala.util.control.NonFatal(_) => None }
-    def stolenFrac(before: Option[(Long, Long)], after: Option[(Long, Long)]): Option[Double] =
-      for ((r0, s0) <- before; (r1, s1) <- after; if r1 - r0 > 0)
-        yield (s1 - s0).toDouble / (r1 - r0)
     val refused = scala.collection.mutable.ArrayBuffer[String]()
     var sentinelWarm = false
     def probe(): Double = {
@@ -417,9 +404,9 @@ object ThirdDecade {
             Thread.sleep(20000)
             b0 = probe()
           }
-          val ticks0 = cpuTicks()
+          val ticks0 = HostSteal.ticks()
           val s = time(body)
-          val ticks1 = cpuTicks()
+          val ticks1 = HostSteal.ticks()
           // Closing bracket: best-of-3 with 5 s settles. Probing the
           // instant a 50-130 s full-tilt job ends conflates the job's
           // own residue (full old-gen, cold sentinel code paths evicted
@@ -434,7 +421,7 @@ object ThirdDecade {
           val b1 = trace.min
           println(f"[1000x] $name: closing trace " +
             trace.map(v => f"$v%.3f").mkString("[", ",", "]"))
-          val steal = stolenFrac(ticks0, ticks1)
+          val steal = HostSteal.stolenFrac(ticks0, ticks1)
           steal.foreach(f => println(f"[1000x] $name: in-row stolen_frac $f%.3f" +
             (if (f > maxSteal) f" > $maxSteal%.2f — read disqualified from in-band" else "")))
           val inBand = b0 <= cut && b1 <= cut && steal.forall(_ <= maxSteal)
