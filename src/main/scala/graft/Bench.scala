@@ -98,6 +98,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Hypervisor-steal integration over the whole timed pass (r19): the
+    // sentinel tripwire catches sustained contention but steal BURSTS
+    // between sentinel samples inflate individual rows invisibly (the
+    // named whipsaw — SCALING.md "The whipsaw NAMED"). The run-level
+    // fraction goes into the artifact so adopt_bench can refuse a
+    // steal-polluted candidate map outright.
+    val stealTicks0 = HostSteal.ticks()
     val raw = qs.map { case (name, fn) =>
       val a = timeOnce(fn)
       val b = timeOnce(fn)
@@ -112,6 +119,8 @@ object Bench {
         else -1.0
       (name, Seq(a, b, c).filter(_ >= 0))
     }
+    val runStolenFrac =
+      HostSteal.stolenFrac(stealTicks0, HostSteal.ticks()).getOrElse(-1.0)
     val results = raw.map { case (name, runs) =>
       name -> (if (runs.size < 2) -1.0 else runs.min)
     }
@@ -166,14 +175,14 @@ object Bench {
     //  3. end with a short, self-contained summary line — guaranteed to
     //     fit whole in any tail window — carrying the slowest queries
     //     inline plus a pointer to the full file.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","host_contended":$contended,"sentinels":$sentinelJson,"spread":$spreadJson,"regressed":$regressedJson,"queries":$qjson}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","host_contended":$contended,"stolen_frac":${fmt(runStolenFrac)},"sentinels":$sentinelJson,"spread":$spreadJson,"regressed":$regressedJson,"queries":$qjson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(full)
     val slowest = results.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"host_contended":$contended,"queries_file":"$outFile","queries":$slowest}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"host_contended":$contended,"stolen_frac":${fmt(runStolenFrac)},"queries_file":"$outFile","queries":$slowest}""")
     spark.stop()
   }
 }

@@ -396,45 +396,65 @@ object ThirdDecade {
           println(f"[1000x] $name%s: $s%.2fs")
           rows += ((name, s))
         case Some(anchor) =>
+          // SPARK_GRAFT_ROW_ATTEMPTS (default 1): a refused read may
+          // re-enter the quiet-wait loop and try again in the SAME warm
+          // JVM. The r19 hostwatch traces show this host's steal
+          // whipsaw has a period of minutes — shorter than a cold gate
+          // launch (sbt + Spark init + warmup ≈ 2-4 min), so a
+          // one-shot run keeps missing windows it could have caught
+          // had it stayed resident and polled. The first accepted read
+          // (in-band, or out-of-band-but-tightening) ends the hunt;
+          // each attempt's verdict logs independently.
+          val attempts = sys.env.getOrElse("SPARK_GRAFT_ROW_ATTEMPTS", "1").toInt
           val cut = anchor * rowBand
-          var b0 = probe()
-          val deadline = System.nanoTime() + waitQuietSec * 1000000000L
-          while (b0 > cut && System.nanoTime() < deadline) {
-            println(f"[1000x] $name: waiting for quiet (probe $b0%.3f > $cut%.3f)")
-            Thread.sleep(20000)
-            b0 = probe()
-          }
-          val ticks0 = HostSteal.ticks()
-          val s = time(body)
-          val ticks1 = HostSteal.ticks()
-          // Closing bracket: best-of-3 with 5 s settles. Probing the
-          // instant a 50-130 s full-tilt job ends conflates the job's
-          // own residue (full old-gen, cold sentinel code paths evicted
-          // by the big pipeline) with ambient contention; the logged
-          // trace tells them apart — residue recovers across the three
-          // reads, a hot neighbor doesn't. min() is still honest: a
-          // genuinely contended window keeps all three reads high.
-          val trace = (0 until 3).map { i =>
-            if (i > 0) Thread.sleep(5000)
-            probe()
-          }
-          val b1 = trace.min
-          println(f"[1000x] $name: closing trace " +
-            trace.map(v => f"$v%.3f").mkString("[", ",", "]"))
-          val steal = HostSteal.stolenFrac(ticks0, ticks1)
-          steal.foreach(f => println(f"[1000x] $name: in-row stolen_frac $f%.3f" +
-            (if (f > maxSteal) f" > $maxSteal%.2f — read disqualified from in-band" else "")))
-          val inBand = b0 <= cut && b1 <= cut && steal.forall(_ <= maxSteal)
-          println(f"[1000x] $name%s: $s%.2fs  brackets=[$b0%.3f,$b1%.3f] " +
-            f"anchor=$anchor%.3f band=$rowBand%.2f in_band=$inBand")
-          if (inBand || s >= 0 && priorSeconds(name).forall(s < _)) {
-            if (!inBand) println(f"[1000x] $name: out-of-band read $s%.2fs still " +
-              "tightens the registry — merged under the bounds-from-above rule")
-            rows += ((name, s))
-          } else {
-            refused += name
-            println(f"[1000x] $name: REFUSED (brackets out of band, no tighten) " +
-              "— registry value kept")
+          var accepted = false
+          var attempt = 0
+          while (!accepted && attempt < attempts) {
+            attempt += 1
+            var b0 = probe()
+            val deadline = System.nanoTime() + waitQuietSec * 1000000000L
+            while (b0 > cut && System.nanoTime() < deadline) {
+              println(f"[1000x] $name: waiting for quiet (probe $b0%.3f > $cut%.3f)")
+              Thread.sleep(20000)
+              b0 = probe()
+            }
+            val ticks0 = HostSteal.ticks()
+            val s = time(body)
+            val ticks1 = HostSteal.ticks()
+            // Closing bracket: best-of-3 with 5 s settles. Probing the
+            // instant a 50-130 s full-tilt job ends conflates the job's
+            // own residue (full old-gen, cold sentinel code paths evicted
+            // by the big pipeline) with ambient contention; the logged
+            // trace tells them apart — residue recovers across the three
+            // reads, a hot neighbor doesn't. min() is still honest: a
+            // genuinely contended window keeps all three reads high.
+            val trace = (0 until 3).map { i =>
+              if (i > 0) Thread.sleep(5000)
+              probe()
+            }
+            val b1 = trace.min
+            println(f"[1000x] $name: closing trace " +
+              trace.map(v => f"$v%.3f").mkString("[", ",", "]"))
+            val steal = HostSteal.stolenFrac(ticks0, ticks1)
+            steal.foreach(f => println(f"[1000x] $name: in-row stolen_frac $f%.3f" +
+              (if (f > maxSteal) f" > $maxSteal%.2f — read disqualified from in-band" else "")))
+            val inBand = b0 <= cut && b1 <= cut && steal.forall(_ <= maxSteal)
+            println(f"[1000x] $name%s: $s%.2fs  brackets=[$b0%.3f,$b1%.3f] " +
+              f"anchor=$anchor%.3f band=$rowBand%.2f in_band=$inBand " +
+              f"attempt=$attempt/$attempts")
+            if (inBand || s >= 0 && priorSeconds(name).forall(s < _)) {
+              if (!inBand) println(f"[1000x] $name: out-of-band read $s%.2fs still " +
+                "tightens the registry — merged under the bounds-from-above rule")
+              rows += ((name, s))
+              accepted = true
+            } else if (attempt < attempts) {
+              println(f"[1000x] $name: attempt $attempt refused — re-entering " +
+                "the quiet-wait loop in the warm JVM")
+            } else {
+              refused += name
+              println(f"[1000x] $name: REFUSED (brackets out of band, no tighten) " +
+                "— registry value kept")
+            }
           }
       }
     }

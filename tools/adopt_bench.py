@@ -23,6 +23,11 @@ Gates (either failing refuses adoption):
      cannot move a full-map geomean 8%; lumpy ambient drift can even push untouched
      rows past the per-row threshold (r16: 7 such rows in a
      1.19-geomean window). --force for deliberate global changes.
+  4. run stolen_frac (r19): Bench integrates /proc/stat hypervisor
+     steal over the timed pass; above --max-steal (default 0.05) the
+     run is refused outright — steal bursts inflate rows 1.3-2x while
+     sentinels and load average stay clean. Absent/-1 (old artifact,
+     non-Linux) passes.
 
 Since r16 Bench writes its run to BENCH_LAST_RUN.json (gitignored) and
 never touches BENCH_QUERIES.json — this gate's --adopt is the ONLY path
@@ -93,6 +98,7 @@ def main():
     ap.add_argument("--prior-round", default=None)
     ap.add_argument("--max-spread", type=float, default=4.0)
     ap.add_argument("--max-geomean", type=float, default=1.08)
+    ap.add_argument("--max-steal", type=float, default=0.05)
     ap.add_argument("--adopt", action="store_true")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
@@ -102,6 +108,17 @@ def main():
 
     if cand.get("host_contended"):
         failures.append("host_contended=true (sentinel tripwire fired)")
+
+    # Gate 4 (r19): refuse a steal-polluted run outright. Bench now
+    # integrates /proc/stat hypervisor steal over the whole timed pass;
+    # the named-whipsaw discovery (SCALING.md) showed steal BURSTS
+    # inflate rows 1.3-2x while sentinels and load average stay clean.
+    # -1.0 / absent = steal unknown (old artifact or non-Linux): pass.
+    stolen = cand.get("stolen_frac", -1.0)
+    if stolen is not None and stolen > args.max_steal:
+        failures.append(
+            f"run stolen_frac {stolen:.3f} exceeds gate {args.max_steal} "
+            f"— the hypervisor denied the guest CPU during the timed pass")
 
     spread = cand.get("spread", {})
     # a 3-decimal-rounded min of 0.000 is itself suspicious — flag it
