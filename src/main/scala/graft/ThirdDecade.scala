@@ -438,7 +438,25 @@ object ThirdDecade {
             val steal = HostSteal.stolenFrac(ticks0, ticks1)
             steal.foreach(f => println(f"[1000x] $name: in-row stolen_frac $f%.3f" +
               (if (f > maxSteal) f" > $maxSteal%.2f — read disqualified from in-band" else "")))
-            val inBand = b0 <= cut && b1 <= cut && steal.forall(_ <= maxSteal)
+            // Registry-consistency rule (r19, the 88.26 s lesson): an
+            // "in-band" read may loosen the registry by at most the
+            // band factor itself. The registered values are adjudicated
+            // honest-or-conservative, so a bracket-clean low-steal read
+            // at 1.6x the registry is self-contradictory — it means a
+            // contention channel BOTH instruments are blind to (the
+            // night's attempt 1: 239 s at 13% CPU steal = ~3.8x
+            // steal-adjusted; memory-bandwidth/LLC pressure from a
+            // co-tenant inflates a shuffle-heavy row without accruing
+            // steal ticks or slowing a sub-second probe much). Such a
+            // read must not overwrite the registry as if certified.
+            val prior = priorSeconds(name)
+            val consistent = prior.forall(p => s <= p * rowBand)
+            if (!consistent && b0 <= cut && b1 <= cut && steal.forall(_ <= maxSteal))
+              println(f"[1000x] $name: read $s%.2fs is ${s / prior.get}%.2fx the " +
+                f"registry ${prior.get}%.2fs with clean brackets AND low steal — " +
+                "an unmeasured contention channel; certificate rejected")
+            val inBand = b0 <= cut && b1 <= cut && steal.forall(_ <= maxSteal) &&
+              consistent
             println(f"[1000x] $name%s: $s%.2fs  brackets=[$b0%.3f,$b1%.3f] " +
               f"anchor=$anchor%.3f band=$rowBand%.2f in_band=$inBand " +
               f"attempt=$attempt/$attempts")
