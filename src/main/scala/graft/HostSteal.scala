@@ -43,4 +43,49 @@ object HostSteal {
     val sec = (System.nanoTime() - t0) / 1e9
     (a, sec, stolenFrac(t0ticks, ticks()))
   }
+
+  /** Memory-bandwidth probe — the instrument for the THIRD contention
+    * channel (SCALING.md r19 "the second invisible channel"): a
+    * co-tenant hammering memory bandwidth / LLC inflates a
+    * shuffle-heavy job several-fold while accruing zero steal ticks
+    * (stalled cycles count as busy) and barely moving a cache-resident
+    * sentinel query. This probe streams a buffer far larger than any
+    * LLC with several threads, so its wall time tracks the bandwidth
+    * actually available to the guest. Returns seconds for one pass;
+    * compare against a quiet-floor anchor exactly like the sentinel
+    * probe. The buffer allocates once (lazily) and is shared across
+    * calls — ~256 MiB resident, deliberately well past cache.
+    */
+  private lazy val memBuf: Array[Long] = {
+    val a = new Array[Long](1 << 25) // 32M longs = 256 MiB
+    var i = 0
+    while (i < a.length) { a(i) = i; i += 1 }
+    a
+  }
+
+  def memProbeOnce(threads: Int = 4): Double = {
+    val buf = memBuf
+    val chunk = buf.length / threads
+    val sums = new Array[Long](threads)
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var i = t * chunk
+        val end = if (t == threads - 1) buf.length else (t + 1) * chunk
+        var acc = 0L
+        while (i < end) { acc += buf(i); i += 1 }
+        sums(t) = acc
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    // the sums defeat dead-code elimination; they are otherwise unused
+    if (sums.sum == Long.MinValue) println("")
+    sec
+  }
+
+  /** min-of-2 memory-bandwidth read (first call pays the buffer init). */
+  def memProbe(threads: Int = 4): Double =
+    math.min(memProbeOnce(threads), memProbeOnce(threads))
 }

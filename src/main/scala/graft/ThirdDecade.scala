@@ -375,6 +375,22 @@ object ThirdDecade {
       }
       math.min(once(), once())
     }
+    // Memory-bandwidth floor for the third-channel gate (r19): starts
+    // at the env anchor if supplied, else self-calibrates as the min
+    // reading seen this session — it only ever tightens, so an
+    // all-contended session is lenient early (the consistency rule
+    // backstops that) and sharp as soon as one quiet reading lands.
+    var memFloor = sys.env.get("SPARK_GRAFT_MEM_ANCHOR").map(_.toDouble)
+      .getOrElse(Double.MaxValue)
+    def memRead(): Double = {
+      val m = HostSteal.memProbe()
+      if (m < memFloor) {
+        if (memFloor != Double.MaxValue)
+          println(f"[1000x] membw floor tightened: $memFloor%.4f -> $m%.4f s")
+        memFloor = m
+      }
+      m
+    }
     def run(name: String, warm: => Unit)(body: => Unit): Unit = {
       // exists, not forall: naming several rows must run each of them
       if (only.nonEmpty && !only.exists(_.contains(name))) return
@@ -412,11 +428,14 @@ object ThirdDecade {
           while (!accepted && attempt < attempts) {
             attempt += 1
             var b0 = probe()
+            var m0 = memRead()
+            def memOk(m: Double) = m <= memFloor * rowBand
             val deadline = System.nanoTime() + waitQuietSec * 1000000000L
-            while (b0 > cut && System.nanoTime() < deadline) {
-              println(f"[1000x] $name: waiting for quiet (probe $b0%.3f > $cut%.3f)")
+            while ((b0 > cut || !memOk(m0)) && System.nanoTime() < deadline) {
+              println(f"[1000x] $name: waiting for quiet (probe $b0%.3f > $cut%.3f " +
+                f"or membw $m0%.4f > ${memFloor * rowBand}%.4f)")
               Thread.sleep(20000)
-              b0 = probe()
+              b0 = probe(); m0 = memRead()
             }
             val ticks0 = HostSteal.ticks()
             val s = time(body)
@@ -433,8 +452,10 @@ object ThirdDecade {
               probe()
             }
             val b1 = trace.min
+            val m1 = memRead()
             println(f"[1000x] $name: closing trace " +
-              trace.map(v => f"$v%.3f").mkString("[", ",", "]"))
+              trace.map(v => f"$v%.3f").mkString("[", ",", "]") +
+              f" membw=[$m0%.4f,$m1%.4f] floor=$memFloor%.4f")
             val steal = HostSteal.stolenFrac(ticks0, ticks1)
             steal.foreach(f => println(f"[1000x] $name: in-row stolen_frac $f%.3f" +
               (if (f > maxSteal) f" > $maxSteal%.2f — read disqualified from in-band" else "")))
@@ -451,12 +472,13 @@ object ThirdDecade {
             // read must not overwrite the registry as if certified.
             val prior = priorSeconds(name)
             val consistent = prior.forall(p => s <= p * rowBand)
-            if (!consistent && b0 <= cut && b1 <= cut && steal.forall(_ <= maxSteal))
+            if (!consistent && b0 <= cut && b1 <= cut &&
+                steal.forall(_ <= maxSteal) && memOk(m0) && memOk(m1))
               println(f"[1000x] $name: read $s%.2fs is ${s / prior.get}%.2fx the " +
                 f"registry ${prior.get}%.2fs with clean brackets AND low steal — " +
                 "an unmeasured contention channel; certificate rejected")
             val inBand = b0 <= cut && b1 <= cut && steal.forall(_ <= maxSteal) &&
-              consistent
+              memOk(m0) && memOk(m1) && consistent
             println(f"[1000x] $name%s: $s%.2fs  brackets=[$b0%.3f,$b1%.3f] " +
               f"anchor=$anchor%.3f band=$rowBand%.2f in_band=$inBand " +
               f"attempt=$attempt/$attempts")

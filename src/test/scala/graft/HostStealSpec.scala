@@ -40,6 +40,16 @@ class HostStealSpec extends AnyFunSuite {
     assert(s0 <= r0 && s1 <= r1, "steal cannot exceed runnable")
   }
 
+  test("memProbe: streams the 256 MiB buffer in bounded time") {
+    val once = HostSteal.memProbeOnce()
+    val best = HostSteal.memProbe()
+    // a 256 MiB streaming sum takes milliseconds on any sane machine
+    // and must never take seconds — if it does, the probe itself would
+    // dominate the gate's poll cadence
+    assert(once > 0.0 && once < 5.0, s"memProbeOnce out of range: $once")
+    assert(best > 0.0 && best < 5.0, s"memProbe out of range: $best")
+  }
+
   test("timed: returns the body's value, its wall seconds, and a frac in [0,1]") {
     val (v, sec, frac) = HostSteal.timed {
       Thread.sleep(30); 42
