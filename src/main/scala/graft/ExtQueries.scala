@@ -193,19 +193,16 @@ object ExtQueries {
       graft.ops.Funnel.counts(t(s, dir, "events"),
         steps = Seq("view", "click", "purchase"), withinSeconds = Some(3600L))),
 
-    // ── Bigram frequency (lead-window pairing, no interpreted lambdas) ─
-    "q_bigrams" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .withColumn("w2", lead(col("w"), 1).over(w))
-        .where(col("w2").isNotNull && col("w") =!= "" && col("w2") =!= "")
-        .select(concat(col("w"), lit(" "), col("w2")).as("bigram"))
+    // ── Bigram frequency (narrow 2-shingle pairing — r19: the 2-shingle
+    // IS the "w1 w2" string, so the pair rows are emitted at scan
+    // locality with no (doc,pos) window exchange+sort; see
+    // TextAnalysis.adjacentPairs for the equivalence argument) ─────────
+    "q_bigrams" -> ((s, dir) =>
+      graft.ops.TextAnalysis.adjacentPairs(
+          t(s, dir, "documents"), "doc_id", "text")
+        .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("bigram")).limit(40)
-    }),
+        .orderBy(col("n").desc, col("bigram")).limit(40)),
 
     // ── Multiset set ops (ALL variants keep duplicate cardinality) ─────
     "q_intersect_all" -> ((s, dir) => {

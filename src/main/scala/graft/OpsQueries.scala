@@ -377,17 +377,29 @@ object OpsQueries {
     // computes the same exact stats and asserts the flags are 1 — if a
     // sketch ever drifts outside its bound, the hash breaks.
     "q_approx_stats" -> ((s, dir) => {
+      // r19: the exact distinct count runs as its OWN aggregation. Fused
+      // with the sketches, Spark plans countDistinct as a first
+      // aggregation keyed (event_type, user_id) — so every one of those
+      // fine-grained groups carries the full 54-column percentile/HLL
+      // object buffers through an exchange before re-merging (guide §2.3:
+      // shuffle fewer bytes). Split, the heavy sketch aggregation keys on
+      // event_type alone (map-side partials, a handful of groups) and the
+      // distinct count is a cheap narrow two-phase agg; a broadcast join
+      // on the #event_type-row results reassembles the identical output.
       val exactQ = expr("percentile(value, array(0.45, 0.55, 0.9, 0.99))")
-      Tables(s, dir, "events")
+      val ev = Tables(s, dir, "events")
+      val sketches = ev
         .groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id")).as("__approx_users"),
+        .agg(approx_count_distinct(col("user_id")).as("__approx_users"),
           element_at(expr("approx_percentile(value, array(0.5, 0.95), 1000)"), 1)
             .as("__p50_approx"),
           element_at(expr("approx_percentile(value, array(0.5, 0.95), 1000)"), 2)
             .as("__p95_approx"),
           element_at(exactQ, 1).as("__q45"), element_at(exactQ, 2).as("__q55"),
           element_at(exactQ, 3).as("__q90"), element_at(exactQ, 4).as("__q99"))
+      val users = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      users.join(broadcast(sketches), Seq("event_type"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("__approx_users") - col("exact_users")).cast("double") <=
             col("exact_users") * 0.10).cast("long").as("hll_within_10pct"),

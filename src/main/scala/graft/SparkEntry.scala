@@ -161,9 +161,15 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")),
 
     "q_count_tables" -> ((s, dir) => {
-      Tables.all.map { n =>
-        t(s, dir, n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n"))
-      }.reduce(_ unionAll _).orderBy("tbl")
+      // r19: tag-and-union BEFORE aggregating — one shuffle of 10
+      // partial-count rows instead of 10 independent two-stage global
+      // aggregates (each with its own single-row exchange). Scans still
+      // read zero columns (empty ReadSchema ⇒ footer-count batches);
+      // per-table counts are the group counts of the constant tag.
+      Tables.all.map(n => t(s, dir, n).select(lit(n).as("tbl")))
+        .reduce(_ unionAll _)
+        .groupBy("tbl").agg(count(lit(1)).as("n"))
+        .orderBy("tbl")
     }),
 
     // ── Reference surface: event-log queries (Q1/Q2) ──────────────────

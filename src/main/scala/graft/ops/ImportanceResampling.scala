@@ -45,15 +45,20 @@ object ImportanceResampling {
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val rawW = words(raw, idCol, textCol, nBuckets)
     val tgtW = words(target, idCol, textCol, nBuckets)
-    val cR = rawW.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    // the ≤nBuckets count tables are each built in ONE corpus pass and
+    // materialized (they are feature-space-sized); the scalar totals
+    // derive from them exactly (nr = Σcr, nt = Σct) instead of
+    // re-exploding their corpus (r19, guide §2.3) — that drops the
+    // corpus-scale passes from 3×raw + 2×target to 2×raw + 1×target
+    val cR = rawW.groupBy("bucket").agg(count(lit(1)).as("cr")).localCheckpoint()
     // raw tokens only ever probe buckets present in cR, so a left join
     // from cR covers every scored bucket; absent target buckets smooth
     // to ct=0
-    val cT = tgtW.groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val cT = tgtW.groupBy("bucket").agg(count(lit(1)).as("ct")).localCheckpoint()
     val ratio = cR.join(cT, Seq("bucket"), "left")
       .select(col("bucket"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
-    val totals = rawW.agg(count(lit(1)).as("nr"))
-      .crossJoin(tgtW.agg(count(lit(1)).as("nt")))
+    val totals = cR.agg(sum("cr").as("nr"))
+      .crossJoin(cT.agg(sum("ct").as("nt")))
     val b = lit(nBuckets.toLong)
     rawW
       .join(broadcast(ratio), "bucket")

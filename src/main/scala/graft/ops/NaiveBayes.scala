@@ -44,10 +44,16 @@ object NaiveBayes {
       .where(col("tok") =!= "")
       .localCheckpoint()
 
-    // exact-count model pieces
+    // exact-count model pieces. classTok is the ONE corpus-scale
+    // aggregation (materialized: it is model-scale, V × labels at most);
+    // the class totals and vocabulary DERIVE from it by exact integer
+    // identities (l_total = Σ_tok c; vocab = distinct counted tokens)
+    // instead of each re-reading the corpus-scale token table (r19,
+    // guide §2.3: aggregate first, derive the rest).
     val classTok = toks.groupBy(col("__lbl"), col("tok")).agg(count(lit(1)).as("c"))
-    val classTotal = toks.groupBy(col("__lbl")).agg(count(lit(1)).as("l_total"))
-    val vocab = toks.select("tok").distinct()
+      .localCheckpoint()
+    val classTotal = classTok.groupBy(col("__lbl")).agg(sum("c").as("l_total"))
+    val vocab = classTok.select("tok").distinct()
     val vSize = vocab.agg(count(lit(1)).as("v"))
     val priors = docs.groupBy(col(labelCol).as("__lbl"))
       .agg(count(lit(1)).as("n_lbl"))
@@ -90,12 +96,16 @@ object NaiveBayes {
    */
   def domainPredict(docs: DataFrame, labelCol: String = "source",
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scores = domainScores(docs, labelCol, idCol, textCol)
-    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("label"))
-    val top = scores.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") === 1)
-      .select(col(idCol), col("label").as("predicted"))
+    // argmax as min_by over (−score, label) — same total order the old
+    // row_number window used ((score desc, label asc); scores are
+    // non-null finite doubles, and IEEE negation is exact, so −score asc
+    // ≡ score desc bit-for-bit). r19: the window form exchanged and
+    // sorted all #docs×#labels score rows; min_by partially aggregates
+    // map-side and ships one row per doc (guide §2.3).
+    val top = scores.groupBy(col(idCol))
+      .agg(min_by(col("label"),
+        struct((-col("score")).as("__ns"), col("label").as("__lb"))).as("predicted"))
     val priorTop = docs.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(labelCol)).limit(1)
       .collect()(0).getString(0)

@@ -195,16 +195,17 @@ object TextAnalysis {
    */
   def bigramLogProb(docs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val pairs = docs
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w1")))
-      .withColumn("w2", lead(col("w1"), 1).over(w))
-      .where(col("w1") =!= "" && col("w2").isNotNull && col("w2") =!= "")
-    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val ctx = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
-    val vocab = pairs.select(col("w1").as("w"))
-      .union(pairs.select(col("w2").as("w")))
+    val pairs = adjacentPairs(docs, idCol, textCol)
+    // the bigram count table is built ONCE (and materialized — it is
+    // model-scale, orders of magnitude below the corpus); the context
+    // totals and vocabulary size DERIVE from it by exact integer
+    // identities (cu(w1) = Σ_w2 cb(w1,w2); vocab = distinct endpoints of
+    // counted pairs) instead of each re-aggregating the corpus-scale
+    // pair rows (r19, guide §2.3: aggregate first, derive the rest)
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb")).localCheckpoint()
+    val ctx = bi.groupBy("w1").agg(sum("cb").as("cu"))
+    val vocab = bi.select(col("w1").as("w"))
+      .union(bi.select(col("w2").as("w")))
       .distinct().agg(count(lit(1)).as("v"))
     pairs
       .join(bi, Seq("w1", "w2"))
@@ -216,12 +217,48 @@ object TextAnalysis {
           .as("bigram_logprob"))
   }
 
+  /**
+   * Adjacent-token pairs (w1, w2) per occurrence — the bigram row set —
+   * generated NARROWLY from 2-token shingles instead of a corpus-wide
+   * `lead() OVER (PARTITION BY doc ORDER BY pos)` window (r19, guide
+   * §2.4 "remove shuffles outright"): every 2-shingle of the raw token
+   * sequence is the contiguous substring "tokᵢ tokᵢ₊₁" (tokens split on
+   * the same ' ' the shingle spans), so splitting a shingle at its
+   * single interior space recovers exactly the pair the lead-window
+   * produced. Empty tokens filter identically (the window form filtered
+   * w1/w2 = ''), and a <2-token document — whose [[shingles]] output is
+   * the raw text, which then contains no space — contributes no rows,
+   * matching the window form's null lead. At 100 TB the difference is
+   * structural: the window form exchanges and sorts EVERY TOKEN of the
+   * corpus before a single pair exists; this form emits pairs at
+   * parquet-scan locality with zero shuffle.
+   *
+   * The repartition fans the CPU-dense shingle pass out of single-file
+   * scans (the [[Dedup.minhashExploded]] idiom; at real scale the scan
+   * already has many splits).
+   */
+  private[graft] def adjacentPairs(docs: DataFrame, idCol: String,
+                                   textCol: String): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par)
+      .select(col(idCol), explode(shingles(col(textCol), 2)).as("__bg"))
+      .where(col("__bg").contains(" "))
+      .select(col(idCol),
+        substring_index(col("__bg"), " ", 1).as("w1"),
+        substring_index(col("__bg"), " ", -1).as("w2"))
+      .where(col("w1") =!= "" && col("w2") =!= "")
+  }
+
   def unigramLogProb(docs: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val words = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .where(length(col("term")) > 0)
-    val freq = words.groupBy("term").agg(count(lit(1)).as("tf"))
+    // the vocab-scale frequency table is built in ONE corpus pass and
+    // materialized; the corpus total is Σtf over it — the pre-r19 form
+    // re-ran the corpus explode + vocabulary aggregation just to sum it
+    // (r19, guide §2.3: aggregate first, derive the rest)
+    val freq = words.groupBy("term").agg(count(lit(1)).as("tf")).localCheckpoint()
     val total = freq.agg(sum("tf").as("total"))
     words.join(freq, "term").crossJoin(broadcast(total))
       .groupBy(col(idCol))
@@ -485,19 +522,23 @@ object TextAnalysis {
    */
   def pmiCollocations(docs: DataFrame, minCount: Long = 20,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // pairs are adjacency in the ORIGINAL token sequence (empties filter
-    // AFTER the lead, as in q_bigrams, so an empty token breaks a pair
-    // identically in both engines)
-    val toksAll = docs
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
-    val toks = toksAll.where(col("w") =!= "")
-    val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
-    val nTok = toks.agg(count(lit(1)).as("n_tok"))
-    val wnd = Window.partitionBy(idCol).orderBy("pos")
-    val pairsAll = toksAll.withColumn("w2", lead(col("w"), 1).over(wnd))
-      .where(col("w") =!= "" && col("w2").isNotNull && col("w2") =!= "")
-      .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("cp"))
+    // pairs are adjacency in the ORIGINAL token sequence (empties break a
+    // pair identically in both engines) — generated narrowly from
+    // 2-shingles ([[adjacentPairs]]) instead of a corpus-wide lead
+    // window. Each corpus-scale pass runs ONCE into a materialized
+    // vocab-scale count table; the scalar totals derive from those
+    // tables by exact integer identities (n_tok = Σcu, n_pair = Σcp)
+    // rather than re-scanning the corpus (r19, guide §2.3).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val uni = docs.repartition(par)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+      .localCheckpoint()
+    val nTok = uni.agg(sum("cu").as("n_tok"))
+    val pairsAll = adjacentPairs(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cp"))
+      .localCheckpoint()
     val nPair = pairsAll.agg(sum(col("cp")).as("n_pair"))
     // vocab-sized unigram tables are broadcast EXPLICITLY — their
     // aggregate lineage defeats size estimation (the NB scoring join
