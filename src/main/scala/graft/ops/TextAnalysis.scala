@@ -425,16 +425,24 @@ object TextAnalysis {
                   minWords: Long = 20, maxWords: Long = 100000): Seq[(String, Column)] = {
     val nTok = tokenCount(text)
     val nChars = length(replace(text, lit(" "), lit(""))).cast("long")
-    // stopword TOKENS, counted as tokens (an array filter) — the
-    // replace-based occurrences() undercounts ADJACENT repeats of the
-    // same stopword ("the the" -> 1, the shared delimiter space is
-    // consumed), and the Gopher rule counts tokens
+    // stopword TOKENS, counted with token semantics INCLUDING adjacent
+    // repeats — but codegen'd (r19): the previous `filter(tokens(text),
+    // lambda)` is a higher-order function, interpreted per row (the
+    // documented hot-path anti-pattern). Doubling every space first
+    // gives each token instance its own private delimiters, so the
+    // non-overlapping scan of replace() counts " w " once per token
+    // occurrence — "the the" doubles to "the  the", whose padding
+    // " the  the " matches " the " twice. Value-identical to the token
+    // filter (spec-pinned), one tight codegen'd pass per stopword.
     val stopWords = Seq("the", "a", "of", "and", "in")
-    val stopHits = size(filter(tokens(text),
-      t => stopWords.map(w => t === w).reduce(_ || _))).cast("long")
-    val nDigits = ('0' to '9')
-      .map(d => occurrences(text, d.toString))
+    val doubled = concat(lit(" "), replace(text, lit(" "), lit("  ")), lit(" "))
+    val stopHits = stopWords
+      .map(w => occurrences(doubled, s" $w "))
       .reduce(_ + _).cast("long")
+    // digit count in ONE codegen'd translate pass (r19) — the previous
+    // form ran ten full replace() scans, one per digit
+    val nDigits = (length(text) -
+      length(translate(text, "0123456789", ""))).cast("long")
     val nDistinct = size(array_distinct(tokens(text))).cast("long")
     def flag(c: Column): Column = c.cast("int")
     Seq(

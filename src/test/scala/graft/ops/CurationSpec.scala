@@ -35,6 +35,42 @@ class CurationSpec extends SparkSpec {
     assert(byId(3L).getAs[Int]("rule_word_count") == 1)
   }
 
+  test("gopherReport: codegen'd stopword/digit counts equal the token-filter forms") {
+    // r19 pins: the doubled-space replace scan must count stopword
+    // TOKENS exactly like the interpreted array filter it replaced —
+    // adjacent repeats, empty tokens between them, stopwords as
+    // substrings of other words, and edge padding all included — and
+    // the one-pass translate() must count digit chars like the ten
+    // per-digit replace scans did.
+    val adversarial = Seq(
+      (10L, "the the the"),                 // adjacent repeats: 3 hits
+      (11L, "the  the"),                    // empty token between: 2 hits
+      (12L, "theme of other lather a"),     // substrings don't count: of + a = 2
+      (13L, "a"),                           // single stopword doc: 1
+      (14L, ""),                            // empty doc: 0
+      (15L, "in in9 9in a1b2c3 12345")      // digits mixed in tokens: 1 stop, 9 digits
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherReport(adversarial, minWords = 1)
+      .orderBy("doc_id").collect()
+    // independent recount with plain Scala token/char semantics
+    val texts = Map(10L -> "the the the", 11L -> "the  the",
+      12L -> "theme of other lather a", 13L -> "a", 14L -> "",
+      15L -> "in in9 9in a1b2c3 12345")
+    val stopWords = Set("the", "a", "of", "and", "in")
+    got.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val stops = t.split(" ", -1).count(stopWords.contains)
+      val digits = t.count(_.isDigit)
+      val expectStop = if (stops >= 2) 1 else 0
+      assert(r.getAs[Int]("rule_stopwords") == expectStop,
+        s"doc ${r.getAs[Long]("doc_id")}: stopword rule expected $expectStop (stops=$stops): $r")
+      val nChars = t.count(_ != ' ')
+      val expectDigits = if (digits * 5 <= nChars) 1 else 0
+      assert(r.getAs[Int]("rule_digits") == expectDigits,
+        s"doc ${r.getAs[Long]("doc_id")}: digit rule expected $expectDigits (digits=$digits): $r")
+    }
+  }
+
   test("gopherReport: integer columns only (no float in the report)") {
     val schema = TextAnalysis.gopherReport(docs).schema
     assert(schema.fields.forall(f =>
