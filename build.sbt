@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and recovers the bench
+// contract from the LAST line of stdout. sbt's default LoggedOutput
+// strategy prefixes the forked program's stdout with "[info] " and
+// appends its own "[success] Total time ..." trailer, which left the
+// contract line unparseable in every round's BENCH artifact (PERF
+// per_query empty since at least r15). StdoutOutput passes the program's
+// stdout through verbatim; showSuccess=false drops the trailing
+// [success] line, so the program controls the final line of stdout.
+// Timing/measurement code is untouched — this is output plumbing only.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -167,22 +167,36 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
-    // The harness capturing this output keeps only a bounded tail of
-    // stdout; a single line with all per-query timings at full precision
-    // overflows it and the head (and thus JSON validity) is lost. So:
+    // The harness capturing this output keeps only a bounded (~2000 char)
+    // tail of stdout AND parses the bench contract from the last line; a
+    // single line with all 151 per-query timings at full precision
+    // overflows the tail and its head (and thus JSON validity) is lost.
+    // So (r20, restoring the driver-parseable contract — output plumbing
+    // only, the timing path above is untouched):
     //  1. persist the COMPLETE per-query map to a one-line JSON file,
-    //  2. print the complete map anyway (most of it survives in a tail),
-    //  3. end with a short, self-contained summary line — guaranteed to
-    //     fit whole in any tail window — carrying the slowest queries
-    //     inline plus a pointer to the full file.
+    //  2. print the complete map (greppable; most survives in a tail),
+    //  3. END stdout with a self-contained summary line sized to fit
+    //     whole inside the tail window — same fields as before, now
+    //     packing as many per-query entries (slowest first) as fit the
+    //     budget instead of a fixed top-20. build.sbt's StdoutOutput +
+    //     showSuccess=false guarantee this line is the LAST line of
+    //     stdout, unprefixed — the two properties the parser needs.
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","host_contended":$contended,"stolen_frac":${fmt(runStolenFrac)},"sentinels":$sentinelJson,"spread":$spreadJson,"regressed":$regressedJson,"queries":$qjson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    spark.stop() // before the contract lines: nothing may print after them
     println(full)
-    val slowest = results.sortBy(-_._2).take(20)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"host_contended":$contended,"stolen_frac":${fmt(runStolenFrac)},"queries_file":"$outFile","queries":$slowest}""")
-    spark.stop()
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"host_contended":$contended,"stolen_frac":${fmt(runStolenFrac)},"queries_file":"$outFile","queries":"""
+    val budget = 1900 // < the harness's 2000-char stdout tail, with margin
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = prefix.length + 2 // "{" + final "}}"
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + fmt(v)
+      val add = e.length + (if (entries.isEmpty) 0 else 1)
+      if (len + add <= budget) { entries += e; len += add }
+    }
+    println(prefix + entries.mkString("{", ",", "}") + "}")
+    System.out.flush()
   }
 }
