@@ -399,7 +399,13 @@ object OpsQueries {
           element_at(exactQ, 3).as("__q90"), element_at(exactQ, 4).as("__q99"))
       val users = ev.groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("exact_users"))
-      users.join(broadcast(sketches), Seq("event_type"))
+      // r20: null-safe rejoin — the fused groupBy (and the SQL oracle's
+      // GROUP BY) emit a row for a NULL event_type group, which a plain
+      // equi-join would drop (NULL != NULL). Latent in testdata (no null
+      // event_type); pinned by ApproxStatsNullKeySpec.
+      users.join(broadcast(sketches.withColumnRenamed("event_type", "__et")),
+          col("event_type") <=> col("__et"))
+        .drop("__et")
         .select(col("event_type"), col("exact_users"),
           (abs(col("__approx_users") - col("exact_users")).cast("double") <=
             col("exact_users") * 0.10).cast("long").as("hll_within_10pct"),

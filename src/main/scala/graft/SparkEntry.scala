@@ -166,9 +166,18 @@ object SparkEntry {
       // aggregates (each with its own single-row exchange). Scans still
       // read zero columns (empty ReadSchema ⇒ footer-count batches);
       // per-table counts are the group counts of the constant tag.
-      Tables.all.map(n => t(s, dir, n).select(lit(n).as("tbl")))
+      // r20: left-join the grouped counts against the static table list
+      // so an EMPTY table still emits (tbl, 0) — the tag-then-groupBy
+      // form alone emits no row for it, diverging from the oracle's
+      // per-table `SELECT name, count(*)` (latent in testdata, where no
+      // table is empty; pinned by CountTablesSpec's empty-dir fixture).
+      val counted = Tables.all.map(n => t(s, dir, n).select(lit(n).as("tbl")))
         .reduce(_ unionAll _)
         .groupBy("tbl").agg(count(lit(1)).as("n"))
+      s.createDataset(Tables.all)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("tbl")
+        .join(counted, Seq("tbl"), "left")
+        .select(col("tbl"), coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("tbl")
     }),
 
