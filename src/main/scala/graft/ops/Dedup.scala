@@ -103,8 +103,15 @@ object Dedup {
    * does).
    */
   def lshCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                    k: Int = 8, bands: Int = 4): DataFrame = {
-    val bandsDf = lshBands(minhashExploded(docs, k, idCol, textCol), idCol, k, bands)
+                    k: Int = 8, bands: Int = 4): DataFrame =
+    lshCandidatesFromSig(minhashExploded(docs, k, idCol, textCol), idCol, k, bands)
+
+  /** [[lshCandidates]] from a pre-built signature table (the shared-
+    * shingle dedup pipelines build their signatures from [[shingleTable]]
+    * instead of a second corpus pass). */
+  private[graft] def lshCandidatesFromSig(sig: DataFrame, idCol: String,
+                                   k: Int, bands: Int): DataFrame = {
+    val bandsDf = lshBands(sig, idCol, k, bands)
     val buckets = bandsDf.groupBy("band", "band_sig")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) > 1)
@@ -115,6 +122,51 @@ object Dedup {
           .as("id_b"))
       .distinct()
   }
+
+  /**
+   * Shared per-doc DISTINCT-shingle table for the composed dedup
+   * pipelines (r20, guide §2.3 "one pass, derive the rest"): ONE corpus
+   * pass computes each representative's distinct shingle set,
+   * materialized once; the minhash signatures DERIVE from it
+   * ([[minhashFromShingles]] — min over the md5s of the SET equals min
+   * over the multiset, duplicates can never win a min) and the
+   * candidate-verify join reads the same table for both sides. The
+   * pre-r20 pipeline ran the shingle pass over the corpus TWICE (once
+   * exploded for minhash, once as arrays for verify), each behind its
+   * own corpus-wide round-robin exchange. `extra` carries tiny per-doc
+   * payload columns (the keep-best score) so downstream stages never
+   * re-scan the corpus for them. The fan-out is split-count gated
+   * ([[TextAnalysis.fanOut]]).
+   */
+  private[graft] def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, extra: Seq[Column] = Nil): DataFrame =
+    TextAnalysis.fanOut(docs).select(
+      (col(idCol) +:
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("__sh") +:
+        extra): _*)
+      .localCheckpoint()
+
+  /** MinHash signatures from a [[shingleTable]]: identical values to
+    * [[minhashExploded]] (min over a set = min over its multiset), but
+    * the corpus text is never re-read and never re-shingled. */
+  private[graft] def minhashFromShingles(shTab: DataFrame, k: Int, idCol: String): DataFrame = {
+    val sh = shTab.select(col(idCol), explode(col("__sh")).as("sh"))
+    val aggs = (0 until k).map(seed =>
+      min(md5(concat(lit(s"$seed#"), col("sh")))).as(s"mh$seed"))
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[jaccardVerify]] against a [[shingleTable]]: same output (the
+    * table already holds the distinct shingle arrays), no third corpus
+    * pass and no second checkpoint. */
+  private[graft] def jaccardVerifyFromShingles(candidates: DataFrame, shTab: DataFrame,
+                                        idCol: String): DataFrame =
+    candidates
+      .join(shTab.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(shTab.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"), round(col("inter") / col("uni"), 6).as("jaccard"))
 
   /**
    * SimHash: 64-bit signature from per-token hashes; Hamming-close
@@ -335,9 +387,12 @@ object Dedup {
    */
   def deduplicate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                   jaccardThreshold: Double = 0.8, k: Int = 8, bands: Int = 4): DataFrame = {
+    // r20: one shared shingle pass feeds minhash AND verify (the pre-r20
+    // chain shingled the corpus twice behind two round-robin exchanges)
     val reps = collapseExact(docs, idCol, textCol, None)
-    val cands = lshCandidates(reps, idCol, textCol, k, bands)
-    val verified = jaccardVerify(cands, reps, idCol, textCol)
+    val shTab = shingleTable(reps, idCol, textCol, shingleN = 3)
+    val cands = lshCandidatesFromSig(minhashFromShingles(shTab, k, idCol), idCol, k, bands)
+    val verified = jaccardVerifyFromShingles(cands, shTab, idCol)
       .where(col("jaccard") >= jaccardThreshold)
     val labels = clusters(verified.select("id_a", "id_b"))
     val losers = labels.where(col("doc_id") =!= col("canonical_id")).select("doc_id")
@@ -361,12 +416,18 @@ object Dedup {
                           jaccardThreshold: Double = 0.8,
                           k: Int = 8, bands: Int = 4): DataFrame = {
     val reps = collapseExact(docs, idCol, textCol, Some(score))
-    val cands = lshCandidates(reps, idCol, textCol, k, bands)
-    val verified = jaccardVerify(cands, reps, idCol, textCol)
+    // r20: the shared shingle table also CARRIES the score, so the
+    // cluster-winner join below reads the checkpoint instead of a
+    // fourth corpus scan (for q_corpus_curate that scan re-evaluated
+    // the whole quality gate per pass)
+    val shTab = shingleTable(reps, idCol, textCol, shingleN = 3,
+      extra = Seq(score.as("__score")))
+    val cands = lshCandidatesFromSig(minhashFromShingles(shTab, k, idCol), idCol, k, bands)
+    val verified = jaccardVerifyFromShingles(cands, shTab, idCol)
       .where(col("jaccard") >= jaccardThreshold)
     val labels = clusters(verified.select("id_a", "id_b"))
     val scored = labels.join(
-      reps.select(col(idCol).as("doc_id"), score.as("__score")), "doc_id")
+      shTab.select(col(idCol).as("doc_id"), col("__score")), "doc_id")
     // winner per cluster: highest score, ties to the LOWEST id — min_by
     // over (null-flag, -score, id) so only the numeric score is negated,
     // never the id, and null/NaN scores rank worst (same ordering as
@@ -424,8 +485,11 @@ object Dedup {
     val edges = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
     val nEdges = edges.count()
     if (nEdges <= driverThreshold)
-      clustersDriver(edges.unionByName(
-        edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+      // r20: union-find is direction-agnostic (each edge unions two
+      // roots symmetrically and nodes are gathered from both sides), so
+      // the pre-r20 both-directions union only doubled the driver
+      // collect volume — identical output without it
+      clustersDriver(edges)
     else clustersBigStar(edges)
   }
 
