@@ -303,7 +303,7 @@ object Dedup {
    *  - no twin groups → identity (the pre-r9 full-row window was a
    *    pure constant on every clean corpus);
    *  - twin groups fit a broadcast (the real-world post-crawl norm;
-   *    probe bounded by limit+count) → ONE scan of `docs` with a
+   *    probe bounded by one take-collect) → ONE scan of `docs` with a
    *    broadcast (md5 → keep_id) lookup: keep a row iff its text has
    *    no twins or it IS the group winner. No full-row shuffle at all.
    *  - twin groups exceed the broadcast bound (duplicate-saturated
@@ -339,13 +339,18 @@ object Dedup {
         (-s).as("__graft_ns"), id.as("__graft_ai"))
       case None    => id
     }
-    // census is keys-only (md5 → winner id) and shares one corpus scan
-    // between the probe count and the broadcast arm: localCheckpoint
-    // materializes it once instead of re-aggregating the corpus per use.
+    // census is keys-only (md5 → winner id). r20: ONE bounded take-collect
+    // replaces the r9 localCheckpoint + probe-count + broadcast-build
+    // triplet — the census aggregation executes once, its ≤(bound+1) rows
+    // land on the driver (the broadcast arm shipped them there anyway),
+    // and the broadcast side becomes a LocalRelation (no extra job to
+    // build it, no block-store copy to manage). The window arm never
+    // reads the census, so an over-bound take wastes only its own pass —
+    // exactly what the old probe cost there.
     // NULL text never collapses (SQL equality: null ≠ null, and the
     // broadcast join's null key could not match anyway): the census
     // drops the null-md5 group so both arms keep every null-text row.
-    val census = docs
+    val censusDf = docs
       .select(md5(col(textCol)).as("__graft_md5"), col(idCol).as("__graft_id"),
         ascOrd(col(idCol)).as("__graft_ord"))
       .where(col("__graft_md5").isNotNull)
@@ -354,17 +359,19 @@ object Dedup {
         min_by(col("__graft_id"), col("__graft_ord")).as("__graft_keep"))
       .where(col("__graft_n") > 1)
       .select("__graft_md5", "__graft_keep")
-      .localCheckpoint()
-    val probe = census.limit(broadcastGroups + 1).count()
+    val censusRows = censusDf.limit(broadcastGroups + 1).collect()
     // identity arm returns `docs` UNCHECKPOINTED: the downstream 4x
     // re-read is then plain parquet re-scans (the pre-collapse plan);
     // a localCheckpoint would only add a block-store copy of the corpus
-    if (probe == 0L) docs
-    else if (probe <= broadcastGroups)
+    if (censusRows.isEmpty) docs
+    else if (censusRows.length <= broadcastGroups) {
+      val census = docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(censusRows: _*), censusDf.schema)
       ckpt(docs.withColumn("__graft_md5", md5(col(textCol)))
         .join(broadcast(census), Seq("__graft_md5"), "left")
         .where(col("__graft_keep").isNull || col(idCol) === col("__graft_keep"))
         .drop("__graft_md5", "__graft_keep"))
+    }
     else
       ckpt(docs.withColumn("__graft_md5", md5(col(textCol)))
         .withColumn("__graft_rn", row_number().over(
@@ -483,13 +490,19 @@ object Dedup {
     // materialize the edge list once — its upstream (minhash + banding)
     // would otherwise re-execute on every round / in the driver collect
     val edges = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    val nEdges = edges.count()
-    if (nEdges <= driverThreshold)
-      // r20: union-find is direction-agnostic (each edge unions two
-      // roots symmetrically and nodes are gathered from both sides), so
-      // the pre-r20 both-directions union only doubled the driver
-      // collect volume — identical output without it
-      clustersDriver(edges)
+    // r20: one bounded take-collect replaces the count + full-collect
+    // pair (the count told us it was safe to collect; taking
+    // threshold+1 rows answers the same question AND delivers the edge
+    // list in the same job). Union-find is direction-agnostic (each
+    // edge unions two roots symmetrically and nodes are gathered from
+    // both sides), so the pre-r20 both-directions union that doubled
+    // the collect volume is gone too — identical output.
+    import org.apache.spark.sql.Encoders
+    val take = edges
+      .limit(math.min(driverThreshold, Int.MaxValue - 1L).toInt + 1)
+      .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .collect()
+    if (take.length <= driverThreshold) clustersDriver(take, edges.sparkSession)
     else clustersBigStar(edges)
   }
 
@@ -560,10 +573,9 @@ object Dedup {
   /** Driver-side union-find (path compression + union-by-min): same
     * output as the distributed iteration — (doc_id, canonical_id =
     * component minimum) for every doc in an edge. */
-  private def clustersDriver(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
+  private def clustersDriver(es: Array[(Long, Long)],
+                             spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    val es = edges.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       var r = x
