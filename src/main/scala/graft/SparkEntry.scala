@@ -359,12 +359,36 @@ object SparkEntry {
       // neighbors of (n-1)·p, interpolate lo + d·(hi−lo) exactly like
       // quantile_cont. ~35% faster than the value-map aggregate at sf0.1
       // and identical output.
+      //
+      // r20 (guide §2.6 stragglers/idle capacity): the global per-group
+      // rank is REBUILT from value-ordered buckets instead of one
+      // 3-task window — rows partition on (group, bucket) where bucket
+      // is a fixed-width slice of the VALUE axis, each bucket sorts in
+      // parallel, and global rank = (prefix count of lower buckets) +
+      // local rank. Exact: buckets are value-ordered so cross-bucket
+      // order by (bucket, value) ≡ order by value; ties share a bucket
+      // (floor of the same value), and only the VALUE at a target rank
+      // matters, so within-tie arbitrary numbering can't change the
+      // emitted percentile. The per-group totals n derive from the same
+      // bucket-count table (§2.3) instead of a corpus-wide count window.
+      // Sort-stage tasks at sf0.1: 3 → ~150; at 100 TB the sort spreads
+      // over (groups × buckets) instead of stalling on #groups tasks.
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-      val ranked = t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      val base = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          floor(col("l_extendedprice") / 2000.0).cast("long").as("__bk"))
+      val cnts = base.groupBy("l_returnflag", "__bk").agg(count(lit(1)).as("__c"))
+      val wOff = Window.partitionBy("l_returnflag").orderBy("__bk")
+      val offs = cnts // bucket-grain table: tiny, broadcastable
+        .withColumn("__off", coalesce(
+          sum("__c").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("__c").over(Window.partitionBy("l_returnflag")))
+        .select("l_returnflag", "__bk", "__off", "n")
+      val wBk = Window.partitionBy("l_returnflag", "__bk").orderBy("l_extendedprice")
+      val ranked = base
+        .withColumn("__lrn", row_number().over(wBk))
+        .join(broadcast(offs), Seq("l_returnflag", "__bk"))
+        .withColumn("rn", (col("__off") + col("__lrn")).cast("int"))
       def pct(p: Double, name: String): Seq[Column] = {
         val pos = (col("n") - 1) * p
         val lo = floor(pos).cast("long"); val hi = ceil(pos).cast("long")
