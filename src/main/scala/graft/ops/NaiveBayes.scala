@@ -33,8 +33,18 @@ object NaiveBayes {
    * token contribute the smoothed floor ln(1/(L+V)).
    */
   def domainScores(docs: DataFrame, labelCol: String = "source",
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // tokenize ONCE: four model aggregations (class counts, class
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoresWithPriors(docs, labelCol, idCol, textCol)._1
+
+  /** [[domainScores]] plus the collected per-label doc counts, so
+    * [[domainPredict]] derives its prior-argmax fallback from the SAME
+    * single label aggregation (r20: the predict path used to re-scan
+    * the corpus for an orderBy/limit/collect of the identical counts). */
+  private def scoresWithPriors(docs: DataFrame, labelCol: String,
+                               idCol: String, textCol: String)
+      : (DataFrame, Array[(String, Long)]) = {
+    val spark = docs.sparkSession
+    // tokenize ONCE: the model aggregations (class counts, class
     // totals, vocab, per-doc counts) all read this — without the
     // checkpoint each one re-runs the corpus-scale explode (measured
     // super-linear in the scaling bench before the fix)
@@ -49,24 +59,35 @@ object NaiveBayes {
     // the class totals and vocabulary DERIVE from it by exact integer
     // identities (l_total = Σ_tok c; vocab = distinct counted tokens)
     // instead of each re-reading the corpus-scale token table (r19,
-    // guide §2.3: aggregate first, derive the rest).
+    // guide §2.3: aggregate first, derive the rest). r20: the SCALAR
+    // vocabulary size collapses to a driver literal (one cheap count on
+    // the checkpointed model table) instead of riding the model build
+    // as a crossJoin'd aggregate subtree.
     val classTok = toks.groupBy(col("__lbl"), col("tok")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val classTotal = classTok.groupBy(col("__lbl")).agg(sum("c").as("l_total"))
     val vocab = classTok.select("tok").distinct()
-    val vSize = vocab.agg(count(lit(1)).as("v"))
-    val priors = docs.groupBy(col(labelCol).as("__lbl"))
+    val vCount = vocab.count()
+    // r20: the priors are #labels exact longs — collect them ONCE and
+    // reuse as a LocalRelation (the old form scanned the corpus twice
+    // inside the broadcast builds: per-label counts AND the n_all
+    // scalar; predict's prior-argmax fallback re-scanned it a third
+    // time for the same numbers)
+    val priorCounts: Array[(String, Long)] = docs
+      .groupBy(col(labelCol).cast("string").as("__lbl"))
       .agg(count(lit(1)).as("n_lbl"))
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_all"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val nAll = priorCounts.map(_._2).sum
+    import spark.implicits._
+    val priors = priorCounts.toSeq.toDF("__lbl", "n_lbl")
 
     // complete (tok × label) grid so unseen (label, tok) pairs take the
     // smoothed floor; built from vocab × labels, counts coalesced to 0
     val model = vocab.crossJoin(classTotal)
       .join(classTok, Seq("tok", "__lbl"), "left")
-      .crossJoin(broadcast(vSize))
       .select(col("tok"), col("__lbl"),
         log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
-          (col("l_total") + col("v")).cast("double")).as("logp"))
+          (col("l_total") + lit(vCount)).cast("double")).as("logp"))
 
     // per-doc distinct-token counts (multiplicity as an exact factor,
     // NOT repeated float addition — the sum shape the oracle mirrors)
@@ -76,13 +97,14 @@ object NaiveBayes {
     // lineage (aggregates + cross joins) defeats size estimation and
     // Spark was observed broadcasting the doc-scale side instead
     // (1.5M-row driver collect at the 10× bench — 20s, super-linear)
-    docTok.join(broadcast(model), Seq("tok"))
+    val scores = docTok.join(broadcast(model), Seq("tok"))
       .groupBy(col(idCol), col("__lbl"))
       .agg(sum(col("cnt").cast("double") * col("logp")).as("__ll"))
       .join(broadcast(priors), Seq("__lbl"))
       .select(col(idCol), col("__lbl").as("label"),
-        round(log(col("n_lbl").cast("double") / col("n_all")) + col("__ll"), 6)
+        round(log(col("n_lbl").cast("double") / lit(nAll).cast("double")) + col("__ll"), 6)
           .as("score"))
+    (scores, priorCounts)
   }
 
   /**
@@ -96,7 +118,7 @@ object NaiveBayes {
    */
   def domainPredict(docs: DataFrame, labelCol: String = "source",
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val scores = domainScores(docs, labelCol, idCol, textCol)
+    val (scores, priorCounts) = scoresWithPriors(docs, labelCol, idCol, textCol)
     // argmax as min_by over (−score, label) — same total order the old
     // row_number window used ((score desc, label asc); scores are
     // non-null finite doubles, and IEEE negation is exact, so −score asc
@@ -106,9 +128,10 @@ object NaiveBayes {
     val top = scores.groupBy(col(idCol))
       .agg(min_by(col("label"),
         struct((-col("score")).as("__ns"), col("label").as("__lb"))).as("predicted"))
-    val priorTop = docs.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col(labelCol)).limit(1)
-      .collect()(0).getString(0)
+    // r20: the prior argmax (largest doc count, ties to smaller label)
+    // derives from the already-collected prior counts — the old form
+    // re-scanned the corpus for an identical aggregation
+    val priorTop = priorCounts.minBy { case (lbl, n) => (-n, lbl) }._1
     docs.select(col(idCol), col(labelCol).as("actual"))
       .join(top, Seq(idCol), "left")
       .withColumn("predicted", coalesce(col("predicted"), lit(priorTop)))
