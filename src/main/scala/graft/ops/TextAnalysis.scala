@@ -316,10 +316,14 @@ object TextAnalysis {
     "longnum" -> """\d{6,}""")
 
   /** Per-category match counts, measured independently on the input
-    * (overlapping categories each count their own view). */
+    * (overlapping categories each count their own view). r20: counted
+    * by [[graft.functions.RegexCountMatches]] — the same find() loop as
+    * size(regexp_extract_all(...)) without materializing the per-row
+    * match array just to take its length (equivalence pinned by
+    * PiiCountEquivalenceSpec). */
   def piiCounts(text: Column, patterns: Seq[(String, String)] = PiiPatterns): Seq[Column] =
     patterns.map { case (name, re) =>
-      size(regexp_extract_all(text, lit(re), lit(0))).cast("long").as(s"n_$name")
+      graft.functions.RegexCountMatches(text, re).cast("long").as(s"n_$name")
     }
 
   /** Replace every match with its `[CATEGORY]` tag, categories applied
