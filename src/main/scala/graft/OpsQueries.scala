@@ -269,7 +269,7 @@ object OpsQueries {
       val t = col("text")
       val nTok = TextAnalysis.tokenCount(t)
       val meanWlen = round(
-        length(regexp_replace(t, " ", "")).cast("double") /
+        length(replace(t, lit(" "), lit(""))).cast("double") /
           greatest(nTok, lit(1L)).cast("double"), 6)
       Tables(s, dir, "documents")
         .select(col("doc_id"), nTok.as("n_tokens"),
@@ -537,7 +537,7 @@ object OpsQueries {
       val t = col("text")
       val nTok = TextAnalysis.tokenCount(t)
       val meanWlen = round(
-        length(regexp_replace(t, " ", "")).cast("double") /
+        length(replace(t, lit(" "), lit(""))).cast("double") /
           greatest(nTok, lit(1L)).cast("double"), 6)
       val passes = (nTok.between(10, 5000) &&
         TextAnalysis.dupRatio(t) <= 0.9 && meanWlen.between(2.0, 12.0)).cast("long")
@@ -834,7 +834,7 @@ object OpsQueries {
       val t = col("text")
       val nTok = TextAnalysis.tokenCount(t)
       val meanWlen = round(
-        length(regexp_replace(t, " ", "")).cast("double") /
+        length(replace(t, lit(" "), lit(""))).cast("double") /
           greatest(nTok, lit(1L)).cast("double"), 6)
       // NOTE: the dedup chain re-reads this 4x; measured at sf0.1,
       // recomputing the (cheap, codegen'd) gate per pass beats

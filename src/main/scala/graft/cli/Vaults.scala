@@ -82,7 +82,7 @@ final class Vaults(
       else raw.withColumn("n_chars", length(col("text")).cast("long"))
     val t = col("text")
     val nTok = TextAnalysis.tokenCount(t)
-    val meanWlen = round(length(regexp_replace(t, " ", "")).cast("double") /
+    val meanWlen = round(length(replace(t, lit(" "), lit(""))).cast("double") /
       greatest(nTok, lit(1L)).cast("double"), 6)
     val passing = docs.where(nTok.between(10, 5000) &&
       TextAnalysis.dupRatio(t) <= 0.9 && meanWlen.between(2.0, 12.0))
