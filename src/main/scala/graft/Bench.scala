@@ -105,6 +105,14 @@ object Bench {
     // fraction goes into the artifact so adopt_bench can refuse a
     // steal-polluted candidate map outright.
     val stealTicks0 = HostSteal.ticks()
+    // r20 (verdict item 5): the third contention channel — co-tenant
+    // memory-bandwidth/LLC pressure — is invisible to both the sentinel
+    // tripwire and the steal fraction (it inflated rows 3.8x at 13%
+    // steal with clean sentinels, r19). Bracket the whole timed pass
+    // with the membw probe and put both readings in the artifact so
+    // adoption tooling can refuse bandwidth-polluted maps the way it
+    // refuses steal-polluted ones. Runs OUTSIDE every per-query timer.
+    val membwPre = HostSteal.memProbe()
     val raw = qs.map { case (name, fn) =>
       val a = timeOnce(fn)
       val b = timeOnce(fn)
@@ -121,6 +129,7 @@ object Bench {
     }
     val runStolenFrac =
       HostSteal.stolenFrac(stealTicks0, HostSteal.ticks()).getOrElse(-1.0)
+    val membwPost = HostSteal.memProbe()
     val results = raw.map { case (name, runs) =>
       name -> (if (runs.size < 2) -1.0 else runs.min)
     }
@@ -181,7 +190,7 @@ object Bench {
     //     budget instead of a fixed top-20. build.sbt's StdoutOutput +
     //     showSuccess=false guarantee this line is the LAST line of
     //     stdout, unprefixed — the two properties the parser needs.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","host_contended":$contended,"stolen_frac":${fmt(runStolenFrac)},"sentinels":$sentinelJson,"spread":$spreadJson,"regressed":$regressedJson,"queries":$qjson}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","host_contended":$contended,"stolen_frac":${fmt(runStolenFrac)},"membw_probe_sec":[${fmt(membwPre)},${fmt(membwPost)}],"sentinels":$sentinelJson,"spread":$spreadJson,"regressed":$regressedJson,"queries":$qjson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -190,7 +199,7 @@ object Bench {
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"host_contended":$contended,"stolen_frac":${fmt(runStolenFrac)},"queries_file":"$outFile","queries":"""
     val budget = 1900 // < the harness's 2000-char stdout tail, with margin
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    var len = prefix.length + 2 // "{" + final "}}"
+    var len = prefix.length + 3 // "{" + closing "}}"
     results.sortBy(-_._2).foreach { case (k, v) =>
       val e = "\"" + k + "\":" + fmt(v)
       val add = e.length + (if (entries.isEmpty) 0 else 1)
