@@ -435,16 +435,22 @@ object Dedup {
     val labels = clusters(verified.select("id_a", "id_b"))
     val scored = labels.join(
       shTab.select(col(idCol).as("doc_id"), col("__score")), "doc_id")
-    // winner per cluster: highest score, ties to the LOWEST id — min_by
-    // over (null-flag, -score, id) so only the numeric score is negated,
+    // winner per cluster: highest score, ties to the LOWEST id — ranked
+    // by (null-flag, -score, id) so only the numeric score is negated,
     // never the id, and null/NaN scores rank worst (same ordering as
-    // the exact-collapse stage)
-    val winners = scored.groupBy("canonical_id")
-      .agg(min_by(col("doc_id"),
-        struct(col("__score").isNull.cast("int").as("__nf"),
-          (-col("__score")).as("__ns"), col("doc_id"))).as("keep_id"))
-    val losers = scored.join(winners, "canonical_id")
-      .where(col("doc_id") =!= col("keep_id")).select("doc_id")
+    // the exact-collapse stage). r20: losers come from ONE row_number
+    // window over the label-scale rows (rank 1 = the exact min_by
+    // winner — the ordering struct ends in the unique doc_id, so the
+    // order is total) instead of a groupBy + join-back pair that also
+    // evaluated `scored` twice. The window is label-scale (only docs in
+    // clusters), never corpus-scale.
+    import org.apache.spark.sql.expressions.Window
+    val ord = struct(col("__score").isNull.cast("int").as("__nf"),
+      (-col("__score")).as("__ns"), col("doc_id"))
+    val losers = scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("canonical_id").orderBy(ord.asc)))
+      .where(col("__rk") > 1).select("doc_id")
     reps.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
 
