@@ -430,17 +430,27 @@ object OpsQueries {
         .orderBy("id_a", "id_b")),
 
     "q_jaccard_pairs" -> ((s, dir) => {
+      // r20: one shared shingle pass feeds candidate generation AND the
+      // verify (the r20 deduplicate restructure applied to the
+      // standalone pair queries — the old form shingled the corpus
+      // twice behind two fan-out exchanges)
       val docs = Tables(s, dir, "documents")
-      val cands = Dedup.lshCandidates(docs, k = MINHASH_K, bands = LSH_BANDS)
-      Dedup.jaccardVerify(cands, docs).orderBy("id_a", "id_b")
+      val shTab = Dedup.shingleTable(docs, "doc_id", "text", shingleN = 3)
+      val cands = Dedup.lshCandidatesFromSig(
+        Dedup.minhashFromShingles(shTab, MINHASH_K, "doc_id"),
+        "doc_id", MINHASH_K, LSH_BANDS)
+      Dedup.jaccardVerifyFromShingles(cands, shTab, "doc_id").orderBy("id_a", "id_b")
     }),
 
     // asymmetric containment over the same LSH candidates: the
     // subset-duplication view Jaccard can't see
     "q_containment_pairs" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val cands = Dedup.lshCandidates(docs, k = MINHASH_K, bands = LSH_BANDS)
-      Dedup.containmentVerify(cands, docs).orderBy("id_a", "id_b")
+      val shTab = Dedup.shingleTable(docs, "doc_id", "text", shingleN = 3)
+      val cands = Dedup.lshCandidatesFromSig(
+        Dedup.minhashFromShingles(shTab, MINHASH_K, "doc_id"),
+        "doc_id", MINHASH_K, LSH_BANDS)
+      Dedup.containmentVerifyFromShingles(cands, shTab, "doc_id").orderBy("id_a", "id_b")
     }),
 
     "q_simhash" -> ((s, dir) =>

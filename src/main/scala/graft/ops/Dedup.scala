@@ -168,6 +168,18 @@ object Dedup {
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("id_a"), col("id_b"), round(col("inter") / col("uni"), 6).as("jaccard"))
 
+  /** [[containmentVerify]] against a [[shingleTable]] — same derivation
+    * as [[jaccardVerifyFromShingles]]. */
+  private[graft] def containmentVerifyFromShingles(candidates: DataFrame, shTab: DataFrame,
+                                                   idCol: String): DataFrame =
+    candidates
+      .join(shTab.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(shTab.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / size(col("sh_a")).cast("double"), 6).as("containment_a"),
+        round(col("inter") / size(col("sh_b")).cast("double"), 6).as("containment_b"))
+
   /**
    * SimHash: 64-bit signature from per-token hashes; Hamming-close
    * signatures ⇒ similar documents. Token hash = first 16 md5 hex chars,

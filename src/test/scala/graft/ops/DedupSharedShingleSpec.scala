@@ -42,6 +42,16 @@ class DedupSharedShingleSpec extends SparkSpec {
     assert(j((1L, 2L)) == 1.0 && j((1L, 3L)) < 1.0)
   }
 
+  test("containmentVerifyFromShingles(shingleTable) == containmentVerify") {
+    val cands = Seq((1L, 2L), (1L, 3L), (3L, 4L), (2L, 5L)).toDF("id_a", "id_b")
+    val shTab = Dedup.shingleTable(docs, "doc_id", "text", shingleN = 3)
+    val a = Dedup.containmentVerifyFromShingles(cands, shTab, "doc_id")
+      .orderBy("id_a", "id_b").collect().map(_.toSeq)
+    val b = Dedup.containmentVerify(cands, docs).orderBy("id_a", "id_b")
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("lshCandidatesFromSig(derived signatures) == lshCandidates") {
     val shTab = Dedup.shingleTable(docs, "doc_id", "text", shingleN = 3)
     val a = Dedup.lshCandidatesFromSig(
