@@ -196,7 +196,7 @@ object Bench {
     catch { case _: Throwable => () }
     spark.stop() // before the contract lines: nothing may print after them
     println(full)
-    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"host_contended":$contended,"stolen_frac":${fmt(runStolenFrac)},"queries_file":"$outFile","queries":"""
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"host_contended":$contended,"stolen_frac":${fmt(runStolenFrac)},"membw_probe_sec":[${fmt(membwPre)},${fmt(membwPost)}],"queries_file":"$outFile","queries":"""
     val budget = 1900 // < the harness's 2000-char stdout tail, with margin
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = prefix.length + 3 // "{" + closing "}}"
